@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's three BI queries (BI_Questions.sql:3-37), re-expressed
+  * over the fixture star schema (FIXTURES.md §B mapping):
+  * fact = lineitem/orders, products dim = part, customers dim = customer.
+  *
+  * Scale notes (100 TB fact):
+  *  - q1/q2 join a huge fact to a small dim → `broadcast()` the dim so the
+  *    fact never shuffles for the join; the aggregation is a partial+final
+  *    hash agg (map-side combine) on the grouping key only.
+  *  - q2's RANK window is unpartitioned but sits ABOVE the aggregation, so
+  *    it sees one row per customer, not per fact row; still, at extreme
+  *    customer cardinality the top-k should be pre-narrowed — Catalyst
+  *    plans ORDER+LIMIT as TakeOrderedAndProject, which we rely on.
+  *  - q3's date filter is a pushed-down parquet predicate; with a
+  *    date-partitioned layout it becomes partition pruning for free.
+  *
+  * Determinism for the DuckDB oracle: money sums run in DECIMAL(18,2)
+  * (exact, order-independent) and cast to double at the end; the q3 anchor
+  * date is pinned to the fixture max date instead of current_date()
+  * (SURVEY.md §7.4); every output has a total ORDER BY.
+  */
+object Bi {
+
+  /** Q1 — total revenue per product category (BI_Questions.sql:3-10).
+    * scan(fact) ⋈bcast scan(part) → Γ_category SUM(amount) → sort. */
+  def revenueByCategory(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(part("p_type").as("product_category"))
+      .agg(sum(Tables.money(li("l_extendedprice"))).as("rev_dec"))
+      .select(
+        col("product_category"),
+        col("rev_dec").cast("double").as("total_sales_revenue"))
+      .orderBy(col("total_sales_revenue").desc, col("product_category"))
+  }
+
+  val revenueByCategorySql: String =
+    """SELECT p_type AS product_category,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type
+      |ORDER BY total_sales_revenue DESC, product_category""".stripMargin
+
+  /** Q2 — top-5 customers by total purchase amount (BI_Questions.sql:15-24).
+    * RANK() OVER (ORDER BY SUM(amount) DESC) computed above the agg; the
+    * LIMIT 5 becomes rank<=5 so ties at the boundary are deterministic. */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val spend = orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy(orders("o_custkey").as("customer_id"), cust("c_name").as("customer_name"))
+      .agg(sum(Tables.money(orders("o_totalprice"))).as("spend_dec"))
+    spend
+      .withColumn("top_rank",
+        rank().over(Window.orderBy(col("spend_dec").desc)).cast("long"))
+      .filter(col("top_rank") <= 5)
+      .select(
+        col("customer_id"), col("customer_name"),
+        col("spend_dec").cast("double").as("purchase_amount"),
+        col("top_rank"))
+      .orderBy(col("top_rank"), col("customer_id"))
+  }
+
+  val topCustomersSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey AS customer_id, c_name AS customer_name,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT customer_id, customer_name,
+      |         CAST(spend_dec AS DOUBLE) AS purchase_amount,
+      |         CAST(RANK() OVER (ORDER BY spend_dec DESC) AS BIGINT) AS top_rank
+      |  FROM spend
+      |)
+      |SELECT customer_id, customer_name, purchase_amount, top_rank
+      |FROM ranked WHERE top_rank <= 5
+      |ORDER BY top_rank, customer_id""".stripMargin
+
+  /** Q3 — monthly sales trend, last 12 months (BI_Questions.sql:30-37).
+    * The anchor is the fixture's max ship date (not current_date(), which
+    * would be oracle-nondeterministic — SURVEY.md §7.4). The single-row
+    * anchor frame is broadcast so the fact scan streams through the filter
+    * with no shuffle before the month aggregation. */
+  def monthlyTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val anchor = li.agg(
+      date_trunc("month", add_months(max(col("l_shipdate")), -12)).as("anchor_ts"))
+    li.crossJoin(broadcast(anchor))
+      .filter(col("l_shipdate") >= col("anchor_ts"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("sales_month"))
+      .agg(sum(Tables.money(col("l_extendedprice"))).as("sales_dec"))
+      .select(col("sales_month"), col("sales_dec").cast("double").as("total_sales"))
+      .orderBy("sales_month")
+  }
+
+  val monthlyTrendSql: String =
+    """SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS sales_month,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE_TRUNC('month',
+      |        (SELECT MAX(l_shipdate) FROM lineitem) - INTERVAL 12 MONTH)
+      |GROUP BY 1
+      |ORDER BY sales_month""".stripMargin
+}
