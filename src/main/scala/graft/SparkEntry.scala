@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Bi, Hierarchy}
+import graft.queries.{Bi, Etl, Hierarchy}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,11 @@ object SparkEntry {
     // Recursive hierarchy + anti-join (sql_definitions.sql)
     "q04_org_closure" -> (Hierarchy.orgClosure _),
     "q05_manager_chains" -> (Hierarchy.managerChains _),
-    "q06_customers_without_orders" -> (Hierarchy.customersWithoutOrders _)
+    "q06_customers_without_orders" -> (Hierarchy.customersWithoutOrders _),
+    // ETL pipeline operators (ETL_DAG.py)
+    "q07_etl_clean_sales" -> (Etl.cleanSales _),
+    "q08_quality_report" -> (Etl.qualityReport _),
+    "q09_country_resolution" -> (Etl.countryResolution _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -34,6 +38,9 @@ object SparkEntry {
     "q03_monthly_trend" -> Bi.monthlyTrendSql,
     "q04_org_closure" -> Hierarchy.orgClosureSql,
     "q05_manager_chains" -> Hierarchy.managerChainsSql,
-    "q06_customers_without_orders" -> Hierarchy.customersWithoutOrdersSql
+    "q06_customers_without_orders" -> Hierarchy.customersWithoutOrdersSql,
+    "q07_etl_clean_sales" -> Etl.cleanSalesSql,
+    "q08_quality_report" -> Etl.qualityReportSql,
+    "q09_country_resolution" -> Etl.countryResolutionSql
   )
 }

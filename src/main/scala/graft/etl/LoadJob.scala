@@ -1,0 +1,84 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference ETL pipeline end-to-end (ETL_DAG.py §3.1 lifecycle):
+  * read → rename → resolve COUNTRY → quality gate → truncate-equivalent
+  * overwrite writes in FK-safe order (dims before fact, ETL_DAG.py:227-229).
+  *
+  * Spark shape: everything stays lazy until the gate's single-pass count
+  * aggregates and the final writes; "truncate then bulk insert"
+  * (ETL_DAG.py:211-225) is `write.mode("overwrite")` (S6-S7). Row counts
+  * are returned like the reference's success-flag + nrows check.
+  */
+object LoadJob {
+
+  /** Email regex exactly as the reference (ETL_DAG.py:115-116); null
+    * emails fail (na=False) via the gate's violation semantics. */
+  val emailRegex = "^[\\w.-]+@[\\w.-]+\\.\\w+$"
+
+  def salesChecks: Seq[Check] = Seq(
+    Check("amount_positive", col("AMOUNT") > 0,
+      "AMOUNT must be positive"),                              // P5
+    // try_to_date, not to_date: Spark 4 runs ANSI mode by default, where
+    // to_date THROWS on malformed input; the reference needs pandas
+    // errors='coerce' null-on-failure semantics (ETL_DAG.py:102).
+    Check("date_parseable", try_to_date(col("TRANSACTION_DATE")).isNotNull,
+      "TRANSACTION_DATE must be a parseable date"))            // P6
+
+  def productChecks: Seq[Check] = Seq(
+    Check("price_non_negative", col("PRICE") >= 0,
+      "PRICE must be non-negative"))                           // P7
+
+  def customerChecks: Seq[Check] = Seq(
+    Check("email_format", col("EMAIL").rlike(emailRegex),
+      "EMAIL must match the email pattern"),                   // P8
+    Check("country_resolved", col("alpha3").isNotNull,
+      "COUNTRY could not be resolved to ISO alpha-3"))         // P11
+
+  final case class Result(table: String, rows: Long)
+
+  /** Run the full pipeline from three CSV paths into `outDir` parquet.
+    * Fails with ConfigError / ValidationError / LoadError like the
+    * reference's typed error taxonomy (ETL_DAG.py:231-239). */
+  def run(spark: SparkSession, salesCsv: String, productsCsv: String,
+          customersCsv: String, outDir: String): Seq[Result] = {
+    Ingest.requireFiles(Seq(salesCsv, productsCsv, customersCsv))
+
+    val sales = Ingest.rename(
+      Ingest.readCsv(spark, salesCsv, Ingest.salesSchema), Ingest.salesRenames)
+    val products = Ingest.rename(
+      Ingest.readCsv(spark, productsCsv, Ingest.productsSchema), Ingest.productsRenames)
+    val customers0 = Ingest.rename(
+      Ingest.readCsv(spark, customersCsv, Ingest.customersSchema), Ingest.customersRenames)
+
+    // F1: broadcast-dim country resolution; unresolved stays null and the
+    // gate reports it (ETL_DAG.py:193-199).
+    val customers = CountryDim.resolve(customers0, "COUNTRY", CountryDim.dim(spark))
+      .withColumn("COUNTRY", col("alpha3"))
+
+    // P4: required columns, then P5-P11 single-pass gates per table.
+    Quality.requireColumns(sales, Ingest.salesRenames.values.toSeq)
+    Quality.requireColumns(products, Ingest.productsRenames.values.toSeq)
+    Quality.requireColumns(customers0, Ingest.customersRenames.values.toSeq)
+    Quality.gate(sales, salesChecks, "sales")
+    Quality.gate(products, productChecks, "products")
+    Quality.gate(customers, customerChecks, "customers")
+
+    // S6-S8: overwrite ≡ truncate+load, dims before fact.
+    def write(df: DataFrame, name: String): Result =
+      try {
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        Result(name, spark.read.parquet(s"$outDir/$name").count())
+      } catch {
+        case e: Exception => throw new LoadError(s"failed loading $name", e)
+      }
+
+    Seq(
+      write(products.drop("alpha3"), "products"),
+      write(customers.drop("alpha3"), "customers"),
+      write(sales.withColumn("TRANSACTION_DATE", try_to_date(col("TRANSACTION_DATE"))),
+        "fact_table"))
+  }
+}

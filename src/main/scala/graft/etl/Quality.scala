@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gate reproducing the reference's validation
+  * semantics (ETL_DAG.py:90-142):
+  *
+  *  - required-column assertion by set difference (P4, ETL_DAG.py:126-128);
+  *  - per-rule predicates where a NULL predicate result counts as a
+  *    violation — pandas `na=False` semantics (P8, ETL_DAG.py:115-116);
+  *  - ALL rule violations are counted and reported in one combined error,
+  *    not just the first (P10, ETL_DAG.py:133-140).
+  *
+  * Scale design: every rule for a table is evaluated in a SINGLE pass —
+  * one conditional-count aggregate per rule inside one hash aggregation —
+  * so a 100 TB table is scanned once regardless of rule count, with
+  * map-side partial aggregation and no shuffle of raw rows (the shuffle
+  * carries one row of counters per partition).
+  */
+final case class Check(name: String, predicate: Column, message: String)
+
+object Quality {
+
+  /** Violation condition: predicate false OR null (na=False semantics). */
+  private def violated(c: Check): Column = !coalesce(c.predicate, lit(false))
+
+  /** P4: assert required columns exist; error lists every missing one. */
+  def requireColumns(df: DataFrame, required: Seq[String]): Unit = {
+    val missing = required.filterNot(df.columns.toSet)
+    if (missing.nonEmpty)
+      throw new ValidationError(
+        s"missing required columns: ${missing.mkString(", ")}")
+  }
+
+  /** One row per rule with its violation count — single scan of `df`. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val counters = checks.map(c =>
+      sum(when(violated(c), 1L).otherwise(0L)).cast("long").as(c.name))
+    val wide = df.agg(counters.head, counters.tail: _*)
+    wide.unpivot(Array.empty[Column], checks.map(c => col(c.name)).toArray,
+      "rule", "violations")
+  }
+
+  /** Sample of offending rows for a rule (diagnostics, P9/P11). */
+  def violations(df: DataFrame, check: Check): DataFrame =
+    df.filter(violated(check))
+
+  /** Fail-fast gate: evaluates every rule (one pass), then raises ONE
+    * error aggregating all failed rules — reference P10 semantics. */
+  def gate(df: DataFrame, checks: Seq[Check], table: String): Unit = {
+    if (checks.isEmpty) return
+    val counts = report(df, checks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val failed = checks.filter(c => counts.getOrElse(c.name, 0L) > 0)
+    if (failed.nonEmpty) {
+      val msgs = failed.map(c =>
+        s"[$table] ${c.message}: ${counts(c.name)} invalid rows")
+      throw new ValidationError(
+        s"validation failed with ${failed.size} rule(s):\n" + msgs.mkString("\n"))
+    }
+  }
+}
+
+/** Typed error taxonomy mirroring the reference's failure classes
+  * (ETL_DAG.py:231-239: ParserError / ValueError / generic). */
+sealed abstract class EtlError(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+final class ConfigError(msg: String) extends EtlError(msg)
+final class ValidationError(msg: String) extends EtlError(msg)
+final class LoadError(msg: String, cause: Throwable = null) extends EtlError(msg, cause)

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.{Check, CountryDim, Quality}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ETL-pipeline operators declared as oracle-checkable queries over the
+  * fixture star schema: rename+validate+filter projection (P1-P9), the
+  * single-pass quality report (P10), and broadcast country resolution (F1).
+  */
+object Etl {
+
+  /** q07 — the ETL "clean sales" stage as a query: join fact to orders for
+    * the customer key, rename to the reference's canonical columns, keep
+    * only rows passing the P5/P6-shaped validations. Filters and the
+    * 6-column projection push into the parquet scan. */
+  def cleanSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val orders = Tables.load(spark, sfDir, "orders")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .filter(coalesce(li("l_extendedprice") > 0, lit(false)) &&
+        li("l_shipdate").isNotNull)
+      .select(
+        li("l_orderkey").as("transaction_id_order"),
+        li("l_linenumber").as("transaction_line"),
+        li("l_shipdate").cast("date").as("transaction_date"),
+        orders("o_custkey").as("customer_id"),
+        li("l_partkey").as("product_id"),
+        li("l_extendedprice").as("amount"))
+      .orderBy("transaction_id_order", "transaction_line")
+  }
+
+  val cleanSalesSql: String =
+    """SELECT l_orderkey AS transaction_id_order,
+      |       l_linenumber AS transaction_line,
+      |       CAST(l_shipdate AS DATE) AS transaction_date,
+      |       o_custkey AS customer_id,
+      |       l_partkey AS product_id,
+      |       l_extendedprice AS amount
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE COALESCE(l_extendedprice > 0, FALSE) AND l_shipdate IS NOT NULL
+      |ORDER BY transaction_id_order, transaction_line""".stripMargin
+
+  /** q08 — the quality gate's violation report (P5-P10) across three
+    * fixture tables, all rules for a table evaluated in one scan. */
+  def qualityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Quality.report(Tables.load(spark, sfDir, "orders"), Seq(
+      Check("orders_amount_positive", col("o_totalprice") > 0, "amount > 0"),
+      Check("orders_date_present", col("o_orderdate").isNotNull, "date present")))
+    val li = Quality.report(Tables.load(spark, sfDir, "lineitem"), Seq(
+      Check("lineitem_qty_positive", col("l_quantity") > 0, "qty > 0"),
+      Check("lineitem_discount_range",
+        col("l_discount") >= 0 && col("l_discount") <= 1, "0 <= discount <= 1")))
+    val docs = Quality.report(Tables.load(spark, sfDir, "documents"), Seq(
+      Check("documents_text_present", length(col("text")) > 0, "text non-empty")))
+    orders.unionByName(li).unionByName(docs).orderBy("rule")
+  }
+
+  val qualityReportSql: String =
+    """SELECT rule, violations FROM (
+      |  SELECT 'orders_amount_positive' AS rule,
+      |         CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_date_present',
+      |         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_positive',
+      |         CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range',
+      |         CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'documents_text_present',
+      |         CAST(SUM(CASE WHEN NOT COALESCE(LENGTH(text) > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM documents
+      |) ORDER BY rule""".stripMargin
+
+  /** The fixture's nation names are synthetic (NATION_0..24), so the
+    * country dim for the declared query maps them to synthetic codes;
+    * the real-name fuzzy tiers are exercised in unit tests. */
+  def fixtureDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 to 24).map(i => (s"NATION_$i", f"N$i%02d")).toDF("country_name", "alpha3")
+  }
+
+  private val fixtureDimSql: String =
+    (0 to 24).map(i => s"('NATION_$i','N${"%02d".format(i)}')")
+      .mkString("(VALUES ", ", ", ") AS dim(country_name, alpha3)")
+
+  /** q09 — F1 as a distributed operator: resolve each customer's nation
+    * name through the broadcast dim (exact-normalized tier) and count
+    * customers per resolved code. */
+  def countryResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val named = cust.join(broadcast(nation),
+      cust("c_nationkey") === nation("n_nationkey"))
+    CountryDim.resolve(named, "n_name", fixtureDim(spark), fuzzy = false)
+      .groupBy(coalesce(col("alpha3"), lit("UNRESOLVED")).as("country_code"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("country_code")
+  }
+
+  val countryResolutionSql: String =
+    s"""SELECT COALESCE(alpha3, 'UNRESOLVED') AS country_code,
+       |       CAST(COUNT(*) AS BIGINT) AS n_customers
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |LEFT JOIN $fixtureDimSql
+       |  ON UPPER(TRIM(REGEXP_REPLACE(n_name, '\\s+', ' ', 'g'))) = country_name
+       |GROUP BY 1
+       |ORDER BY country_code""".stripMargin
+}
