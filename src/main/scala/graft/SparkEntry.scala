@@ -3,6 +3,9 @@ package graft
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Bi, Etl, Hierarchy}
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.functions.RollingFingerprint.rolling_fingerprint
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +32,26 @@ object SparkEntry {
     // ETL pipeline operators (ETL_DAG.py)
     "q07_etl_clean_sales" -> (Etl.cleanSales _),
     "q08_quality_report" -> (Etl.qualityReport _),
-    "q09_country_resolution" -> (Etl.countryResolution _)
+    "q09_country_resolution" -> (Etl.countryResolution _),
+    // Training-data pipeline extensions (SURVEY.md §7.5)
+    "q10_dedup_exact" -> (Dedup.exact _),
+    "q11_minhash_lsh_pairs" -> (Dedup.minhashPairs _),
+    "q12_simhash" -> (Dedup.simhash _),
+    "q13_embedding_topk" -> (Similarity.bruteForceTopK _),
+    "q14_ann_lsh" -> (Similarity.annLsh _),
+    "q15_lang_id" -> (TextAnalysis.langId _),
+    "q16_text_quality" -> (TextAnalysis.qualityScore _),
+    "q17_token_counts" -> (TextAnalysis.tokenCounts _),
+    "q18_event_tumbling" -> (Events.tumbling _),
+    "q19_event_sliding" -> (Events.sliding _),
+    "q20_event_sessions" -> (Events.sessions _),
+    "q21_multimodal_meta" -> (Multimodal.binaryMeta _),
+    // rows-only checks (not SQL-expressible in the oracle)
+    "q22_multimodal_features" -> (Multimodal.features _),
+    "q23_fingerprint" -> ((s: SparkSession, dir: String) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), rolling_fingerprint(col("text"), 8).as("fingerprint"))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -41,6 +63,18 @@ object SparkEntry {
     "q06_customers_without_orders" -> Hierarchy.customersWithoutOrdersSql,
     "q07_etl_clean_sales" -> Etl.cleanSalesSql,
     "q08_quality_report" -> Etl.qualityReportSql,
-    "q09_country_resolution" -> Etl.countryResolutionSql
+    "q09_country_resolution" -> Etl.countryResolutionSql,
+    "q10_dedup_exact" -> Dedup.exactSql,
+    "q11_minhash_lsh_pairs" -> Dedup.minhashPairsSql,
+    "q12_simhash" -> Dedup.simhashSql,
+    "q13_embedding_topk" -> Similarity.bruteForceTopKSql,
+    "q14_ann_lsh" -> Similarity.annLshSql,
+    "q15_lang_id" -> TextAnalysis.langIdSql,
+    "q16_text_quality" -> TextAnalysis.qualityScoreSql,
+    "q17_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q18_event_tumbling" -> Events.tumblingSql,
+    "q19_event_sliding" -> Events.slidingSql,
+    "q20_event_sessions" -> Events.sessionsSql,
+    "q21_multimodal_meta" -> Multimodal.binaryMetaSql
   )
 }

@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table, batch-first with the
+  * same operators Structured Streaming uses (`window`, `session_window`),
+  * so the identical code lifts to `readStream` + watermark (see
+  * graft.streaming.StreamJobs and its spec).
+  *
+  * Scale notes: tumbling/sliding windows are pure groupBy aggregations —
+  * partial aggregation map-side, one shuffle on (window, type). Sliding
+  * windows multiply rows by (size/slide); that fan-out happens inside the
+  * window operator, not as a stored copy. Session windows shuffle by user
+  * then merge overlapping gaps per key — the classic mapGroups shape.
+  */
+object Events {
+
+  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+    * Spark only reads as a nanos-since-epoch long behind the legacy flag;
+    * convert to a proper µs timestamp with integer division (double
+    * division would lose precision above 2^53 ns). */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** q18 — tumbling 1-hour windows per event_type via window(). */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Tables.money(col("value"))).as("v_dec"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("v_dec").cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // make_timestamp(epoch_us(..)) pins every oracle timestamp to µs
+  // precision — the fixture column is TIMESTAMP_NS on the DuckDB side.
+  val tumblingSql: String =
+    """SELECT make_timestamp(epoch_us(date_trunc('hour', ts))) AS window_start, event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** q19 — sliding 1-hour windows every 15 minutes via window(). The
+    * oracle reconstructs the same fan-out with generate_series offsets. */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+      .orderBy("window_start")
+  }
+
+  // Every event lands in exactly size/slide = 4 windows: starts at
+  // floor(t/15min)*15min - k*15min for k in 0..3 (epoch-aligned like
+  // Spark's window()); make_timestamp keeps the naive-UTC type Spark
+  // writes to parquet.
+  val slidingSql: String =
+    """WITH slid AS (
+      |  SELECT make_timestamp((epoch_us(e.ts) // 900000000) * 900000000
+      |                        - k.k * 900000000) AS window_start
+      |  FROM events e, generate_series(0, 3) AS k(k)
+      |)
+      |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM slid GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** q20 — gap-based sessionization (30-minute inactivity) per user via
+    * session_window(); the oracle rebuilds sessions with the lag +
+    * running-flag-sum idiom. */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val sessionsSql: String =
+    """WITH marked AS (
+      |  -- >= not >: Spark session windows are [start, last+gap) with an
+      |  -- EXCLUSIVE end, so an event exactly gap after the last one
+      |  -- starts a new session.
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE
+      |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), grp AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, make_timestamp(epoch_us(MIN(ts))) AS session_start,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM grp GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+}

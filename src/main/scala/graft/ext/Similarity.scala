@@ -1,0 +1,175 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. Query vectors are
+  *    broadcast against the candidate side, so the big side is scanned once
+  *    with no shuffle; the per-query top-k is a windowed rank over the
+  *    (small) query × k result space.
+  *  - SRP-LSH (signed random projection) bucketed ANN: the 100 TB path.
+  *    Hyperplanes are DERIVED deterministically from md5 parity — no RNG —
+  *    so buckets are reproducible across engines and runs. Candidates are
+  *    only compared within a bucket: the candidate side is scanned once,
+  *    hashed to `Planes` sign bits, and joined bucket-to-bucket.
+  *
+  * All arithmetic is done in double after an exact float→double upcast so
+  * Spark and the DuckDB oracle compute bit-identical products; outputs
+  * round cosine to 6 dp as belt-and-braces against summation-order noise.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NQueries = 8
+  val Dim = 64
+  /** Multi-table SRP geometry: L hash tables (OR-amplification, boosts
+    * recall) of `Planes` sign bits each (AND-amplification, shrinks
+    * buckets). At 100 TB, Planes grows ~log(N) to keep buckets bounded
+    * and L grows with the recall target. */
+  val Tables_ = 4
+  val Planes = 6
+
+  /** Element-wise double math over array columns; sums run in array order
+    * in both engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, e) => acc + e))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** q13 — brute-force cosine top-k for the first NQueries vectors. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val bruteForceTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.v, c.v) AS cos
+       |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** Deterministic ±1 hyperplane component for (plane p, dimension d):
+    * parity of the first hex digit of md5("p:d"). Public trick: signed
+    * random projections only need iid ±1 components. */
+  private def planeSign(p: Int, d: Int): Int =
+    if ((Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 1), 16) & 1) == 1) 1 else -1
+
+  /** SRP bucket id for hash table `t`: `Planes` sign bits of the
+    * projections onto that table's hyperplanes. */
+  def srpBucket(v: Column, t: Int): Column = {
+    val bits = (0 until Planes).map { p =>
+      val proj = (0 until Dim).map { d =>
+        val e = element_at(v, d + 1)
+        if (planeSign(t * Planes + p, d) > 0) e else -e
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** q14 — multi-table SRP-LSH ANN: candidates are the union over L hash
+    * tables of same-bucket vectors, then exact cosine top-k on that
+    * (small) candidate set. At scale each table's bucket join is a plain
+    * shuffle-on-key join; the union dedups on (query, candidate) before
+    * the expensive scoring. Recall vs q13 is measured in the spec. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val buckets = array((0 until Tables_).map(t =>
+      struct(lit(t).as("t"), srpBucket(col("v"), t).as("bucket"))): _*)
+    val hashed = emb.select(col("vec_id"), col("v"),
+      explode(buckets).as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val queries = hashed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("t").as("qt"), col("bucket").as("qbucket"))
+    val cand = hashed.join(broadcast(queries),
+        col("t") === col("qt") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("v"))
+      .dropDuplicates("query_id", "neighbor_id")
+    cand
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val annLshSql: String = {
+    def planeExprs(t: Int): String = (0 until Planes).map { p =>
+      val terms = (0 until Dim).map { d =>
+        val sgn = if (planeSign(t * Planes + p, d) > 0) "+" else "-"
+        s"$sgn v[${d + 1}]"
+      }.mkString(" ")
+      s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    val tables = (0 until Tables_).map(t =>
+      s"SELECT vec_id, v, $t AS t, CAST(${planeExprs(t)} AS BIGINT) AS bucket FROM e")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |hashed AS ($tables),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM hashed q JOIN hashed c
+       |    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), scored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         list_cosine_similarity(eq.v, ec.v) AS cos
+       |  FROM cand cd
+       |  JOIN e eq ON eq.vec_id = cd.query_id
+       |  JOIN e ec ON ec.vec_id = cd.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+}

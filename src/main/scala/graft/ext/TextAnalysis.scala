@@ -1,0 +1,130 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` for a training-data pipeline:
+  * language ID (stopword-marker scoring), quality scoring
+  * (length / punctuation / stopword ratios), and token counting
+  * (whitespace + a BPE-ish regex).
+  *
+  * All expressions are built-in-function compositions (regexp counts,
+  * lengths, splits) — fully codegen'd, no UDFs — and are generated from
+  * one marker table so the Spark plan and the DuckDB oracle can never
+  * drift. One scan per query; no shuffle except the final orderBy.
+  */
+object TextAnalysis {
+
+  /** Public-knowledge high-frequency function words per language. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "une", "sur"),
+    // ASCII-only markers: \b is ASCII-word-boundary in RE2 but can be
+    // unicode-aware in Java regex — non-ASCII words would diverge.
+    "pt" -> Seq("o", "os", "do", "da", "em", "para", "com", "uma"))
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  private def markerRegex(words: Seq[String]): String =
+    "\\b(" + words.mkString("|") + ")\\b"
+
+  private def score(lang: String): Column =
+    regexp_count(lower(col("text")),
+      lit(markerRegex(markers.toMap.apply(lang)))).as(s"score_$lang")
+
+  /** q15 — language ID: argmax of marker-word counts, 'und' when no
+    * marker fires; deterministic lexicographic tiebreak. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = docs.select(
+      col("doc_id") +: markers.map { case (l, _) => score(l) }: _*)
+    // argmax via a sorted struct array: (score desc, lang asc)
+    val best = markers.map { case (l, _) =>
+      struct(col(s"score_$l").as("s"), lit(l).as("l"))
+    }
+    scored
+      .withColumn("best", sort_array(array(best: _*), asc = false)(0))
+      .select(col("doc_id"),
+        when(col("best.s") > 0, col("best.l")).otherwise("und")
+          .as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  // NOTE on the argmax tiebreak: sort_array desc on (s, l) puts the
+  // HIGHEST score first; among equal scores it takes the lexicographically
+  // LARGEST lang. The oracle mirrors with ORDER BY s DESC, l DESC LIMIT 1.
+  val langIdSql: String = {
+    // DuckDB standard strings do NOT process backslash escapes, so the
+    // regex goes in verbatim (single backslashes).
+    val scores = markers.map { case (l, ws) =>
+      s"len(regexp_extract_all(lower(text), '${markerRegex(ws)}')) AS score_$l"
+    }.mkString(",\n       ")
+    val unions = markers.map { case (l, _) =>
+      s"SELECT doc_id, score_$l AS s, '$l' AS l FROM scored"
+    }.mkString(" UNION ALL ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |       $scores
+       |  FROM documents
+       |), langs AS ($unions),
+       |best AS (
+       |  SELECT doc_id, s, l,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+       |  FROM langs
+       |)
+       |SELECT doc_id, CASE WHEN s > 0 THEN l ELSE 'und' END AS predicted_lang
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** q16 — quality scoring: token stats + punctuation and stopword
+    * ratios, the standard cheap filters before LLM training. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(lower(col("text")), "\\s+")
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?'\"()-]")).cast("long")
+    val nStop = regexp_count(lower(col("text")),
+      lit(markerRegex(englishStopwords))).cast("long")
+    docs.select(
+      col("doc_id"), nChars.as("n_chars_actual"), nTokens.as("n_tokens"),
+      (nChars.cast("double") / nTokens.cast("double")).as("avg_token_len"),
+      (nPunct.cast("double") / nChars.cast("double")).as("punct_ratio"),
+      (nStop.cast("double") / nTokens.cast("double")).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val stopRe = markerRegex(englishStopwords)
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+       |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS DOUBLE) / len(string_split_regex(lower(text), '\\s+')) AS avg_token_len,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+       |    / len(string_split_regex(lower(text), '\\s+')) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q17 — token counting: whitespace tokens vs BPE-ish subword pieces
+    * (word fragments of ≤4 chars + standalone punctuation), the cheap
+    * proxy for LLM token budgeting. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val ws = size(split(col("text"), "\\s+")).cast("long")
+    val bpeish = regexp_count(lower(col("text")),
+      lit("[a-z0-9]{1,4}|[^a-z0-9\\s]")).cast("long")
+    docs.select(col("doc_id"), ws.as("ws_tokens"), bpeish.as("bpeish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

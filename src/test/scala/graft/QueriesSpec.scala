@@ -18,11 +18,12 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
+  test("every query has an oracle or is on the deliberate rows-only list") {
+    val rowsOnly = Set("q22_multimodal_features", "q23_fingerprint")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries are allowed but should be a deliberate choice
-    assert(missing.forall(_.contains("_ro_")) || missing.isEmpty,
-      s"queries without oracle: $missing")
+    assert(missing == rowsOnly, s"queries without oracle: $missing")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      "orphan oracle entries")
   }
 
   test("org closure enumerates each employee's ancestor chain") {
