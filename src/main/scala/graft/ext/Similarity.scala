@@ -90,18 +90,27 @@ object Similarity {
       .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       .substring(0, 1), 16) & 1) == 1) 1 else -1
 
-  /** SRP bucket id for hash table `t`: `Planes` sign bits of the
-    * projections onto that table's hyperplanes. */
-  def srpBucket(v: Column, t: Int): Column = {
-    val bits = (0 until Planes).map { p =>
-      val proj = (0 until Dim).map { d =>
-        val e = element_at(v, d + 1)
-        if (planeSign(t * Planes + p, d) > 0) e else -e
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  /** All hyperplane sign vectors as ONE literal (a single Catalyst
+    * Literal node holding ArrayData) — inlining L×Planes×Dim = 1536
+    * ±element terms as expressions was a janino compilation bomb
+    * (31s of codegen at bench). */
+  private def signsLit: Column = {
+    val signs: Seq[Seq[Double]] = (0 until Tables_ * Planes).map(pl =>
+      (0 until Dim).map(d => planeSign(pl, d).toDouble))
+    typedlit(signs)
   }
+
+  /** One sign bit per hyperplane: sign(Σ_d s_d · v_d), computed by a
+    * compact higher-order-function loop over the literal sign matrix. */
+  def srpBits(v: Column): Column =
+    transform(signsLit, plane =>
+      when(aggregate(zip_with(plane, v, (s, x) => s * x),
+        lit(0.0), (acc, e) => acc + e) > 0, 1L).otherwise(0L))
+
+  /** Bucket id of hash table `t` from a precomputed bits array. */
+  def srpBucketFromBits(bits: Column, t: Int): Column =
+    (0 until Planes).map(p =>
+      element_at(bits, t * Planes + p + 1) * lit(1L << p)).reduce(_ + _)
 
   /** q14 — multi-table SRP-LSH ANN: candidates are the union over L hash
     * tables of same-bucket vectors, then exact cosine top-k on that
@@ -111,8 +120,9 @@ object Similarity {
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bits", srpBits(col("v"))) // materialized once per row
     val buckets = array((0 until Tables_).map(t =>
-      struct(lit(t).as("t"), srpBucket(col("v"), t).as("bucket"))): _*)
+      struct(lit(t).as("t"), srpBucketFromBits(col("bits"), t).as("bucket"))): _*)
     val hashed = emb.select(col("vec_id"), col("v"),
       explode(buckets).as("tb"))
       .select(col("vec_id"), col("v"),
