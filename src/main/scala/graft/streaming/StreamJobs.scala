@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming lift of the batch event analytics (graft.ext
+  * .Events): the reference itself is batch-only (SURVEY.md §2.10), so
+  * this is north-star surface — `readStream` → watermark → windowed aggs
+  * → sink, plus flatMapGroupsWithState for custom session state.
+  *
+  * The batch and streaming variants share operator semantics by
+  * construction: `window()` / `session_window()` are the same Catalyst
+  * operators in both modes, so the batch oracles (q18-q20) pin the
+  * streaming results too when the stream is replayed to completion.
+  */
+object StreamJobs {
+
+  /** The events schema as Spark reads it post nanos conversion. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a DIRECTORY of event parquet files (the
+    * file stream source rejects a bare file path — production streams
+    * watch directories). Nanos ts arrives as long, converted like the
+    * batch path. */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark:
+    * late data beyond the watermark is dropped, state is bounded. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Run a streaming aggregation to completion against a memory sink and
+    * return the materialized result — the local test harness shape. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // --- custom state: sessionization via flatMapGroupsWithState ---
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Int)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Streaming-shaped session assembly with explicit state: emits a
+    * session when a gap >= 30min arrives (or at timeout in a real
+    * stream). Works identically over a batch Dataset via mapGroups in
+    * tests; here the streaming signature. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // File replay delivers a group's events in one call; sort by ts
+          // and cut on gaps. A live stream would carry state across
+          // micro-batches with a ProcessingTime timeout flush instead.
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.getOrElse(null)
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last >= GapMs =>
+                out += SessionOut(uid, new java.sql.Timestamp(s.start), s.n)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.n + 1)
+            }
+          }
+          if (st != null) {
+            // final flush for the replay harness (bounded input)
+            out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.Hierarchy
+
+/** SURVEY.md §3.2: the BI queries must run BOTH as DataFrame builders and
+  * as SQL text through Catalyst's full parse→analyze→optimize path, and
+  * converge to the same results. The oracle SQL strings double as the
+  * spark.sql twins (kept ANSI enough for both DuckDB and Spark).
+  */
+class SqlTwinsSpec extends SparkSpec {
+
+  // q18-q20 twins are DuckDB-only (epoch_us/make_timestamp dialect), so
+  // the streaming/batch specs cover those instead.
+  private val twinnable = Seq(
+    "q01_revenue_by_category", "q02_top_customers", "q03_monthly_trend",
+    "q06_customers_without_orders", "q07_etl_clean_sales",
+    "q10_dedup_exact")
+
+  test("spark.sql twin equals the DataFrame plan, row for row") {
+    Tables.registerAll(spark, sf001)
+    twinnable.foreach { q =>
+      val viaSql = spark.sql(SparkEntry.oracleSql(q))
+        .collect().map(_.toString).toSeq
+      val viaDf = SparkEntry.queries(q)(spark, sf001)
+        .collect().map(_.toString).toSeq
+      assert(viaSql == viaDf, s"$q: SQL twin diverged from DataFrame plan")
+    }
+  }
+
+  test("Spark 4 WITH RECURSIVE runs the reference hierarchy CTE") {
+    val viaSql = spark.sql(Hierarchy.orgClosureSql)
+      .collect().map(_.toString).toSeq
+    val viaLoop = Hierarchy.orgClosure(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(viaSql == viaLoop,
+      "recursive CTE and fixpoint loop must agree on the 10-row org tree")
+  }
+}
