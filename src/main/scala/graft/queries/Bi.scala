@@ -88,15 +88,24 @@ object Bi {
 
   /** Q3 — monthly sales trend, last 12 months (BI_Questions.sql:30-37).
     * The anchor is the fixture's max ship date (not current_date(), which
-    * would be oracle-nondeterministic — SURVEY.md §7.4). The single-row
-    * anchor frame is broadcast so the fact scan streams through the filter
-    * with no shuffle before the month aggregation. */
+    * would be oracle-nondeterministic — SURVEY.md §7.4).
+    *
+    * Two-phase on purpose: the anchor is materialized by a tiny
+    * single-column job FIRST so the main scan filters on a LITERAL —
+    * that's what reaches parquet PushedFilters (min/max row-group
+    * skipping, and partition pruning under a date-partitioned layout).
+    * The lazy crossJoin(broadcast(anchor)) variant kept the predicate
+    * data-dependent and un-pushable (verified via explain). */
   def monthlyTrend(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
-    val anchor = li.agg(
-      date_trunc("month", add_months(max(col("l_shipdate")), -12)).as("anchor_ts"))
-    li.crossJoin(broadcast(anchor))
-      .filter(col("l_shipdate") >= col("anchor_ts"))
+    // .get(0), not getTimestamp: the fixture column is TIMESTAMP_NTZ,
+    // which surfaces as LocalDateTime; lit() rebuilds the right literal
+    // type either way.
+    val anchorTs = li
+      .agg(date_trunc("month", add_months(max(col("l_shipdate")), -12))
+        .as("anchor_ts"))
+      .head().get(0)
+    li.filter(col("l_shipdate") >= lit(anchorTs))
       .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("sales_month"))
       .agg(sum(Tables.money(col("l_extendedprice"))).as("sales_dec"))
       .select(col("sales_month"), col("sales_dec").cast("double").as("total_sales"))
