@@ -1,0 +1,46 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+
+  test("date partitioning gives partition pruning on range filters") {
+    val out = Files.createTempDirectory("graft-layout").toString + "/li"
+    Layout.writeDatePartitioned(
+      Tables.load(spark, sf001, "lineitem"), "l_shipdate", out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("part_month") === "1997-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part_month"),
+      s"no partition filter in:\n$plan")
+    // execute THIS Dataset (count() would build a separate plan whose
+    // metrics we can't see) then read the scan's numFiles metric
+    assert(pruned.collect().nonEmpty)
+    val filesRead = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+    // pruning must skip most of the ~83 month partitions
+    assert(filesRead >= 1 && filesRead <= 4,
+      s"expected a handful of files after pruning, read $filesRead")
+  }
+
+  test("bucketed tables join without any shuffle") {
+    val s2 = spark.newSession()
+    // disable auto-broadcast: on fixture-sized tables the planner would
+    // broadcast and skip bucketing; at 100 TB neither side broadcasts —
+    // the bucketed sort-merge join is exactly the plan under test
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Layout.writeBucketed(Tables.load(s2, sf001, "lineitem")
+      .select("l_orderkey", "l_extendedprice"), "l_orderkey", 8, "li_bucketed")
+    Layout.writeBucketed(Tables.load(s2, sf001, "orders")
+      .select("o_orderkey", "o_custkey"), "o_orderkey", 8, "ord_bucketed")
+    val joined = s2.table("li_bucketed")
+      .join(s2.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
