@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.RollingFingerprint
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so SQL-text users get them too:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT rolling_fingerprint(text, 8) FROM documents
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "rolling_fingerprint"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs.lift(1) match {
+          case Some(Literal(v: Int, _)) => v
+          case None => 8
+          case other => throw new IllegalArgumentException(
+            s"rolling_fingerprint(str[, k]): k must be an int literal, got $other")
+        }
+        RollingFingerprint(exprs.head, k)
+      }))
+  }
+}
