@@ -51,7 +51,8 @@ object SparkEntry {
     "q23_fingerprint" -> ((s: SparkSession, dir: String) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), rolling_fingerprint(col("text"), 8).as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q24_calendar_rollup" -> (Bi.calendarRollup _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -75,6 +76,7 @@ object SparkEntry {
     "q18_event_tumbling" -> Events.tumblingSql,
     "q19_event_sliding" -> Events.slidingSql,
     "q20_event_sessions" -> Events.sessionsSql,
-    "q21_multimodal_meta" -> Multimodal.binaryMetaSql
+    "q21_multimodal_meta" -> Multimodal.binaryMetaSql,
+    "q24_calendar_rollup" -> Bi.calendarRollupSql
   )
 }

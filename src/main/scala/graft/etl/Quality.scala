@@ -46,6 +46,16 @@ object Quality {
   def violations(df: DataFrame, check: Check): DataFrame =
     df.filter(violated(check))
 
+  /** PRIMARY KEY parity: Spark enforces no PKs (SURVEY.md §1.2), so
+    * uniqueness is a data-quality rule — one row with the number of key
+    * groups that occur more than once. Aggregate-shaped (groupBy keys),
+    * so it lives beside `report` rather than inside a per-row Check. */
+  def uniquenessReport(df: DataFrame, keys: Seq[String], rule: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(rule).as("rule"), col("violations"))
+
   /** Fail-fast gate: evaluates every rule (one pass), then raises ONE
     * error aggregating all failed rules — reference P10 semantics. */
   def gate(df: DataFrame, checks: Seq[Check], table: String): Unit = {

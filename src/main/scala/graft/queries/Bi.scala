@@ -112,6 +112,37 @@ object Bi {
       .orderBy("sales_month")
   }
 
+  /** q24 — rollup through the GENERATED dates dimension (the reference
+    * declares `dates` but never populates it, sql_definitions.sql:185-190;
+    * we generate it distributedly and use it): fact ⋈bcast calendar →
+    * year/month aggregate. */
+  def calendarRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val dates = graft.etl.StarSchema.datesDim(spark, "1995-01-01", "2001-12-31")
+    li.join(broadcast(dates), col("l_shipdate").cast("date") === col("date_key"))
+      .groupBy(col("year_num"), col("month_num"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Tables.money(col("l_extendedprice"))).as("t_dec"))
+      .select(col("year_num"), col("month_num"), col("n_items"),
+        col("t_dec").cast("double").as("total_sales"))
+      .orderBy("year_num", "month_num")
+  }
+
+  val calendarRollupSql: String =
+    """WITH dates AS (
+      |  SELECT CAST(d AS DATE) AS date_key,
+      |         CAST(year(d) AS INT) AS year_num,
+      |         CAST(month(d) AS INT) AS month_num
+      |  FROM generate_series(DATE '1995-01-01', DATE '2001-12-31',
+      |                       INTERVAL 1 DAY) t(d)
+      |)
+      |SELECT year_num, month_num,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem JOIN dates ON CAST(l_shipdate AS DATE) = date_key
+      |GROUP BY 1, 2
+      |ORDER BY year_num, month_num""".stripMargin
+
   val monthlyTrendSql: String =
     """SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS sales_month,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales

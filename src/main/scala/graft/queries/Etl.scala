@@ -54,7 +54,9 @@ object Etl {
         col("l_discount") >= 0 && col("l_discount") <= 1, "0 <= discount <= 1")))
     val docs = Quality.report(Tables.load(spark, sfDir, "documents"), Seq(
       Check("documents_text_present", length(col("text")) > 0, "text non-empty")))
-    orders.unionByName(li).unionByName(docs).orderBy("rule")
+    val pk = Quality.uniquenessReport(Tables.load(spark, sfDir, "orders"),
+      Seq("o_orderkey"), "orders_pk_unique")
+    orders.unionByName(li).unionByName(docs).unionByName(pk).orderBy("rule")
   }
 
   val qualityReportSql: String =
@@ -78,6 +80,10 @@ object Etl {
       |  SELECT 'documents_text_present',
       |         CAST(SUM(CASE WHEN NOT COALESCE(LENGTH(text) > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
       |  FROM documents
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique',
+      |         CAST(COUNT(*) AS BIGINT)
+      |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
       |) ORDER BY rule""".stripMargin
 
   /** The fixture's nation names are synthetic (NATION_0..24), so the
