@@ -58,11 +58,12 @@ object Hierarchy {
     * reference CTEs share this loop and differ only in carried columns.
     * Column order is re-selected each round because Spark union is
     * positional (SURVEY.md §7.4). */
-  private def fixpoint(seed: DataFrame, step: DataFrame => DataFrame): DataFrame = {
+  private[queries] def fixpoint(seed: DataFrame, step: DataFrame => DataFrame,
+      maxDepth: Int = MaxDepth): DataFrame = {
     var acc = seed.localCheckpoint()
     var frontier = acc
     var depth = 0
-    while (!frontier.isEmpty && depth < MaxDepth) {
+    while (!frontier.isEmpty && depth < maxDepth) {
       frontier = step(frontier).localCheckpoint()
       acc = acc.union(frontier)
       depth += 1

@@ -25,6 +25,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("planted near-duplicate vector shares an SRP bucket with its source") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val basev = (0 until Similarity.Dim).map(d => math.sin(d + 1))
+    val nearDup = basev.map(_ * 1.0001) // same direction -> same sign bits
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(0L, basev), Row(1L, nearDup)), schema)
+    val bits = df.select(col("vec_id"), Similarity.srpBits(col("v")).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bits(0L) == bits(1L),
+      "scaled copy must have identical projections signs in every table")
+  }
+
   test("ANN bucket restriction returns a subset of brute-force candidates") {
     val brute = Similarity.bruteForceTopK(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
