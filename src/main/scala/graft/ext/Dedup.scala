@@ -76,8 +76,12 @@ object Dedup {
     * mod P32. 16× cheaper than salting md5 per slot (measured 32.7s →
     * see BENCH), overflow-free in 64-bit, and still portable to the
     * DuckDB oracle. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingles(docs))
+
+  /** Signature aggregation over an (optionally cached) shingle frame, so
+    * pipelines that also need the shingles pay the explode+md5 once. */
+  def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h1"),
       conv(substring(md5(col("sh")), 9, 8), 16, 10).cast("long").as("h2"))
@@ -90,7 +94,8 @@ object Dedup {
     * count, minhash-estimated Jaccard, and exact shingle Jaccard. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val sig = signatures(docs).cache()
+    val sh = shingles(docs).cache() // one explode+md5 pass, reused below
+    val sig = signaturesFromShingles(sh).cache()
 
     val bandStructs = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -118,7 +123,6 @@ object Dedup {
         estCol.as("est_jaccard"))
 
     // exact shingle jaccard, computed only for the candidate pairs
-    val sh = shingles(docs).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sharedCnt = withEst.select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
