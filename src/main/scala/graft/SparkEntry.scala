@@ -52,7 +52,9 @@ object SparkEntry {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), rolling_fingerprint(col("text"), 8).as("fingerprint"))
         .orderBy("doc_id")),
-    "q24_calendar_rollup" -> (Bi.calendarRollup _)
+    "q24_calendar_rollup" -> (Bi.calendarRollup _),
+    "q25_ann_ivf" -> (Similarity.annIvf _),
+    "q26_corpus_prep" -> (TextAnalysis.corpusPrep _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -77,6 +79,8 @@ object SparkEntry {
     "q19_event_sliding" -> Events.slidingSql,
     "q20_event_sessions" -> Events.sessionsSql,
     "q21_multimodal_meta" -> Multimodal.binaryMetaSql,
-    "q24_calendar_rollup" -> Bi.calendarRollupSql
+    "q24_calendar_rollup" -> Bi.calendarRollupSql,
+    "q25_ann_ivf" -> Similarity.annIvfSql,
+    "q26_corpus_prep" -> TextAnalysis.corpusPrepSql
   )
 }

@@ -148,6 +148,89 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF geometry: every vec_id ≡ 0 (mod CentroidEvery) is a centroid
+    * (deterministic "training-free" codebook — at scale you'd k-means,
+    * but the pipeline shape is identical); queries probe the NProbe
+    * nearest lists. */
+  val CentroidEvery = 50
+  val NProbe = 3
+
+  /** q25 — IVF ANN. Assignment is a MAP-ONLY pass: the (small) codebook
+    * is collected and inlined as literal vectors, so each row computes
+    * its nearest centroid with zero shuffle — exactly how IVF ships its
+    * codebook to workers. Candidates then join by list id (cid): one
+    * shuffle keyed by cid; hot lists are the skew point, handled by AQE. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents: Array[(Long, Seq[Double])] =
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1)
+
+    // struct array of (cos to each centroid, -cid); sort_array desc picks
+    // highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC, cid)
+    def scores(v: Column): Column = array(cents.map { case (cid, cv) =>
+      val cvLit = typedlit(cv)
+      val nrm = math.sqrt(cv.map(x => x * x).sum)
+      struct((dot(v, cvLit) / (norm(v) * lit(nrm))).as("cos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+
+    val assigned = e
+      .withColumn("cid", -sort_array(scores(col("v")), asc = false)(0)("ncid"))
+    val probes = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(
+          slice(sort_array(scores(col("v")), asc = false), 1, NProbe),
+          s => -s("ncid"))).as("cid"))
+    val scored = probes.join(assigned.select(col("cid"), col("vec_id"), col("v")), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e, cent c) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e, cent c WHERE e.vec_id < $NQueries) WHERE rn <= $NProbe
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id != p.query_id
+       |), scored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |         list_cosine_similarity(eq.v, ec.v) AS cos
+       |  FROM cand cd JOIN e eq ON eq.vec_id = cd.query_id
+       |  JOIN e ec ON ec.vec_id = cd.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+
   val annLshSql: String = {
     def planeExprs(t: Int): String = (0 until Planes).map { p =>
       val terms = (0 until Dim).map { d =>

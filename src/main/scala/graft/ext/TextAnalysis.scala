@@ -122,6 +122,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q26 — the end-to-end corpus-prep pipeline a training-data curator
+    * runs, composed from the pieces above: exact dedup survivors →
+    * token-count band → English-marker floor. One shot, fully
+    * oracle-checked. */
+  def corpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val nTokens = size(split(lower(col("text")), "\\s+")).cast("long")
+    val enRatio = regexp_count(lower(col("text")),
+      lit(markerRegex(markers.toMap.apply("en")))).cast("double") /
+      nTokens.cast("double")
+    docs.select(col("doc_id"), nTokens.as("n_tokens"), enRatio.as("er"))
+      .join(keep, Seq("doc_id"), "left_semi")
+      .filter(col("n_tokens").between(20, 5000) && col("er") >= 0.01)
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val corpusPrepSql: String = {
+    val enRe = markerRegex(markers.toMap.apply("en"))
+    s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |feat AS (
+       |  SELECT doc_id,
+       |         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+       |         CAST(len(regexp_extract_all(lower(text), '$enRe')) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS er
+       |  FROM documents)
+       |SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens
+       |FROM feat f JOIN keep k ON f.doc_id = k.doc_id
+       |WHERE f.n_tokens BETWEEN 20 AND 5000 AND f.er >= 0.01
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   val tokenCountsSql: String =
     """SELECT doc_id,
       |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
