@@ -26,8 +26,8 @@ object SparkEntry {
     "q02_top_customers" -> (Bi.topCustomers _),
     "q03_monthly_trend" -> (Bi.monthlyTrend _),
     // Recursive hierarchy + anti-join (sql_definitions.sql)
-    "q04_org_closure" -> (Hierarchy.orgClosure _),
-    "q05_manager_chains" -> (Hierarchy.managerChains _),
+    "q04_org_closure" -> (Hierarchy.orgClosureNative _),
+    "q05_manager_chains" -> (Hierarchy.managerChainsNative _),
     "q06_customers_without_orders" -> (Hierarchy.customersWithoutOrders _),
     // ETL pipeline operators (ETL_DAG.py)
     "q07_etl_clean_sales" -> (Etl.cleanSales _),

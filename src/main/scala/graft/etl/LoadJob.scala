@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object LoadJob {
 
+  /** D4: structured step logging like the reference's module logger
+    * (ETL_DAG.py:18-24) — info per stage, error+rethrow per failure. */
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Email regex exactly as the reference (ETL_DAG.py:115-116); null
     * emails fail (na=False) via the gate's violation semantics. */
   val emailRegex = "^[\\w.-]+@[\\w.-]+\\.\\w+$"
@@ -44,6 +49,7 @@ object LoadJob {
     * reference's typed error taxonomy (ETL_DAG.py:231-239). */
   def run(spark: SparkSession, salesCsv: String, productsCsv: String,
           customersCsv: String, outDir: String): Seq[Result] = {
+    log.info("validating source files")
     Ingest.requireFiles(Seq(salesCsv, productsCsv, customersCsv))
 
     val sales = Ingest.rename(
@@ -70,9 +76,13 @@ object LoadJob {
     def write(df: DataFrame, name: String): Result =
       try {
         df.write.mode("overwrite").parquet(s"$outDir/$name")
-        Result(name, spark.read.parquet(s"$outDir/$name").count())
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        log.info(s"loaded $name: $rows rows")
+        Result(name, rows)
       } catch {
-        case e: Exception => throw new LoadError(s"failed loading $name", e)
+        case e: Exception =>
+          log.error(s"failed loading $name", e)
+          throw new LoadError(s"failed loading $name", e)
       }
 
     Seq(

@@ -71,6 +71,17 @@ object Hierarchy {
     acc
   }
 
+  /** q04 entry point: Spark 4 ships native recursive CTEs (SPARK-24497),
+    * which plan the whole iteration as one job — no per-round
+    * localCheckpoint materializations — so the declared query uses SQL
+    * text; `orgClosure` below is the portable fixpoint twin, proven
+    * equal in SqlTwinsSpec. */
+  def orgClosureNative(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(orgClosureSql)
+
+  def managerChainsNative(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(managerChainsSql)
+
   /** First reference CTE (sql_definitions.sql:54-84): for every employee
     * (the "root"), enumerate its ancestor chain with the distance as
     * `hierarchy_level` (0 = the employee itself), then decorate the root
