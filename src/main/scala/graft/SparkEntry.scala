@@ -54,7 +54,8 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q24_calendar_rollup" -> (Bi.calendarRollup _),
     "q25_ann_ivf" -> (Similarity.annIvf _),
-    "q26_corpus_prep" -> (TextAnalysis.corpusPrep _)
+    "q26_corpus_prep" -> (TextAnalysis.corpusPrep _),
+    "q27_embedding_neardup" -> (Similarity.embeddingNearDups _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -81,6 +82,7 @@ object SparkEntry {
     "q21_multimodal_meta" -> Multimodal.binaryMetaSql,
     "q24_calendar_rollup" -> Bi.calendarRollupSql,
     "q25_ann_ivf" -> Similarity.annIvfSql,
-    "q26_corpus_prep" -> TextAnalysis.corpusPrepSql
+    "q26_corpus_prep" -> TextAnalysis.corpusPrepSql,
+    "q27_embedding_neardup" -> Similarity.embeddingNearDupsSql
   )
 }

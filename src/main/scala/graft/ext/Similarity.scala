@@ -117,16 +117,21 @@ object Similarity {
     * (small) candidate set. At scale each table's bucket join is a plain
     * shuffle-on-key join; the union dedups on (query, candidate) before
     * the expensive scoring. Recall vs q13 is measured in the spec. */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, v, table, bucket) — each vector exploded across its L
+    * table buckets; shared by the ANN and near-dup-pair queries. */
+  private def hashedVectors(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bits", srpBits(col("v"))) // materialized once per row
     val buckets = array((0 until Tables_).map(t =>
       struct(lit(t).as("t"), srpBucketFromBits(col("bits"), t).as("bucket"))): _*)
-    val hashed = emb.select(col("vec_id"), col("v"),
-      explode(buckets).as("tb"))
+    emb.select(col("vec_id"), col("v"), explode(buckets).as("tb"))
       .select(col("vec_id"), col("v"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = hashedVectors(spark, sfDir)
     val queries = hashed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("t").as("qt"), col("bucket").as("qbucket"))
@@ -231,7 +236,8 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
-  val annLshSql: String = {
+  /** DuckDB CTE prefix computing the same (vec_id, v, t, bucket) rows. */
+  private def hashedCteSql: String = {
     def planeExprs(t: Int): String = (0 until Planes).map { p =>
       val terms = (0 until Dim).map { d =>
         val sgn = if (planeSign(t * Planes + p, d) > 0) "+" else "-"
@@ -243,7 +249,11 @@ object Similarity {
       s"SELECT vec_id, v, $t AS t, CAST(${planeExprs(t)} AS BIGINT) AS bucket FROM e")
       .mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |hashed AS ($tables),
+       |hashed AS ($tables)""".stripMargin
+  }
+
+  val annLshSql: String =
+    s"""$hashedCteSql,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM hashed q JOIN hashed c
@@ -264,5 +274,47 @@ object Similarity {
        |SELECT query_id, rk, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
+
+  /** Cosine floor for q27's near-dup pair mining. The fixture plants no
+    * true duplicates (max pairwise cos ≈ 0.51), so the floor sits where
+    * the operator provably returns work; production dedup would run at
+    * 0.95+ where SRP recall is near 1. */
+  val NearDupCos = 0.45
+
+  /** q27 — embedding-cosine near-dup pairs, LSH-prefiltered: candidate
+    * pairs share an SRP bucket in ≥1 table (approximate BY DESIGN — the
+    * oracle mirrors the same buckets), then exact cosine ≥ NearDupCos.
+    * At scale this is the all-pairs-similarity shape: bucket-local
+    * self-join instead of the quadratic cross join. */
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = hashedVectors(spark, sfDir)
+    val pairs = hashed.as("a")
+      .join(hashed.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    pairs.select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
   }
+
+  val embeddingNearDupsSql: String =
+    s"""$hashedCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM hashed a JOIN hashed b
+       |    ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+       |), scored AS (
+       |  SELECT c.vec_a, c.vec_b, list_cosine_similarity(ea.v, eb.v) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b
+       |)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= $NearDupCos
+       |ORDER BY vec_a, vec_b""".stripMargin
 }
