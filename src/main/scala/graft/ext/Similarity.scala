@@ -172,6 +172,9 @@ object Similarity {
       e.filter(col("vec_id") % CentroidEvery === 0)
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
         .sortBy(_._1)
+    // the codebook ships to every task as literals — keep it bounded
+    // (production IVF k-means to a fixed C instead of sampling by id)
+    require(cents.length <= 4096, s"IVF codebook too large: ${cents.length}")
 
     // struct array of (cos to each centroid, -cid); sort_array desc picks
     // highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC, cid)

@@ -18,6 +18,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("oracle lint: deterministic, named, and DuckDB-shaped") {
+    SparkEntry.queries.keys.foreach(k =>
+      assert(k.matches("^q\\d{2}_[a-z0-9_]+$"), s"bad query name: $k"))
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val l = sql.toLowerCase
+      assert(!l.contains("current_date") && !l.contains("now()"),
+        s"$name oracle depends on wall clock")
+      assert(l.contains("order by"), s"$name oracle lacks a total ORDER BY")
+    }
+  }
+
   test("every query has an oracle or is on the deliberate rows-only list") {
     val rowsOnly = Set("q22_multimodal_features", "q23_fingerprint")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
