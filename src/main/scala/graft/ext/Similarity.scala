@@ -34,15 +34,21 @@ object Similarity {
   val Planes = 6
 
   /** Element-wise double math over array columns; sums run in array order
-    * in both engines. */
+    * in both engines. HOF forms kept for the IVF literal-centroid scores
+    * and as the cross-check twin of the native expression. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, e) => acc + e))
 
-  def cosine(a: Column, b: Column): Column =
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Hot-path cosine: the native codegen'd expression (one pass, no
+    * intermediate arrays, bit-equal to the HOF form — SimilaritySpec). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

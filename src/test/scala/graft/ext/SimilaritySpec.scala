@@ -13,6 +13,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-12) // dot=1, norms=sqrt(2)*sqrt(2)
   }
 
+  test("native cosine expression is bit-equal to the HOF formulation") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("native"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("cosine_sim is callable from SQL via extensions") {
+    val got = spark.sql(
+      "SELECT cosine_sim(CAST(array(1.0,0.0,1.0) AS ARRAY<DOUBLE>), " +
+        "CAST(array(1.0,1.0,0.0) AS ARRAY<DOUBLE>))").head.getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+
   test("brute-force top-k is correctly ranked and sized") {
     val res = Similarity.bruteForceTopK(spark, sf001).collect()
     val byQuery = res.groupBy(_.getLong(0))
