@@ -96,22 +96,20 @@ object Similarity {
       .digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       .substring(0, 1), 16) & 1) == 1) 1 else -1
 
-  /** All hyperplane sign vectors as ONE literal (a single Catalyst
-    * Literal node holding ArrayData) — inlining L×Planes×Dim = 1536
-    * ±element terms as expressions was a janino compilation bomb
-    * (31s of codegen at bench). */
-  private def signsLit: Column = {
+  // History: inlining L×Planes×Dim = 1536 ±element terms as expressions
+  // was a janino compilation bomb (31s of codegen at bench); plane
+  // vectors therefore always travel as array LITERALS.
+
+  /** One sign bit per hyperplane: sign(v · s_p) via the native dot
+    * kernel against each literal plane (bit-equal to the HOF loop —
+    * same index-order double sums). */
+  def srpBits(v: Column): Column = {
     val signs: Seq[Seq[Double]] = (0 until Tables_ * Planes).map(pl =>
       (0 until Dim).map(d => planeSign(pl, d).toDouble))
-    typedlit(signs)
+    array(signs.map(plane =>
+      when(graft.functions.DotProduct.dot_product(v, typedlit(plane)) > 0, 1L)
+        .otherwise(0L)): _*)
   }
-
-  /** One sign bit per hyperplane: sign(Σ_d s_d · v_d), computed by a
-    * compact higher-order-function loop over the literal sign matrix. */
-  def srpBits(v: Column): Column =
-    transform(signsLit, plane =>
-      when(aggregate(zip_with(plane, v, (s, x) => s * x),
-        lit(0.0), (acc, e) => acc + e) > 0, 1L).otherwise(0L))
 
   /** Bucket id of hash table `t` from a precomputed bits array. */
   def srpBucketFromBits(bits: Column, t: Int): Column =
@@ -185,10 +183,7 @@ object Similarity {
     // struct array of (cos to each centroid, -cid); sort_array desc picks
     // highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC, cid)
     def scores(v: Column): Column = array(cents.map { case (cid, cv) =>
-      val cvLit = typedlit(cv)
-      val nrm = math.sqrt(cv.map(x => x * x).sum)
-      struct((dot(v, cvLit) / (norm(v) * lit(nrm))).as("cos"),
-        lit(-cid).as("ncid"))
+      struct(cosine(v, typedlit(cv)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
 
     val assigned = e

@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * to the HOF (`zip_with`+`aggregate`) formulation AND to the DuckDB
   * oracle's sequential list functions. */
 object VectorKernels {
+  /** Dot product in index order (bit-equal to zip_with+aggregate). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   /** Cosine similarity over two double arrays in one pass. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -74,5 +83,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Native dot product — same kernel family as CosineSimilarity; used by
+  * the SRP sign-bit computation (24 dots per row against literal
+  * hyperplanes). */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<double> inputs, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
