@@ -182,7 +182,7 @@ object Similarity {
 
     // struct array of (cos to each centroid, -cid); sort_array desc picks
     // highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC, cid)
-    def scores(v: Column): Column = array(cents.map { case (cid, cv) =>
+    def scores(v: Column): Column = array(cents.toSeq.map { case (cid, cv) =>
       struct(cosine(v, typedlit(cv)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
 
