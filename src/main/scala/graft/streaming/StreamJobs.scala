@@ -59,6 +59,17 @@ object StreamJobs {
     df.sparkSession.table(name)
   }
 
+  /** Streaming exact-dedup: drops repeats of `event_id` arriving within
+    * the watermark horizon — the streaming face of Dedup.exact. State is
+    * bounded BY the watermark (dropDuplicatesWithinWatermark evicts ids
+    * once they age out), which is what makes this viable on an
+    * unbounded 100 TB/day stream where plain dropDuplicates would grow
+    * state forever. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- custom state: sessionization via flatMapGroupsWithState ---
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp)

@@ -46,4 +46,24 @@ class WatermarkSpec extends SparkSpec {
     assert(closed.head.getAs[Long]("count") == 2,
       "the late third event must NOT be counted in the closed window")
   }
+
+  test("streaming dedup drops repeats within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val deduped = StreamJobs.dedupEvents(
+      mem.toDF().toDF("event_id", "ts"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_test").start()
+
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // same ids again in a later micro-batch, still inside the watermark
+    mem.addData((1L, ts("2024-01-01 10:05:00")), (3L, ts("2024-01-01 10:06:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L),
+      s"repeat of id 1 must be dropped, got ${ids.mkString(",")}")
+  }
 }
