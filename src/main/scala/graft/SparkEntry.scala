@@ -80,6 +80,23 @@ object SparkEntry {
     "q19_event_sliding" -> Events.slidingSql,
     "q20_event_sessions" -> Events.sessionsSql,
     "q21_multimodal_meta" -> Multimodal.binaryMetaSql,
+    // q23: same polynomial-min fingerprint re-derived in DuckDB — HUGEINT
+    // arithmetic for the 61-bit modulus, valid because the fixture text
+    // is pure ASCII (UTF-16 code unit == code point there).
+    "q23_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    [substr(text, i, 8) for i in generate_series(1, greatest(length(text)-7, 1))] AS wins
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_min([CAST(list_reduce(
+        |        [CAST(unicode(c) AS HUGEINT) for c in string_split_regex(win, '')],
+        |        (acc, x) -> (acc * 257 + x) % 2305843009213693951::HUGEINT
+        |      ) AS BIGINT) for win in wins]) AS fingerprint
+        |  FROM w
+        |)
+        |SELECT doc_id, fingerprint FROM h ORDER BY doc_id""".stripMargin,
     "q24_calendar_rollup" -> Bi.calendarRollupSql,
     "q25_ann_ivf" -> Similarity.annIvfSql,
     "q26_corpus_prep" -> TextAnalysis.corpusPrepSql,

@@ -30,7 +30,7 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is on the deliberate rows-only list") {
-    val rowsOnly = Set("q22_multimodal_features", "q23_fingerprint")
+    val rowsOnly = Set("q22_multimodal_features")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"queries without oracle: $missing")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
