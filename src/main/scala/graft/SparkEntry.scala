@@ -55,7 +55,8 @@ object SparkEntry {
     "q24_calendar_rollup" -> (Bi.calendarRollup _),
     "q25_ann_ivf" -> (Similarity.annIvf _),
     "q26_corpus_prep" -> (TextAnalysis.corpusPrep _),
-    "q27_embedding_neardup" -> (Similarity.embeddingNearDups _)
+    "q27_embedding_neardup" -> (Similarity.embeddingNearDups _),
+    "q28_distinct_counts" -> (Bi.distinctCounts _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -100,6 +101,7 @@ object SparkEntry {
     "q24_calendar_rollup" -> Bi.calendarRollupSql,
     "q25_ann_ivf" -> Similarity.annIvfSql,
     "q26_corpus_prep" -> TextAnalysis.corpusPrepSql,
-    "q27_embedding_neardup" -> Similarity.embeddingNearDupsSql
+    "q27_embedding_neardup" -> Similarity.embeddingNearDupsSql,
+    "q28_distinct_counts" -> Bi.distinctCountsSql
   )
 }

@@ -143,6 +143,31 @@ object Bi {
       |GROUP BY 1, 2
       |ORDER BY year_num, month_num""".stripMargin
 
+  /** q28 — distinct-cardinality rollup: exact COUNT(DISTINCT) per flag
+    * (two-shuffle expand plan Catalyst generates). The HLL sketch twin
+    * (approx_count_distinct — one shuffle, mergeable state, the 100 TB
+    * choice) is compared against this within tolerance in BiSpec; the
+    * oracle checks the exact side only since sketch estimates are
+    * engine-specific. */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag,
+      |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val monthlyTrendSql: String =
     """SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS sales_month,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
