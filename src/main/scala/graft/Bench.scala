@@ -14,7 +14,12 @@ object Bench {
     // so the first timed query doesn't absorb JVM/session init
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: run only queries whose name starts with one of them
+    // (local iteration aid; the driver passes no args → full suite)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count(), not count(): Dataset.count() collapses to a
       // count(1) agg that elides sorts and expensive projections, which

@@ -56,7 +56,9 @@ object SparkEntry {
     "q25_ann_ivf" -> (Similarity.annIvf _),
     "q26_corpus_prep" -> (TextAnalysis.corpusPrep _),
     "q27_embedding_neardup" -> (Similarity.embeddingNearDups _),
-    "q28_distinct_counts" -> (Bi.distinctCounts _)
+    "q28_distinct_counts" -> (Bi.distinctCounts _),
+    "q29_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q30_dup_clusters" -> (Dedup.clusters _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -102,6 +104,8 @@ object SparkEntry {
     "q25_ann_ivf" -> Similarity.annIvfSql,
     "q26_corpus_prep" -> TextAnalysis.corpusPrepSql,
     "q27_embedding_neardup" -> Similarity.embeddingNearDupsSql,
-    "q28_distinct_counts" -> Bi.distinctCountsSql
+    "q28_distinct_counts" -> Bi.distinctCountsSql,
+    "q29_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    "q30_dup_clusters" -> Dedup.clustersSql
   )
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the core of a
@@ -218,6 +219,212 @@ object Dedup {
       .select(col("doc_id"), bits.reduce(_ + _).cast("long").as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** q29 — exact n-gram (word bigram) Jaccard near-dup at threshold Tau,
+    * via the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07;
+    * ref workload: dedup family, ETL_DAG.py:12 faker-dup test data):
+    * under a global total order of tokens, any pair with J >= τ must
+    * share a token within the first |x| − ⌈τ·|x|⌉ + 1 tokens of BOTH
+    * records, so the candidate join touches only prefix tokens instead
+    * of every posting. At τ=0.5 that halves the inverted index, and —
+    * unlike MinHash — the result is EXACT, no estimation error.
+    *
+    * Scale: one shuffle to rank tokens per doc (window by doc_id), a
+    * prefix-token self-join (the classic hot-token skew risk — AQE skew
+    * join handles it; stop-word-like tokens are rare among bigrams), and
+    * an intersection count only over surviving candidates.
+    *
+    * The DuckDB oracle brute-forces ALL token-sharing pairs and applies
+    * the same τ — so the oracle independently proves the prefix filter
+    * dropped no qualifying pair. */
+  val NgramWords = 2
+  val Tau = 0.5
+
+  /** doc_id → exploded distinct word bigrams. */
+  def wordNgrams(docs: DataFrame): DataFrame = {
+    val t = split(lower(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= NgramWords)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - (NgramWords - 1)),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))))
+        .as("ng"))
+  }
+
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = wordNgrams(Tables.load(spark, sfDir, "documents")).cache()
+
+    // Intern tokens as dense ints ordered by ASCENDING document frequency
+    // (the AllPairs canonical order, Bayardo WWW'07): rarest tokens get the
+    // smallest ids, so a doc's prefix is simply the FRONT SLICE of its
+    // sorted id array — no window function — and every downstream join/
+    // intersect runs on ints instead of strings (measured 356s → 104s →
+    // 17s at sf0.1 across these rewrites). The vocab ranking is a
+    // vocab-sized single-partition sort: vocabularies grow sub-linearly
+    // with corpus size, but at extreme scale swap row_number for
+    // rdd.zipWithIndex. The vocab itself broadcasts.
+    val dfreq = toks.groupBy("ng").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.select(col("ng"),
+      row_number().over(Window.orderBy(col("df"), col("ng"))).as("tid"))
+    val toksI = toks.join(broadcast(vocab), Seq("ng"))
+      .select(col("doc_id"), col("tid"))
+
+    // one shuffle keyed by doc_id → per-doc sorted token-set arrays; the
+    // verification join reads these via broadcast (pure map) instead of
+    // re-exploding candidate×token rows through a shuffle. At true 100 TB
+    // doc counts, swap the broadcasts below for shuffle joins on
+    // doc_a/doc_b; the plan shape is otherwise unchanged.
+    val docsets = toksI.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("tids"), count(lit(1)).as("n"))
+      .cache()
+
+    // prefix length |x| - ceil(τ|x|) + 1 (any shorter could miss pairs);
+    // candidate pairs = prefix-token collision + length filter
+    // (J >= τ forces τ·|x| <= |y| <= |x|/τ — anything else can't qualify)
+    val prefix = docsets.select(col("doc_id"), col("n"),
+      explode(slice(col("tids"), lit(1),
+        (col("n") - ceil(col("n") * Tau).cast("long") + 1).cast("int"))).as("tid"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * Tau <= col("b.n") && col("b.n") * Tau <= col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(broadcast(docsets.select(col("doc_id").as("doc_a"),
+        col("tids").as("tids_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(docsets.select(col("doc_id").as("doc_b"),
+        col("tids").as("tids_b"), col("n").as("nb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        // custom codegen'd two-pointer merge: array_intersect would build
+        // a hash set per row — 5× slower on these sorted int sets
+        graft.functions.SortedIntersectSize.sorted_intersect_size(
+          col("tids_a"), col("tids_b")).as("shared"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= Tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]
+       |                 for i in generate_series(1, len(t)-1)])) AS ng
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents)
+       |  WHERE len(t) >= $NgramWords
+       |), counts AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS s
+       |  FROM toks a JOIN toks b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, CAST(s AS BIGINT) AS shared,
+       |       CAST(s AS DOUBLE) / CAST(ca.n + cb.n - s AS DOUBLE) AS jaccard
+       |FROM shared
+       |JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE CAST(s AS DOUBLE) / CAST(ca.n + cb.n - s AS DOUBLE) >= $Tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q30 — duplicate-cluster resolution: connected components over the
+    * q29 near-dup edges, so each group of mutually-similar documents
+    * collapses to one canonical survivor (the minimum doc_id reachable
+    * through any chain of near-dup links — A~B, B~C puts A,B,C in ONE
+    * cluster even if A,C were never directly compared).
+    *
+    * Spark side: hash-to-min label propagation — every node starts
+    * labeled with itself; each round a node takes the min label among
+    * itself and its neighbors (join edges→labels + groupBy min, both
+    * shuffles keyed by node id); converges in O(cluster diameter)
+    * rounds, tiny for dup clusters. Driver-side fixpoint with
+    * localCheckpoint per round, same shape as Hierarchy.fixpoint. At
+    * 100 TB the same loop holds (labels/edges co-partition by key so the
+    * join is shuffle-stable); pathological long-chain graphs would call
+    * for the large-star/small-star variant, which this loop structurally
+    * matches.
+    *
+    * Oracle: DuckDB WITH RECURSIVE reachability → min reachable id —
+    * an independent algorithm arriving at the same clustering. */
+  val MaxPropagationRounds = 50
+
+  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct()
+
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < MaxPropagationRounds) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      round += 1
+    }
+
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Reachability closure over the same edge set: cluster_id = min
+    * reachable doc_id (UNION, not UNION ALL, so cycles terminate). */
+  val clustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    WITH toks AS (
+       |      SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]
+       |                     for i in generate_series(1, len(t)-1)])) AS ng
+       |      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents)
+       |      WHERE len(t) >= $NgramWords
+       |    ), counts AS (
+       |      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+       |    ), shared AS (
+       |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS s
+       |      FROM toks a JOIN toks b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2
+       |    )
+       |    SELECT doc_a, doc_b
+       |    FROM shared
+       |    JOIN counts ca ON doc_a = ca.doc_id
+       |    JOIN counts cb ON doc_b = cb.doc_id
+       |    WHERE CAST(s AS DOUBLE) / CAST(ca.n + cb.n - s AS DOUBLE) >= $Tau
+       |  )
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+       |), sz AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY 1
+       |)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM comp c JOIN sz s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   val simhashSql: String = {
     val votes = (0 until SimhashBits).map(b =>
