@@ -291,15 +291,27 @@ object Similarity {
     * At scale this is the all-pairs-similarity shape: bucket-local
     * self-join instead of the quadratic cross join. */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    // candidate generation shuffles BARE IDS — carrying the 64-double
+    // vectors through the bucket join + dedup shuffle measured 15.1s at
+    // sf0.1; re-attaching them afterwards via broadcast (map-side, no
+    // shuffle) cut it to ~3s. At true 100 TB vector counts, swap the
+    // broadcasts for shuffle joins on vec_a/vec_b — plan shape unchanged.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val hashed = hashedVectors(spark, sfDir)
-    val pairs = hashed.as("a")
+      .select(col("t"), col("bucket"), col("vec_id"))
+    val cand = hashed.as("a")
       .join(hashed.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
-    pairs.select(col("vec_a"), col("vec_b"),
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("v").as("va"))),
+        Seq("vec_a"))
+      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
         cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= NearDupCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
