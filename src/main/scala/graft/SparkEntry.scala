@@ -3,7 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Bi, Etl, Hierarchy}
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.RollingFingerprint.rolling_fingerprint
 import org.apache.spark.sql.functions.col
 
@@ -58,7 +58,8 @@ object SparkEntry {
     "q27_embedding_neardup" -> (Similarity.embeddingNearDups _),
     "q28_distinct_counts" -> (Bi.distinctCounts _),
     "q29_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
-    "q30_dup_clusters" -> (Dedup.clusters _)
+    "q30_dup_clusters" -> (Dedup.clusters _),
+    "q31_stratified_sample" -> (Sampling.stratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -106,6 +107,7 @@ object SparkEntry {
     "q27_embedding_neardup" -> Similarity.embeddingNearDupsSql,
     "q28_distinct_counts" -> Bi.distinctCountsSql,
     "q29_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
-    "q30_dup_clusters" -> Dedup.clustersSql
+    "q30_dup_clusters" -> Dedup.clustersSql,
+    "q31_stratified_sample" -> Sampling.stratifiedSampleSql
   )
 }
