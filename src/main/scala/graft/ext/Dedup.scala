@@ -280,15 +280,26 @@ object Dedup {
       .cache()
 
     // prefix length |x| - ceil(τ|x|) + 1 (any shorter could miss pairs);
-    // candidate pairs = prefix-token collision + length filter
-    // (J >= τ forces τ·|x| <= |y| <= |x|/τ — anything else can't qualify)
+    // candidate pairs = prefix-token collision + two PPJoin prunes:
+    //  - length filter: J >= τ forces τ·|x| <= |y| <= |x|/τ;
+    //  - positional filter: a collision at (1-based) positions (i, j) of
+    //    the sorted arrays bounds the overlap by 1 + min(na-i, nb-j),
+    //    which must reach α = ⌈(na+nb)·τ/(1+τ)⌉ (the overlap J >= τ
+    //    implies). Safe because the FIRST shared token of a qualifying
+    //    pair sits in both prefixes at the smallest positions, where the
+    //    bound is loosest. The 1e-9 slack keeps FP rounding from ever
+    //    inflating α (an α one too low only admits an extra candidate).
     val prefix = docsets.select(col("doc_id"), col("n"),
-      explode(slice(col("tids"), lit(1),
-        (col("n") - ceil(col("n") * Tau).cast("long") + 1).cast("int"))).as("tid"))
+        posexplode(slice(col("tids"), lit(1),
+          (col("n") - ceil(col("n") * Tau).cast("long") + 1).cast("int"))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "tid")
+    val alpha = ceil((col("a.n") + col("b.n")) * lit(Tau / (1.0 + Tau)) - 1e-9)
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * Tau <= col("b.n") && col("b.n") * Tau <= col("a.n"))
+          col("a.n") * Tau <= col("b.n") && col("b.n") * Tau <= col("a.n") &&
+          lit(1) + least(col("a.n") - (col("a.i") + 1),
+            col("b.n") - (col("b.i") + 1)) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
