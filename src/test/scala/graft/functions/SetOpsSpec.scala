@@ -35,6 +35,13 @@ class SetOpsSpec extends SparkSpec {
       s"id=${r.getLong(0)}: kernel=${r.getLong(1)} builtin=${r.getLong(2)}"))
   }
 
+  test("registered as a SQL function via GraftExtensions") {
+    val n = spark.sql(
+      "SELECT sorted_intersect_size(array(1, 3, 5), array(3, 5, 9)) AS n")
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+  }
+
   test("null in either child yields null") {
     val rows = Seq((1L, Some(Seq(1, 2)), None: Option[Seq[Int]]))
       .toDF("id", "a", "b")
