@@ -59,7 +59,8 @@ object SparkEntry {
     "q28_distinct_counts" -> (Bi.distinctCounts _),
     "q29_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "q30_dup_clusters" -> (Dedup.clusters _),
-    "q31_stratified_sample" -> (Sampling.stratifiedSample _)
+    "q31_stratified_sample" -> (Sampling.stratifiedSample _),
+    "q32_frame_sample" -> (Multimodal.frameSample _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -108,6 +109,7 @@ object SparkEntry {
     "q28_distinct_counts" -> Bi.distinctCountsSql,
     "q29_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     "q30_dup_clusters" -> Dedup.clustersSql,
-    "q31_stratified_sample" -> Sampling.stratifiedSampleSql
+    "q31_stratified_sample" -> Sampling.stratifiedSampleSql,
+    "q32_frame_sample" -> Multimodal.frameSampleSql
   )
 }

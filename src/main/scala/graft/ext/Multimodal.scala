@@ -69,6 +69,40 @@ object Multimodal {
       |       sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q32 — frame sampling, fully declarative: every `FrameStride`-th
+    * fixed-size frame is sliced straight out of the binary column with
+    * `substring` (binary-safe) and fingerprinted. No UDF, no shuffle —
+    * one narrow projection with an explode, so it rides whole-stage
+    * codegen and scales with the scan. Oracle: the asset payload is the
+    * fixture text's utf-8 bytes and the fixture is pure ASCII, so DuckDB
+    * reproduces the frames with substr over characters. */
+  val FrameStride = 2
+
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val nFrames = ceil(length(col("content")).cast("double") /
+      StubDecoder.FrameSize).cast("int")
+    assets(spark, sfDir)
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), nFrames - 1, lit(FrameStride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("content").substr(
+          col("frame_idx") * StubDecoder.FrameSize + 1,
+          lit(StubDecoder.FrameSize))).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val frameSampleSql: String = {
+    val fs = StubDecoder.FrameSize
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0,
+       |           CAST(ceil(length(text) / $fs.0) AS INT) - 1, $FrameStride)) AS frame_idx
+       |  FROM documents)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |       md5(substr(text, frame_idx * $fs + 1, $fs)) AS frame_md5
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** q22 — the decode/feature/frame-sample stage: typed Dataset through
     * mapPartitions with a per-partition decoder (rows-only check; the
     * stub is pinned by unit tests instead of an oracle). */

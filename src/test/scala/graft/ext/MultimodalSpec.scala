@@ -23,6 +23,27 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("frame sample slices every stride-th frame with correct hashes") {
+    val rows = Multimodal.frameSample(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L).collect()
+    val doc = graft.Tables.load(spark, sf001, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    val bytes = doc.getBytes("UTF-8")
+    val fs = Multimodal.StubDecoder.FrameSize
+    val wantIdx = (0 until math.ceil(bytes.length / fs.toDouble).toInt
+      by Multimodal.FrameStride).toSeq
+    assert(rows.map(_.getLong(1)).toSeq == wantIdx.map(_.toLong),
+      "sampled frame indices must step by the stride")
+    rows.foreach { r =>
+      val i = r.getLong(1).toInt
+      val frame = bytes.slice(i * fs, math.min((i + 1) * fs, bytes.length))
+      val md = java.security.MessageDigest.getInstance("MD5").digest(frame)
+      val hex = md.map("%02x".format(_)).mkString
+      assert(r.getString(2) == hex, s"frame $i hash mismatch")
+    }
+  }
+
   test("metadata predicates work without touching the blob") {
     val df = Multimodal.assets(spark, sf001)
       .filter(org.apache.spark.sql.functions.col("mime").endsWith("src1"))
