@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan regressions: the properties that make these queries
+  * scale are asserted here so a refactor can't silently lose them —
+  * SURVEY.md §4's "free from Catalyst" rewrites are only free while the
+  * plan keeps them. Plans are inspected AFTER an execution so AQE's
+  * final plan (not the provisional one) is what's checked.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01/q02: fact x dim equi-joins broadcast the dim side") {
+    Seq("q01_revenue_by_category", "q02_top_customers").foreach { q =>
+      val plan = finalPlan(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q must broadcast the dim side:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q must not sort-merge a broadcastable dim:\n$plan")
+    }
+  }
+
+  test("q03: the 12-month range filter reaches the parquet scan") {
+    val plan = finalPlan("q03_monthly_trend")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"date range must be pushed into the scan:\n$plan")
+  }
+
+  test("q06: NOT EXISTS plans as a broadcast anti-join") {
+    val plan = finalPlan("q06_customers_without_orders")
+    assert(plan.contains("LeftAnti"), s"anti-join expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fixture-sized build side should broadcast:\n$plan")
+  }
+
+  test("q02: rank-filter top-k plans as WindowGroupLimit, not full sort") {
+    // the rank() <= 5 filter must push a group limit below the window so
+    // each partition keeps a bounded buffer instead of ranking all rows
+    val plan = finalPlan("q02_top_customers")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push down as a window group limit:\n$plan")
+  }
+
+  test("LSH/prefix candidate joins stay hash-based (no nested loop)") {
+    Seq("q14_ann_lsh", "q27_embedding_neardup", "q29_ngram_jaccard").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q candidate join degenerated to a product:\n$plan")
+    }
+  }
+
+  test("column pruning: q01 scans only the columns it needs") {
+    val plan = finalPlan("q01_revenue_by_category")
+    // lineitem is 16 columns; the scan must read just the join key + money
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).getOrElse("")
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_shipmode"),
+      s"unused wide columns must be pruned from the scan:\n$scanLine")
+  }
+}
