@@ -60,7 +60,8 @@ object SparkEntry {
     "q29_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
     "q30_dup_clusters" -> (Dedup.clusters _),
     "q31_stratified_sample" -> (Sampling.stratifiedSample _),
-    "q32_frame_sample" -> (Multimodal.frameSample _)
+    "q32_frame_sample" -> (Multimodal.frameSample _),
+    "q33_token_shards" -> (Sampling.tokenShards _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -110,6 +111,7 @@ object SparkEntry {
     "q29_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
     "q30_dup_clusters" -> Dedup.clustersSql,
     "q31_stratified_sample" -> Sampling.stratifiedSampleSql,
-    "q32_frame_sample" -> Multimodal.frameSampleSql
+    "q32_frame_sample" -> Multimodal.frameSampleSql,
+    "q33_token_shards" -> Sampling.tokenShardsSql
   )
 }

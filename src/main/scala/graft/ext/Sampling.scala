@@ -42,6 +42,47 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q33 — token-budget sharding: pack documents into shards of roughly
+    * `TokensPerShard` whitespace tokens each, the step that turns a
+    * curated corpus into uniform training chunks. shard_id =
+    * floor(exclusive-running-token-sum / budget) over a deterministic
+    * pseudo-random order (md5(doc_id)), so shard contents are stable
+    * across runs and engines.
+    *
+    * Scale: the exact global running sum serializes through one
+    * partition — correct but sequential. At 100 TB shard within
+    * hash-buckets instead (bucket by md5 prefix, pack per bucket,
+    * offset shard ids by bucket): fully parallel, same shard-size
+    * guarantee, at the cost of global shard-id contiguity.
+    */
+  val TokensPerShard = 4000L
+
+  def tokenShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nTokens = size(split(col("text"), "\\s+")).cast("long")
+    val order = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val runningBefore = coalesce(
+      sum(col("n_tokens")).over(order.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    docs
+      .select(col("doc_id"), nTokens.as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(runningBefore / TokensPerShard).as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  val tokenShardsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+       |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         / $TokensPerShard) AS BIGINT) AS shard_id
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val stratifiedSampleSql: String =
     s"""WITH r AS (
        |  SELECT doc_id, lang, source,
