@@ -61,7 +61,9 @@ object SparkEntry {
     "q30_dup_clusters" -> (Dedup.clusters _),
     "q31_stratified_sample" -> (Sampling.stratifiedSample _),
     "q32_frame_sample" -> (Multimodal.frameSample _),
-    "q33_token_shards" -> (Sampling.tokenShards _)
+    "q33_token_shards" -> (Sampling.tokenShards _),
+    "q34_repetition" -> (TextAnalysis.repetition _),
+    "q35_decontamination" -> (TextAnalysis.decontamination _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -112,6 +114,8 @@ object SparkEntry {
     "q30_dup_clusters" -> Dedup.clustersSql,
     "q31_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q32_frame_sample" -> Multimodal.frameSampleSql,
-    "q33_token_shards" -> Sampling.tokenShardsSql
+    "q33_token_shards" -> Sampling.tokenShardsSql,
+    "q34_repetition" -> TextAnalysis.repetitionSql,
+    "q35_decontamination" -> TextAnalysis.decontaminationSql
   )
 }

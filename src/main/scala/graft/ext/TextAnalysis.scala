@@ -161,4 +161,107 @@ object TextAnalysis {
       |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q34 — repetition scoring (the Gopher-class "duplicate n-gram
+    * fraction" quality rule): per document, the share of word-trigram
+    * OCCURRENCES that belong to a trigram appearing more than once, plus
+    * the hottest trigram's count. High values flag boilerplate/spam. One
+    * explode + one (doc_id, ng) shuffle with map-side combine. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = split(lower(col("text")), "\\s+")
+    val grams = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+        .as("ng"))
+    grams.groupBy("doc_id", "ng").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_ngrams"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_occurrences"),
+        max(col("n")).as("top_ngram_count"))
+      .select(col("doc_id"), col("n_ngrams"),
+        (col("dup_occurrences").cast("double") / col("n_ngrams").cast("double"))
+          .as("dup_fraction"),
+        col("top_ngram_count"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in generate_series(1, len(w)-2)]) AS ng
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 3
+      |), c AS (
+      |  SELECT doc_id, ng, COUNT(*) AS n FROM g GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_ngrams,
+      |       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+      |         / CAST(SUM(n) AS DOUBLE) AS dup_fraction,
+      |       CAST(MAX(n) AS BIGINT) AS top_ngram_count
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q35 — benchmark decontamination: the share of each corpus doc's
+    * distinct word 5-grams that also occur in a benchmark set (here the
+    * first `BenchDocs` documents — in production, the eval suites).
+    * Mirrors the real shape exactly: benchmarks are tiny next to the
+    * corpus, so their n-gram set broadcasts and the corpus side is one
+    * scan + a map-side semi-join — no corpus shuffle on n-grams. */
+  val BenchDocs = 20L
+  val ContamN = 5
+
+  private def fiveGrams(docs: DataFrame): DataFrame = {
+    val w = split(lower(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= ContamN)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (ContamN - 1)),
+          i => concat_ws(" ", (0 until ContamN).map(o =>
+            element_at(col("w"), i + o)): _*))))
+        .as("ng"))
+  }
+
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val grams = fiveGrams(docs)
+    val benchSet = grams.filter(col("doc_id") < BenchDocs)
+      .select(col("ng")).distinct()
+    val corpus = grams.filter(col("doc_id") >= BenchDocs)
+    val hits = corpus.join(broadcast(benchSet), Seq("ng"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminationSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+       |                 for i in generate_series(1, len(w)-4)])) AS ng
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= $ContamN
+       |), bench AS (
+       |  SELECT DISTINCT ng FROM g WHERE doc_id < $BenchDocs
+       |), corpus AS (
+       |  SELECT doc_id, ng FROM g WHERE doc_id >= $BenchDocs
+       |), hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_contaminated
+       |  FROM corpus WHERE ng IN (SELECT ng FROM bench) GROUP BY 1
+       |)
+       |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(COALESCE(MAX(h.n_contaminated), 0) AS BIGINT) AS n_contaminated,
+       |       CAST(COALESCE(MAX(h.n_contaminated), 0) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS contamination
+       |FROM corpus c
+       |LEFT JOIN hits h ON h.doc_id = c.doc_id
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 }
