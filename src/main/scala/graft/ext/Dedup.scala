@@ -92,11 +92,31 @@ object Dedup {
   }
 
   /** q11 — full near-dup pipeline: LSH candidate pairs with band-collision
-    * count, minhash-estimated Jaccard, and exact shingle Jaccard. */
+    * count, minhash-estimated Jaccard, and exact shingle Jaccard.
+    *
+    * Shingle identity for the EXACT verification is the 60-bit md5 hash
+    * (same derivation in the DuckDB oracle, so any collision is identical
+    * on both sides). That lets each doc's shingle set ship as one sorted
+    * long array: the verification becomes two broadcast joins + the
+    * two-pointer intersect kernel instead of re-exploding candidate ×
+    * shingle rows through two shuffles. The signature join broadcasts
+    * too (K longs per doc). At true 100 TB doc counts, swap the
+    * broadcasts for shuffle joins on doc_a/doc_b; plan shape unchanged. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val sh = shingles(docs).cache() // one explode+md5 pass, reused below
-    val sig = signaturesFromShingles(sh).cache()
+    // one explode; Catalyst's subexpression elimination computes md5(sh)
+    // once for the three derived columns
+    val hashed = shingles(docs).select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("sh")), 9, 8), 16, 10).cast("long").as("h2"),
+      hash60(col("sh")).as("h")).cache()
+
+    val mins = (0 until K).map(k =>
+      min((col("h1") + lit(k.toLong) * col("h2")) % P32).as(s"s$k"))
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*).cache()
+    val sets = hashed.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
 
     val bandStructs = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -117,27 +137,23 @@ object Dedup {
     val estCol = (0 until K).map(k =>
       when(col(s"sa.s$k") === col(s"sb.s$k"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / lit(K.toDouble)
-    val withEst = pairs
-      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+
+    pairs
+      .join(broadcast(sig.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sig.as("sb")), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared_bands"),
         estCol.as("est_jaccard"))
-
-    // exact shingle jaccard, computed only for the candidate pairs
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sharedCnt = withEst.select("doc_a", "doc_b")
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-
-    withEst
-      .join(sharedCnt, Seq("doc_a", "doc_b"), "left")
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+        col("hs").as("hsa"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+        col("hs").as("hsb"), col("n").as("nb"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared_bands"), col("est_jaccard"),
-        (coalesce(col("shared"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("shared"), lit(0L))).cast("double"))
-          .as("jaccard"))
+        graft.functions.SortedIntersectSize.sorted_intersect_size(
+          col("hsa"), col("hsb")).as("shared"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("shared_bands"), col("est_jaccard"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -163,10 +179,15 @@ object Dedup {
        |), hashed AS (
        |  SELECT doc_id,
        |         ('0x'||substr(md5(sh),1,8))::BIGINT AS h1,
-       |         ('0x'||substr(md5(sh),9,8))::BIGINT AS h2
+       |         ('0x'||substr(md5(sh),9,8))::BIGINT AS h2,
+       |         ('0x'||substr(md5(sh),1,15))::BIGINT AS h
        |  FROM shg
        |), sig AS (
        |  SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id
+       |), hs AS (
+       |  SELECT DISTINCT doc_id, h FROM hashed
+       |), counts AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY 1
        |), bands AS ($bandSelects
        |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -180,13 +201,11 @@ object Dedup {
        |  FROM pairs p
        |  JOIN sig sa ON p.doc_a = sa.doc_id
        |  JOIN sig sb ON p.doc_b = sb.doc_id
-       |), counts AS (
-       |  SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY 1
        |), shared AS (
        |  SELECT e.doc_a, e.doc_b, COUNT(*) AS shared
        |  FROM est e
-       |  JOIN shg a ON a.doc_id = e.doc_a
-       |  JOIN shg b ON b.doc_id = e.doc_b AND b.sh = a.sh
+       |  JOIN hs a ON a.doc_id = e.doc_a
+       |  JOIN hs b ON b.doc_id = e.doc_b AND b.h = a.h
        |  GROUP BY 1, 2
        |)
        |SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, e.shared_bands, e.est_jaccard,
