@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * training-data pipeline at 100 TB:
   *
   *  - exact dedup: hash-groupBy on md5(text) (one shuffle on the hash);
-  *  - MinHash + LSH near-dup: 3-word shingles → K salted-md5 minhashes →
-  *    band buckets → self-join candidates → true-Jaccard verification;
+  *  - MinHash + LSH near-dup: 3-word shingles → K Kirsch-Mitzenmacher
+  *    double-hashed minhashes off one md5 → band buckets → self-join
+  *    candidates → true-Jaccard verification;
   *  - SimHash: per-token hash bit-voting into a compact signature.
   *
   * Everything is deterministic and engine-portable BY CONSTRUCTION: hashes

@@ -87,7 +87,7 @@ object Sampling {
     s"""WITH r AS (
        |  SELECT doc_id, lang, source,
        |         row_number() OVER (PARTITION BY lang, source
-       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR(20))), doc_id) AS rk,
        |         count(*) OVER (PARTITION BY lang, source) AS cnt
        |  FROM documents)
        |SELECT doc_id, lang, source,
