@@ -46,7 +46,6 @@ object SparkEntry {
     "q19_event_sliding" -> (Events.sliding _),
     "q20_event_sessions" -> (Events.sessions _),
     "q21_multimodal_meta" -> (Multimodal.binaryMeta _),
-    // rows-only checks (not SQL-expressible in the oracle)
     "q22_multimodal_features" -> (Multimodal.features _),
     "q23_fingerprint" -> ((s: SparkSession, dir: String) =>
       Tables.load(s, dir, "documents")
@@ -88,6 +87,7 @@ object SparkEntry {
     "q19_event_sliding" -> Events.slidingSql,
     "q20_event_sessions" -> Events.sessionsSql,
     "q21_multimodal_meta" -> Multimodal.binaryMetaSql,
+    "q22_multimodal_features" -> Multimodal.featuresSql,
     // q23: same polynomial-min fingerprint re-derived in DuckDB — HUGEINT
     // arithmetic for the 61-bit modulus, valid because the fixture text
     // is pure ASCII (UTF-16 code unit == code point there).

@@ -29,19 +29,24 @@ object Multimodal {
 
   /** Deterministic stand-in for a real codec: "decodes" a payload into
     * fixed-size frames and per-frame stats. Swap for a real binding
-    * without touching the pipeline shape. */
+    * without touching the pipeline shape. The first-frame hash is the
+    * 60-bit md5 prefix — portable, so even this mapPartitions stage is
+    * oracle-checkable in DuckDB (fixture payloads are ASCII text). */
   object StubDecoder {
     val FrameSize = 64
     def frames(content: Array[Byte]): Iterator[Array[Byte]] =
       content.grouped(FrameSize)
+    def md5_60(bytes: Array[Byte]): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
     def decode(a: Asset): AssetFeatures = {
       val fs = frames(a.content).toArray
       val mean =
         if (a.content.isEmpty) 0.0
         else a.content.map(b => (b & 0xff).toDouble).sum / a.content.length
-      val h = fs.headOption.map(f =>
-        f.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff)))
-        .getOrElse(0L)
+      val h = fs.headOption.map(md5_60).getOrElse(0L)
       AssetFeatures(a.doc_id, a.mime, a.content.length.toLong, fs.length, mean, h)
     }
   }
@@ -103,9 +108,9 @@ object Multimodal {
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   }
 
-  /** q22 — the decode/feature/frame-sample stage: typed Dataset through
-    * mapPartitions with a per-partition decoder (rows-only check; the
-    * stub is pinned by unit tests instead of an oracle). */
+  /** q22 — the decode/feature stage: typed Dataset through mapPartitions
+    * with a per-partition decoder. Fully oracle-checked: every output
+    * stat re-derives in DuckDB from the ASCII source text. */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ds: Dataset[Asset] = assets(spark, sfDir).as[Asset]
@@ -113,5 +118,17 @@ object Multimodal {
       // one decoder per partition — where a real codec would init once
       it.map(StubDecoder.decode)
     }.toDF().orderBy("doc_id")
+  }
+
+  val featuresSql: String = {
+    val fs = StubDecoder.FrameSize
+    s"""SELECT doc_id,
+       |       'application/x-' || source AS mime,
+       |       CAST(length(text) AS BIGINT) AS n_bytes,
+       |       CAST(ceil(length(text) / $fs.0) AS INT) AS n_frames,
+       |       list_aggregate([CAST(unicode(c) AS DOUBLE)
+       |         for c in string_split_regex(text, '')], 'avg') AS mean_byte,
+       |       ('0x'||substr(md5(substr(text, 1, $fs)),1,15))::BIGINT AS first_frame_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 }

@@ -29,10 +29,9 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or is on the deliberate rows-only list") {
-    val rowsOnly = Set("q22_multimodal_features")
+  test("every query has an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly, s"queries without oracle: $missing")
+    assert(missing.isEmpty, s"queries without oracle: $missing")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       "orphan oracle entries")
   }
