@@ -62,7 +62,8 @@ object SparkEntry {
     "q32_frame_sample" -> (Multimodal.frameSample _),
     "q33_token_shards" -> (Sampling.tokenShards _),
     "q34_repetition" -> (TextAnalysis.repetition _),
-    "q35_decontamination" -> (TextAnalysis.decontamination _)
+    "q35_decontamination" -> (TextAnalysis.decontamination _),
+    "q36_event_props" -> (Events.propsRollup _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -116,6 +117,7 @@ object SparkEntry {
     "q32_frame_sample" -> Multimodal.frameSampleSql,
     "q33_token_shards" -> Sampling.tokenShardsSql,
     "q34_repetition" -> TextAnalysis.repetitionSql,
-    "q35_decontamination" -> TextAnalysis.decontaminationSql
+    "q35_decontamination" -> TextAnalysis.decontaminationSql,
+    "q36_event_props" -> Events.propsRollupSql
   )
 }

@@ -103,4 +103,34 @@ object Events {
       |       CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM grp GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** q36 — semi-structured props: typed JSON extraction via `from_json`
+    * (a codegen'd projection with an explicit schema — no per-row UDF,
+    * no schema inference pass) rolled up per event type. avg derives
+    * from exact integer SUM/COUNT so the double division happens once,
+    * identically in both engines. */
+  def propsRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select(col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .select(col("event_type"), col("n_events"), col("sum_k"),
+        (col("sum_k").cast("double") / col("n_events").cast("double")).as("avg_k"),
+        col("min_k"), col("max_k"))
+      .orderBy("event_type")
+  }
+
+  val propsRollupSql: String =
+    """WITH p AS (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k,
+      |       MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 }
