@@ -279,8 +279,9 @@ object Dedup {
     // (the AllPairs canonical order, Bayardo WWW'07): rarest tokens get the
     // smallest ids, so a doc's prefix is simply the FRONT SLICE of its
     // sorted id array — no window function — and every downstream join/
-    // intersect runs on ints instead of strings (measured 356s → 104s →
-    // 17s at sf0.1 across these rewrites). The vocab ranking is a
+    // intersect runs on ints instead of strings (356s → 104s → 17s at
+    // sf0.1/local[4] across these rewrites; ~6s at local[32] with the
+    // positional filter below). The vocab ranking is a
     // vocab-sized single-partition sort: vocabularies grow sub-linearly
     // with corpus size, but at extreme scale swap row_number for
     // rdd.zipWithIndex. The vocab itself broadcasts.

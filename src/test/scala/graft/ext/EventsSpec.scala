@@ -36,4 +36,22 @@ class EventsSpec extends SparkSpec {
     val raw = Events.loadEvents(spark, sf001).count()
     assert(total == raw * 4, "1h window / 15min slide = 4 windows per event")
   }
+
+  test("props rollup parses JSON with an explicit schema, no inference") {
+    val res = Events.propsRollup(spark, sf001).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val n = r.getLong(1)
+      val sumK = r.getLong(2)
+      val avg = r.getDouble(3)
+      assert(avg == sumK.toDouble / n, "avg must equal sum/count exactly")
+      assert(r.getInt(4) <= r.getInt(5), "min <= max")
+    }
+    // malformed JSON must null out, not throw (coerce semantics)
+    import org.apache.spark.sql.functions._
+    val bad = Seq(("a", "{not json")).toDF("event_type", "props")
+      .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .collect()
+    assert(bad(0).isNullAt(0), "malformed props must parse to null")
+  }
 }
