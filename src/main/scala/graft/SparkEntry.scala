@@ -63,7 +63,8 @@ object SparkEntry {
     "q33_token_shards" -> (Sampling.tokenShards _),
     "q34_repetition" -> (TextAnalysis.repetition _),
     "q35_decontamination" -> (TextAnalysis.decontamination _),
-    "q36_event_props" -> (Events.propsRollup _)
+    "q36_event_props" -> (Events.propsRollup _),
+    "q37_incremental_dedup" -> (Dedup.incrementalDedup _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -118,6 +119,7 @@ object SparkEntry {
     "q33_token_shards" -> Sampling.tokenShardsSql,
     "q34_repetition" -> TextAnalysis.repetitionSql,
     "q35_decontamination" -> TextAnalysis.decontaminationSql,
-    "q36_event_props" -> Events.propsRollupSql
+    "q36_event_props" -> Events.propsRollupSql,
+    "q37_incremental_dedup" -> Dedup.incrementalDedupSql
   )
 }

@@ -363,6 +363,108 @@ object Dedup {
        |WHERE CAST(s AS DOUBLE) / CAST(ca.n + cb.n - s AS DOUBLE) >= $Tau
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q37 — incremental dedup: admit a NEW batch of documents against the
+    * standing corpus — the production shape of dedup at 100 TB, where
+    * the daily increment is small next to the corpus and must be checked
+    * against it, not just against itself. Batch membership is
+    * deterministic here (doc_id % 10 == 0 ≙ the increment).
+    *
+    * A batch doc is rejected if (a) its exact text hash already exists
+    * in the corpus (left_anti on md5), or (b) some corpus doc reaches
+    * n-gram Jaccard >= Tau against it (prefix-filter candidates between
+    * batch and corpus prefixes — same AllPairs machinery as q29, but
+    * asymmetric: only batch×corpus pairs are generated, never
+    * corpus×corpus, so the join cost scales with the increment).
+    * Output: every batch doc with its rejection evidence. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val isBatch = col("doc_id") % 10 === 0
+
+    // exact tier: batch text-hash already present in the corpus?
+    val corpusHashes = docs.filter(!isBatch).select(md5(col("text")).as("h"))
+    val exactDup = docs.filter(isBatch)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+
+    // near tier: q29's interned prefix filter, restricted to batch×corpus
+    val toks = wordNgrams(docs).cache()
+    val dfreq = toks.groupBy("ng").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.select(col("ng"),
+      row_number().over(Window.orderBy(col("df"), col("ng"))).as("tid"))
+    val docsets = toks.join(broadcast(vocab), Seq("ng"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("tids"), count(lit(1)).as("n"))
+      .cache()
+    val prefix = docsets.select(col("doc_id"), col("n"),
+      explode(slice(col("tids"), lit(1),
+        (col("n") - ceil(col("n") * Tau).cast("long") + 1).cast("int"))).as("tid"))
+    val alpha = ceil((col("b.n") + col("c.n")) * lit(Tau / (1.0 + Tau)) - 1e-9)
+    val candidates = prefix.filter(isBatch).as("b")
+      .join(prefix.filter(!isBatch).as("c"),
+        col("b.tid") === col("c.tid") &&
+          col("b.n") * Tau <= col("c.n") && col("c.n") * Tau <= col("b.n"))
+      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val nearDup = candidates
+      .join(broadcast(docsets.select(col("doc_id"),
+        col("tids").as("tb"), col("n").as("nb"))), Seq("doc_id"))
+      .join(broadcast(docsets.select(col("doc_id").as("corpus_id"),
+        col("tids").as("tc"), col("n").as("nc"))), Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        graft.functions.SortedIntersectSize.sorted_intersect_size(
+          col("tb"), col("tc")).as("shared"),
+        col("nb"), col("nc"))
+      .filter(col("shared").cast("double") /
+        (col("nb") + col("nc") - col("shared")).cast("double") >= Tau)
+      .groupBy("doc_id").agg(min(col("corpus_id")).as("near_dup_of"))
+
+    docs.filter(isBatch).select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        col("near_dup_of"),
+        (coalesce(col("exact_dup"), lit(false)) || col("near_dup_of").isNotNull)
+          .as("rejected"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]
+       |                 for i in generate_series(1, len(t)-1)])) AS ng
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents)
+       |  WHERE len(t) >= $NgramWords
+       |), counts AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+       |), near AS (
+       |  SELECT p.bid AS doc_id, MIN(p.cid) AS near_dup_of FROM (
+       |    SELECT tb.doc_id AS bid, tc.doc_id AS cid, COUNT(*) AS s
+       |    FROM toks tb JOIN toks tc ON tb.ng = tc.ng
+       |      AND tb.doc_id % 10 = 0 AND tc.doc_id % 10 != 0
+       |    GROUP BY 1, 2
+       |  ) p
+       |  JOIN counts cb ON p.bid = cb.doc_id
+       |  JOIN counts cc ON p.cid = cc.doc_id
+       |  WHERE CAST(p.s AS DOUBLE) / CAST(cb.n + cc.n - p.s AS DOUBLE) >= $Tau
+       |  GROUP BY 1
+       |), exact AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM documents b JOIN documents c
+       |    ON md5(b.text) = md5(c.text)
+       |   AND b.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+       |)
+       |SELECT d.doc_id,
+       |       (e.doc_id IS NOT NULL) AS exact_dup,
+       |       n.near_dup_of,
+       |       (e.doc_id IS NOT NULL OR n.near_dup_of IS NOT NULL) AS rejected
+       |FROM documents d
+       |LEFT JOIN exact e ON e.doc_id = d.doc_id
+       |LEFT JOIN near n ON n.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q30 — duplicate-cluster resolution: connected components over the
     * q29 near-dup edges, so each group of mutually-similar documents
     * collapses to one canonical survivor (the minimum doc_id reachable
