@@ -64,7 +64,8 @@ object SparkEntry {
     "q34_repetition" -> (TextAnalysis.repetition _),
     "q35_decontamination" -> (TextAnalysis.decontamination _),
     "q36_event_props" -> (Events.propsRollup _),
-    "q37_incremental_dedup" -> (Dedup.incrementalDedup _)
+    "q37_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "q38_asof_join" -> (Events.asofJoin _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -120,6 +121,7 @@ object SparkEntry {
     "q34_repetition" -> TextAnalysis.repetitionSql,
     "q35_decontamination" -> TextAnalysis.decontaminationSql,
     "q36_event_props" -> Events.propsRollupSql,
-    "q37_incremental_dedup" -> Dedup.incrementalDedupSql
+    "q37_incremental_dedup" -> Dedup.incrementalDedupSql,
+    "q38_asof_join" -> Events.asofJoinSql
   )
 }

@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Event-stream analytics over the `events` table, batch-first with the
   * same operators Structured Streaming uses (`window`, `session_window`),
@@ -133,4 +134,49 @@ object Events {
       |       CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k,
       |       MIN(k) AS min_k, MAX(k) AS max_k
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q38 — as-of join: attach to every `view` event the most recent
+    * `click` by the same user at or before it. Spark has no native ASOF
+    * operator, so this composes built-ins the scalable way: union the
+    * two (tagged) streams and fill the click id forward with a
+    * `last(..., ignoreNulls)` running window per user — one shuffle on
+    * user_id, no range join, no per-view probe. Clicks pre-aggregate to
+    * one row per (user, ts) (max event_id) so tie-breaks are total.
+    * The DuckDB oracle uses its NATIVE `ASOF LEFT JOIN` — a genuinely
+    * independent algorithm arriving at the same rows. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    // tag 0 sorts clicks before same-timestamp views: "at or before"
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("click_id"), lit(null).cast("long").as("view_id"))
+      .union(views.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("click_id"), col("view_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("view_id").isNotNull)
+      .select(col("view_id").as("view_event_id"), col("user_id"),
+        col("asof_click_id"))
+      .orderBy("view_event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |), clicks AS (
+      |  SELECT user_id, tsu, MAX(event_id) AS click_id
+      |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+      |), views AS (
+      |  SELECT user_id, tsu, event_id FROM e WHERE event_type = 'view'
+      |)
+      |SELECT v.event_id AS view_event_id, v.user_id, c.click_id AS asof_click_id
+      |FROM views v ASOF LEFT JOIN clicks c
+      |  ON v.user_id = c.user_id AND v.tsu >= c.tsu
+      |ORDER BY view_event_id""".stripMargin
 }

@@ -54,4 +54,37 @@ class EventsSpec extends SparkSpec {
       .collect()
     assert(bad(0).isNullAt(0), "malformed props must parse to null")
   }
+
+  test("as-of semantics: at-or-before click wins, later clicks ignored") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // user 1: click@10:00, view@10:05 (-> click 100), click@10:10 (later,
+    // ignored), view@10:10 w/ same-ts click (-> click 101), user 2: no click
+    val ev = Seq(
+      (100L, 1L, "click", ts("2024-01-01 10:00:00")),
+      (200L, 1L, "view", ts("2024-01-01 10:05:00")),
+      (101L, 1L, "click", ts("2024-01-01 10:10:00")),
+      (201L, 1L, "view", ts("2024-01-01 10:10:00")),
+      (202L, 2L, "view", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("click_id"), lit(null).cast("long").as("view_id"))
+      .union(views.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("click_id"), col("view_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = tagged
+      .withColumn("asof", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("view_id").isNotNull)
+      .collect().map(r => r.getAs[Long]("view_id") ->
+        Option(r.getAs[java.lang.Long]("asof"))).toMap
+    assert(got(200L).contains(100L), "prior click must attach")
+    assert(got(201L).contains(101L), "same-timestamp click counts as at-or-before")
+    assert(got(202L).isEmpty, "no click for user 2 -> null")
+  }
 }
