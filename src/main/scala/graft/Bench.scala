@@ -9,7 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: WARN spam (WindowExec/cache notices) otherwise floods the
+    // harness tail around the one JSON result line
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up the session (task scheduling, codegen, parquet footer paths)
     // so the first timed query doesn't absorb JVM/session init
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -2,7 +2,6 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the core of a
@@ -112,27 +111,36 @@ object Dedup {
       conv(substring(md5(col("sh")), 9, 8), 16, 10).cast("long").as("h2"),
       hash60(col("sh")).as("h")).cache()
 
+    // ONE per-doc aggregation carries both the K-slot signature and the
+    // sorted shingle-hash set (one shuffle keyed by doc_id, map-side
+    // partial mins), then feeds band explosion AND both verification
+    // broadcasts — two broadcast builds instead of the four the split
+    // sig/sets frames cost.
     val mins = (0 until K).map(k =>
       min((col("h1") + lit(k.toLong) * col("h2")) % P32).as(s"s$k"))
-    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*).cache()
-    val sets = hashed.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+    val per = hashed.groupBy("doc_id")
+      .agg(mins.head, (mins.tail :+
+        sort_array(collect_set(col("h"))).as("hs")): _*)
+      .withColumn("n", size(col("hs")).cast("long"))
+      .cache()
 
     val bandStructs = array((0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(i =>
           col(s"s${b * RowsPerBand + i}").cast("string")): _*).as("key"))
     }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+    val bands = per.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
+    // each doc contributes exactly one key per band, so a (doc_a, doc_b)
+    // pair collides at most once per band: plain count == distinct band
+    // count, without the Expand plan countDistinct would cost
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(countDistinct(col("a.band")).as("shared_bands"))
+      .agg(count(lit(1)).as("shared_bands"))
 
     // minhash-estimated jaccard: fraction of equal signature slots
     val estCol = (0 until K).map(k =>
@@ -140,18 +148,13 @@ object Dedup {
       .reduce(_ + _).cast("double") / lit(K.toDouble)
 
     pairs
-      .join(broadcast(sig.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sig.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(per.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(per.as("sb")), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared_bands"),
-        estCol.as("est_jaccard"))
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
-        col("hs").as("hsa"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
-        col("hs").as("hsb"), col("n").as("nb"))), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("shared_bands"), col("est_jaccard"),
+        estCol.as("est_jaccard"),
         graft.functions.SortedIntersectSize.sorted_intersect_size(
-          col("hsa"), col("hsb")).as("shared"),
-        col("na"), col("nb"))
+          col("sa.hs"), col("sb.hs")).as("shared"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
       .select(col("doc_a"), col("doc_b"), col("shared_bands"), col("est_jaccard"),
         (col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
@@ -272,23 +275,31 @@ object Dedup {
         .as("ng"))
   }
 
+  /** Intern tokens as dense ints ordered by ASCENDING document frequency
+    * (the AllPairs canonical order, Bayardo WWW'07): rarest tokens get
+    * the smallest ids, so a doc's prefix is simply the FRONT SLICE of
+    * its sorted id array — and every downstream join/intersect runs on
+    * ints instead of strings (356s → 104s → 17s at sf0.1/local[4]
+    * across these rewrites; ~6s at local[32] with the positional
+    * filter). Id assignment is a DISTRIBUTED range-partitioned sort +
+    * `zipWithIndex` — no single-partition global window, so the vocab
+    * ranking scales with executor count, not one task. Ids only need to
+    * respect the (df, ng) total order; density is a bonus. */
+  def internVocab(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val sorted = toks.groupBy("ng").agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("ng")).select(col("ng"))
+    val schema = StructType(Seq(StructField("ng", StringType),
+      StructField("tid", IntegerType, nullable = false)))
+    toks.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.getString(0), (i + 1).toInt) },
+      schema)
+  }
+
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = wordNgrams(Tables.load(spark, sfDir, "documents")).cache()
-
-    // Intern tokens as dense ints ordered by ASCENDING document frequency
-    // (the AllPairs canonical order, Bayardo WWW'07): rarest tokens get the
-    // smallest ids, so a doc's prefix is simply the FRONT SLICE of its
-    // sorted id array — no window function — and every downstream join/
-    // intersect runs on ints instead of strings (356s → 104s → 17s at
-    // sf0.1/local[4] across these rewrites; ~6s at local[32] with the
-    // positional filter below). The vocab ranking is a
-    // vocab-sized single-partition sort: vocabularies grow sub-linearly
-    // with corpus size, but at extreme scale swap row_number for
-    // rdd.zipWithIndex. The vocab itself broadcasts.
-    val dfreq = toks.groupBy("ng").agg(count(lit(1)).as("df"))
-    val vocab = dfreq.select(col("ng"),
-      row_number().over(Window.orderBy(col("df"), col("ng"))).as("tid"))
-    val toksI = toks.join(broadcast(vocab), Seq("ng"))
+    val toksI = toks.join(broadcast(internVocab(toks)), Seq("ng"))
       .select(col("doc_id"), col("tid"))
 
     // one shuffle keyed by doc_id → per-doc sorted token-set arrays; the
@@ -389,10 +400,7 @@ object Dedup {
 
     // near tier: q29's interned prefix filter, restricted to batch×corpus
     val toks = wordNgrams(docs).cache()
-    val dfreq = toks.groupBy("ng").agg(count(lit(1)).as("df"))
-    val vocab = dfreq.select(col("ng"),
-      row_number().over(Window.orderBy(col("df"), col("ng"))).as("tid"))
-    val docsets = toks.join(broadcast(vocab), Seq("ng"))
+    val docsets = toks.join(broadcast(internVocab(toks)), Seq("ng"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("tids"), count(lit(1)).as("n"))
       .cache()
@@ -500,14 +508,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
+      // carry the previous label THROUGH the round so convergence is a
+      // filter over the checkpointed result, not a third join per round
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
       round += 1
     }
 

@@ -232,13 +232,17 @@ object TextAnalysis {
     val benchSet = grams.filter(col("doc_id") < BenchDocs)
       .select(col("ng")).distinct()
     val corpus = grams.filter(col("doc_id") >= BenchDocs)
-    val hits = corpus.join(broadcast(benchSet), Seq("ng"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+    // mark hits with a broadcast LEFT join so total and contaminated
+    // counts come out of ONE aggregation — one corpus explode, one
+    // map-side join, one (doc_id)-keyed shuffle with partial combine,
+    // instead of separate semi-join and total-count subplans
+    corpus
+      .join(broadcast(benchSet.withColumn("hit", lit(1L))), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
           col("n_grams").cast("double")).as("contamination"))
       .orderBy("doc_id")
   }
