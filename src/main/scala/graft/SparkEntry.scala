@@ -65,7 +65,13 @@ object SparkEntry {
     "q35_decontamination" -> (TextAnalysis.decontamination _),
     "q36_event_props" -> (Events.propsRollup _),
     "q37_incremental_dedup" -> (Dedup.incrementalDedup _),
-    "q38_asof_join" -> (Events.asofJoin _)
+    "q38_asof_join" -> (Events.asofJoin _),
+    "q39_text_scrub" -> (TextAnalysis.scrub _),
+    "q40_user_deltas" -> (Events.userDeltas _),
+    "q41_event_pivot" -> (Events.dailyPivot _),
+    "q42_revenue_rollup" -> (Bi.revenueRollup _),
+    "q43_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
+    "q44_salted_hot_join" -> (Events.saltedHotJoin _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -122,6 +128,12 @@ object SparkEntry {
     "q35_decontamination" -> TextAnalysis.decontaminationSql,
     "q36_event_props" -> Events.propsRollupSql,
     "q37_incremental_dedup" -> Dedup.incrementalDedupSql,
-    "q38_asof_join" -> Events.asofJoinSql
+    "q38_asof_join" -> Events.asofJoinSql,
+    "q39_text_scrub" -> TextAnalysis.scrubSql,
+    "q40_user_deltas" -> Events.userDeltasSql,
+    "q41_event_pivot" -> Events.dailyPivotSql,
+    "q42_revenue_rollup" -> Bi.revenueRollupSql,
+    "q43_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
+    "q44_salted_hot_join" -> Events.saltedHotJoinSql
   )
 }

@@ -166,6 +166,93 @@ object Events {
       .orderBy("view_event_id")
   }
 
+  /** q40 — per-user event-to-event deltas via LAG over a PARTITIONED
+    * window (each user's history sorts inside its own partition — no
+    * global window, scales with user count): seconds since the previous
+    * event and the value change, the raw features for churn/velocity
+    * models. Ordering is total ((ts, event_id)) so ties are stable. */
+  def userDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lag(col("ts"), 1).over(w).as("prev_ts"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+      .select(col("event_id"), col("user_id"),
+        ((unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast("double")
+          / 1e6).as("gap_s"),
+        (col("value") - col("prev_value")).as("value_delta"))
+      .orderBy("event_id")
+  }
+
+  val userDeltasSql: String =
+    """WITH d AS (
+      |  SELECT event_id, user_id, ts, value,
+      |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |       CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1e6 AS gap_s,
+      |       value - prev_value AS value_delta
+      |FROM d ORDER BY event_id""".stripMargin
+
+  /** Fixture event-type domain, pinned so `pivot` takes an explicit
+    * value list — no extra distinct-collect job, and the output schema
+    * is static (the form that scales; an inferred pivot would scan the
+    * fact once just to learn the columns). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q41 — daily activity pivot: one row per day, one column per event
+    * type. groupBy(day).pivot(type, explicit).count — a single shuffle
+    * keyed by day with map-side partial counts. */
+  def dailyPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    ev.groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  val dailyPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(COUNT(*) FILTER (event_type = '$t') AS BIGINT) AS $t")
+      .mkString(",\n       ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
+  /** q44 — hot-key join under explicit salting (graft.etl.Skew): events
+    * join a 5-row event-type dim, the worst-case skew shape (every row
+    * shares 5 keys). `saltedJoin` spreads each hot key across 8
+    * sub-keys so no single task owns a key's whole partition; the spec
+    * pins the salted plan, and this query proves the result is
+    * IDENTICAL to the plain join the oracle runs. */
+  def saltedHotJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_count"))
+    graft.etl.Skew.saltedJoin(ev, dim, "event_type", salts = 8)
+      .groupBy("event_type")
+      .agg(max(col("type_count")).as("type_count"),
+        count(lit(1)).as("n_rows"),
+        sum(graft.Tables.money(col("value"))).as("v_dec"))
+      .select(col("event_type"), col("type_count"), col("n_rows"),
+        col("v_dec").cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val saltedHotJoinSql: String =
+    """WITH dim AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_count
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, d.type_count,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin
+
   val asofJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events

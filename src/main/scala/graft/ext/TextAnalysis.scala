@@ -247,6 +247,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q39 — PII-style scrubbing: mask emails (the reference's own email
+    * shape, ETL_DAG.py:115-116), long digit runs (phone/SSN-ish), and
+    * the English marker words. The fixture text is digit- and @-free,
+    * so the email/digit tiers are exercised on poisoned rows in the
+    * spec; the marker tier fires on every fixture doc. Pure
+    * `regexp_replace`/`regexp_count` projections — codegen'd, one scan,
+    * no shuffle, the 100 TB shape of a scrub pass. Patterns are applied
+    * in declaration order (replacement text can't re-trigger a later
+    * pattern: '[MASK]' is uppercase/punct only). */
+  val ScrubPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[\\w.-]+@[\\w.-]+\\.\\w+",
+    "digits" -> "\\d{4,}",
+    "marker" -> markerRegex(englishStopwords))
+
+  /** The scrub projection itself, reusable over any text column. */
+  def scrubbedCol(c: Column): Column =
+    ScrubPatterns.foldLeft(c) { case (acc, (_, p)) =>
+      regexp_replace(acc, p, "[MASK]") }
+
+  def scrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = ScrubPatterns.map { case (n, p) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$n") }
+    docs.select(col("doc_id") +: counts :+
+        md5(scrubbedCol(col("text"))).as("scrubbed_md5"): _*)
+      .orderBy("doc_id")
+  }
+
+  val scrubSql: String = {
+    val counts = ScrubPatterns.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n" }
+      .mkString(",\n       ")
+    val scrubbed = ScrubPatterns.foldLeft("text") { case (c, (_, p)) =>
+      s"regexp_replace($c, '$p', '[MASK]', 'g')" }
+    s"""SELECT doc_id,
+       |       $counts,
+       |       md5($scrubbed) AS scrubbed_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q43 — per-language length quantiles, the distribution snapshot a
+    * curator reads before setting corpus filters. EXACT `percentile`
+    * (not approx) at dyadic fractions (0.25/0.5/0.75) so linear
+    * interpolation is FP-exact and engine-portable: quarters of an
+    * integer gap are representable, so Spark's `lower + frac*(upper-
+    * lower)` and DuckDB's `quantile_cont` agree bit-for-bit. One
+    * (lang)-keyed shuffle; at 100 TB swap percentile for
+    * approx_percentile and the plan shape holds. */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        percentile(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("q"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("n_docs"), col("min_chars"),
+        col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"),
+        col("max_chars"))
+      .orderBy("lang")
+  }
+
+  val lengthQuantilesSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(n_chars) AS min_chars,
+      |       quantile_cont(n_chars, 0.25) AS p25,
+      |       quantile_cont(n_chars, 0.5) AS p50,
+      |       quantile_cont(n_chars, 0.75) AS p75,
+      |       MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val decontaminationSql: String =
     s"""WITH g AS (
        |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]

@@ -168,6 +168,35 @@ object Bi {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q42 — hierarchical ROLLUP over (ship_year, return_flag): subtotals
+    * per year and a grand total in ONE pass — Catalyst plans rollup as
+    * a single Expand + hash aggregate (each input row fans to its 3
+    * grouping sets map-side), not three scans. Rollup-null grouping
+    * cells are coalesced to sentinels (-1 / 'ALL') so both engines
+    * order and hash them identically. */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.rollup(year(col("l_shipdate")).cast("int").as("ship_year"),
+        col("l_returnflag").as("return_flag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Tables.money(col("l_extendedprice"))).as("rev_dec"))
+      .select(coalesce(col("ship_year"), lit(-1)).as("ship_year"),
+        coalesce(col("return_flag"), lit("ALL")).as("return_flag"),
+        col("n_items"), col("rev_dec").cast("double").as("revenue"))
+      .orderBy("ship_year", "return_flag")
+  }
+
+  val revenueRollupSql: String =
+    """WITH r AS (
+      |  SELECT CAST(year(l_shipdate) AS INT) AS y, l_returnflag AS f,
+      |         CAST(COUNT(*) AS BIGINT) AS n_items,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY ROLLUP(y, f)
+      |)
+      |SELECT COALESCE(y, -1) AS ship_year, COALESCE(f, 'ALL') AS return_flag,
+      |       n_items, CAST(rev AS DOUBLE) AS revenue
+      |FROM r ORDER BY ship_year, return_flag""".stripMargin
+
   val monthlyTrendSql: String =
     """SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS sales_month,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.queries.Bi
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-2 operators: text scrub (q39), per-user lag
+  * deltas (q40), event-type pivot (q41), rollup (q42), exact length
+  * quantiles (q43), and the salted hot-key join (q44). */
+class RoundTwoOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub masks emails and long digit runs on poisoned rows") {
+    val df = Seq(
+      (1L, "contact bob.smith@example.com today"),
+      (2L, "call 5551234567 now"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.scrubbedCol(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact [MASK] today", s"email not masked: ${out(1L)}")
+    assert(out(2L) == "call [MASK] now", s"digits not masked: ${out(2L)}")
+    assert(out(3L) == "nothing sensitive here")
+  }
+
+  test("scrub on the fixture: marker tier fires, hash changes with it") {
+    val rows = TextAnalysis.scrub(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // fixture text is @- and digit-free
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    assert(rows.exists(_.getLong(3) > 0L), "marker words must fire somewhere")
+  }
+
+  test("user deltas: one null gap per user, non-negative gaps") {
+    val d = Events.userDeltas(spark, sf001).cache()
+    val nUsers = Events.loadEvents(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(d.filter(col("gap_s").isNull).count() == nUsers,
+      "exactly the first event per user has no predecessor")
+    assert(d.filter(col("gap_s") < 0).count() == 0, "time must not go backwards")
+  }
+
+  test("event pivot: cells cover every event exactly once") {
+    val p = Events.dailyPivot(spark, sf001)
+    val cells = Events.EventTypes.map(t => sum(col(t))).reduce(_ + _)
+    val total = p.agg(cells).head.getLong(0)
+    assert(total == Events.loadEvents(spark, sf001).count())
+  }
+
+  test("salted hot-key join equals the plain join") {
+    val salted = Events.saltedHotJoin(spark, sf001)
+    val ev = Events.loadEvents(spark, sf001)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_count"))
+    val plain = ev.join(dim, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("type_count")).as("type_count"),
+        count(lit(1)).as("n_rows"),
+        sum(graft.Tables.money(col("value"))).as("v_dec"))
+      .select(col("event_type"), col("type_count"), col("n_rows"),
+        col("v_dec").cast("double").as("total_value"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must not change the join result")
+  }
+
+  test("revenue rollup: leaves sum to year subtotals and the grand total") {
+    val rows = Bi.revenueRollup(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val leaves = rows.filter { case (y, f, _) => y != -1 && f != "ALL" }
+    val years = rows.filter { case (y, f, _) => y != -1 && f == "ALL" }
+    val grand = rows.filter { case (y, _, _) => y == -1 }
+    assert(grand.size == 1 && grand.head._2 == "ALL")
+    assert(grand.head._3 == leaves.map(_._3).sum, "grand total must cover leaves")
+    years.foreach { case (y, _, n) =>
+      assert(n == leaves.filter(_._1 == y).map(_._3).sum, s"year $y subtotal")
+    }
+  }
+
+  test("length quantiles are ordered and bounded per language") {
+    TextAnalysis.lengthQuantiles(spark, sf001).collect().foreach { r =>
+      val (mn, mx) = (r.getLong(2).toDouble, r.getLong(6).toDouble)
+      val qs = Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(qs.sorted == qs, s"quantiles must be monotone: $qs")
+      assert(mn <= qs.head && qs.last <= mx, s"quantiles must sit in [$mn,$mx]")
+    }
+  }
+}
