@@ -71,7 +71,8 @@ object SparkEntry {
     "q41_event_pivot" -> (Events.dailyPivot _),
     "q42_revenue_rollup" -> (Bi.revenueRollup _),
     "q43_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
-    "q44_salted_hot_join" -> (Events.saltedHotJoin _)
+    "q44_salted_hot_join" -> (Events.saltedHotJoin _),
+    "q45_distinctive_terms" -> (TextAnalysis.distinctiveTerms _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -134,6 +135,7 @@ object SparkEntry {
     "q41_event_pivot" -> Events.dailyPivotSql,
     "q42_revenue_rollup" -> Bi.revenueRollupSql,
     "q43_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
-    "q44_salted_hot_join" -> Events.saltedHotJoinSql
+    "q44_salted_hot_join" -> Events.saltedHotJoinSql,
+    "q45_distinctive_terms" -> TextAnalysis.distinctiveTermsSql
   )
 }

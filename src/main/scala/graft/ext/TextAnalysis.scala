@@ -318,6 +318,51 @@ object TextAnalysis {
       |       MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q45 — distinctive-term extraction: TF-IDF in spirit, but the
+    * ranking key is the INTEGER triple (df asc, tf desc, term asc) —
+    * rarest-in-corpus first, then most-frequent-in-doc — instead of
+    * tf·log(N/df), so no float log can diverge between engines. Plan:
+    * one (doc_id, tok) shuffle for tf, a small tok-keyed agg for df
+    * that broadcasts back, then min_by per doc — no window over the
+    * corpus. At 100 TB the df table is vocabulary-sized (sub-linear);
+    * if it outgrows broadcast, the join falls back to shuffle with the
+    * same shape. */
+  def distinctiveTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(docFreq), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("tok"), col("tf"), col("df")),
+        struct(col("df"), (-col("tf")).as("ntf"), col("tok"))).as("best"))
+      .select(col("doc_id"), col("best.tok").as("term"),
+        col("best.tf").as("tf"), col("best.df").as("df"))
+      .orderBy("doc_id")
+  }
+
+  val distinctiveTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE length(tok) > 0 GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+      |), ranked AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY dfq.df, tf.tf DESC, tf.tok) AS rn
+      |  FROM tf JOIN dfq USING (tok)
+      |)
+      |SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf,
+      |       CAST(df AS BIGINT) AS df
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val decontaminationSql: String =
     s"""WITH g AS (
        |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]

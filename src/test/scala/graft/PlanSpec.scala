@@ -54,6 +54,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q40: the lag window is partitioned, never a global sort") {
+    val plan = finalPlan("q40_user_deltas")
+    val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(windowLine.contains("user_id"),
+      s"LAG must partition by user_id:\n$windowLine")
+  }
+
+  test("q42: rollup plans as one Expand + hash aggregate, not 3 scans") {
+    // AQE plans print final + initial sections; judge the final one only
+    val plan = finalPlan("q42_revenue_rollup").split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains(" Expand ")) == 1,
+      s"rollup must use a single Expand:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) == 1,
+      s"rollup must scan the fact exactly once:\n$plan")
+  }
+
+  test("q44: the salted join stays a hash join on (key, salt)") {
+    val plan = finalPlan("q44_salted_hot_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"salted join degenerated to a product:\n$plan")
+  }
+
   test("column pruning: q01 scans only the columns it needs") {
     val plan = finalPlan("q01_revenue_by_category")
     // lineitem is 16 columns; the scan must read just the join key + money

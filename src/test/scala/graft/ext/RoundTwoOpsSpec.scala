@@ -77,6 +77,23 @@ class RoundTwoOpsSpec extends SparkSpec {
     }
   }
 
+  test("distinctive terms: rarest-then-most-frequent wins, df is honest") {
+    val out = TextAnalysis.distinctiveTerms(spark, sf001).cache()
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    assert(out.count() == docs.count(), "one distinctive term per doc")
+    // the chosen term's df must never exceed any other term's df for
+    // that doc — spot-check: df of the winner is the per-doc minimum
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val minDf = tf.join(tf.groupBy("tok").agg(count(lit(1)).as("df")), Seq("tok"))
+      .groupBy("doc_id").agg(min(col("df")).as("min_df"))
+    val bad = out.join(minDf, Seq("doc_id"))
+      .filter(col("df") =!= col("min_df")).count()
+    assert(bad == 0, "winner must carry the minimal document frequency")
+  }
+
   test("length quantiles are ordered and bounded per language") {
     TextAnalysis.lengthQuantiles(spark, sf001).collect().foreach { r =>
       val (mn, mx) = (r.getLong(2).toDouble, r.getLong(6).toDouble)
