@@ -8,14 +8,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events fixture is TIMESTAMP(NANOS) parquet; needed before the
+      // footer warmup below, not just at first Events query
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     // ERROR: WARN spam (WindowExec/cache notices) otherwise floods the
     // harness tail around the one JSON result line
     spark.sparkContext.setLogLevel("ERROR")
-    // warm up the session (task scheduling, codegen, parquet footer paths)
-    // so the first timed query doesn't absorb JVM/session init
-    spark.range(1000).selectExpr("sum(id)").collect()
+    // warm up the session (task scheduling, codegen, shuffle machinery,
+    // parquet footer paths) so the first timed query doesn't absorb
+    // JVM/session init — the groupBy forces an Exchange, which the
+    // plain sum would not
+    spark.range(1000).selectExpr("id % 10 as k", "id")
+      .groupBy("k").count().collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // touch every fixture footer so scan setup is off the clock
+    Tables.names.foreach(n =>
+      spark.read.parquet(s"$sfDir/$n.parquet").schema)
     // optional args: run only queries whose name starts with one of them
     // (local iteration aid; the driver passes no args → full suite)
     val selected =

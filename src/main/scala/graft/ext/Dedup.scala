@@ -106,10 +106,12 @@ object Dedup {
     val docs = Tables.load(spark, sfDir, "documents")
     // one explode; Catalyst's subexpression elimination computes md5(sh)
     // once for the three derived columns
+    // no cache: the fused aggregation below is this frame's only
+    // consumer, so caching would only pay serialization for nothing
     val hashed = shingles(docs).select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h1"),
       conv(substring(md5(col("sh")), 9, 8), 16, 10).cast("long").as("h2"),
-      hash60(col("sh")).as("h")).cache()
+      hash60(col("sh")).as("h"))
 
     // ONE per-doc aggregation carries both the K-slot signature and the
     // sorted shingle-hash set (one shuffle keyed by doc_id, map-side
@@ -293,7 +295,7 @@ object Dedup {
     val schema = StructType(Seq(StructField("ng", StringType),
       StructField("tid", IntegerType, nullable = false)))
     toks.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.getString(0), (i + 1).toInt) },
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), (i + 1).toInt) },
       schema)
   }
 
