@@ -72,7 +72,8 @@ object SparkEntry {
     "q42_revenue_rollup" -> (Bi.revenueRollup _),
     "q43_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "q44_salted_hot_join" -> (Events.saltedHotJoin _),
-    "q45_distinctive_terms" -> (TextAnalysis.distinctiveTerms _)
+    "q45_distinctive_terms" -> (TextAnalysis.distinctiveTerms _),
+    "q46_top_docs_per_lang" -> (Sampling.topDocsPerLang _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -136,6 +137,7 @@ object SparkEntry {
     "q42_revenue_rollup" -> Bi.revenueRollupSql,
     "q43_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "q44_salted_hot_join" -> Events.saltedHotJoinSql,
-    "q45_distinctive_terms" -> TextAnalysis.distinctiveTermsSql
+    "q45_distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
+    "q46_top_docs_per_lang" -> Sampling.topDocsPerLangSql
   )
 }

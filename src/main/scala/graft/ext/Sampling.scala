@@ -83,6 +83,40 @@ object Sampling {
        |         / $TokensPerShard) AS BIGINT) AS shard_id
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q46 — per-language top-k documents by length through the typed
+    * bounded-buffer `TopK` Aggregator (graft.functions.TopK): each task
+    * keeps only k (score, id) pairs and partials merge associatively,
+    * so a per-group (or global) top-k needs NO full sort and NO
+    * single-partition window — the rewrite SURVEY.md §2.6 flags for W1
+    * when group cardinality explodes. The oracle reproduces it with
+    * the window it replaces. */
+  val TopDocsK = 3
+
+  def topDocsPerLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopK(TopDocsK).toColumn
+    Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3.toDouble))
+      .agg(agg.name("ids"))
+      .toDF("lang", "ids")
+      .select(col("lang"), posexplode(col("ids")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  val topDocsPerLangSql: String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents)
+       |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+       |FROM r WHERE rn <= $TopDocsK ORDER BY lang, rank""".stripMargin
+
   val stratifiedSampleSql: String =
     s"""WITH r AS (
        |  SELECT doc_id, lang, source,

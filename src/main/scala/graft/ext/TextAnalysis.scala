@@ -333,7 +333,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // tf feeds both the df rollup and the final argmin — cache it so the
+    // corpus is scanned and exploded once, not per consumer
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
     val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(docFreq), Seq("tok"))
       .groupBy("doc_id")

@@ -14,7 +14,8 @@ class SqlTwinsSpec extends SparkSpec {
   private val twinnable = Seq(
     "q01_revenue_by_category", "q02_top_customers", "q03_monthly_trend",
     "q06_customers_without_orders", "q07_etl_clean_sales",
-    "q10_dedup_exact", "q31_stratified_sample")
+    "q10_dedup_exact", "q31_stratified_sample",
+    "q42_revenue_rollup", "q44_salted_hot_join")
 
   test("spark.sql twin equals the DataFrame plan, row for row") {
     Tables.registerAll(spark, sf001)
