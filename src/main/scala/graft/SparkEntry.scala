@@ -73,7 +73,8 @@ object SparkEntry {
     "q43_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "q44_salted_hot_join" -> (Events.saltedHotJoin _),
     "q45_distinctive_terms" -> (TextAnalysis.distinctiveTerms _),
-    "q46_top_docs_per_lang" -> (Sampling.topDocsPerLang _)
+    "q46_top_docs_per_lang" -> (Sampling.topDocsPerLang _),
+    "q47_scd1_upsert" -> (Etl.scd1Upsert _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -138,6 +139,7 @@ object SparkEntry {
     "q43_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "q44_salted_hot_join" -> Events.saltedHotJoinSql,
     "q45_distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
-    "q46_top_docs_per_lang" -> Sampling.topDocsPerLangSql
+    "q46_top_docs_per_lang" -> Sampling.topDocsPerLangSql,
+    "q47_scd1_upsert" -> Etl.scd1UpsertSql
   )
 }

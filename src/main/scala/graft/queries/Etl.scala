@@ -121,4 +121,33 @@ object Etl {
        |  ON UPPER(TRIM(REGEXP_REPLACE(n_name, '\\s+', ' ', 'g'))) = country_name
        |GROUP BY 1
        |ORDER BY country_code""".stripMargin
+
+  /** q47 — SCD-1 upsert (MERGE semantics): the incremental alternative
+    * to the reference's daily TRUNCATE-and-reload (S6, ETL_DAG.py:
+    * 211-213) — at 100 TB you apply the day's changed rows, you don't
+    * rewrite the table. Formulated the scalable way: the standing dim
+    * anti-joins the (small, broadcast) change batch to drop superseded
+    * rows, then unions the batch back in — one map-side join + a
+    * narrow union, no dim shuffle. The change batch is synthesized
+    * deterministically (every 10th customer re-segmented) so the
+    * oracle re-derives it. */
+  def scd1Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val batch = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_mktsegment", concat(lit("NEW_"), col("c_mktsegment")))
+    cust
+      .join(broadcast(batch.select(col("c_custkey"))), Seq("c_custkey"), "left_anti")
+      .withColumn("updated", lit(false))
+      .union(batch.withColumn("updated", lit(true)))
+      .orderBy("c_custkey")
+  }
+
+  val scd1UpsertSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, FALSE AS updated
+      |FROM customer WHERE c_custkey % 10 != 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'NEW_' || c_mktsegment, TRUE
+      |FROM customer WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
 }
