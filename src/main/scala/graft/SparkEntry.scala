@@ -74,7 +74,9 @@ object SparkEntry {
     "q44_salted_hot_join" -> (Events.saltedHotJoin _),
     "q45_distinctive_terms" -> (TextAnalysis.distinctiveTerms _),
     "q46_top_docs_per_lang" -> (Sampling.topDocsPerLang _),
-    "q47_scd1_upsert" -> (Etl.scd1Upsert _)
+    "q47_scd1_upsert" -> (Etl.scd1Upsert _),
+    "q48_oov_rate" -> (TextAnalysis.oovRate _),
+    "q49_value_histogram" -> (Events.valueHistogram _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -140,6 +142,8 @@ object SparkEntry {
     "q44_salted_hot_join" -> Events.saltedHotJoinSql,
     "q45_distinctive_terms" -> TextAnalysis.distinctiveTermsSql,
     "q46_top_docs_per_lang" -> Sampling.topDocsPerLangSql,
-    "q47_scd1_upsert" -> Etl.scd1UpsertSql
+    "q47_scd1_upsert" -> Etl.scd1UpsertSql,
+    "q48_oov_rate" -> TextAnalysis.oovRateSql,
+    "q49_value_histogram" -> Events.valueHistogramSql
   )
 }

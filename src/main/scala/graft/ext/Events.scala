@@ -253,6 +253,29 @@ object Events {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin
 
+  /** q49 — value histogram: fixed-width binning of the event value per
+    * type — one scan, one (type, bin) agg with map-side combine. The
+    * bin edge `floor(value / width)` is the same IEEE double op in
+    * both engines, so bins are deterministic. */
+  val BinWidth = 50.0
+
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    ev.groupBy(col("event_type"),
+        floor(col("value") / BinWidth).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Tables.money(col("value"))).as("v_dec"))
+      .select(col("event_type"), col("bin"), col("n"),
+        col("v_dec").cast("double").as("bin_value"))
+      .orderBy("event_type", "bin")
+  }
+
+  val valueHistogramSql: String =
+    s"""SELECT event_type, CAST(floor(value / $BinWidth) AS BIGINT) AS bin,
+       |       CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
+       |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   val asofJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events

@@ -365,6 +365,47 @@ object TextAnalysis {
       |       CAST(df AS BIGINT) AS df
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** q48 — out-of-vocabulary rate: the share of each doc's token
+    * occurrences outside the corpus's top-`VocabK` tokens — the
+    * integer-exact stand-in for LM perplexity filtering (no float log
+    * to diverge between engines). The vocab is a tiny orderBy+limit
+    * (TakeOrderedAndProject, deterministic (count desc, tok) order)
+    * that broadcasts; the corpus side is one scan + a map-side
+    * membership join + one (doc_id)-keyed agg. */
+  val VocabK = 100
+
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(VocabK)
+      .select(col("tok"), lit(1L).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("iv"), lit(0L))).as("in_vocab"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("in_vocab")).cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+       |vocab AS (
+       |  SELECT tok FROM t GROUP BY tok
+       |  ORDER BY COUNT(*) DESC, tok LIMIT $VocabK
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |       CAST(COUNT(*) - COUNT(*) FILTER (tok IN (SELECT tok FROM vocab)) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val decontaminationSql: String =
     s"""WITH g AS (
        |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
