@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec {
       s"salted join degenerated to a product:\n$plan")
   }
 
+  test("q35/q48: corpus explodes exactly twice (bench/vocab + corpus)") {
+    // the one-pass left-join rewrites keep a single corpus-side subplan;
+    // a regression to split hit/total (or tf-recompute) subplans shows
+    // up as a third documents scan
+    Seq("q35_decontamination", "q48_oov_rate").foreach { q =>
+      val plan = finalPlan(q).split("== Initial Plan ==")(0)
+      val scans = plan.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("documents"))
+      assert(scans <= 2, s"$q must not scan documents a 3rd time:\n$plan")
+    }
+  }
+
+  test("q11: shared_bands aggregates without an Expand plan") {
+    val plan = finalPlan("q11_minhash_lsh_pairs").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"),
+      s"count(1) must not plan a countDistinct Expand:\n$plan")
+  }
+
   test("column pruning: q01 scans only the columns it needs") {
     val plan = finalPlan("q01_revenue_by_category")
     // lineitem is 16 columns; the scan must read just the join key + money
