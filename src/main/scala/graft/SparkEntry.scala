@@ -76,7 +76,8 @@ object SparkEntry {
     "q46_top_docs_per_lang" -> (Sampling.topDocsPerLang _),
     "q47_scd1_upsert" -> (Etl.scd1Upsert _),
     "q48_oov_rate" -> (TextAnalysis.oovRate _),
-    "q49_value_histogram" -> (Events.valueHistogram _)
+    "q49_value_histogram" -> (Events.valueHistogram _),
+    "q50_signup_funnel" -> (Events.funnel _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -144,6 +145,7 @@ object SparkEntry {
     "q46_top_docs_per_lang" -> Sampling.topDocsPerLangSql,
     "q47_scd1_upsert" -> Etl.scd1UpsertSql,
     "q48_oov_rate" -> TextAnalysis.oovRateSql,
-    "q49_value_histogram" -> Events.valueHistogramSql
+    "q49_value_histogram" -> Events.valueHistogramSql,
+    "q50_signup_funnel" -> Events.funnelSql
   )
 }

@@ -276,6 +276,42 @@ object Events {
        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
 
+  /** q50 — funnel conversion: did a purchase follow each user's FIRST
+    * signup within `FunnelWindow`? Two pushed-down type filters, a
+    * per-user min-aggregate, then a user-keyed join + flag aggregate —
+    * the standard funnel shape, no window over the whole stream. */
+  val FunnelWindow = "1 hour"
+
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(max(when(col("p_ts") >= col("signup_ts") &&
+        col("p_ts") <= col("signup_ts") + expr(s"INTERVAL $FunnelWindow"),
+        1).otherwise(0)).as("c"))
+      .select(col("user_id"), col("signup_ts"), (col("c") === 1).as("converted"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH s AS (
+      |  SELECT user_id, make_timestamp(epoch_us(MIN(ts))) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), p AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS p_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT s.user_id, s.signup_ts,
+      |       COALESCE(MAX(CASE WHEN p.p_ts >= s.signup_ts
+      |         AND p.p_ts <= s.signup_ts + INTERVAL 1 HOUR
+      |         THEN 1 ELSE 0 END), 0) = 1 AS converted
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |GROUP BY 1, 2 ORDER BY s.user_id""".stripMargin
+
   val asofJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
