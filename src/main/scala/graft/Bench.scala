@@ -21,6 +21,11 @@ object Bench {
     // plain sum would not
     spark.range(1000).selectExpr("id % 10 as k", "id")
       .groupBy("k").count().collect()
+    // warm BroadcastExchange + decimal hash-agg codegen, the q01 shape
+    spark.range(1000).selectExpr("id % 7 as k", "cast(id as decimal(18,2)) as m")
+      .join(org.apache.spark.sql.functions.broadcast(
+        spark.range(7).selectExpr("id as k")), "k")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("m")).collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // touch every fixture footer so scan setup is off the clock
     Tables.names.foreach(n =>
