@@ -49,6 +49,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopK aggregator equals sort-take-k under arbitrary partitioning") {
+    val k = 5
+    val gen = for {
+      xs <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-100.0, 100.0)))
+      nparts <- Gen.chooseNum(1, 5)
+    } yield (xs, nparts)
+    check(forAll(gen) { case (xs, nparts) =>
+      val agg = new graft.functions.TopK(k)
+      // partial buffers per split, merged in order — the map-side combine
+      // shape; the result must equal a global sort regardless of splits
+      val parts = xs.grouped(math.max(1, xs.size / nparts + 1)).toList
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val want = xs.map { case (id, s) => (s, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
+      agg.finish(merged) == want
+    })
+  }
+
+  test("sortedIntersectSize matches set-intersection cardinality") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val genSet = Gen.containerOf[Set, Int](Gen.chooseNum(-1000, 1000))
+    check(forAll(genSet, genSet) { (a, b) =>
+      val aa = new GenericArrayData(a.toSeq.sorted)
+      val bb = new GenericArrayData(b.toSeq.sorted)
+      graft.functions.SetOps.sortedIntersectSize(aa, bb) ==
+        (a intersect b).size.toLong
+    })
+  }
+
   test("double-hash minhash family stays in [0, P32) for any h1,h2") {
     val h32 = Gen.chooseNum(0L, (1L << 32) - 1)
     check(forAll(h32, h32, Gen.chooseNum(0, 15)) { (h1, h2, k) =>
