@@ -77,7 +77,8 @@ object SparkEntry {
     "q47_scd1_upsert" -> (Etl.scd1Upsert _),
     "q48_oov_rate" -> (TextAnalysis.oovRate _),
     "q49_value_histogram" -> (Events.valueHistogram _),
-    "q50_signup_funnel" -> (Events.funnel _)
+    "q50_signup_funnel" -> (Events.funnel _),
+    "q51_resize_thumbs" -> (Multimodal.resizeThumbs _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -146,6 +147,7 @@ object SparkEntry {
     "q47_scd1_upsert" -> Etl.scd1UpsertSql,
     "q48_oov_rate" -> TextAnalysis.oovRateSql,
     "q49_value_histogram" -> Events.valueHistogramSql,
-    "q50_signup_funnel" -> Events.funnelSql
+    "q50_signup_funnel" -> Events.funnelSql,
+    "q51_resize_thumbs" -> Multimodal.resizeThumbsSql
   )
 }

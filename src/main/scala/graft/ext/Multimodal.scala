@@ -108,6 +108,52 @@ object Multimodal {
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** q51 — the RESIZE stage, fully declarative: crop every frame to its
+    * first `ThumbBytes` bytes and re-concatenate — the binary-plumbing
+    * shape of a thumbnailer (a real codec binding would swap the slice
+    * for an interpolating kernel inside the same fold). One narrow
+    * projection per row (a higher-order `aggregate` over frame indices
+    * with binary-safe substr/concat), no UDF, no shuffle; metadata
+    * (sizes, hash) rides as plain columns. Oracle: ASCII payloads let
+    * DuckDB rebuild the same bytes with string_agg over substr. */
+  val ThumbBytes = 16
+
+  def resizeThumbs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fs = StubDecoder.FrameSize
+    val nFrames = ceil(length(col("content")).cast("double") / fs).cast("int")
+    val thumb = aggregate(
+      sequence(lit(0), nFrames - 1),
+      typedlit(Array.empty[Byte]),
+      (acc, i) => concat(acc, col("content").substr(i * fs + 1, lit(ThumbBytes))))
+    assets(spark, sfDir)
+      .select(col("doc_id"), col("mime"),
+        length(col("content")).cast("long").as("n_bytes"),
+        thumb.as("thumb"))
+      .select(col("doc_id"), col("mime"), col("n_bytes"),
+        length(col("thumb")).cast("long").as("n_bytes_resized"),
+        md5(col("thumb")).as("thumb_md5"))
+      .orderBy("doc_id")
+  }
+
+  val resizeThumbsSql: String = {
+    val fs = StubDecoder.FrameSize
+    s"""WITH t AS (
+       |  SELECT doc_id, 'application/x-' || source AS mime, text,
+       |         CAST(length(text) AS BIGINT) AS n_bytes,
+       |         CAST(ceil(length(text) / $fs.0) AS INT) AS nf
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, mime, n_bytes,
+       |         list_aggregate([substr(text, i * $fs + 1, $ThumbBytes)
+       |           for i in generate_series(0, nf - 1)], 'string_agg', '') AS thumb
+       |  FROM t
+       |)
+       |SELECT doc_id, mime, n_bytes,
+       |       CAST(length(thumb) AS BIGINT) AS n_bytes_resized,
+       |       md5(thumb) AS thumb_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** q22 — the decode/feature stage: typed Dataset through mapPartitions
     * with a per-partition decoder. Fully oracle-checked: every output
     * stat re-derives in DuckDB from the ASCII source text. */
