@@ -307,10 +307,11 @@ object Events {
       |)
       |SELECT s.user_id, s.signup_ts,
       |       COALESCE(MAX(CASE WHEN p.p_ts >= s.signup_ts
-      |         AND p.p_ts <= s.signup_ts + INTERVAL 1 HOUR
+      |         AND p.p_ts <= s.signup_ts + INTERVAL {W}
       |         THEN 1 ELSE 0 END), 0) = 1 AS converted
       |FROM s LEFT JOIN p ON s.user_id = p.user_id
       |GROUP BY 1, 2 ORDER BY s.user_id""".stripMargin
+      .replace("{W}", FunnelWindow)
 
   val asofJoinSql: String =
     """WITH e AS (

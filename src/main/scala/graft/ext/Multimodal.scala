@@ -87,6 +87,10 @@ object Multimodal {
     val nFrames = ceil(length(col("content")).cast("double") /
       StubDecoder.FrameSize).cast("int")
     assets(spark, sfDir)
+      // empty payloads have no frames; without this filter sequence()
+      // would fault on start > stop with a positive stride (the oracle's
+      // generate_series drops such rows the same way)
+      .filter(nFrames > 0)
       .select(col("doc_id"), col("content"),
         explode(sequence(lit(0), nFrames - 1, lit(FrameStride))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
@@ -121,10 +125,13 @@ object Multimodal {
   def resizeThumbs(spark: SparkSession, sfDir: String): DataFrame = {
     val fs = StubDecoder.FrameSize
     val nFrames = ceil(length(col("content")).cast("double") / fs).cast("int")
-    val thumb = aggregate(
-      sequence(lit(0), nFrames - 1),
-      typedlit(Array.empty[Byte]),
-      (acc, i) => concat(acc, col("content").substr(i * fs + 1, lit(ThumbBytes))))
+    // empty payload → zero frames → empty thumb (guarded: sequence()
+    // with start > stop would otherwise run descending)
+    val thumb = when(nFrames <= 0, typedlit(Array.empty[Byte])).otherwise(
+      aggregate(
+        sequence(lit(0), nFrames - 1),
+        typedlit(Array.empty[Byte]),
+        (acc, i) => concat(acc, col("content").substr(i * fs + 1, lit(ThumbBytes)))))
     assets(spark, sfDir)
       .select(col("doc_id"), col("mime"),
         length(col("content")).cast("long").as("n_bytes"),
@@ -144,8 +151,8 @@ object Multimodal {
        |  FROM documents
        |), f AS (
        |  SELECT doc_id, mime, n_bytes,
-       |         list_aggregate([substr(text, i * $fs + 1, $ThumbBytes)
-       |           for i in generate_series(0, nf - 1)], 'string_agg', '') AS thumb
+       |         COALESCE(list_aggregate([substr(text, i * $fs + 1, $ThumbBytes)
+       |           for i in generate_series(0, nf - 1)], 'string_agg', ''), '') AS thumb
        |  FROM t
        |)
        |SELECT doc_id, mime, n_bytes,

@@ -256,10 +256,13 @@ object TextAnalysis {
     * no shuffle, the 100 TB shape of a scrub pass. Patterns are applied
     * in declaration order (replacement text can't re-trigger a later
     * pattern: '[MASK]' is uppercase/punct only). */
+  // (?i): the marker tier must catch capitalized stopwords too (other
+  // markerRegex call sites lower() the text first; scrub cannot, since
+  // it must preserve the original casing of what it keeps)
   val ScrubPatterns: Seq[(String, String)] = Seq(
     "email" -> "[\\w.-]+@[\\w.-]+\\.\\w+",
     "digits" -> "\\d{4,}",
-    "marker" -> markerRegex(englishStopwords))
+    "marker" -> ("(?i)" + markerRegex(englishStopwords)))
 
   /** The scrub projection itself, reusable over any text column. */
   def scrubbedCol(c: Column): Column =
@@ -372,7 +375,11 @@ object TextAnalysis {
     * (TakeOrderedAndProject, deterministic (count desc, tok) order)
     * that broadcasts; the corpus side is one scan + a map-side
     * membership join + one (doc_id)-keyed agg. */
-  val VocabK = 100
+  // 20 < the fixture's 31 distinct tokens, so the OOV branch is LIVE on
+  // every fixture run (at 100 the vocab would swallow the whole lexicon
+  // and oov_rate would be identically zero, leaving the arithmetic
+  // untested by the oracle)
+  val VocabK = 20
 
   def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")

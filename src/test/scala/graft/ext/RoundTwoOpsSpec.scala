@@ -94,6 +94,14 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(bad == 0, "winner must carry the minimal document frequency")
   }
 
+  test("oov rate: the out-of-vocab branch is live on the fixture") {
+    val rows = TextAnalysis.oovRate(spark, sf001).collect()
+    assert(rows.exists(_.getDouble(2) > 0.0),
+      "VocabK must sit below the fixture lexicon size or the OOV " +
+        "arithmetic is never exercised")
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("length quantiles are ordered and bounded per language") {
     TextAnalysis.lengthQuantiles(spark, sf001).collect().foreach { r =>
       val (mn, mx) = (r.getLong(2).toDouble, r.getLong(6).toDouble)
