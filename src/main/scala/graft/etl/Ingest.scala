@@ -49,6 +49,15 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSON-lines twin of readCsv: same schema-pinned discipline (no
+    * inference pass over the data), one object per line — the common
+    * interchange format for document corpora. Unparseable lines follow
+    * the same coerce-to-null PERMISSIVE semantics as the date parse
+    * (P6), surfaced via the standard `_corrupt_record` column when the
+    * schema asks for it. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def rename(df: DataFrame, renames: Map[String, String]): DataFrame =
     df.withColumnsRenamed(renames)
 
