@@ -79,6 +79,50 @@ object StreamJobs {
 
   val GapMs: Long = 30 * 60 * 1000L
 
+  /** The production-shaped sessionizer: EVENT-TIME TIMEOUTS close a
+    * session once the watermark passes last+gap — no end-of-stream
+    * flush needed, state is evicted as the watermark advances, which
+    * is what bounds state on an unbounded stream. In-batch gap cuts
+    * emit immediately; the final open session per user flushes via
+    * timeout when later batches move the watermark past it. */
+  def sessionizeEventTime(events: DataFrame): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the session can no longer grow
+            // (a group with new data in this batch is never timed out)
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.start), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var st = state.getOption.getOrElse(null)
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last >= GapMs =>
+                  out += SessionOut(uid, new java.sql.Timestamp(s.start), s.n)
+                  st = SessionState(t, t, 1)
+                case s => st = SessionState(s.start, t, s.n + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + GapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming-shaped session assembly with explicit state: emits a
     * session when a gap >= 30min arrives (or at timeout in a real
     * stream). Works identically over a batch Dataset via mapGroups in

@@ -30,6 +30,47 @@ class StreamJobsSpec extends SparkSpec {
     assert(got == want, s"stream/batch drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
   }
 
+  test("event-time timeouts close sessions as the watermark advances") {
+    // stage the fixture as TWO time-ordered files so AvailableNow +
+    // maxFilesPerTrigger=1 runs two micro-batches: batch 1 sets the
+    // watermark, batch 2's processing times out batch-1 sessions
+    val ev = Events.loadEvents(spark, sf001)
+      .select(col("user_id"), col("ts")).orderBy("ts").cache()
+    val n = ev.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-etimeout")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt((n / 2).toInt)
+    import scala.jdk.CollectionConverters._
+    def write(part: Array[org.apache.spark.sql.Row], name: String): Unit =
+      spark.createDataFrame(part.toSeq.asJava, ev.schema)
+        .coalesce(1).write.parquet(s"$dir/$name")
+    write(first, "part0")
+    write(second, "part1")
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part*")
+    // the state path carries java.sql.Timestamp (ms); compare the batch
+    // µs session starts at the same ms granularity
+    val got = StreamJobs.runToMemory(
+      StreamJobs.sessionizeEventTime(stream).toDF(),
+      "etimeout_test", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(2)))
+      .toSet
+
+    assert(got.nonEmpty, "gap cuts and timeouts must emit sessions")
+    // every emitted session must be a REAL session: identical to one
+    // the batch session_window operator finds on the same data
+    val want = Events.sessions(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2).toInt))
+      .toSet
+    val bogus = got -- want
+    assert(bogus.isEmpty,
+      s"${bogus.size} emitted sessions not found in batch, e.g. ${bogus.take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window totals") {
     val ev = Events.loadEvents(spark, sf001)
       .select(col("user_id"), col("ts")).as[StreamJobs.Event]
