@@ -79,6 +79,27 @@ object StreamJobs {
 
   val GapMs: Long = 30 * 60 * 1000L
 
+  /** Shared gap-cut fold: feed sorted events through the running
+    * session state, emitting every session closed by a >= gap break.
+    * Returns the emissions plus the still-open trailing session. */
+  private def cutSessions(uid: Long, sorted: Seq[Event],
+      init: Option[SessionState])
+      : (Seq[SessionOut], Option[SessionState]) = {
+    val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    var st = init.orNull
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      st match {
+        case null => st = SessionState(t, t, 1)
+        case s if t - s.last >= GapMs =>
+          out += SessionOut(uid, new java.sql.Timestamp(s.start), s.n)
+          st = SessionState(t, t, 1)
+        case s => st = SessionState(s.start, t, s.n + 1)
+      }
+    }
+    (out.toSeq, Option(st))
+  }
+
   /** The production-shaped sessionizer: EVENT-TIME TIMEOUTS close a
     * session once the watermark passes last+gap — no end-of-stream
     * flush needed, state is evicted as the watermark advances, which
@@ -101,20 +122,9 @@ object StreamJobs {
             state.remove()
             Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.start), s.n))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            var st = state.getOption.getOrElse(null)
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              st match {
-                case null => st = SessionState(t, t, 1)
-                case s if t - s.last >= GapMs =>
-                  out += SessionOut(uid, new java.sql.Timestamp(s.start), s.n)
-                  st = SessionState(t, t, 1)
-                case s => st = SessionState(s.start, t, s.n + 1)
-              }
-            }
-            if (st != null) {
+            val (out, open) = cutSessions(uid,
+              it.toSeq.sortBy(_.ts.getTime), state.getOption)
+            open.foreach { st =>
               state.update(st)
               state.setTimeoutTimestamp(st.last + GapMs)
             }
@@ -134,27 +144,13 @@ object StreamJobs {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           // File replay delivers a group's events in one call; sort by ts
-          // and cut on gaps. A live stream would carry state across
-          // micro-batches with a ProcessingTime timeout flush instead.
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var st = state.getOption.getOrElse(null)
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            st match {
-              case null => st = SessionState(t, t, 1)
-              case s if t - s.last >= GapMs =>
-                out += SessionOut(uid, new java.sql.Timestamp(s.start), s.n)
-                st = SessionState(t, t, 1)
-              case s => st = SessionState(s.start, t, s.n + 1)
-            }
-          }
-          if (st != null) {
-            // final flush for the replay harness (bounded input)
-            out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n)
-            state.remove()
-          }
-          out.iterator
+          // and cut on gaps, then flush the trailing open session (the
+          // bounded-replay analogue of sessionizeEventTime's timeout).
+          val (out, open) = cutSessions(uid,
+            it.toSeq.sortBy(_.ts.getTime), state.getOption)
+          state.remove()
+          (out ++ open.map(st =>
+            SessionOut(uid, new java.sql.Timestamp(st.start), st.n))).iterator
       }
   }
 }
