@@ -28,6 +28,26 @@ class SqlTwinsSpec extends SparkSpec {
     }
   }
 
+  test("every oracle Spark can parse AND run agrees with its DataFrame plan") {
+    // the curated list above is the guaranteed floor; this sweep catches
+    // any other oracle that happens to be ANSI enough for both dialects
+    // and insists it cannot silently diverge
+    Tables.registerAll(spark, sf001)
+    var agreed = twinnable.toSet
+    SparkEntry.oracleSql.filterNot(kv => agreed(kv._1)).foreach { case (q, sql) =>
+      val viaSql =
+        try spark.sql(sql).collect().map(_.toString).toSeq
+        catch { case _: Exception => Nil } // DuckDB-only dialect: skip
+      if (viaSql.nonEmpty) {
+        val viaDf = SparkEntry.queries(q)(spark, sf001)
+          .collect().map(_.toString).toSeq
+        assert(viaSql == viaDf, s"$q: parseable oracle diverged from plan")
+        agreed += q
+      }
+    }
+    info(s"twinned ${agreed.size} of ${SparkEntry.oracleSql.size} oracles")
+  }
+
   test("Spark 4 WITH RECURSIVE runs the reference hierarchy CTE") {
     val viaSql = spark.sql(Hierarchy.orgClosureSql)
       .collect().map(_.toString).toSeq
