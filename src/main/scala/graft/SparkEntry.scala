@@ -78,7 +78,8 @@ object SparkEntry {
     "q48_oov_rate" -> (TextAnalysis.oovRate _),
     "q49_value_histogram" -> (Events.valueHistogram _),
     "q50_signup_funnel" -> (Events.funnel _),
-    "q51_resize_thumbs" -> (Multimodal.resizeThumbs _)
+    "q51_resize_thumbs" -> (Multimodal.resizeThumbs _),
+    "q52_weighted_mix" -> (Sampling.weightedMix _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -148,6 +149,7 @@ object SparkEntry {
     "q48_oov_rate" -> TextAnalysis.oovRateSql,
     "q49_value_histogram" -> Events.valueHistogramSql,
     "q50_signup_funnel" -> Events.funnelSql,
-    "q51_resize_thumbs" -> Multimodal.resizeThumbsSql
+    "q51_resize_thumbs" -> Multimodal.resizeThumbsSql,
+    "q52_weighted_mix" -> Sampling.weightedMixSql
   )
 }

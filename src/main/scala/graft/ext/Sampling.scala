@@ -117,6 +117,48 @@ object Sampling {
        |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
        |FROM r WHERE rn <= $TopDocsK ORDER BY lang, rank""".stripMargin
 
+  /** q52 — weighted corpus mixing: per-language sampling FRACTIONS from
+    * a mixture config (the "data mixing weights" step of training-corpus
+    * assembly — upsample rare languages, downsample dominant ones).
+    * Same deterministic md5 rank order as q31, but each stratum gets
+    * its own quota ceil(|stratum| · w_lang); languages absent from the
+    * config default to weight 0 (dropped). One (lang)-keyed shuffle. */
+  val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "es" -> 0.3, "de" -> 0.2, "fr" -> 0.1, "zh" -> 0.05)
+
+  def weightedMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val weight = MixWeights.foldLeft(lit(0.0)) { case (acc, (l, w)) =>
+      when(col("lang") === l, w).otherwise(acc) }
+    val stratum = Window.partitionBy(col("lang"))
+    val order = stratum.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        row_number().over(order).as("rk"),
+        count(lit(1)).over(stratum).as("cnt"))
+      .filter(col("rk") <= ceil(col("cnt") * weight))
+      .select(col("doc_id"), col("lang"),
+        col("rk").cast("long").as("stratum_rank"),
+        col("cnt").as("stratum_size"))
+      .orderBy("doc_id")
+  }
+
+  val weightedMixSql: String = {
+    val cases = MixWeights.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString(" ")
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |       CAST(rk AS BIGINT) AS stratum_rank,
+       |       CAST(cnt AS BIGINT) AS stratum_size
+       |FROM r WHERE rk <= ceil(cnt * (CASE $cases ELSE 0.0 END))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val stratifiedSampleSql: String =
     s"""WITH r AS (
        |  SELECT doc_id, lang, source,

@@ -102,6 +102,41 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("weighted mix honors each language's configured fraction") {
+    val out = Sampling.weightedMix(spark, sf001).cache()
+    val sizes = graft.Tables.load(spark, sf001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val taken = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.MixWeights.foreach { case (l, w) =>
+      sizes.get(l).foreach { n =>
+        assert(taken.getOrElse(l, 0L) == math.ceil(n * w).toLong,
+          s"$l quota: ${taken.get(l)} of $n at weight $w")
+      }
+    }
+    assert(taken.keySet.subsetOf(Sampling.MixWeights.map(_._1).toSet),
+      "unconfigured languages must be dropped")
+  }
+
+  test("approx quantile sketch tracks the exact percentile within its error") {
+    // the 100 TB path (mergeable one-pass sketch) must stay close to the
+    // exact two-pass answer the oracle checks; 1% relative rank error
+    // on 500+ docs keeps the value error tight on this distribution
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val Seq(exact25, exact50, exact75) = docs
+      .select(percentile(col("n_chars"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+      .head.getSeq[Double](0).toSeq
+    val approx = docs.stat
+      .approxQuantile("n_chars", Array(0.25, 0.5, 0.75), 0.01)
+    val spread = exact75 - exact25
+    Seq(exact25, exact50, exact75).zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= math.max(spread * 0.1, 1.0),
+        s"sketch answer $a too far from exact $e")
+    }
+  }
+
   test("length quantiles are ordered and bounded per language") {
     TextAnalysis.lengthQuantiles(spark, sf001).collect().foreach { r =>
       val (mn, mx) = (r.getLong(2).toDouble, r.getLong(6).toDouble)
