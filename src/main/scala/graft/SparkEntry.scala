@@ -79,7 +79,8 @@ object SparkEntry {
     "q49_value_histogram" -> (Events.valueHistogram _),
     "q50_signup_funnel" -> (Events.funnel _),
     "q51_resize_thumbs" -> (Multimodal.resizeThumbs _),
-    "q52_weighted_mix" -> (Sampling.weightedMix _)
+    "q52_weighted_mix" -> (Sampling.weightedMix _),
+    "q53_retention_cohorts" -> (Events.retentionCohorts _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -150,6 +151,7 @@ object SparkEntry {
     "q49_value_histogram" -> Events.valueHistogramSql,
     "q50_signup_funnel" -> Events.funnelSql,
     "q51_resize_thumbs" -> Multimodal.resizeThumbsSql,
-    "q52_weighted_mix" -> Sampling.weightedMixSql
+    "q52_weighted_mix" -> Sampling.weightedMixSql,
+    "q53_retention_cohorts" -> Events.retentionCohortsSql
   )
 }

@@ -313,6 +313,41 @@ object Events {
       |GROUP BY 1, 2 ORDER BY s.user_id""".stripMargin
       .replace("{W}", FunnelWindow)
 
+  /** q53 — weekly retention cohorts: users grouped by their first-event
+    * week, counted distinct in each later activity week — the classic
+    * cohort triangle. One per-user min-aggregate, a user-keyed join to
+    * re-tag every event, then a (cohort, offset) count-distinct. Week
+    * truncation is ISO-Monday in both engines; offsets are integer
+    * day-counts divided by 7 (non-negative, so truncation == floor). */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          date_trunc("week", col("first_ts")).cast("date")) / 7)
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+      |), a AS (
+      |  SELECT e.user_id,
+      |         CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+      |         CAST(date_diff('day',
+      |           CAST(date_trunc('week', f.first_ts) AS DATE),
+      |           CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset
+      |  FROM events e JOIN f USING (user_id)
+      |)
+      |SELECT cohort_week, week_offset,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val asofJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
