@@ -496,11 +496,14 @@ object Dedup {
     * an independent algorithm arriving at the same clustering. */
   val MaxPropagationRounds = 50
 
-  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, sfDir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
+  /** Connected components by hash-to-min label propagation over an
+    * undirected pair list: every node takes the min label among itself
+    * and its neighbors each round until fixpoint (O(component diameter)
+    * rounds). Returns (id, lbl) with lbl = min reachable node id. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst"))).localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct()
 
     var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
@@ -521,7 +524,13 @@ object Dedup {
       labels = next.select(col("id"), col("lbl"))
       round += 1
     }
+    labels
+  }
 
+  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels
       .join(sizes, Seq("lbl"))

@@ -84,22 +84,22 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dup clusters: transitive near-dups collapse to one component") {
+    // the PRODUCTION loop, not a replica
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
-    // drive the same label-propagation loop via the fixture entry points:
-    // emulate with a tiny local run of the propagation logic
-    val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("src", "dst")
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("lbl"))
-    (1 to 5).foreach { _ =>
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid"))
-        .agg(min("lbl").as("nbr_lbl"))
-      labels = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select($"id", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl"))
-    }
-    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L),
       s"chain 1-2-3 must share min label 1; got $got")
+  }
+
+  test("dup clusters: a 20-node path converges within the round guard") {
+    // worst diameter per node count — the shape that needs the most
+    // propagation rounds; the guard (MaxPropagationRounds) must cover it
+    val path = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 20 && got.values.forall(_ == 1L),
+      s"all path nodes must reach label 1; got ${got.filter(_._2 != 1L)}")
   }
 
   test("simhash: near-dup texts land within small hamming distance") {
