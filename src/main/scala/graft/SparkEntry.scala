@@ -80,7 +80,8 @@ object SparkEntry {
     "q50_signup_funnel" -> (Events.funnel _),
     "q51_resize_thumbs" -> (Multimodal.resizeThumbs _),
     "q52_weighted_mix" -> (Sampling.weightedMix _),
-    "q53_retention_cohorts" -> (Events.retentionCohorts _)
+    "q53_retention_cohorts" -> (Events.retentionCohorts _),
+    "q54_bpe_candidates" -> (TextAnalysis.bpeMergeCandidates _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -152,6 +153,7 @@ object SparkEntry {
     "q50_signup_funnel" -> Events.funnelSql,
     "q51_resize_thumbs" -> Multimodal.resizeThumbsSql,
     "q52_weighted_mix" -> Sampling.weightedMixSql,
-    "q53_retention_cohorts" -> Events.retentionCohortsSql
+    "q53_retention_cohorts" -> Events.retentionCohortsSql,
+    "q54_bpe_candidates" -> TextAnalysis.bpeMergeCandidatesSql
   )
 }

@@ -413,6 +413,37 @@ object TextAnalysis {
        |         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q54 — BPE merge candidates: the most frequent adjacent character
+    * pairs across the corpus (within words — pairs spanning whitespace
+    * are skipped), i.e. the first merge-selection step of
+    * byte-pair-encoding tokenizer training. One scan + explode, one
+    * (pair)-keyed count with map-side combine, a top-k
+    * TakeOrderedAndProject — no full sort. Deterministic (count desc,
+    * pair) tie order keeps the cut oracle-stable. */
+  val BpeTopK = 20
+
+  def bpeMergeCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("pair"))
+      .filter(!col("pair").contains(" "))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
+  val bpeMergeCandidatesSql: String =
+    s"""WITH p AS (
+       |  SELECT unnest([substr(text, i, 2)
+       |           for i in generate_series(1, length(text) - 1)]) AS pair
+       |  FROM documents
+       |)
+       |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM p WHERE pair NOT LIKE '% %'
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
+
   val decontaminationSql: String =
     s"""WITH g AS (
        |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]

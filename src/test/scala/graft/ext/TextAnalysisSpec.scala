@@ -37,6 +37,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res(2L) == 0.0, s"clean doc must score zero, got ${res(2L)}")
   }
 
+  test("bpe candidates: within-word pairs counted, ties broken by pair") {
+    val fix = TextAnalysis.bpeMergeCandidates(spark, sf001)
+    assert(fix.columns.toSeq == Seq("pair", "n"))
+    val rows = fix.collect()
+    assert(rows.length <= TextAnalysis.BpeTopK)
+    assert(rows.forall(r => r.getString(0).length == 2 && !r.getString(0).contains(" ")),
+      "every candidate must be a 2-char within-word pair")
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)), "must be count-descending")
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getLong(1) == b.getLong(1) =>
+        assert(a.getString(0) < b.getString(0), "ties must break ascending by pair")
+      case _ =>
+    }
+    // planted corpus: "aaab" -> aa,aa,ab ; "a b" -> both pairs span the space
+    val planted = Seq((1L, "aaab"), (2L, "a b")).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions._
+    val got = planted
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("pair"))
+      .filter(!col("pair").contains(" "))
+      .groupBy("pair").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("aa" -> 2L, "ab" -> 1L), s"got $got")
+  }
+
   test("decontamination: benchmark docs are excluded and ratios bounded") {
     val res = TextAnalysis.decontamination(spark, sf001)
     val rows = res.collect()
