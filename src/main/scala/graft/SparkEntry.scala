@@ -81,7 +81,9 @@ object SparkEntry {
     "q51_resize_thumbs" -> (Multimodal.resizeThumbs _),
     "q52_weighted_mix" -> (Sampling.weightedMix _),
     "q53_retention_cohorts" -> (Events.retentionCohorts _),
-    "q54_bpe_candidates" -> (TextAnalysis.bpeMergeCandidates _)
+    "q54_bpe_candidates" -> (TextAnalysis.bpeMergeCandidates _),
+    "q55_range_join" -> (Events.rangeJoin _),
+    "q56_vocab_coverage" -> (TextAnalysis.vocabCoverage _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -154,6 +156,8 @@ object SparkEntry {
     "q51_resize_thumbs" -> Multimodal.resizeThumbsSql,
     "q52_weighted_mix" -> Sampling.weightedMixSql,
     "q53_retention_cohorts" -> Events.retentionCohortsSql,
-    "q54_bpe_candidates" -> TextAnalysis.bpeMergeCandidatesSql
+    "q54_bpe_candidates" -> TextAnalysis.bpeMergeCandidatesSql,
+    "q55_range_join" -> Events.rangeJoinSql,
+    "q56_vocab_coverage" -> TextAnalysis.vocabCoverageSql
   )
 }

@@ -348,6 +348,67 @@ object Events {
       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
       |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q55 — point-in-interval RANGE JOIN, the operator Spark has no
+    * native plan for (reference analogue: the date-window predicates in
+    * `BI_Questions.sql`; the generalization every attribution/incident
+    * pipeline needs). The 20 highest-value events (ties broken by
+    * event_id, so the cut is total) anchor ±30-minute "incident
+    * windows"; every event falling inside a window is attributed to it,
+    * many-to-many.
+    *
+    * Scale shape: the naive plan is a cartesian/BNLJ theta-join — O(n·m)
+    * and a driver OOM at 100 TB. Instead both sides are discretized onto
+    * a time grid one window-length wide: an interval then overlaps at
+    * most 2 grid cells, so each anchor expands to ≤2 (bucket, window)
+    * rows and the join becomes a plain EQUI-join on bucket + a residual
+    * range filter — hash-joinable, shuffle-partitionable, AQE-skew-
+    * splittable at any interval count. With only 20 anchors the build
+    * side is explicitly broadcast, so the probe side streams map-side
+    * with zero shuffle of the big table.
+    *
+    * The DuckDB oracle runs the same semantics through its native IEJoin
+    * (inequality-join) operator — an independent algorithm. */
+  val RangeWindows = 20
+  val RangeHalfUs: Long = 30L * 60 * 1000000 // ±30 min
+  val RangeBucketUs: Long = 2 * RangeHalfUs  // grid = window length
+
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    rangeJoinOn(loadEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us")))
+
+  /** The bucketed range-join core over (event_id, user_id, value, us) —
+    * separate so specs can drive the production plan with planted rows. */
+  def rangeJoinOn(ev: DataFrame): DataFrame = {
+    val anchors = ev.orderBy(col("value").desc, col("event_id"))
+      .limit(RangeWindows)
+      .select(col("event_id").as("window_id"), col("us").as("anchor_us"))
+    val anchorBuckets = anchors.select(col("window_id"), col("anchor_us"),
+      explode(expr(
+        s"sequence((anchor_us - $RangeHalfUs) div $RangeBucketUs," +
+          s" (anchor_us + $RangeHalfUs - 1) div $RangeBucketUs)")).as("bucket"))
+    ev.withColumn("bucket", expr(s"us div $RangeBucketUs"))
+      .join(broadcast(anchorBuckets), "bucket")
+      .filter(col("us") >= col("anchor_us") - RangeHalfUs &&
+        col("us") < col("anchor_us") + RangeHalfUs)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_id")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH a AS (
+       |  SELECT event_id AS window_id, epoch_us(ts) AS anchor_us
+       |  FROM events ORDER BY value DESC, event_id LIMIT $RangeWindows
+       |)
+       |SELECT a.window_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+       |FROM a JOIN events e
+       |  ON epoch_us(e.ts) >= a.anchor_us - $RangeHalfUs
+       | AND epoch_us(e.ts) <  a.anchor_us + $RangeHalfUs
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val asofJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events

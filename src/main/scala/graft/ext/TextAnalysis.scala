@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` for a training-data pipeline:
@@ -443,6 +444,47 @@ object TextAnalysis {
        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
        |FROM p WHERE pair NOT LIKE '% %'
        |GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  /** q56 — vocabulary coverage: the top-k corpus words by frequency with
+    * each prefix's cumulative share of all tokens — the "how big must the
+    * vocab be to cover X% of the corpus" curve every tokenizer design
+    * starts from. One scan+explode, one word-keyed count (map-side
+    * combine), a TakeOrderedAndProject top-k, and a scalar total
+    * broadcast-crossed back in. The running sum is a global window but it
+    * runs AFTER the top-k cut, over exactly [[VocabTopK]] rows — bounded,
+    * never the big table. Tie order (count desc, word) is total, so the
+    * cut and the curve are oracle-stable. */
+  val VocabTopK = 200
+
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(VocabTopK)
+    val w = Window.orderBy(col("n").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .select(col("word"), col("n"),
+        (sum(col("n")).over(w).cast("double") /
+          col("total").cast("double")).as("coverage"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents
+       |), c AS (
+       |  SELECT word, COUNT(*) AS n FROM words WHERE len(word) > 0 GROUP BY 1
+       |), t AS (SELECT SUM(n) AS total FROM c),
+       |top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT $VocabTopK)
+       |SELECT word, CAST(n AS BIGINT) AS n,
+       |       CAST(SUM(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING)
+       |            AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+       |FROM top, t ORDER BY n DESC, word""".stripMargin
 
   val decontaminationSql: String =
     s"""WITH g AS (

@@ -54,6 +54,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q55: bucketed range join is a broadcast hash join, not a product") {
+    // the entire point of the grid discretization: a theta-only join
+    // would plan BroadcastNestedLoopJoin and die at 100 TB
+    val plan = finalPlan("q55_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to a product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"20 anchor intervals must broadcast:\n$plan")
+  }
+
   test("q40: the lag window is partitioned, never a global sort") {
     val plan = finalPlan("q40_user_deltas")
     val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")

@@ -55,6 +55,32 @@ class EventsSpec extends SparkSpec {
     assert(bad(0).isNullAt(0), "malformed props must parse to null")
   }
 
+  test("range join: exclusive end, bucket-straddling events, many-to-many") {
+    import org.apache.spark.sql.functions._
+    val H = Events.RangeHalfUs
+    // RangeWindows(20) > 7 rows, so every event anchors a window; the
+    // assertions pin windows A(id 1, t=0) and B(id 2, t=+30min), which
+    // overlap so one event lands in both (many-to-many)
+    val ev = Seq(
+      (1L, 10L, 100.0, 0L),          // anchor A at t=0
+      (2L, 11L, 99.0, H),            // anchor B at t=+30min (windows overlap)
+      (3L, 12L, 0.0, H - 1),         // in A [−H,H) and B [0,2H) — both
+      (4L, 13L, 0.0, H),             // == A's exclusive end: B only
+      (5L, 14L, 0.0, -H),            // == A's inclusive start: A only
+      (6L, 15L, 0.0, 2 * H),         // == B's exclusive end: neither
+      (7L, 10L, 0.0, 1L)             // same user as anchor A: n_users dedup
+    ).toDF("event_id", "user_id", "value", "us")
+    val got = Events.rangeJoinOn(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // window A [-H, H): events 1,3,5,7 (2 and 4 sit AT the exclusive
+    // end, 6 beyond); users {10,12,14,10} -> 3 distinct
+    assert(got(1L) == (4L, 3L), s"window A got ${got(1L)}")
+    // window B [0, 2H): events 1,2,3,4,7 (6 at the exclusive end, 5
+    // before start); users {10,11,12,13,10} -> 4 distinct
+    assert(got(2L) == (5L, 4L), s"window B got ${got(2L)}")
+    assert(!got.values.exists(_._1 == 0L), "no empty windows emitted")
+  }
+
   test("as-of semantics: at-or-before click wins, later clicks ignored") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -64,6 +64,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map("aa" -> 2L, "ab" -> 1L), s"got $got")
   }
 
+  test("vocab coverage: monotone curve ending near total token share") {
+    val res = TextAnalysis.vocabCoverage(spark, sf001)
+    assert(res.columns.toSeq == Seq("word", "n", "coverage"))
+    val rows = res.collect()
+    assert(rows.length <= TextAnalysis.VocabTopK)
+    val cov = rows.map(_.getDouble(2))
+    assert(cov.sameElements(cov.sorted), "coverage must be non-decreasing")
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)),
+      "words must come most-frequent-first")
+    // the increments must be exactly n_i / total: recover total from the
+    // first row and re-derive the whole curve
+    val total = math.round(ns(0) / cov(0))
+    val rebuilt = ns.scanLeft(0L)(_ + _).tail.map(_.toDouble / total)
+    rows.indices.foreach(i =>
+      assert(math.abs(cov(i) - rebuilt(i)) < 1e-12, s"curve broken at $i"))
+  }
+
   test("decontamination: benchmark docs are excluded and ratios bounded") {
     val res = TextAnalysis.decontamination(spark, sf001)
     val rows = res.collect()
