@@ -70,6 +70,30 @@ object StreamJobs {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM interval join: every view pairs with the
+    * same user's clicks from the preceding hour. The time-bound condition
+    * plus watermarks on BOTH sides is what lets Spark evict buffered rows
+    * — without them the join state grows with the stream and a 100 TB/day
+    * feed OOMs. A view can match many clicks (and vice versa); unmatched
+    * rows drop (inner join). Batch-replayed to completion this equals the
+    * identical batch join, which is how the spec pins it. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("view_ts"))
+      .select(col("view_id"), col("v_user").as("user_id"),
+        col("click_id"), col("view_ts"), col("click_ts"))
+  }
+
   // --- custom state: sessionization via flatMapGroupsWithState ---
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp)

@@ -71,6 +71,36 @@ class StreamJobsSpec extends SparkSpec {
       s"${bogus.size} emitted sessions not found in batch, e.g. ${bogus.take(3)}")
   }
 
+  test("stream-stream interval join equals the batch join on full replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.clickViewJoin(stream), "ssjoin_test", OutputMode.Append())
+      .select(col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Events.loadEvents(spark, sf001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val want = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("view_ts"))
+      .select(col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(want.nonEmpty, "fixture must produce click-view pairs")
+    assert(got == want,
+      s"stream/batch join drift: missing=${(want diff got).take(3)} extra=${(got diff want).take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window totals") {
     val ev = Events.loadEvents(spark, sf001)
       .select(col("user_id"), col("ts")).as[StreamJobs.Event]
