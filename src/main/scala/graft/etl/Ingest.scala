@@ -58,6 +58,14 @@ object Ingest {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC twin: same columnar pushdown/pruning properties as parquet
+    * (predicate pushdown, column projection, stripe-level statistics),
+    * so the scan-side scale design carries over unchanged. Schema is
+    * still pinned — ORC self-describes, but pinning keeps reader
+    * output stable if a writer evolves the file schema. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   def rename(df: DataFrame, renames: Map[String, String]): DataFrame =
     df.withColumnsRenamed(renames)
 

@@ -24,6 +24,12 @@ object Layout {
       .partitionBy("part_month")
       .parquet(path)
 
+  /** ORC sink beside the parquet one: both formats keep the min/max
+    * statistics and dictionary encodings that make pushdown work, so
+    * format choice is a storage-policy decision, not a plan change. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Persist a table bucketed (and sorted) by the join key — Spark's
     * durable equivalent of the reference's CLUSTER BY. Joins between
     * tables bucketed the same way skip the shuffle entirely. */

@@ -25,6 +25,21 @@ class LayoutSpec extends SparkSpec {
       s"expected a handful of files after pruning, read $filesRead")
   }
 
+  test("orc round-trips losslessly and pushes filters to the scan") {
+    val out = Files.createTempDirectory("graft-orc").toString + "/cust"
+    val cust = Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    Layout.writeOrc(cust, out)
+    val back = Ingest.readOrc(spark, out, cust.schema)
+    assert(back.schema == cust.schema)
+    assert(back.count() == cust.count())
+    val filtered = back.filter(col("c_custkey") === 42L)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)"),
+      s"filter not pushed to ORC scan:\n$scan")
+    assert(filtered.count() == 1)
+  }
+
   test("bucketed tables join without any shuffle") {
     val s2 = spark.newSession()
     // disable auto-broadcast: on fixture-sized tables the planner would

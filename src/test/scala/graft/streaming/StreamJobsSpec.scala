@@ -101,6 +101,32 @@ class StreamJobsSpec extends SparkSpec {
       s"stream/batch join drift: missing=${(want diff got).take(3)} extra=${(got diff want).take(3)}")
   }
 
+  test("foreachBatch upsert sink converges to last-write-wins state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    // batch 0 seeds keys 1-4; batch 1 updates 2,3 (3 twice: in-batch
+    // dedup must keep seq=12) and inserts 5
+    Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L), (4L, "d", 4L))
+      .toDF("k", "v", "seq").coalesce(1)
+      .write.parquet(s"$root/in/b0")
+    Seq((2L, "B", 10L), (3L, "c1", 11L), (3L, "C", 12L), (5L, "e", 13L))
+      .toDF("k", "v", "seq").coalesce(1)
+      .write.parquet(s"$root/in/b1")
+    val target = s"$root/target"
+    val q = StreamJobs.upsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in/b*"),
+      "k", "seq", target)
+    q.awaitTermination()
+    val got = spark.read.parquet(target)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d"), (5L, "e")),
+      s"merged state drift: $got")
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window totals") {
     val ev = Events.loadEvents(spark, sf001)
       .select(col("user_id"), col("ts")).as[StreamJobs.Event]
