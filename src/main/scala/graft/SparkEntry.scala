@@ -83,7 +83,8 @@ object SparkEntry {
     "q53_retention_cohorts" -> (Events.retentionCohorts _),
     "q54_bpe_candidates" -> (TextAnalysis.bpeMergeCandidates _),
     "q55_range_join" -> (Events.rangeJoin _),
-    "q56_vocab_coverage" -> (TextAnalysis.vocabCoverage _)
+    "q56_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    "q57_knn_label_agreement" -> (Similarity.knnLabelAgreement _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -158,6 +159,7 @@ object SparkEntry {
     "q53_retention_cohorts" -> Events.retentionCohortsSql,
     "q54_bpe_candidates" -> TextAnalysis.bpeMergeCandidatesSql,
     "q55_range_join" -> Events.rangeJoinSql,
-    "q56_vocab_coverage" -> TextAnalysis.vocabCoverageSql
+    "q56_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
+    "q57_knn_label_agreement" -> Similarity.knnLabelAgreementSql
   )
 }

@@ -88,6 +88,58 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  /** q57 — kNN label agreement: for each query vector, the fraction of
+    * its top-k cosine neighbors sharing its label — the standard
+    * mislabeled-sample / label-noise detector over a training corpus
+    * (low agreement = the embedding disagrees with the label). Same
+    * scale shape as q13: queries broadcast, candidate side scanned once
+    * with no shuffle, per-query top-k over the small scored set, then a
+    * constant-size count — agreement is a ratio of integers, so the
+    * oracle comparison is exact. */
+  def knnLabelAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
+        cosine(col("qv"), col("v")).as("cos"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rk") <= TopK)
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("agree_k"))
+      .select(col("query_id"), col("qlabel").as("label"), col("agree_k"),
+        (col("agree_k").cast("double") / TopK).as("agreement"))
+      .orderBy("query_id")
+  }
+
+  val knnLabelAgreementSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+       |         c.vec_id AS neighbor_id, c.label AS nlabel,
+       |         list_cosine_similarity(q.v, c.v) AS cos
+       |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), ranked AS (
+       |  SELECT query_id, qlabel, nlabel,
+       |         row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, qlabel AS label,
+       |       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS agree_k,
+       |       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) / $TopK AS agreement
+       |FROM ranked WHERE rk <= $TopK
+       |GROUP BY query_id, qlabel
+       |ORDER BY query_id""".stripMargin
+
   /** Deterministic ±1 hyperplane component for (plane p, dimension d):
     * parity of the first hex digit of md5("p:d"). Public trick: signed
     * random projections only need iid ±1 components. */

@@ -14,6 +14,28 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("no declared query plans a cartesian product or unbounded BNLJ") {
+    // A BroadcastNestedLoopJoin is fine ONLY when its build side is a
+    // CONSTANT-bounded broadcast — cost stays O(scan) at any scale:
+    //  - q13/q57: NQueries(=8) query vectors × the candidate scan
+    //  - q56: a 1-row scalar total crossed back into the top-k
+    // Everything else must plan hash/sort-merge joins, and nothing may
+    // ever plan an unbroadcast CartesianProduct.
+    val boundedBroadcastOk = Set(
+      "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct"))
+        Some(s"$name: CartesianProduct") else None
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") &&
+          !boundedBroadcastOk(name))
+        Some(s"$name: BroadcastNestedLoopJoin") else None
+      cart ++ bnlj
+    }
+    assert(bad.isEmpty, s"unbounded join plans: ${bad.mkString("; ")}")
+  }
+
   test("q01/q02: fact x dim equi-joins broadcast the dim side") {
     Seq("q01_revenue_by_category", "q02_top_customers").foreach { q =>
       val plan = finalPlan(q)
