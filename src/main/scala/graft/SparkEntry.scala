@@ -84,7 +84,8 @@ object SparkEntry {
     "q54_bpe_candidates" -> (TextAnalysis.bpeMergeCandidates _),
     "q55_range_join" -> (Events.rangeJoin _),
     "q56_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
-    "q57_knn_label_agreement" -> (Similarity.knnLabelAgreement _)
+    "q57_knn_label_agreement" -> (Similarity.knnLabelAgreement _),
+    "q58_rolling_daily" -> (Events.rollingDaily _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -160,6 +161,7 @@ object SparkEntry {
     "q54_bpe_candidates" -> TextAnalysis.bpeMergeCandidatesSql,
     "q55_range_join" -> Events.rangeJoinSql,
     "q56_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
-    "q57_knn_label_agreement" -> Similarity.knnLabelAgreementSql
+    "q57_knn_label_agreement" -> Similarity.knnLabelAgreementSql,
+    "q58_rolling_daily" -> Events.rollingDailySql
   )
 }

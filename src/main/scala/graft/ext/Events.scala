@@ -422,4 +422,42 @@ object Events {
       |FROM views v ASOF LEFT JOIN clicks c
       |  ON v.user_id = c.user_id AND v.tsu >= c.tsu
       |ORDER BY view_event_id""".stripMargin
+
+  /** q58 — 7-day trailing average of daily totals via a RANGE window
+    * frame (`rangeBetween(-6, 0)` over day number): a calendar-gap-aware
+    * rolling mean — a missing day SHRINKS the window rather than
+    * stretching it over 8 calendar days, which is what a ROWS frame
+    * would silently do. The window is global but runs AFTER the daily
+    * aggregation, over one row per day — bounded by the calendar, not
+    * the data (same post-agg justification as q02's rank). Sums stay in
+    * DECIMAL(18,2) through both the daily agg and the rolling frame;
+    * doubles only at the output edge. */
+  def rollingDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = loadEvents(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Tables.money(col("value"))).as("day_dec"))
+    val w = Window.orderBy(col("dayn")).rangeBetween(-6, 0)
+    daily
+      .withColumn("dayn", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .select(col("day"), col("n_events"),
+        col("day_dec").cast("double").as("day_value"),
+        (sum(col("day_dec")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg7"))
+      .orderBy("day")
+  }
+
+  val rollingDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS day_dec
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT day, n_events,
+      |       CAST(day_dec AS DOUBLE) AS day_value,
+      |       CAST(SUM(day_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg7
+      |FROM daily
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
 }
