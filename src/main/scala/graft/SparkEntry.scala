@@ -85,7 +85,8 @@ object SparkEntry {
     "q55_range_join" -> (Events.rangeJoin _),
     "q56_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "q57_knn_label_agreement" -> (Similarity.knnLabelAgreement _),
-    "q58_rolling_daily" -> (Events.rollingDaily _)
+    "q58_rolling_daily" -> (Events.rollingDaily _),
+    "q59_train_split" -> (Sampling.trainSplit _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -162,6 +163,7 @@ object SparkEntry {
     "q55_range_join" -> Events.rangeJoinSql,
     "q56_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q57_knn_label_agreement" -> Similarity.knnLabelAgreementSql,
-    "q58_rolling_daily" -> Events.rollingDailySql
+    "q58_rolling_daily" -> Events.rollingDailySql,
+    "q59_train_split" -> Sampling.trainSplitSql
   )
 }

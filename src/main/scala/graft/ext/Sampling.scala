@@ -171,4 +171,42 @@ object Sampling {
        |       CAST(cnt AS BIGINT) AS stratum_size
        |FROM r WHERE rk <= ceil(cnt * $SampleFrac)
        |ORDER BY doc_id""".stripMargin
+
+  /** q59 — deterministic train/val/test split: bucket in [0,100) from
+    * the first 8 md5 hex digits of doc_id → 90/5/5. Hash-based (not
+    * rank-based) assignment is the production property: a document's
+    * split NEVER changes as the corpus grows — append a shard, rerun,
+    * and yesterday's val set is still today's val set, so no train/eval
+    * leakage across corpus versions. Embarrassingly parallel (no
+    * shuffle until the 3-row summary agg); per-split token totals come
+    * along in one pass. */
+  val SplitBuckets: Seq[(Int, String)] = Seq(90 -> "train", 95 -> "val")
+
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val splitCol = SplitBuckets.foldRight(lit("test"): org.apache.spark.sql.Column) {
+      case ((hi, name), acc) => when(bucket < hi, name).otherwise(acc) }
+    docs
+      .select(splitCol.as("split"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("split")
+  }
+
+  val trainSplitSql: String =
+    """WITH b AS (
+      |  SELECT ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bucket,
+      |         len(string_split_regex(text, '\s+')) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 90 THEN 'train'
+      |            WHEN bucket < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 }
