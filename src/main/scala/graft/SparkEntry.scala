@@ -86,7 +86,8 @@ object SparkEntry {
     "q56_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "q57_knn_label_agreement" -> (Similarity.knnLabelAgreement _),
     "q58_rolling_daily" -> (Events.rollingDaily _),
-    "q59_train_split" -> (Sampling.trainSplit _)
+    "q59_train_split" -> (Sampling.trainSplit _),
+    "q60_snapshot_diff" -> (Etl.snapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -164,6 +165,7 @@ object SparkEntry {
     "q56_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q57_knn_label_agreement" -> Similarity.knnLabelAgreementSql,
     "q58_rolling_daily" -> Events.rollingDailySql,
-    "q59_train_split" -> Sampling.trainSplitSql
+    "q59_train_split" -> Sampling.trainSplitSql,
+    "q60_snapshot_diff" -> Etl.snapshotDiffSql
   )
 }

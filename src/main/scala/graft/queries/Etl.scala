@@ -150,4 +150,56 @@ object Etl {
       |SELECT c_custkey, c_name, 'NEW_' || c_mktsegment, TRUE
       |FROM customer WHERE c_custkey % 10 = 0
       |ORDER BY c_custkey""".stripMargin
+
+  /** q60 — snapshot diff (CDC extraction): FULL OUTER join of two table
+    * versions on the key classifies every row as added / removed /
+    * changed — the delta a downstream incremental load consumes instead
+    * of the reference's truncate-reload. The "next" snapshot is derived
+    * deterministically (drop %97 keys, bump %10 balances, add %101 rows
+    * under shifted keys) so the oracle can rebuild it. Full outer on an
+    * equi-key plans a sort-merge join — both sides shuffle once on the
+    * key, which is the floor for a diff (neither side can broadcast at
+    * 100 TB), and "unchanged" rows are dropped before anything else
+    * moves. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val cur = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val next = cur.filter(col("k") % 97 =!= 0)
+      .withColumn("bal",
+        when(col("k") % 10 === 0, col("bal") + 10.0).otherwise(col("bal")))
+      .union(cur.filter(col("k") % 101 === 0)
+        .select(col("k") + 10000000L, concat(col("name"), lit("_new")),
+          col("bal")))
+    cur.as("a").join(next.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .select(coalesce(col("a.k"), col("b.k")).as("c_custkey"),
+        when(col("b.k").isNull, "removed")
+          .when(col("a.k").isNull, "added")
+          .when(col("a.name") =!= col("b.name") ||
+            col("a.bal") =!= col("b.bal"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("c_custkey")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH cur AS (
+      |  SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer
+      |), next AS (
+      |  SELECT k, name, CASE WHEN k % 10 = 0 THEN bal + 10.0 ELSE bal END AS bal
+      |  FROM cur WHERE k % 97 != 0
+      |  UNION ALL
+      |  SELECT k + 10000000, name || '_new', bal FROM cur WHERE k % 101 = 0
+      |)
+      |SELECT COALESCE(a.k, b.k) AS c_custkey,
+      |       CASE WHEN b.k IS NULL THEN 'removed'
+      |            WHEN a.k IS NULL THEN 'added'
+      |            WHEN a.name != b.name OR a.bal != b.bal THEN 'changed'
+      |            ELSE 'unchanged' END AS change_type
+      |FROM cur a FULL OUTER JOIN next b ON a.k = b.k
+      |WHERE CASE WHEN b.k IS NULL THEN 'removed'
+      |           WHEN a.k IS NULL THEN 'added'
+      |           WHEN a.name != b.name OR a.bal != b.bal THEN 'changed'
+      |           ELSE 'unchanged' END != 'unchanged'
+      |ORDER BY c_custkey""".stripMargin
 }
