@@ -31,6 +31,13 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-12)
   }
 
+  test("dot_product is callable from SQL via extensions") {
+    val got = spark.sql(
+      "SELECT dot_product(CAST(array(1.0,2.0,3.0) AS ARRAY<DOUBLE>), " +
+        "CAST(array(4.0,5.0,6.0) AS ARRAY<DOUBLE>))").head.getDouble(0)
+    assert(got == 32.0)
+  }
+
   test("brute-force top-k is correctly ranked and sized") {
     val res = Similarity.bruteForceTopK(spark, sf001).collect()
     val byQuery = res.groupBy(_.getLong(0))
