@@ -87,7 +87,8 @@ object SparkEntry {
     "q57_knn_label_agreement" -> (Similarity.knnLabelAgreement _),
     "q58_rolling_daily" -> (Events.rollingDaily _),
     "q59_train_split" -> (Sampling.trainSplit _),
-    "q60_snapshot_diff" -> (Etl.snapshotDiff _)
+    "q60_snapshot_diff" -> (Etl.snapshotDiff _),
+    "q61_context_chunks" -> (Sampling.contextChunks _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -166,6 +167,7 @@ object SparkEntry {
     "q57_knn_label_agreement" -> Similarity.knnLabelAgreementSql,
     "q58_rolling_daily" -> Events.rollingDailySql,
     "q59_train_split" -> Sampling.trainSplitSql,
-    "q60_snapshot_diff" -> Etl.snapshotDiffSql
+    "q60_snapshot_diff" -> Etl.snapshotDiffSql,
+    "q61_context_chunks" -> Sampling.contextChunksSql
   )
 }

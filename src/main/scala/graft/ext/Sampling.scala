@@ -172,6 +172,53 @@ object Sampling {
        |FROM r WHERE rk <= ceil(cnt * $SampleFrac)
        |ORDER BY doc_id""".stripMargin
 
+  /** q61 — context-window chunking: split each document's token stream
+    * into windows of [[ChunkTokens]] tokens advancing by [[ChunkStride]]
+    * (trailing overlap = ChunkTokens - ChunkStride, the standard
+    * pretraining trick so no span is only ever seen cut in half).
+    * Chunk boundaries are pure integer arithmetic on per-doc token
+    * counts — `explode(sequence(...))` fans out row-parallel with no
+    * shuffle at all until the output sort; a 100 TB corpus chunks at
+    * scan speed. The final short chunk is kept iff it adds new tokens
+    * (start < n), and its length is clipped. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def contextChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = size(split(col("text"), "\\s+")).cast("long")
+    docs
+      .select(col("doc_id"), n.as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          greatest(ceil((col("n_tokens") - ChunkTokens).cast("double") /
+            ChunkStride).cast("long"), lit(0L)))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("start_tok"),
+        least(lit(ChunkTokens.toLong),
+          col("n_tokens") - col("chunk_id") * ChunkStride).as("chunk_len"))
+      .filter(col("chunk_len") > 0)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val contextChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         unnest(generate_series(0,
+       |           greatest(CAST(ceil(CAST(n_tokens - $ChunkTokens AS DOUBLE)
+       |             / $ChunkStride) AS BIGINT), 0))) AS chunk_id
+       |  FROM d
+       |)
+       |SELECT doc_id, chunk_id,
+       |       chunk_id * $ChunkStride AS start_tok,
+       |       CAST(least($ChunkTokens, n_tokens - chunk_id * $ChunkStride) AS BIGINT) AS chunk_len
+       |FROM c
+       |WHERE n_tokens - chunk_id * $ChunkStride > 0
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q59 — deterministic train/val/test split: bucket in [0,100) from
     * the first 8 md5 hex digits of doc_id → 90/5/5. Hash-based (not
     * rank-based) assignment is the production property: a document's
