@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan regressions: the properties that make these queries
   * scale are asserted here so a refactor can't silently lose them —
   * SURVEY.md §4's "free from Catalyst" rewrites are only free while the
@@ -127,6 +129,30 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan("q11_minhash_lsh_pairs").split("== Initial Plan ==")(0)
     assert(!plan.contains("Expand"),
       s"count(1) must not plan a countDistinct Expand:\n$plan")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark's InjectRuntimeFilter: when one join side carries a
+    // selective predicate, the other side's scan gets a
+    // bloom_filter_might_contain probe built from it at runtime — rows
+    // that can't join die at the scan instead of riding the shuffle. At
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~1% that survives. Fixtures sit under the
+    // default 10MB/10GB size thresholds, so lower them for the pin.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.load(s2, sf001, "lineitem").select("l_orderkey", "l_extendedprice")
+    val ord = Tables.load(s2, sf001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"runtime filter not injected:\n$plan")
+    assert(joined.count() > 0)
   }
 
   test("column pruning: q01 scans only the columns it needs") {
