@@ -39,6 +39,39 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_._2).sum == perShard.values.sum)
   }
 
+  test("context chunks cover every token and overlap by the stride gap") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .selectExpr("doc_id",
+        "CAST(size(split(text, '\\\\s+')) AS BIGINT) AS n_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Sampling.contextChunks(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet, "every doc must produce chunks")
+    chunks.foreach { case (doc, cs) =>
+      val n = docs(doc)
+      val sorted = cs.sortBy(_._2)
+      // full coverage: chunk c starts at c*stride and spans to start+len;
+      // consecutive starts differ by stride < window => no gaps
+      assert(sorted.head._3 == 0L, s"doc $doc first chunk must start at 0")
+      assert(sorted.last._3 + sorted.last._4 == n,
+        s"doc $doc last chunk must end at n_tokens=$n")
+      sorted.foreach { case (_, c, start, len) =>
+        assert(start == c * Sampling.ChunkStride)
+        assert(len >= 1 && len <= Sampling.ChunkTokens)
+        assert(start + len <= n)
+      }
+      // every full-window pair overlaps by window - stride tokens
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s1 + l1 - s2 >= math.min(
+            Sampling.ChunkTokens - Sampling.ChunkStride, l1),
+            s"doc $doc: gap between chunks at $s1+$l1 -> $s2")
+        case _ =>
+      }
+    }
+  }
+
   test("sample is deterministic across runs") {
     val a = Sampling.stratifiedSample(spark, sf001).collect().map(_.toString).toSeq
     val b = Sampling.stratifiedSample(spark, sf001).collect().map(_.toString).toSeq
