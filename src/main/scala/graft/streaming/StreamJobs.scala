@@ -46,6 +46,17 @@ object StreamJobs {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1-hour windows every 15 minutes (4 open windows per event):
+    * the streaming face of Events.sliding. State holds size/slide = 4
+    * windows per key until the watermark closes them — the multiplier a
+    * capacity plan must budget for sliding (vs 1 for tumbling). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
   /** Run a streaming aggregation to completion against a memory sink and
     * return the materialized result — the local test harness shape. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -71,6 +71,21 @@ class StreamJobsSpec extends SparkSpec {
       s"${bogus.size} emitted sessions not found in batch, e.g. ${bogus.take(3)}")
   }
 
+  test("streaming sliding counts equal the batch sliding aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val got = StreamJobs.runToMemory(
+      StreamJobs.slidingCounts(StreamJobs.readEvents(spark, dir.toString)),
+      "sliding_test", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val want = Events.sliding(spark, sf001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"stream/batch sliding drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
+
   test("stream-stream interval join equals the batch join on full replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
     java.nio.file.Files.copy(
