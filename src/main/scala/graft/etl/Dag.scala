@@ -39,9 +39,21 @@ object Dag {
     while (remaining.nonEmpty) {
       val ready = remaining.toSeq.sorted
         .filter(n => byName(n).deps.forall(done.contains))
-      if (ready.isEmpty)
+      if (ready.isEmpty) {
+        // name only the stages actually ON a cycle, not everything merely
+        // downstream of one: iteratively strip remaining stages that no
+        // other remaining stage depends on (they can't be in a cycle)
+        val cyc = scala.collection.mutable.Set(remaining.toSeq: _*)
+        var stripped = true
+        while (stripped) {
+          val leaves = cyc.toSeq.filter(n =>
+            !cyc.exists(m => m != n && byName(m).deps.contains(n)))
+          stripped = leaves.nonEmpty
+          cyc --= leaves
+        }
         throw new ConfigError(
-          s"dependency cycle among: ${remaining.toSeq.sorted.mkString(", ")}")
+          s"dependency cycle among: ${cyc.toSeq.sorted.mkString(", ")}")
+      }
       ready.foreach { n =>
         val s = byName(n)
         Retry.withRetry(s.retries, s.retryDelayMs)(s.run())

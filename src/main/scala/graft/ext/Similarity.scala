@@ -113,9 +113,11 @@ object Similarity {
       .filter(col("rk") <= TopK)
       .groupBy(col("query_id"), col("qlabel"))
       .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
-        .as("agree_k"))
+        .as("agree_k"), count(lit(1)).as("k"))
+      // divide by the ACTUAL neighbor count, not TopK: a corpus slice
+      // with < k candidates would otherwise understate agreement
       .select(col("query_id"), col("qlabel").as("label"), col("agree_k"),
-        (col("agree_k").cast("double") / TopK).as("agreement"))
+        (col("agree_k").cast("double") / col("k")).as("agreement"))
       .orderBy("query_id")
   }
 
@@ -135,7 +137,7 @@ object Similarity {
        |)
        |SELECT query_id, qlabel AS label,
        |       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS agree_k,
-       |       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) / $TopK AS agreement
+       |       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS agreement
        |FROM ranked WHERE rk <= $TopK
        |GROUP BY query_id, qlabel
        |ORDER BY query_id""".stripMargin

@@ -136,16 +136,24 @@ object StreamJobs {
         val dedup = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+        // no broadcast hint: a catch-up batch (restart over a backlog)
+        // can carry unbounded keys — let the planner pick broadcast vs
+        // shuffle from the batch's actual size
         val merged =
           if (fs.exists(new Path(targetPath)))
             spark.read.parquet(targetPath)
-              .join(broadcast(dedup.select(col(key))), Seq(key), "left_anti")
+              .join(dedup.select(col(key)), Seq(key), "left_anti")
               .unionByName(dedup)
           else dedup
         val tmp = new Path(targetPath + ".tmp")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(new Path(targetPath), true)
-        fs.rename(tmp, new Path(targetPath))
+        // Hadoop FS signals failure by RETURNING false — an unchecked
+        // swap would silently keep serving the stale target
+        val target = new Path(targetPath)
+        if (fs.exists(target) && !fs.delete(target, true))
+          throw new java.io.IOException(s"could not delete $targetPath for swap")
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"could not rename $tmp to $targetPath")
         (): Unit
       }
       .start()
