@@ -121,10 +121,15 @@ object StreamJobs {
     * one micro-batch containing two updates to a key stays
     * deterministic. */
   def upsertSink(updates: DataFrame, key: String, orderCol: String,
-      targetPath: String): StreamingQuery = {
-    updates.writeStream
+      targetPath: String, checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = updates.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+    // source offsets + batch ids persist across restarts: a resumed query
+    // reprocesses nothing already committed (and the merge is idempotent
+    // by key for the at-least-once window around a crash)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         import org.apache.hadoop.fs.Path
@@ -133,9 +138,13 @@ object StreamJobs {
         // collapse in-batch duplicates: keep the row with max orderCol
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(col(orderCol).desc)
+        // persist: the merge references the batch twice (anti-join keys
+        // + union payload) — without this the micro-batch source is
+        // scanned twice per trigger
         val dedup = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+          .persist()
         // no broadcast hint: a catch-up batch (restart over a backlog)
         // can carry unbounded keys — let the planner pick broadcast vs
         // shuffle from the batch's actual size
@@ -146,7 +155,8 @@ object StreamJobs {
               .unionByName(dedup)
           else dedup
         val tmp = new Path(targetPath + ".tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
+        try merged.write.mode("overwrite").parquet(tmp.toString)
+        finally dedup.unpersist()
         // Hadoop FS signals failure by RETURNING false — an unchecked
         // swap would silently keep serving the stale target
         val target = new Path(targetPath)

@@ -142,6 +142,33 @@ class StreamJobsSpec extends SparkSpec {
       s"merged state drift: $got")
   }
 
+  test("checkpointed upsert resumes from offsets, reprocessing nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+    val target = s"$root/target"
+    val ckpt = s"$root/ckpt"
+    def runOnce(): Long = {
+      val q = StreamJobs.upsertSink(
+        spark.readStream.schema(schema).parquet(s"$root/in"),
+        "k", "seq", target, Some(ckpt))
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    assert(runOnce() == 2L)
+    Seq((2L, "B", 10L), (3L, "c", 11L)).toDF("k", "v", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    // the resumed query must ingest ONLY the new file's rows
+    assert(runOnce() == 2L, "restart must not reprocess committed offsets")
+    val got = spark.read.parquet(target)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window totals") {
     val ev = Events.loadEvents(spark, sf001)
       .select(col("user_id"), col("ts")).as[StreamJobs.Event]
