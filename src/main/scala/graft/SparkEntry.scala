@@ -88,7 +88,8 @@ object SparkEntry {
     "q58_rolling_daily" -> (Events.rollingDaily _),
     "q59_train_split" -> (Sampling.trainSplit _),
     "q60_snapshot_diff" -> (Etl.snapshotDiff _),
-    "q61_context_chunks" -> (Sampling.contextChunks _)
+    "q61_context_chunks" -> (Sampling.contextChunks _),
+    "q62_dedup_survivors" -> (Dedup.dedupSurvivors _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -168,6 +169,7 @@ object SparkEntry {
     "q58_rolling_daily" -> Events.rollingDailySql,
     "q59_train_split" -> Sampling.trainSplitSql,
     "q60_snapshot_diff" -> Etl.snapshotDiffSql,
-    "q61_context_chunks" -> Sampling.contextChunksSql
+    "q61_context_chunks" -> Sampling.contextChunksSql,
+    "q62_dedup_survivors" -> Dedup.dedupSurvivorsSql
   )
 }

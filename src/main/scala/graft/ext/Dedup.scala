@@ -539,6 +539,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q62 — canonical-survivor selection: the step that turns q30's
+    * clusters into an actual dedup decision. Within each duplicate
+    * cluster, keep the LONGEST document (n_chars desc, doc_id
+    * tiebreak) — the standard "best representative" heuristic — and
+    * flag the rest for removal. Pure integer comparisons, so the
+    * choice is engine-exact. The per-cluster window runs over cluster
+    * members only (dup clusters are small by construction); the big
+    * corpus never enters the window. */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = clusters(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    cl.join(docs, Seq("doc_id"))
+      .withColumn("survivor", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_chars"), col("survivor"))
+      .orderBy("doc_id")
+  }
+
   /** Reachability closure over the same edge set: cluster_id = min
     * reachable doc_id (UNION, not UNION ALL, so cycles terminate). */
   val clustersSql: String =
@@ -579,6 +600,22 @@ object Dedup {
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM comp c JOIN sz s USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Same closure, decorated with the survivor choice (see
+    * [[dedupSurvivors]]): derived from clustersSql by swapping the
+    * final projection so the two oracles can never drift. */
+  val dedupSurvivorsSql: String = clustersSql.replace(
+    """SELECT c.doc_id, c.cluster_id, s.cluster_size
+      |FROM comp c JOIN sz s USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin,
+    """SELECT l.doc_id, l.cluster_id, l.cluster_size,
+      |       d.n_chars,
+      |       (row_number() OVER (PARTITION BY l.cluster_id
+      |          ORDER BY d.n_chars DESC, l.doc_id) = 1) AS survivor
+      |FROM (SELECT c.doc_id, c.cluster_id, s.cluster_size
+      |      FROM comp c JOIN sz s USING (cluster_id)) l
+      |JOIN documents d USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)
 
   val simhashSql: String = {
     val votes = (0 until SimhashBits).map(b =>
