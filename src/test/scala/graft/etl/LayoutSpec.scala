@@ -25,6 +25,24 @@ class LayoutSpec extends SparkSpec {
       s"expected a handful of files after pruning, read $filesRead")
   }
 
+  test("schema evolution: mergeSchema unifies old and new shards") {
+    // the lake reality at 100 TB: yesterday's shards lack today's new
+    // column. mergeSchema reconciles by NAME (SURVEY §1.3's rename
+    // discipline) — old rows read null for the added column, nothing
+    // is rewritten.
+    val out = Files.createTempDirectory("graft-evolve").toString + "/t"
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$out/day=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$out/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "v", "score", "day"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("score")),
+      "pre-evolution rows must read null for the added column")
+    assert(byId(2L).getAs[Double]("score") == 9.5)
+  }
+
   test("orc round-trips losslessly and pushes filters to the scan") {
     val out = Files.createTempDirectory("graft-orc").toString + "/cust"
     val cust = Tables.load(spark, sf001, "customer")
