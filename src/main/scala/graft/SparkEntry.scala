@@ -89,7 +89,13 @@ object SparkEntry {
     "q59_train_split" -> (Sampling.trainSplit _),
     "q60_snapshot_diff" -> (Etl.snapshotDiff _),
     "q61_context_chunks" -> (Sampling.contextChunks _),
-    "q62_dedup_survivors" -> (Dedup.dedupSurvivors _)
+    "q62_dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "q63_semi_join" -> (Hierarchy.customersWithOrders _),
+    "q64_retention_sets" -> (Bi.retentionSets _),
+    "q65_spend_quartiles" -> (Bi.spendQuartiles _),
+    "q66_event_cube" -> (Events.eventCube _),
+    "q67_token_positions" -> (TextAnalysis.tokenPositions _),
+    "q68_priority_stats" -> (Bi.priorityStats _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -170,6 +176,12 @@ object SparkEntry {
     "q59_train_split" -> Sampling.trainSplitSql,
     "q60_snapshot_diff" -> Etl.snapshotDiffSql,
     "q61_context_chunks" -> Sampling.contextChunksSql,
-    "q62_dedup_survivors" -> Dedup.dedupSurvivorsSql
+    "q62_dedup_survivors" -> Dedup.dedupSurvivorsSql,
+    "q63_semi_join" -> Hierarchy.customersWithOrdersSql,
+    "q64_retention_sets" -> Bi.retentionSetsSql,
+    "q65_spend_quartiles" -> Bi.spendQuartilesSql,
+    "q66_event_cube" -> Events.eventCubeSql,
+    "q67_token_positions" -> TextAnalysis.tokenPositionsSql,
+    "q68_priority_stats" -> Bi.priorityStatsSql
   )
 }

@@ -460,4 +460,40 @@ object Events {
       |FROM daily
       |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
+
+  /** q66 — CUBE over (event_type, hour-of-day) with GROUPING()
+    * disambiguation, completing the grouping-sets family next to q42's
+    * ROLLUP (SURVEY.md §2.5 lists grouping sets as absent from the
+    * reference). CUBE fans each row to its 4 grouping sets inside ONE
+    * Expand + partial/final hash aggregate — one scan, one shuffle, not
+    * four. GROUPING() flags (not null checks) pick the 'ALL' sentinels,
+    * so a genuinely-null grouping value could never be conflated with a
+    * subtotal cell. */
+  def eventCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = loadEvents(spark, sfDir).select(col("event_type"),
+      hour(col("ts")).cast("int").as("hr"), col("value"))
+    base.cube(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Tables.money(col("value"))).as("v_dec"),
+        grouping(col("event_type")).as("g_et"),
+        grouping(col("hr")).as("g_hr"))
+      .select(
+        when(col("g_et") === 1, lit("ALL")).otherwise(col("event_type")).as("event_type"),
+        when(col("g_hr") === 1, lit(-1)).otherwise(col("hr")).as("hr"),
+        col("n_events"), col("v_dec").cast("double").as("total_value"))
+      .orderBy("event_type", "hr")
+  }
+
+  val eventCubeSql: String =
+    """WITH base AS (
+      |  SELECT event_type, CAST(hour(ts) AS INT) AS hr, value FROM events),
+      |c AS (
+      |  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS v,
+      |         GROUPING(event_type) AS g_et, GROUPING(hr) AS g_hr
+      |  FROM base GROUP BY CUBE(event_type, hr))
+      |SELECT CASE WHEN g_et = 1 THEN 'ALL' ELSE event_type END AS event_type,
+      |       CASE WHEN g_hr = 1 THEN -1 ELSE hr END AS hr,
+      |       n_events, CAST(v AS DOUBLE) AS total_value
+      |FROM c ORDER BY event_type, hr""".stripMargin
 }

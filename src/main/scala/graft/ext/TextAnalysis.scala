@@ -507,4 +507,32 @@ object TextAnalysis {
        |FROM corpus c
        |LEFT JOIN hits h ON h.doc_id = c.doc_id
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  /** q67 — positional token index via `posexplode`, the Generator/UDTF
+    * surface (SURVEY.md §2.9: the reference has none): per (doc, token)
+    * the occurrence count and 1-based first position. The generator runs
+    * inside whole-stage codegen and fans out row-local — no shuffle until
+    * the (doc_id, tok) aggregation, and first-position is a plain MIN so
+    * the map-side combine keeps the fan-out from ever crossing the wire
+    * uncombined. Bounded to a doc-id prefix purely to keep the oracle
+    * diff small; the plan is identical unbounded. */
+  def tokenPositions(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 20)
+    docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id", "tok")
+  }
+
+  val tokenPositionsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |  FROM documents WHERE doc_id < 20),
+      |e AS (SELECT doc_id, unnest(l) AS tok, l FROM toks)
+      |SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |       CAST(MIN(list_position(l, tok)) AS BIGINT) AS first_pos
+      |FROM e GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin
 }

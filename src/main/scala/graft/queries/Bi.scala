@@ -197,6 +197,125 @@ object Bi {
       |       n_items, CAST(rev AS DOUBLE) AS revenue
       |FROM r ORDER BY ship_year, return_flag""".stripMargin
 
+  /** q64 — customer retention via set operations (SURVEY.md §2.8 notes
+    * INTERSECT/EXCEPT are absent from the reference). Splits the customer
+    * base of the fixture's last two order-years into retained (both
+    * years: INTERSECT), churned (prior year only: EXCEPT), and new
+    * (latest year only: EXCEPT the other way). Spark's
+    * `intersect`/`except` carry set (DISTINCT) semantics and plan as
+    * Left{Semi,Anti} hash joins over pre-distincted inputs — no
+    * cartesian, no sort. The year anchor is a one-row driver lookup
+    * (same pinning as q03) so the oracle never sees wall-clock. */
+  def retentionSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val maxY = orders.agg(max(year(col("o_orderdate")))).head.getInt(0)
+    def custsIn(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("customer_id")).distinct()
+    val cur = custsIn(maxY)
+    val prev = custsIn(maxY - 1)
+    cur.intersect(prev).select(lit("retained").as("status"), col("customer_id"))
+      .union(prev.except(cur).select(lit("churned").as("status"), col("customer_id")))
+      .union(cur.except(prev).select(lit("new").as("status"), col("customer_id")))
+      .orderBy("status", "customer_id")
+  }
+
+  val retentionSetsSql: String =
+    """WITH yr AS (SELECT CAST(MAX(year(o_orderdate)) AS INT) AS y FROM orders),
+      |cur AS (SELECT DISTINCT o_custkey AS customer_id FROM orders, yr
+      |        WHERE year(o_orderdate) = y),
+      |prev AS (SELECT DISTINCT o_custkey AS customer_id FROM orders, yr
+      |         WHERE year(o_orderdate) = y - 1)
+      |SELECT 'retained' AS status, customer_id
+      |FROM (SELECT customer_id FROM cur INTERSECT SELECT customer_id FROM prev)
+      |UNION ALL
+      |SELECT 'churned' AS status, customer_id
+      |FROM (SELECT customer_id FROM prev EXCEPT SELECT customer_id FROM cur)
+      |UNION ALL
+      |SELECT 'new' AS status, customer_id
+      |FROM (SELECT customer_id FROM cur EXCEPT SELECT customer_id FROM prev)
+      |ORDER BY status, customer_id""".stripMargin
+
+  /** q65 — per-nation customer spend quartiles: NTILE(4) + PERCENT_RANK
+    * over a PARTITION BY window (SURVEY.md §2.6: the reference has no
+    * partitioned windows, no NTILE). The window sits above the per-
+    * customer aggregation and is partitioned by nation, so state per
+    * window task is one nation's customer list — scale-safe, unlike a
+    * global ORDER BY window. The window order carries an id tiebreaker
+    * to make tile assignment total; spend sums are exact DECIMAL so both
+    * engines agree on the order. */
+  def spendQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val spend = orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy(cust("c_nationkey").cast("int").as("nation_id"),
+        orders("o_custkey").as("customer_id"))
+      .agg(sum(Tables.money(col("o_totalprice"))).as("sp_dec"))
+    val w = Window.partitionBy("nation_id")
+      .orderBy(col("sp_dec").desc, col("customer_id"))
+    spend.select(col("nation_id"), col("customer_id"),
+        col("sp_dec").cast("double").as("spend"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("nation_id", "customer_id")
+  }
+
+  val spendQuartilesSql: String =
+    """WITH spend AS (
+      |  SELECT CAST(c_nationkey AS INT) AS nation_id, o_custkey AS customer_id,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT nation_id, customer_id, CAST(sp AS DOUBLE) AS spend,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       ROUND(percent_rank() OVER w, 6) AS pct_rank
+      |FROM spend
+      |WINDOW w AS (PARTITION BY nation_id ORDER BY sp DESC, customer_id)
+      |ORDER BY nation_id, customer_id""".stripMargin
+
+  /** q68 — AVG/MIN/MAX/STDDEV per order priority (SURVEY.md §2.5: the
+    * reference aggregates with SUM only). Dispersion is computed from
+    * exact DECIMAL moments (n, Σx, Σx²) so the shuffle carries three
+    * order-independent numbers per group; stddev derives in double at
+    * the output edge with the identical formula on both engines —
+    * native `stddev()` would accumulate in double and make the result
+    * depend on row order. */
+  def priorityStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.money(col("o_totalprice"))
+    val st = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(p).as("s1"), sum(p * p).as("s2"),
+        min(p).as("mn"), max(p).as("mx"))
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    st.select(col("priority"), col("n_orders"),
+        round(s1d / col("n_orders"), 6).as("avg_price"),
+        col("mn").cast("double").as("min_price"),
+        col("mx").cast("double").as("max_price"),
+        round(sqrt((s2d - s1d * s1d / col("n_orders")) / (col("n_orders") - 1)), 6)
+          .as("stddev_price"))
+      .orderBy("priority")
+  }
+
+  val priorityStatsSql: String =
+    """WITH st AS (
+      |  SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))
+      |             * CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+      |         MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS mn,
+      |         MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS mx
+      |  FROM orders GROUP BY 1)
+      |SELECT priority, CAST(n AS BIGINT) AS n_orders,
+      |       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS avg_price,
+      |       CAST(mn AS DOUBLE) AS min_price,
+      |       CAST(mx AS DOUBLE) AS max_price,
+      |       ROUND(sqrt((CAST(s2 AS DOUBLE)
+      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |                  / (n - 1)), 6) AS stddev_price
+      |FROM st ORDER BY priority""".stripMargin
+
   val monthlyTrendSql: String =
     """SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS sales_month,
       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales

@@ -203,4 +203,27 @@ object Hierarchy {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |ORDER BY customer_id""".stripMargin
+
+  /** q63 — EXISTS semi-join, the dual of q06's NOT EXISTS (SURVEY.md §2.4
+    * lists semi joins as absent from the reference): customers with at
+    * least one fulfilled order. `left_semi` emits each probe row at most
+    * once regardless of match multiplicity — the probe side never
+    * duplicates, and only the probe side's columns survive. At 100 TB the
+    * status filter is pushed into the build-side scan and the semi join
+    * hashes on the key alone. */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val fulfilled = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    cust.join(fulfilled, cust("c_custkey") === fulfilled("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("customer_name"))
+      .orderBy("customer_id")
+  }
+
+  val customersWithOrdersSql: String =
+    """SELECT c_custkey AS customer_id, c_name AS customer_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY customer_id""".stripMargin
 }

@@ -155,6 +155,40 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q63: EXISTS plans as a broadcast semi-join") {
+    val plan = finalPlan("q63_semi_join")
+    assert(plan.contains("LeftSemi"), s"semi-join expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fixture-sized build side should broadcast:\n$plan")
+  }
+
+  test("q65: the ntile/percent_rank window is partitioned by nation") {
+    // an unpartitioned window funnels every customer through ONE task;
+    // partitioning bounds window state to a nation's customer list
+    val plan = finalPlan("q65_spend_quartiles")
+    val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(windowLine.contains("nation_id"),
+      s"quartile window must partition by nation_id:\n$windowLine")
+  }
+
+  test("q66: cube plans as one Expand + hash aggregate over one scan") {
+    val plan = finalPlan("q66_event_cube").split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains(" Expand ")) == 1,
+      s"cube must use a single Expand:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events")) == 1,
+      s"cube must scan events exactly once:\n$plan")
+  }
+
+  test("q64: intersect/except plan as hash semi/anti joins, one orders scan family") {
+    val plan = finalPlan("q64_retention_sets")
+    assert(plan.contains("LeftSemi"), s"INTERSECT must plan LeftSemi:\n$plan")
+    assert(plan.contains("LeftAnti"), s"EXCEPT must plan LeftAnti:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"set ops degenerated to a product:\n$plan")
+  }
+
   test("column pruning: q01 scans only the columns it needs") {
     val plan = finalPlan("q01_revenue_by_category")
     // lineitem is 16 columns; the scan must read just the join key + money
