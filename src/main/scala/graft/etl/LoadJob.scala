@@ -91,4 +91,38 @@ object LoadJob {
       write(sales.withColumn("TRANSACTION_DATE", try_to_date(col("TRANSACTION_DATE"))),
         "fact_table"))
   }
+
+  /** Stage-then-promote write with a zero-extra-pass quality gate: the
+    * rule counters ride the write action itself (`Quality.observed`),
+    * the output lands in `<path>.staging`, and only if every rule passes
+    * is it promoted to `path` with a filesystem rename. One scan total —
+    * `run`'s gate-then-write shape scans twice, which at 100 TB is a
+    * whole extra pass over the fact table. On violation the staging dir
+    * is removed and the published path is never touched. */
+  def writeValidated(df: DataFrame, checks: Seq[Check], path: String,
+                     table: String): Result = {
+    val spark = df.sparkSession
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (instrumented, obs) = Quality.observed(df, checks, table)
+    try {
+      instrumented.write.mode("overwrite").parquet(staging.toString)
+      Quality.assertObserved(obs, checks, table)
+    } catch {
+      case e: Throwable =>
+        fs.delete(staging, true)
+        e match {
+          case v: ValidationError => throw v
+          case _ => throw new LoadError(s"failed staging $table", e)
+        }
+    }
+    if (fs.exists(dest) && !fs.delete(dest, true))
+      throw new LoadError(s"could not replace published $table at $dest")
+    if (!fs.rename(staging, dest))
+      throw new LoadError(s"could not promote $table staging to $dest")
+    val rows = spark.read.parquet(path).count()
+    log.info(s"loaded $table (observed gate): $rows rows")
+    Result(table, rows)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality gate reproducing the reference's validation
@@ -55,6 +55,35 @@ object Quality {
       .filter(col("__n") > 1)
       .agg(count(lit(1)).as("violations"))
       .select(lit(rule).as("rule"), col("violations"))
+
+  /** Zero-extra-pass gate: attaches the rule counters to the frame via
+    * `Dataset.observe`, so they materialize during the SAME action that
+    * consumes it (typically the sink write) — at 100 TB the gate costs
+    * no second scan at all, where `gate` pays one validation scan before
+    * the load. The trade: rows are already written when a violation
+    * surfaces, so this suits the stage-then-promote pattern
+    * (`LoadJob.writeValidated`) where the staged output is only
+    * published after `assertObserved` passes. */
+  def observed(df: DataFrame, checks: Seq[Check], table: String): (DataFrame, Observation) = {
+    val obs = Observation(s"quality_$table")
+    val counters = checks.map(c =>
+      coalesce(sum(when(violated(c), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as(c.name))
+    (df.observe(obs, counters.head, counters.tail: _*), obs)
+  }
+
+  /** Read an `observed` gate's counters (call AFTER the action) and
+    * raise the same all-rules-at-once ValidationError as `gate`. */
+  def assertObserved(obs: Observation, checks: Seq[Check], table: String): Unit = {
+    val counts = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    val failed = checks.filter(c => counts.getOrElse(c.name, 0L) > 0)
+    if (failed.nonEmpty) {
+      val msgs = failed.map(c =>
+        s"[$table] ${c.message}: ${counts(c.name)} invalid rows")
+      throw new ValidationError(
+        s"validation failed with ${failed.size} rule(s):\n" + msgs.mkString("\n"))
+    }
+  }
 
   /** Fail-fast gate: evaluates every rule (one pass), then raises ONE
     * error aggregating all failed rules — reference P10 semantics. */

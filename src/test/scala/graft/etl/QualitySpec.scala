@@ -53,4 +53,46 @@ class QualitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope1") && e.getMessage.contains("nope2"))
   }
+
+  test("observed gate: counters ride the consuming action, same counts as report") {
+    val checks = Seq(
+      Check("amount_positive", col("amount") > 0, "amount must be positive"),
+      Check("email_format", col("email").rlike(LoadJob.emailRegex), "bad email"))
+    val (instrumented, obs) = Quality.observed(frame, checks, "t")
+    assert(instrumented.columns.sameElements(frame.columns),
+      "observe must not change the frame's schema")
+    instrumented.write.mode("overwrite")
+      .parquet(java.nio.file.Files.createTempDirectory("graft-obs").toString + "/t")
+    // counters are available from the WRITE action alone — no second scan
+    val e = intercept[ValidationError] {
+      Quality.assertObserved(obs, checks, "t")
+    }
+    assert(e.getMessage.contains("2 rule(s)"))
+    assert(e.getMessage.contains("amount must be positive: 2 invalid rows"))
+    assert(e.getMessage.contains("bad email: 2 invalid rows"))
+  }
+
+  test("writeValidated promotes clean data and removes staging") {
+    val base = java.nio.file.Files.createTempDirectory("graft-wv").toString
+    val path = s"$base/clean"
+    val r = LoadJob.writeValidated(frame,
+      Seq(Check("id_present", col("id").isNotNull, "id")), path, "clean")
+    assert(r.rows == 4)
+    assert(spark.read.parquet(path).count() == 4)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.staging")),
+      "staging dir must be renamed away on success")
+  }
+
+  test("writeValidated never publishes a failing table") {
+    val base = java.nio.file.Files.createTempDirectory("graft-wv2").toString
+    val path = s"$base/dirty"
+    intercept[ValidationError] {
+      LoadJob.writeValidated(frame,
+        Seq(Check("amount_positive", col("amount") > 0, "amount")), path, "dirty")
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "published path must not exist after a gate failure")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.staging")),
+      "failed staging dir must be cleaned up")
+  }
 }
