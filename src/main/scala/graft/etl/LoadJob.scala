@@ -103,25 +103,36 @@ object LoadJob {
                      table: String): Result = {
     val spark = df.sparkSession
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(path + ".old")
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (instrumented, obs) = Quality.observed(df, checks, table)
-    try {
-      instrumented.write.mode("overwrite").parquet(staging.toString)
-      Quality.assertObserved(obs, checks, table)
-    } catch {
-      case e: Throwable =>
-        fs.delete(staging, true)
-        e match {
-          case v: ValidationError => throw v
-          case _ => throw new LoadError(s"failed staging $table", e)
-        }
-    }
-    if (fs.exists(dest) && !fs.delete(dest, true))
-      throw new LoadError(s"could not replace published $table at $dest")
-    if (!fs.rename(staging, dest))
+    val rows =
+      try {
+        instrumented.write.mode("overwrite").parquet(staging.toString)
+        // row count rides the same observation — no read-back job
+        Quality.assertObserved(obs, checks, table)
+      } catch {
+        case e: Exception =>
+          try fs.delete(staging, true)
+          catch { case c: Exception => e.addSuppressed(c) }
+          e match {
+            case v: ValidationError => throw v
+            case _ => throw new LoadError(s"failed staging $table", e)
+          }
+      }
+    // Swap, never delete-then-rename: the published path stays readable
+    // until the new data is in place, so a crash mid-promote leaves
+    // either the old or the new table, never neither.
+    fs.delete(retired, true)
+    val hadOld = fs.exists(dest)
+    if (hadOld && !fs.rename(dest, retired))
+      throw new LoadError(s"could not retire published $table at $dest")
+    if (!fs.rename(staging, dest)) {
+      if (hadOld) fs.rename(retired, dest) // roll back to the old table
       throw new LoadError(s"could not promote $table staging to $dest")
-    val rows = spark.read.parquet(path).count()
+    }
+    fs.delete(retired, true)
     log.info(s"loaded $table (observed gate): $rows rows")
     Result(table, rows)
   }

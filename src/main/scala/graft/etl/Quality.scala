@@ -64,18 +64,31 @@ object Quality {
     * surfaces, so this suits the stage-then-promote pattern
     * (`LoadJob.writeValidated`) where the staged output is only
     * published after `assertObserved` passes. */
+  /** Name of the row-count metric `observed` always appends, so callers
+    * get the sink's row count from the same action for free. */
+  val RowCountMetric = "__rows"
+
   def observed(df: DataFrame, checks: Seq[Check], table: String): (DataFrame, Observation) = {
     val obs = Observation(s"quality_$table")
     val counters = checks.map(c =>
       coalesce(sum(when(violated(c), 1L).otherwise(0L)), lit(0L))
-        .cast("long").as(c.name))
+        .cast("long").as(c.name)) :+
+      count(lit(1)).as(RowCountMetric)
     (df.observe(obs, counters.head, counters.tail: _*), obs)
   }
 
-  /** Read an `observed` gate's counters (call AFTER the action) and
-    * raise the same all-rules-at-once ValidationError as `gate`. */
-  def assertObserved(obs: Observation, checks: Seq[Check], table: String): Unit = {
+  /** Read an `observed` gate's counters (call AFTER the action), raise
+    * the same all-rules-at-once ValidationError as `gate`, and return
+    * the observed row count on success. */
+  def assertObserved(obs: Observation, checks: Seq[Check], table: String): Long = {
     val counts = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    raiseIfFailed(counts, checks, table)
+    counts(RowCountMetric)
+  }
+
+  /** Shared all-rules-at-once error assembly for `gate`/`assertObserved`. */
+  private def raiseIfFailed(counts: Map[String, Long], checks: Seq[Check],
+                            table: String): Unit = {
     val failed = checks.filter(c => counts.getOrElse(c.name, 0L) > 0)
     if (failed.nonEmpty) {
       val msgs = failed.map(c =>
@@ -91,13 +104,7 @@ object Quality {
     if (checks.isEmpty) return
     val counts = report(df, checks).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val failed = checks.filter(c => counts.getOrElse(c.name, 0L) > 0)
-    if (failed.nonEmpty) {
-      val msgs = failed.map(c =>
-        s"[$table] ${c.message}: ${counts(c.name)} invalid rows")
-      throw new ValidationError(
-        s"validation failed with ${failed.size} rule(s):\n" + msgs.mkString("\n"))
-    }
+    raiseIfFailed(counts, checks, table)
   }
 }
 

@@ -289,11 +289,17 @@ object Bi {
         min(p).as("mn"), max(p).as("mx"))
     val s1d = col("s1").cast("double")
     val s2d = col("s2").cast("double")
+    // clamp the radicand at 0 (double cancellation on near-constant
+    // groups can drive it epsilon-negative, where the two engines
+    // diverge: NaN here, an error in DuckDB) and pin the undefined
+    // n=1 sample stddev to NULL on both sides (IEEE 0/0 otherwise)
+    val variance = greatest(lit(0.0),
+      (s2d - s1d * s1d / col("n_orders")) / (col("n_orders") - 1))
     st.select(col("priority"), col("n_orders"),
         round(s1d / col("n_orders"), 6).as("avg_price"),
         col("mn").cast("double").as("min_price"),
         col("mx").cast("double").as("max_price"),
-        round(sqrt((s2d - s1d * s1d / col("n_orders")) / (col("n_orders") - 1)), 6)
+        when(col("n_orders") > 1, round(sqrt(variance), 6))
           .as("stddev_price"))
       .orderBy("priority")
   }
@@ -311,9 +317,12 @@ object Bi {
       |       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS avg_price,
       |       CAST(mn AS DOUBLE) AS min_price,
       |       CAST(mx AS DOUBLE) AS max_price,
-      |       ROUND(sqrt((CAST(s2 AS DOUBLE)
-      |                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-      |                  / (n - 1)), 6) AS stddev_price
+      |       CASE WHEN n > 1 THEN
+      |         ROUND(sqrt(greatest(0.0,
+      |           (CAST(s2 AS DOUBLE)
+      |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |           / (n - 1))), 6)
+      |       END AS stddev_price
       |FROM st ORDER BY priority""".stripMargin
 
   val monthlyTrendSql: String =

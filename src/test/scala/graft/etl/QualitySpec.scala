@@ -81,6 +81,12 @@ class QualitySpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.staging")),
       "staging dir must be renamed away on success")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.old")),
+      "retired dir must be cleaned up after the swap")
+    // second load over the same path exercises the retire-and-swap branch
+    val r2 = LoadJob.writeValidated(frame,
+      Seq(Check("id_present", col("id").isNotNull, "id")), path, "clean")
+    assert(r2.rows == 4 && spark.read.parquet(path).count() == 4)
   }
 
   test("writeValidated never publishes a failing table") {

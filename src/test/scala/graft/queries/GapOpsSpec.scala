@@ -43,10 +43,13 @@ class GapOpsSpec extends SparkSpec {
     val tileCounts = q.groupBy("nation_id", "quartile").count()
       .groupBy("nation_id")
       .agg((max("count") - min("count")).as("spread"),
-        countDistinct("quartile").as("tiles"))
+        countDistinct("quartile").as("tiles"),
+        sum("count").as("n_customers"))
       .collect()
     tileCounts.foreach { r =>
       assert(r.getLong(1) <= 1, s"ntile must balance within 1: $r")
+      assert(r.getLong(2) == math.min(4L, r.getLong(3)),
+        s"a nation with >=4 customers must fill all 4 quartiles: $r")
     }
     assert(q.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
     // the top spender of every nation has percent_rank exactly 0
