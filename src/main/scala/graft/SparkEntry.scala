@@ -95,7 +95,9 @@ object SparkEntry {
     "q65_spend_quartiles" -> (Bi.spendQuartiles _),
     "q66_event_cube" -> (Events.eventCube _),
     "q67_token_positions" -> (TextAnalysis.tokenPositions _),
-    "q68_priority_stats" -> (Bi.priorityStats _)
+    "q68_priority_stats" -> (Bi.priorityStats _),
+    "q69_variant_buckets" -> (Events.variantBuckets _),
+    "q70_unigram_entropy" -> (TextAnalysis.unigramEntropy _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -182,6 +184,8 @@ object SparkEntry {
     "q65_spend_quartiles" -> Bi.spendQuartilesSql,
     "q66_event_cube" -> Events.eventCubeSql,
     "q67_token_positions" -> TextAnalysis.tokenPositionsSql,
-    "q68_priority_stats" -> Bi.priorityStatsSql
+    "q68_priority_stats" -> Bi.priorityStatsSql,
+    "q69_variant_buckets" -> Events.variantBucketsSql,
+    "q70_unigram_entropy" -> TextAnalysis.unigramEntropySql
   )
 }

@@ -496,4 +496,31 @@ object Events {
       |       CASE WHEN g_hr = 1 THEN -1 ELSE hr END AS hr,
       |       n_events, CAST(v AS DOUBLE) AS total_value
       |FROM c ORDER BY event_type, hr""".stripMargin
+
+  /** q69 — semi-structured props through Spark 4's VARIANT type:
+    * `parse_json` once into the shredded binary encoding, then typed
+    * path access with `variant_get` — the scale path for ragged JSON,
+    * since VARIANT avoids re-parsing the string per field the way
+    * repeated `from_json`/`get_json_object` calls do (q36 shows the
+    * fixed-schema alternative). Output: per event type, the histogram
+    * of k-deciles. */
+  def variantBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .select(col("event_type"), expr("k div 10").cast("int").as("k_bucket"))
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type", "k_bucket")
+  }
+
+  val variantBucketsSql: String =
+    """WITH p AS (
+      |  SELECT event_type,
+      |         CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket
+      |  FROM events)
+      |SELECT event_type, CAST(k_bucket AS INT) AS k_bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM p GROUP BY event_type, k_bucket
+      |ORDER BY event_type, k_bucket""".stripMargin
 }

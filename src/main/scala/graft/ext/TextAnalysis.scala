@@ -535,4 +535,46 @@ object TextAnalysis {
       |SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
       |       CAST(MIN(list_position(l, tok)) AS BIGINT) AS first_pos
       |FROM e GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin
+
+  /** q70 — per-document unigram entropy and type-token ratio, the
+    * standard repetition/diversity quality signals next to q34's
+    * windowed repetition score. Two hash aggregations, both keyed by
+    * doc (no global state): tf per (doc, token), then H = log2(N) −
+    * Σc·log2(c)/N from the integer counts — the log terms are the only
+    * floats, rounded at the output edge. At 100 TB both shuffles
+    * partition by doc_id, so the reduce is embarrassingly parallel. */
+  def unigramEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("c"))
+    tf.groupBy("doc_id")
+      .agg(sum("c").as("n"),
+        sum(col("c") * log2(col("c"))).as("s"),
+        count(lit(1)).as("n_types"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        col("n_types"),
+        round(log2(col("n")) - col("s") / col("n"), 6).as("entropy"),
+        round(col("n_types").cast("double") / col("n"), 6).as("type_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val unigramEntropySql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |a AS (
+      |  SELECT doc_id, SUM(c) AS n, SUM(c * log2(c)) AS s,
+      |         COUNT(*) AS n_types
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(n_types AS BIGINT) AS n_types,
+      |       ROUND(log2(n) - s / n, 6) AS entropy,
+      |       ROUND(CAST(n_types AS DOUBLE) / n, 6) AS type_token_ratio
+      |FROM a ORDER BY doc_id""".stripMargin
 }

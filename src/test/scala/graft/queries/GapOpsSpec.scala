@@ -83,6 +83,27 @@ class GapOpsSpec extends SparkSpec {
       "per-token counts must partition the token stream")
   }
 
+  test("q69 variant buckets cover every event, deciles stay in range") {
+    val v = Events.variantBuckets(spark, sf001).cache()
+    assert(v.agg(sum("n_events")).head.getLong(0) ==
+      graft.Tables.load(spark, sf001, "events").count(),
+      "decile histogram must partition the event stream")
+    assert(v.filter(col("k_bucket") < 0 || col("k_bucket") > 9).count() == 0)
+  }
+
+  test("q70 entropy bounded by log2(types), ttr in (0,1]") {
+    val e = TextAnalysis.unigramEntropy(spark, sf001).cache()
+    assert(e.count() == 500)
+    assert(e.filter(col("entropy") < 0).count() == 0)
+    // H is maximized by the uniform distribution over the doc's types;
+    // entropy is rounded to 6dp, so allow the half-ulp of that rounding
+    assert(e.filter(col("entropy") >
+      log2(col("n_types").cast("double")) + 5e-7).count() == 0)
+    assert(e.filter(col("type_token_ratio") <= 0 ||
+      col("type_token_ratio") > 1).count() == 0)
+    assert(e.filter(col("n_types") > col("n_tokens")).count() == 0)
+  }
+
   test("q68 moments: min <= avg <= max, stddev >= 0, counts partition orders") {
     val s = Bi.priorityStats(spark, sf001).cache()
     assert(s.filter(col("min_price") > col("avg_price") ||
