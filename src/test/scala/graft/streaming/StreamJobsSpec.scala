@@ -116,6 +116,27 @@ class StreamJobsSpec extends SparkSpec {
       s"stream/batch join drift: missing=${(want diff got).take(3)} extra=${(got diff want).take(3)}")
   }
 
+  test("stream-static dim join equals the batch join, holds no join state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssdim")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("logout", 0.1)).toDF("etype", "weight")
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val q = StreamJobs.enrichWithDim(stream, dim, "etype")
+      .select(col("event_id"), col("weight"))
+    val got = StreamJobs.runToMemory(q, "ssdim_test", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = Events.loadEvents(spark, sf001)
+      .join(dim, col("event_type") === col("etype"))
+      .select(col("event_id"), col("weight"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream/batch dim-join drift: ${(want diff got).take(3)} vs ${(got diff want).take(3)}")
+  }
+
   test("foreachBatch upsert sink converges to last-write-wins state") {
     val root = java.nio.file.Files.createTempDirectory("graft-upsert")
     val schema = org.apache.spark.sql.types.StructType(Seq(
