@@ -506,9 +506,13 @@ object Events {
     * of k-deciles. */
   def variantBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
+    // floor division (not `div`, which truncates toward zero) and a -999
+    // sentinel for missing k: pins identical semantics in both engines
+    // even outside the fixture's k∈[0,99] domain (negative or absent k)
     ev.select(col("event_type"),
         variant_get(parse_json(col("props")), "$.k", "int").as("k"))
-      .select(col("event_type"), expr("k div 10").cast("int").as("k_bucket"))
+      .select(col("event_type"),
+        coalesce(floor(col("k") / 10.0).cast("int"), lit(-999)).as("k_bucket"))
       .groupBy("event_type", "k_bucket")
       .agg(count(lit(1)).as("n_events"))
       .orderBy("event_type", "k_bucket")
@@ -517,9 +521,11 @@ object Events {
   val variantBucketsSql: String =
     """WITH p AS (
       |  SELECT event_type,
-      |         CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket
+      |         COALESCE(CAST(FLOOR(
+      |           CAST(json_extract_string(props, '$.k') AS INT) / 10.0
+      |         ) AS INT), -999) AS k_bucket
       |  FROM events)
-      |SELECT event_type, CAST(k_bucket AS INT) AS k_bucket,
+      |SELECT event_type, k_bucket,
       |       CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM p GROUP BY event_type, k_bucket
       |ORDER BY event_type, k_bucket""".stripMargin

@@ -59,7 +59,13 @@ object StreamJobs {
 
   /** Run a streaming aggregation to completion against a memory sink and
     * return the materialized result — the local test harness shape. */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame =
+    runToMemoryWithQuery(df, name, mode)._1
+
+  /** As runToMemory, but also hands back the finished query so specs can
+    * assert on its progress (e.g. state-store row counts). */
+  def runToMemoryWithQuery(df: DataFrame, name: String,
+                           mode: OutputMode): (DataFrame, StreamingQuery) = {
     val q: StreamingQuery = df.writeStream
       .outputMode(mode)
       .format("memory")
@@ -67,7 +73,7 @@ object StreamJobs {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    (df.sparkSession.table(name), q)
   }
 
   /** Streaming exact-dedup: drops repeats of `event_id` arriving within
@@ -114,10 +120,13 @@ object StreamJobs {
     * identical batch join on full replay, which is how the spec pins
     * it. */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
-                    dimKey: String): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim),
-      events("event_type") === dim(dimKey))
-      .drop(dimKey)
+                    dimKey: String): DataFrame = {
+    // rename the dim key before joining so a dim key that shares its
+    // name with a stream column can't make drop() remove both
+    val d = dim.withColumnRenamed(dimKey, "__dim_key")
+    events.join(broadcast(d), events("event_type") === d("__dim_key"))
+      .drop("__dim_key")
+  }
 
   /** Streaming SCD-1 upsert sink via foreachBatch: each micro-batch
     * merges into the parquet target by key — existing rows not in the

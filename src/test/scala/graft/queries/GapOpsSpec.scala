@@ -88,7 +88,10 @@ class GapOpsSpec extends SparkSpec {
     assert(v.agg(sum("n_events")).head.getLong(0) ==
       graft.Tables.load(spark, sf001, "events").count(),
       "decile histogram must partition the event stream")
-    assert(v.filter(col("k_bucket") < 0 || col("k_bucket") > 9).count() == 0)
+    // between() also rules out the -999 missing-k sentinel and any NULL
+    // from a silently-broken variant extraction
+    assert(v.filter(col("k_bucket").between(0, 9)).count() == v.count(),
+      "every fixture event must land in a real decile bucket")
   }
 
   test("q70 entropy bounded by log2(types), ttr in (0,1]") {

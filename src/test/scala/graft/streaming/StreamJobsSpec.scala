@@ -125,10 +125,17 @@ class StreamJobsSpec extends SparkSpec {
     val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
       ("signup", 5.0), ("logout", 0.1)).toDF("etype", "weight")
     val stream = StreamJobs.readEvents(spark, dir.toString)
-    val q = StreamJobs.enrichWithDim(stream, dim, "etype")
+    val enriched = StreamJobs.enrichWithDim(stream, dim, "etype")
       .select(col("event_id"), col("weight"))
-    val got = StreamJobs.runToMemory(q, "ssdim_test", OutputMode.Append())
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val (res, query) = StreamJobs.runToMemoryWithQuery(
+      enriched, "ssdim_test", OutputMode.Append())
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // the property the name promises: the broadcast dim join buffers
+    // NOTHING in the state store (contrast the stream-stream join)
+    val stateRows = query.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    assert(stateRows == 0,
+      s"stream-static join must hold no state, found $stateRows rows")
     val want = Events.loadEvents(spark, sf001)
       .join(dim, col("event_type") === col("etype"))
       .select(col("event_id"), col("weight"))
