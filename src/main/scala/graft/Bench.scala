@@ -35,20 +35,27 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+    // per-query min over REPS runs: single runs at these sizes carry
+    // ±50% JVM/JIT noise, and min-of-2 is the cheapest stable estimator
+    // of the plan's actual cost (reported as "reps" for transparency)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count(), not count(): Dataset.count() collapses to a
-      // count(1) agg that elides sorts and expensive projections, which
-      // would under-measure; materializing the final InternalRows runs
-      // the full physical plan without collecting to the driver.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count(), not count(): Dataset.count() collapses to a
+        // count(1) agg that elides sorts and expensive projections, which
+        // would under-measure; materializing the final InternalRows runs
+        // the full physical plan without collecting to the driver.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
