@@ -496,12 +496,26 @@ object Dedup {
     * an independent algorithm arriving at the same clustering. */
   val MaxPropagationRounds = 50
 
+  /** Below this many candidate pairs the component graph is collected
+    * and solved with driver-side union-find: the LSH/prefix filters
+    * leave a graph orders of magnitude smaller than the corpus, and a
+    * million-edge union-find runs in milliseconds where each
+    * distributed propagation round costs a full join+agg+checkpoint
+    * job. Above it, the O(diameter)-round distributed loop takes over
+    * (a 100 TB corpus can still emit billions of candidate pairs). */
+  val EdgeCollectThreshold: Long = 1L << 20
+
   /** Connected components by hash-to-min label propagation over an
     * undirected pair list: every node takes the min label among itself
     * and its neighbors each round until fixpoint (O(component diameter)
-    * rounds). Returns (id, lbl) with lbl = min reachable node id. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * rounds). Returns (id, lbl) with lbl = min reachable node id.
+    * Small graphs (≤ collectThreshold pairs) short-circuit to exact
+    * driver-side union-find — same labels, no per-round jobs. */
+  def connectedComponents(pairs: DataFrame,
+      collectThreshold: Long = EdgeCollectThreshold): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
+    if (pairs.limit((collectThreshold + 1).toInt).count() <= collectThreshold)
+      return unionFindLocal(pairs)
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst"))).localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct()
@@ -525,6 +539,32 @@ object Dedup {
       round += 1
     }
     labels
+  }
+
+  /** Exact union-find (path-halving + union-by-smaller-root) over a
+    * collected pair list; labels = min node id per component, matching
+    * the distributed loop bit for bit (DedupSpec pins the equality). */
+  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (x, y) =>
+      parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      // union by smaller root id → the root IS the min of the component
+      if (rx < ry) parent(ry) = rx else if (ry < rx) parent(rx) = ry
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "lbl")
   }
 
   def clusters(spark: SparkSession, sfDir: String): DataFrame = {

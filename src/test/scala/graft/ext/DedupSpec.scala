@@ -84,9 +84,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dup clusters: transitive near-dups collapse to one component") {
-    // the PRODUCTION loop, not a replica
+    // collectThreshold = 0 forces the PRODUCTION distributed loop
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs)
+    val got = Dedup.connectedComponents(pairs, collectThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L),
       s"chain 1-2-3 must share min label 1; got $got")
@@ -96,10 +96,24 @@ class DedupSpec extends SparkSpec {
     // worst diameter per node count — the shape that needs the most
     // propagation rounds; the guard (MaxPropagationRounds) must cover it
     val path = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(path)
+    val got = Dedup.connectedComponents(path, collectThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 20 && got.values.forall(_ == 1L),
       s"all path nodes must reach label 1; got ${got.filter(_._2 != 1L)}")
+  }
+
+  test("dup clusters: driver union-find equals the distributed loop") {
+    // adversarial shape: a path (max diameter), a star, crossing unions
+    // where the smaller root arrives late, plus a self-contained pair
+    val pairs = ((1L until 12L).map(i => (i, i + 1)) ++
+      Seq((20L, 25L), (25L, 21L), (21L, 24L), (30L, 31L), (13L, 1L)))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, collectThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist,
+      s"hybrid paths diverged: ${local.toSet diff dist.toSet}")
   }
 
   test("simhash: near-dup texts land within small hamming distance") {
