@@ -97,7 +97,8 @@ object SparkEntry {
     "q67_token_positions" -> (TextAnalysis.tokenPositions _),
     "q68_priority_stats" -> (Bi.priorityStats _),
     "q69_variant_buckets" -> (Events.variantBuckets _),
-    "q70_unigram_entropy" -> (TextAnalysis.unigramEntropy _)
+    "q70_unigram_entropy" -> (TextAnalysis.unigramEntropy _),
+    "q71_user_next_window" -> (Events.userNextWindow _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -186,6 +187,7 @@ object SparkEntry {
     "q67_token_positions" -> TextAnalysis.tokenPositionsSql,
     "q68_priority_stats" -> Bi.priorityStatsSql,
     "q69_variant_buckets" -> Events.variantBucketsSql,
-    "q70_unigram_entropy" -> TextAnalysis.unigramEntropySql
+    "q70_unigram_entropy" -> TextAnalysis.unigramEntropySql,
+    "q71_user_next_window" -> Events.userNextWindowSql
   )
 }

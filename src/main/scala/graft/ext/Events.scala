@@ -195,6 +195,40 @@ object Events {
       |       value - prev_value AS value_delta
       |FROM d ORDER BY event_id""".stripMargin
 
+  /** q71 — LEAD + a ROWS-frame moving sum, completing the window-frame
+    * family next to q40's LAG and q58's RANGE frame (SURVEY.md §2.6:
+    * the reference has only an unpartitioned RANK). Per user-ordered
+    * event: the next event's type, the gap to it, and the moving sum
+    * of the last 3 values. The frame sum runs in exact DECIMAL — a
+    * sliding double sum would make the result depend on how each
+    * engine slides the frame (incremental subtract vs segment-tree
+    * re-sum). One shuffle on user_id serves all three functions. */
+  def userNextWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-2, 0)
+    ev.select(col("event_id"), col("user_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ((unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .cast("double") / 1e6).as("next_gap_s"),
+        sum(Tables.money(col("value"))).over(frame)
+          .cast("double").as("moving_sum3"))
+      .orderBy("event_id")
+  }
+
+  val userNextWindowSql: String =
+    """SELECT event_id, user_id,
+      |       LEAD(event_type) OVER w AS next_type,
+      |       CAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS DOUBLE) / 1e6
+      |         AS next_gap_s,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |         (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS moving_sum3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** Fixture event-type domain, pinned so `pivot` takes an explicit
     * value list — no extra distinct-collect job, and the output schema
     * is static (the form that scales; an inferred pivot would scan the

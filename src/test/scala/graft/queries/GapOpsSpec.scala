@@ -107,6 +107,18 @@ class GapOpsSpec extends SparkSpec {
     assert(e.filter(col("n_types") > col("n_tokens")).count() == 0)
   }
 
+  test("q71 lead/frame: one open tail per user, gaps non-negative") {
+    val q = Events.userNextWindow(spark, sf001).cache()
+    val nUsers = Events.loadEvents(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(q.filter(col("next_type").isNull).count() == nUsers,
+      "exactly the last event per user has no successor")
+    assert(q.filter(col("next_gap_s") < 0).count() == 0,
+      "time must not run backwards within a user")
+    assert(q.filter(col("moving_sum3").isNull).count() == 0,
+      "a ROWS frame always contains at least the current row")
+  }
+
   test("q68 moments: min <= avg <= max, stddev >= 0, counts partition orders") {
     val s = Bi.priorityStats(spark, sf001).cache()
     assert(s.filter(col("min_price") > col("avg_price") ||
