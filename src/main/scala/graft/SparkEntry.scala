@@ -98,7 +98,10 @@ object SparkEntry {
     "q68_priority_stats" -> (Bi.priorityStats _),
     "q69_variant_buckets" -> (Events.variantBuckets _),
     "q70_unigram_entropy" -> (TextAnalysis.unigramEntropy _),
-    "q71_user_next_window" -> (Events.userNextWindow _)
+    "q71_user_next_window" -> (Events.userNextWindow _),
+    "q72_sequence_packing" -> (Sampling.sequencePacking _),
+    "q73_lm_score" -> (TextAnalysis.lmScore _),
+    "q74_boilerplate_ngrams" -> (TextAnalysis.boilerplateNgrams _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -188,6 +191,9 @@ object SparkEntry {
     "q68_priority_stats" -> Bi.priorityStatsSql,
     "q69_variant_buckets" -> Events.variantBucketsSql,
     "q70_unigram_entropy" -> TextAnalysis.unigramEntropySql,
-    "q71_user_next_window" -> Events.userNextWindowSql
+    "q71_user_next_window" -> Events.userNextWindowSql,
+    "q72_sequence_packing" -> Sampling.sequencePackingSql,
+    "q73_lm_score" -> TextAnalysis.lmScoreSql,
+    "q74_boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql
   )
 }

@@ -219,6 +219,89 @@ object Sampling {
        |WHERE n_tokens - chunk_id * $ChunkStride > 0
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q72 — sequence packing, the pretraining "concat and slice" step:
+    * documents are concatenated in doc_id order into one global token
+    * stream, which is cut into fixed [[SeqLen]]-token training
+    * sequences. Each document reports its start offset in the stream
+    * and the range of sequences it lands in (a long doc can span
+    * several; short docs share one).
+    *
+    * The global exclusive prefix sum is computed with the TWO-PHASE
+    * scan q33 only documents: `repartitionByRange(doc_id)` keeps
+    * doc_id order across partition ids, an intra-partition window
+    * (partitioned by `spark_partition_id()`) produces local running
+    * sums in parallel, per-partition totals (one tiny row per
+    * partition) get their own cumsum on the driver-sized side, and a
+    * broadcast join adds the two. No step ever serializes the corpus
+    * through one task, so the scan holds at 100 TB — the window over
+    * partition TOTALS touches `#partitions` rows, not `#docs`.
+    *
+    * The range-partitioned frame is pinned with `localCheckpoint`
+    * because RangePartitioner samples its bounds: both consumers (the
+    * intra window and the totals agg) must see the SAME partitioning,
+    * and a recompute could legally resample. Offsets themselves are
+    * partitioning-independent, so the pin is about consistency inside
+    * one job, not determinism of the result.
+    *
+    * Sequence ids use integer `div`, not double division, so offsets
+    * stay exact past 2^53 tokens. */
+  val SeqLen = 512L
+
+  /** (doc_id, n_tokens) → + start_off via the scalable two-phase
+    * exclusive prefix sum in doc_id order. */
+  def packOffsets(docs: DataFrame): DataFrame = {
+    val ranged = docs.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val intra = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pidBefore = ranged
+      .groupBy("pid").agg(sum("n_tokens").as("pid_total"))
+      .select(col("pid"),
+        coalesce(sum("pid_total").over(totals), lit(0L)).as("pid_before"))
+    ranged
+      .withColumn("intra_before", coalesce(sum("n_tokens").over(intra), lit(0L)))
+      .join(broadcast(pidBefore), "pid")
+      .withColumn("start_off", col("pid_before") + col("intra_before"))
+      .drop("pid", "intra_before", "pid_before")
+  }
+
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    packOffsets(docs)
+      .withColumn("first_seq", expr(s"start_off div $SeqLen"))
+      .withColumn("last_seq", expr(s"(start_off + n_tokens - 1) div $SeqLen"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle states the SAME semantics as one flat window cumsum —
+    * fine in DuckDB at test scale, and an independent check that the
+    * two-phase decomposition reassembles the exact global scan. */
+  val sequencePackingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT doc_id, n_tokens,
+       |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(start_off AS BIGINT) AS start_off,
+       |       CAST(start_off // $SeqLen AS BIGINT) AS first_seq,
+       |       CAST((start_off + n_tokens - 1) // $SeqLen AS BIGINT) AS last_seq,
+       |       CAST((start_off + n_tokens - 1) // $SeqLen
+       |            - start_off // $SeqLen + 1 AS BIGINT) AS n_seqs
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** q59 — deterministic train/val/test split: bucket in [0,100) from
     * the first 8 md5 hex digits of doc_id → 90/5/5. Hash-based (not
     * rank-based) assignment is the production property: a document's

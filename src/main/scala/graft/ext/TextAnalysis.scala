@@ -577,4 +577,94 @@ object TextAnalysis {
       |       ROUND(log2(n) - s / n, 6) AS entropy,
       |       ROUND(CAST(n_types AS DOUBLE) / n, 6) AS type_token_ratio
       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q73 — unigram-LM quality scoring (the CCNet/Gopher "perplexity
+    * filter" shape): train a unigram language model on the WHOLE corpus
+    * (global token counts), then score every document by its bits per
+    * token under that model, −(1/n)·Σ c·log2(gc/T) — algebraically
+    * log2(T) − (Σ c·log2 gc)/n, so the floating sum happens once and a
+    * single ROUND(…, 6) absorbs order-dependent FP noise (the q70
+    * determinism pattern). Low bits-per-token ≈ stereotyped/boilerplate
+    * text, high ≈ rare-token noise; curators cut both tails.
+    *
+    * Scale: token frequencies aggregate with map-side combine (one
+    * shuffle keyed by tok); the model joins back to per-doc term
+    * frequencies on tok — broadcast here (vocab ≪ corpus), a
+    * vocab-keyed shuffle join at 100 TB where vocab outgrows the
+    * driver; per-doc reduce is one more keyed shuffle. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val model = tf.groupBy("tok").agg(sum(col("c")).as("gc"))
+    val total = model.agg(sum(col("gc")).as("t"))
+    tf.join(broadcast(model), "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("gc"))).as("sgc"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        round(log2(col("t")) - col("sgc") / col("n"), 6).as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |model AS (SELECT tok, SUM(c) AS gc FROM tf GROUP BY tok),
+      |tot AS (SELECT SUM(gc) AS t FROM model),
+      |a AS (
+      |  SELECT doc_id, SUM(c) AS n, SUM(c * log2(gc)) AS sgc
+      |  FROM tf JOIN model USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |       ROUND(log2(t) - sgc / n, 6) AS bits_per_token
+      |FROM a, tot ORDER BY doc_id""".stripMargin
+
+  /** q74 — cross-document boilerplate detection: the complement of q34
+    * (which scores repetition WITHIN a doc) and q35 (contamination vs a
+    * benchmark set) — here a 5-gram is boilerplate if it occurs in MORE
+    * THAN ONE document (headers, footers, templated spans), and every
+    * doc reports what share of its distinct 5-grams is shared. The
+    * doc-count per 5-gram is a plain count because each doc contributes
+    * its DISTINCT grams exactly once.
+    *
+    * Scale: one explode + two keyed shuffles (ng, then doc_id); the
+    * ng-keyed join is the classic hot-key risk for viral spans — AQE
+    * skew join covers it, and the fraction is a single integer division
+    * so no FP rounding is needed. Docs shorter than 5 tokens have no
+    * 5-grams and drop out on both sides. */
+  def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = fiveGrams(Tables.load(spark, sfDir, "documents"))
+    val docFreq = grams.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+    grams.join(docFreq, "ng")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .as("boiler_fraction"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateNgramsSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+       |            for i in generate_series(1, len(w)-4)])) AS ng
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= $ContamN
+       |), df AS (
+       |  SELECT ng, COUNT(*) AS ndocs FROM g GROUP BY ng
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS boiler_fraction
+       |FROM g JOIN df USING (ng) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
