@@ -101,7 +101,9 @@ object SparkEntry {
     "q71_user_next_window" -> (Events.userNextWindow _),
     "q72_sequence_packing" -> (Sampling.sequencePacking _),
     "q73_lm_score" -> (TextAnalysis.lmScore _),
-    "q74_boilerplate_ngrams" -> (TextAnalysis.boilerplateNgrams _)
+    "q74_boilerplate_ngrams" -> (TextAnalysis.boilerplateNgrams _),
+    "q75_scd2_history" -> (Events.scd2History _),
+    "q76_profile" -> (Etl.profile _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -194,6 +196,8 @@ object SparkEntry {
     "q71_user_next_window" -> Events.userNextWindowSql,
     "q72_sequence_packing" -> Sampling.sequencePackingSql,
     "q73_lm_score" -> TextAnalysis.lmScoreSql,
-    "q74_boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql
+    "q74_boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
+    "q75_scd2_history" -> Events.scd2HistorySql,
+    "q76_profile" -> Etl.profileSql
   )
 }

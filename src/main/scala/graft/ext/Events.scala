@@ -563,4 +563,51 @@ object Events {
       |       CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM p GROUP BY event_type, k_bucket
       |ORDER BY event_type, k_bucket""".stripMargin
+
+  /** q75 — SCD2 dimension build from a change stream: collapse each
+    * user's event history into versioned rows with validity intervals —
+    * a new version opens whenever the user's event_type CHANGES
+    * (run-length encoding of the attribute over time), `valid_to` is
+    * the next change's timestamp, and the open version is flagged
+    * current. This is the incremental-warehouse answer to the
+    * reference's truncate-and-reload (ETL_DAG.py:211-213): history is
+    * preserved, not overwritten.
+    *
+    * One shuffle total: lag-filter and the version/lead windows share
+    * the (user_id) partitioning and (ts, event_id) sort, so Catalyst
+    * plans a single Exchange+Sort feeding all three window functions.
+    * The (ts, event_id) tiebreak makes version numbering total even on
+    * equal timestamps. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE prev_type IS NULL OR prev_type != event_type
+      |)
+      |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+      |       event_type,
+      |       make_timestamp(epoch_us(ts)) AS valid_from,
+      |       make_timestamp(epoch_us(lead(ts) OVER w)) AS valid_to,
+      |       (lead(ts) OVER w IS NULL) AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
 }

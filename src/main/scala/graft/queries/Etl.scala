@@ -202,4 +202,47 @@ object Etl {
       |           WHEN a.name != b.name OR a.bal != b.bal THEN 'changed'
       |           ELSE 'unchanged' END != 'unchanged'
       |ORDER BY c_custkey""".stripMargin
+
+  /** q76 — table profiler: per-column null count, exact distinct count,
+    * and min/max (rendered as strings so one report row fits every
+    * type) over a mixed-type column set — the "know your data before
+    * you gate it" step that feeds quality-rule thresholds (P4-P11,
+    * ETL_DAG.py:90-142 picks its checks from exactly this knowledge).
+    *
+    * One scan, one aggregation; the multiple exact COUNT(DISTINCT)s
+    * plan through Expand (one duplicated stream per distinct agg) —
+    * the honest exact answer, and the documented 100 TB swap is
+    * approx_count_distinct (HLL) which collapses the Expand back to
+    * one stream. The wide 1-row result then unpivots via a
+    * struct-array explode, driver-free. */
+  val ProfileCols: Seq[String] =
+    Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val aggs = ProfileCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")) }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide
+      .select(explode(array(ProfileCols.map(c => struct(
+        lit(c).as("col_name"),
+        (col("n_rows") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  val profileSql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+       |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |       CAST(MIN($c) AS VARCHAR) AS min_str,
+       |       CAST(MAX($c) AS VARCHAR) AS max_str
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 }
