@@ -103,7 +103,10 @@ object SparkEntry {
     "q73_lm_score" -> (TextAnalysis.lmScore _),
     "q74_boilerplate_ngrams" -> (TextAnalysis.boilerplateNgrams _),
     "q75_scd2_history" -> (Events.scd2History _),
-    "q76_profile" -> (Etl.profile _)
+    "q76_profile" -> (Etl.profile _),
+    "q77_value_outliers" -> (Events.valueOutliers _),
+    "q78_embedding_stats" -> (Similarity.embeddingStats _),
+    "q79_source_dup_matrix" -> (Dedup.sourceDupMatrix _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -198,6 +201,9 @@ object SparkEntry {
     "q73_lm_score" -> TextAnalysis.lmScoreSql,
     "q74_boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
     "q75_scd2_history" -> Events.scd2HistorySql,
-    "q76_profile" -> Etl.profileSql
+    "q76_profile" -> Etl.profileSql,
+    "q77_value_outliers" -> Events.valueOutliersSql,
+    "q78_embedding_stats" -> Similarity.embeddingStatsSql,
+    "q79_source_dup_matrix" -> Dedup.sourceDupMatrixSql
   )
 }

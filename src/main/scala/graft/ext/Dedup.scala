@@ -657,6 +657,39 @@ object Dedup {
       |JOIN documents d USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  /** q79 — source×source duplication matrix: project the q29 near-dup
+    * pairs onto the `source` dimension to answer the curation question
+    * "which sources copy from each other" (and which self-duplicate —
+    * the diagonal). Pair endpoints order as (least, greatest) so the
+    * matrix is upper-triangular regardless of doc_id assignment. The
+    * source decoration rides two broadcast joins over the id-only pair
+    * list (wide payloads never enter the candidate shuffle), and the
+    * final matrix is at most |sources|² rows. */
+  def sourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    val src = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a"))), Seq("doc_a"))
+      .join(broadcast(src.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b"))), Seq("doc_b"))
+      .groupBy(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  val sourceDupMatrixSql: String =
+    s"""WITH p AS ($ngramJaccardPairsSql)
+       |SELECT least(sa.source, sb.source) AS source_x,
+       |       greatest(sa.source, sb.source) AS source_y,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM p
+       |JOIN documents sa ON p.doc_a = sa.doc_id
+       |JOIN documents sb ON p.doc_b = sb.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val simhashSql: String = {
     val votes = (0 until SimhashBits).map(b =>
       s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")

@@ -564,6 +564,62 @@ object Events {
       |FROM p GROUP BY event_type, k_bucket
       |ORDER BY event_type, k_bucket""".stripMargin
 
+  /** q77 — IQR outlier gate (Tukey fences) on event values per type:
+    * the data-cleaning step between profiling (q76) and the quality
+    * gate — quantile bounds learned FROM the data, not hand-set
+    * thresholds. Values quantize to integer cents (floor(value·100),
+    * identical IEEE product+floor in both engines) so the q43 exactness
+    * argument applies end to end: dyadic-fraction percentiles over
+    * integers interpolate exactly, the 1.5·IQR whiskers are exact
+    * eighths, and the fence comparisons are decided on exact numbers —
+    * no FP cliff at the threshold.
+    *
+    * Scale: one (event_type)-keyed agg for the bounds (exact
+    * percentile; swap approx_percentile at 100 TB — same plan), then a
+    * broadcast of the tiny bounds table back over a second scan. */
+  val OutlierWhisker = 1.5
+
+  def valueOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val bounds = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        percentile(col("cents"), array(lit(0.25), lit(0.75))).as("q"))
+      .select(col("event_type"), col("n_events"),
+        col("q")(0).as("q1"), col("q")(1).as("q3"))
+      .withColumn("lo",
+        col("q1") - lit(OutlierWhisker) * (col("q3") - col("q1")))
+      .withColumn("hi",
+        col("q3") + lit(OutlierWhisker) * (col("q3") - col("q1")))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy("event_type", "n_events", "q1", "q3")
+      .agg(sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  val valueOutliersSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |), q AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         quantile_cont(cents, 0.25) AS q1,
+       |         quantile_cont(cents, 0.75) AS q3
+       |  FROM ev GROUP BY 1
+       |)
+       |SELECT e.event_type, q.n_events,
+       |       CAST(q.q1 AS DOUBLE) AS q1, CAST(q.q3 AS DOUBLE) AS q3,
+       |       CAST(SUM(CASE WHEN e.cents <
+       |         q.q1 - $OutlierWhisker * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_low,
+       |       CAST(SUM(CASE WHEN e.cents >
+       |         q.q3 + $OutlierWhisker * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_high
+       |FROM ev e JOIN q ON e.event_type = q.event_type
+       |GROUP BY 1, 2, 3, 4 ORDER BY e.event_type""".stripMargin
+
   /** q75 — SCD2 dimension build from a change stream: collapse each
     * user's event history into versioned rows with validity intervals —
     * a new version opens whenever the user's event_type CHANGES

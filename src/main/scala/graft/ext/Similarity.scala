@@ -387,4 +387,47 @@ object Similarity {
        |SELECT vec_a, vec_b, round(cos, 6) AS cosine
        |FROM scored WHERE cos >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q78 — embedding-corpus hygiene report, per label: vector counts,
+    * dimensionality bounds (a ragged dim is an upstream bug), L2-norm
+    * envelope, and degenerate (near-zero-norm) counts — the sanity
+    * pass before any ANN/kNN consumer trusts the corpus. Norms run
+    * through the same index-ordered sum as the cosine kernels, so
+    * min/max pick identical values in both engines; only the
+    * cross-row mean needs the round(6) guard (row order is shuffle-
+    * dependent). One scan, one (label)-keyed agg — at 100 TB this is
+    * scan-bound, exactly what a hygiene sweep should be. */
+  val DegenerateNorm = 1e-6
+
+  def embeddingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("label"), size(col("v")).as("dim"), norm(col("v")).as("nrm"))
+    emb.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dim").as("min_dim"), max("dim").as("max_dim"),
+        round(min("nrm"), 6).as("min_norm"),
+        round(max("nrm"), 6).as("max_norm"),
+        round(avg("nrm"), 6).as("avg_norm"),
+        sum(when(col("nrm") < DegenerateNorm, 1L).otherwise(0L))
+          .as("n_degenerate"))
+      .orderBy("label")
+  }
+
+  val embeddingStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT label, len(embedding) AS dim,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       CAST(MIN(dim) AS INT) AS min_dim,
+       |       CAST(MAX(dim) AS INT) AS max_dim,
+       |       round(MIN(nrm), 6) AS min_norm,
+       |       round(MAX(nrm), 6) AS max_norm,
+       |       round(AVG(nrm), 6) AS avg_norm,
+       |       CAST(SUM(CASE WHEN nrm < $DegenerateNorm THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_degenerate
+       |FROM e GROUP BY label ORDER BY label""".stripMargin
 }
