@@ -21,10 +21,14 @@ class PlanSpec extends SparkSpec {
     // CONSTANT-bounded broadcast — cost stays O(scan) at any scale:
     //  - q13/q57: NQueries(=8) query vectors × the candidate scan
     //  - q56: a 1-row scalar total crossed back into the top-k
+    //  - q73: the 1-row corpus token total crossed into the per-doc
+    //    scores (an anchor-literal rewrite would recompute the whole
+    //    explode+agg in a second job — the scalar BNLJ is cheaper)
     // Everything else must plan hash/sort-merge joins, and nothing may
     // ever plan an unbroadcast CartesianProduct.
     val boundedBroadcastOk = Set(
-      "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement")
+      "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement",
+      "q73_lm_score")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
