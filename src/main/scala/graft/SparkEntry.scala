@@ -106,7 +106,8 @@ object SparkEntry {
     "q76_profile" -> (Etl.profile _),
     "q77_value_outliers" -> (Events.valueOutliers _),
     "q78_embedding_stats" -> (Similarity.embeddingStats _),
-    "q79_source_dup_matrix" -> (Dedup.sourceDupMatrix _)
+    "q79_source_dup_matrix" -> (Dedup.sourceDupMatrix _),
+    "q80_dup_pagerank" -> (Dedup.dupPagerank _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -204,6 +205,7 @@ object SparkEntry {
     "q76_profile" -> Etl.profileSql,
     "q77_value_outliers" -> Events.valueOutliersSql,
     "q78_embedding_stats" -> Similarity.embeddingStatsSql,
-    "q79_source_dup_matrix" -> Dedup.sourceDupMatrixSql
+    "q79_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
+    "q80_dup_pagerank" -> Dedup.dupPagerankSql
   )
 }

@@ -657,6 +657,86 @@ object Dedup {
       |JOIN documents d USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  /** q80 — PageRank over the near-dup similarity graph (the q11 LSH
+    * candidate pairs, undirected): rank the "hub" documents whose text
+    * radiates through the most duplication chains — the doc a curator
+    * inspects first when a template family floods the corpus. Fixed
+    * [[PageRankIters]] damped iterations from a uniform start.
+    *
+    * Spark side: the classic distributed loop — per-iteration join of
+    * edges to current ranks (both keyed by node id, shuffle-stable),
+    * contribution sum with map-side combine, `localCheckpoint` per
+    * round to cut lineage; same scaling story as
+    * [[connectedComponents]]. Node count is one scalar count (the only
+    * driver value). FP determinism: neighbor sums are order-dependent
+    * across engines, but perturbations stay ~1e-15 relative and are
+    * damped each round, so the single round(…, 8) at the output edge
+    * absorbs them (verified at sf0.01 AND sf0.1).
+    *
+    * Oracle: the SAME five iterations UNROLLED as chained CTEs —
+    * standard SQL forbids aggregation inside a recursive CTE, so the
+    * fixed-depth unroll IS the portable formulation, generated from
+    * the same constants as the Spark loop. */
+  val PageRankIters = 5
+  val Damping = 0.85
+
+  def dupPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+    (1 to PageRankIters).foreach { _ =>
+      val contribs = edges
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_pr"))
+      pr = pr.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"), (lit((1 - Damping) / n) +
+          lit(Damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id").as("doc_id"), round(col("pr"), 8).as("pagerank"))
+      .orderBy("doc_id")
+  }
+
+  val dupPagerankSql: String = {
+    val iters = (1 to PageRankIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT d.src AS id,
+         |         (1 - $Damping) / nn.n + $Damping * COALESCE(s.in_pr, 0) AS pr
+         |  FROM deg d CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.pr / dg.deg) AS in_pr
+         |    FROM edges e
+         |    JOIN pr${k - 1} p ON e.src = p.id
+         |    JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst
+         |  ) s ON s.id = d.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS ($minhashPairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM p
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+       |), pr0 AS (
+       |  SELECT src AS id, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn
+       |),
+       |$iters
+       |SELECT id AS doc_id, round(pr, 8) AS pagerank
+       |FROM pr$PageRankIters ORDER BY doc_id""".stripMargin
+  }
+
   /** q79 — source×source duplication matrix: project the q29 near-dup
     * pairs onto the `source` dimension to answer the curation question
     * "which sources copy from each other" (and which self-duplicate —
