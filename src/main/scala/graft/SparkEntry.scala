@@ -107,7 +107,8 @@ object SparkEntry {
     "q77_value_outliers" -> (Events.valueOutliers _),
     "q78_embedding_stats" -> (Similarity.embeddingStats _),
     "q79_source_dup_matrix" -> (Dedup.sourceDupMatrix _),
-    "q80_dup_pagerank" -> (Dedup.dupPagerank _)
+    "q80_dup_pagerank" -> (Dedup.dupPagerank _),
+    "q81_ann_recall" -> (Similarity.annRecall _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -206,6 +207,7 @@ object SparkEntry {
     "q77_value_outliers" -> Events.valueOutliersSql,
     "q78_embedding_stats" -> Similarity.embeddingStatsSql,
     "q79_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
-    "q80_dup_pagerank" -> Dedup.dupPagerankSql
+    "q80_dup_pagerank" -> Dedup.dupPagerankSql,
+    "q81_ann_recall" -> Similarity.annRecallSql
   )
 }

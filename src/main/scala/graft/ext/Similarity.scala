@@ -388,6 +388,41 @@ object Similarity {
        |FROM scored WHERE cos >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q81 — ANN quality evaluation: recall@k of the SRP-LSH index (q14)
+    * against the exact brute-force neighbors (q13), per query vector —
+    * the "measure, don't guess" step that decides whether an
+    * approximate index is allowed to replace the exact scan in a
+    * production corpus. A left join keeps queries whose LSH recall is
+    * ZERO (bucket miss) visible instead of silently dropping them.
+    * Both inputs are deterministic, so recall is a ratio of integers —
+    * engine-exact with no rounding. Cost: both sides are the existing
+    * top-k pipelines; the final join touches NQueries·k rows. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annLsh(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH exact_k AS ($bruteForceTopKSql),
+       |approx_k AS ($annLshSql)
+       |SELECT e.query_id,
+       |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+       |         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+       |FROM exact_k e
+       |LEFT JOIN approx_k a
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** q78 — embedding-corpus hygiene report, per label: vector counts,
     * dimensionality bounds (a ragged dim is an upstream bug), L2-norm
     * envelope, and degenerate (near-zero-norm) counts — the sanity
