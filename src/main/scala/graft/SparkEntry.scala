@@ -108,7 +108,8 @@ object SparkEntry {
     "q78_embedding_stats" -> (Similarity.embeddingStats _),
     "q79_source_dup_matrix" -> (Dedup.sourceDupMatrix _),
     "q80_dup_pagerank" -> (Dedup.dupPagerank _),
-    "q81_ann_recall" -> (Similarity.annRecall _)
+    "q81_ann_recall" -> (Similarity.annRecall _),
+    "q82_bpe_train" -> (TextAnalysis.bpeTrain _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -208,6 +209,7 @@ object SparkEntry {
     "q78_embedding_stats" -> Similarity.embeddingStatsSql,
     "q79_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
     "q80_dup_pagerank" -> Dedup.dupPagerankSql,
-    "q81_ann_recall" -> Similarity.annRecallSql
+    "q81_ann_recall" -> Similarity.annRecallSql,
+    "q82_bpe_train" -> TextAnalysis.bpeTrainSql
   )
 }

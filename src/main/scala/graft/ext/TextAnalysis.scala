@@ -578,6 +578,110 @@ object TextAnalysis {
       |       ROUND(CAST(n_types AS DOUBLE) / n, 6) AS type_token_ratio
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** q82 — BPE vocabulary TRAINING (Sennrich et al.'s byte-pair
+    * encoding, the real merge loop — q54 only mines round-one
+    * candidates): [[BpeRounds]] rounds of count-adjacent-pairs →
+    * argmax → merge-everywhere over the word-frequency dictionary,
+    * emitting the learned merge table.
+    *
+    * Spark-first trick that also makes the oracle portable: each word
+    * is a spaced-symbol string with DOUBLE-space separators
+    * ("  l  o  w  "), so applying a merge is the literal
+    * `replace(' a  b ', ' ab ')` — it borrows ONE space from each
+    * side and the replacement restores both, so the 2-space invariant
+    * survives every merge and consecutive pairs in a run still match
+    * (" a  a  a " merges to " aa  a", i.e. [a,a,a,a] → [aa,aa] like
+    * real BPE; a single-space encoding would eat the shared delimiter
+    * and stall runs). Literal replace is leftmost non-overlapping in
+    * both engines, and the space guards make prefix/suffix collisions
+    * with longer symbols impossible. No UDF, no per-row loop. Pair
+    * counting is the only
+    * wide op per round: one (a,b)-keyed agg over the word dict (which
+    * is corpus-size-independent-ish: DISTINCT words × counts, the
+    * classic BPE working set). The per-round argmax is a 1-row
+    * driver anchor (the q03 pattern) because the next round's plan
+    * needs it as a LITERAL; 2·rounds tiny jobs total, with
+    * localCheckpoint pinning each round's dictionary.
+    *
+    * Oracle: the same rounds unrolled as chained CTEs with scalar
+    * subqueries for the argmax, generated from the same constants. */
+  val BpeRounds = 8
+
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    var words = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("s"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    while (r <= BpeRounds) {
+      val t = split(trim(col("s")), " +")
+      val top = words
+        .select(col("cnt"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) r = BpeRounds + 1
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, c))
+        words = words
+          .select(replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+            col("cnt"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  val bpeTrainSql: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a, b, SUM(cnt) AS c FROM (
+         |    SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b, cnt
+         |    FROM (SELECT string_split_regex(trim(s), ' +') AS t, cnt FROM w${k - 1})
+         |    WHERE len(t) >= 2
+         |  ) GROUP BY 1, 2
+         |), m$k AS MATERIALIZED (
+         |  SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1
+         |), w$k AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    ' ' || (SELECT a FROM m$k) || '  ' || (SELECT b FROM m$k) || ' ',
+         |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s, cnt
+         |  FROM w${k - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map { k =>
+      s"SELECT $k AS merge_rank, a AS merge_left, b AS merge_right, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM m$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wd AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w
+       |), w0 AS MATERIALIZED (
+       |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt FROM wd
+       |),
+       |$rounds
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, merge_left,
+       |       merge_right, pair_count
+       |FROM ($out)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** q73 — unigram-LM quality scoring (the CCNet/Gopher "perplexity
     * filter" shape): train a unigram language model on the WHOLE corpus
     * (global token counts), then score every document by its bits per
