@@ -109,7 +109,9 @@ object SparkEntry {
     "q79_source_dup_matrix" -> (Dedup.sourceDupMatrix _),
     "q80_dup_pagerank" -> (Dedup.dupPagerank _),
     "q81_ann_recall" -> (Similarity.annRecall _),
-    "q82_bpe_train" -> (TextAnalysis.bpeTrain _)
+    "q82_bpe_train" -> (TextAnalysis.bpeTrain _),
+    "q83_regional_revenue" -> (Bi.regionalRevenue _),
+    "q84_above_avg_orders" -> (Bi.aboveAvgOrders _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -210,6 +212,8 @@ object SparkEntry {
     "q79_source_dup_matrix" -> Dedup.sourceDupMatrixSql,
     "q80_dup_pagerank" -> Dedup.dupPagerankSql,
     "q81_ann_recall" -> Similarity.annRecallSql,
-    "q82_bpe_train" -> TextAnalysis.bpeTrainSql
+    "q82_bpe_train" -> TextAnalysis.bpeTrainSql,
+    "q83_regional_revenue" -> Bi.regionalRevenueSql,
+    "q84_above_avg_orders" -> Bi.aboveAvgOrdersSql
   )
 }

@@ -333,4 +333,80 @@ object Bi {
       |        (SELECT MAX(l_shipdate) FROM lineitem) - INTERVAL 12 MONTH)
       |GROUP BY 1
       |ORDER BY sales_month""".stripMargin
+
+  /** q83 — the TPC-H Q5 shape: local-supplier revenue by region and
+    * nation over an order-date year. Six tables in one query — the
+    * multi-way star join the 2-way BI queries don't exercise: lineitem
+    * ⋈ orders is the one big-big join (shuffle on the order key, the
+    * unavoidable floor), while customer / supplier / nation / region
+    * all broadcast; Catalyst orders the tree and AQE re-plans at
+    * runtime. The `c_nationkey = s_nationkey` condition ("revenue that
+    * stayed local") is the classic cross-dimension predicate that
+    * defeats naive snowflake denormalization. Money math is exact
+    * decimal end to end: both discount factors cast per-row before the
+    * product, so the shuffle-order-independent sum is oracle-exact. */
+  def regionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val reg = Tables.load(spark, sfDir, "region")
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(rev).cast("double").as("revenue"))
+      .orderBy("region", "nation")
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+      |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |             AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1, 2
+      |ORDER BY region, nation""".stripMargin
+
+  /** q84 — correlated scalar subqueries, run as SQL TEXT on purpose:
+    * "orders at least 1.5× their customer's average" exercises
+    * Catalyst's RewriteCorrelatedScalarSubquery decorrelation (the
+    * subqueries become an aggregate + join — no per-row re-execution,
+    * which is the only shape that survives 100 TB). The threshold
+    * compare is algebraic — price·count ≥ 1.5·total — so it stays in
+    * EXACT decimal/integer arithmetic: no division, no FP cliff at
+    * the boundary, and the identical text runs on DuckDB. */
+  val aboveAvgOrdersSql: String =
+    """SELECT o.o_orderkey, o.o_custkey,
+      |       CAST(o.o_totalprice AS DOUBLE) AS total_price
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM orders o2
+      |       WHERE o2.o_custkey = o.o_custkey)
+      |      >= 1.5 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+      |                FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  def aboveAvgOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(aboveAvgOrdersSql)
+  }
 }
