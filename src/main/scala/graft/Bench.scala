@@ -39,8 +39,13 @@ object Bench {
     // ±50% JVM/JIT noise, and min-of-2 is the cheapest stable estimator
     // of the plan's actual cost (reported as "reps" for transparency)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // queries whose FIRST rep already ran this long skip their repeats:
+    // min-of-2 exists to shave scheduler/JIT noise, which is a fixed
+    // ~100-300ms — relatively negligible on slow queries — and on a
+    // large suite the second reps of the slow tail dominate wall time
+    val repCap = sys.env.getOrElse("SPARK_GRAFT_REP_CAP_SEC", "3.0").toDouble
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         // toRdd.count(), not count(): Dataset.count() collapses to a
         // count(1) agg that elides sorts and expensive projections, which
@@ -50,6 +55,9 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      val first = once()
+      val times = first +: (2 to reps)
+        .filter(_ => first < repCap).map(_ => once())
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
