@@ -111,7 +111,8 @@ object SparkEntry {
     "q81_ann_recall" -> (Similarity.annRecall _),
     "q82_bpe_train" -> (TextAnalysis.bpeTrain _),
     "q83_regional_revenue" -> (Bi.regionalRevenue _),
-    "q84_above_avg_orders" -> (Bi.aboveAvgOrders _)
+    "q84_above_avg_orders" -> (Bi.aboveAvgOrders _),
+    "q85_gap_fill" -> (Events.gapFill _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -214,6 +215,7 @@ object SparkEntry {
     "q81_ann_recall" -> Similarity.annRecallSql,
     "q82_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q83_regional_revenue" -> Bi.regionalRevenueSql,
-    "q84_above_avg_orders" -> Bi.aboveAvgOrdersSql
+    "q84_above_avg_orders" -> Bi.aboveAvgOrdersSql,
+    "q85_gap_fill" -> Events.gapFillSql
   )
 }

@@ -564,6 +564,66 @@ object Events {
       |FROM p GROUP BY event_type, k_bucket
       |ORDER BY event_type, k_bucket""".stripMargin
 
+  /** q85 — calendar gap-fill with LOCF (last observation carried
+    * forward): regularize each user's sparse daily value series onto a
+    * dense calendar — the time-series shape model training and
+    * feature stores need (no missing rows, explicit observed flag,
+    * age of the carried value). Each user's grid runs from their
+    * first active day to the global max day (driver anchor, the q03
+    * pattern, so the per-row `sequence()` bound is a literal).
+    *
+    * Scale: daily totals are one (user, day) agg in exact decimal;
+    * the calendar explode is narrow (sequence per user); the fill is
+    * ONE window pass — `last(_, ignoreNulls)` over an unbounded-
+    * preceding frame, partitioned by user — the canonical distributed
+    * LOCF with no self-join. DuckDB mirrors it with
+    * `last_value(... IGNORE NULLS)`. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum(graft.Tables.money(col("value"))).as("v"))
+    val gmax = daily.agg(max(col("d"))).head().getDate(0)
+    val grid = daily.groupBy("user_id").agg(min(col("d")).as("d0"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), lit(gmax), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        col("v").isNotNull.as("is_observed"),
+        last(col("v"), ignoreNulls = true).over(w)
+          .cast("double").as("value_filled"),
+        datediff(col("d"),
+          last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(w))
+          .cast("long").as("gap_age"))
+      .orderBy("user_id", "d")
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         SUM(CAST(value AS DECIMAL(18,2))) AS v
+      |  FROM events GROUP BY 1, 2
+      |), mx AS (SELECT MAX(d) AS gmax FROM daily),
+      |grid AS (
+      |  SELECT b.user_id,
+      |         CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+      |           CAST(mx.gmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM (SELECT user_id, MIN(d) AS d0 FROM daily GROUP BY 1) b, mx
+      |)
+      |SELECT g.user_id, g.d,
+      |       (daily.v IS NOT NULL) AS is_observed,
+      |       CAST(last_value(daily.v IGNORE NULLS) OVER w AS DOUBLE) AS value_filled,
+      |       CAST(date_diff('day',
+      |         last_value(CASE WHEN daily.v IS NOT NULL THEN g.d END IGNORE NULLS)
+      |           OVER w, g.d) AS BIGINT) AS gap_age
+      |FROM grid g
+      |LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+      |WINDOW w AS (PARTITION BY g.user_id ORDER BY g.d
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY g.user_id, g.d""".stripMargin
+
   /** q77 — IQR outlier gate (Tukey fences) on event values per type:
     * the data-cleaning step between profiling (q76) and the quality
     * gate — quantile bounds learned FROM the data, not hand-set
