@@ -112,7 +112,8 @@ object SparkEntry {
     "q82_bpe_train" -> (TextAnalysis.bpeTrain _),
     "q83_regional_revenue" -> (Bi.regionalRevenue _),
     "q84_above_avg_orders" -> (Bi.aboveAvgOrders _),
-    "q85_gap_fill" -> (Events.gapFill _)
+    "q85_gap_fill" -> (Events.gapFill _),
+    "q86_lang_source_independence" -> (TextAnalysis.langSourceIndependence _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -216,6 +217,7 @@ object SparkEntry {
     "q82_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q83_regional_revenue" -> Bi.regionalRevenueSql,
     "q84_above_avg_orders" -> Bi.aboveAvgOrdersSql,
-    "q85_gap_fill" -> Events.gapFillSql
+    "q85_gap_fill" -> Events.gapFillSql,
+    "q86_lang_source_independence" -> TextAnalysis.langSourceIndependenceSql
   )
 }

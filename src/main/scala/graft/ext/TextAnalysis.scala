@@ -578,6 +578,59 @@ object TextAnalysis {
       |       ROUND(CAST(n_types AS DOUBLE) / n, 6) AS type_token_ratio
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** q86 — contingency independence table over (lang, source): observed
+    * vs expected-under-independence cell counts with standardized
+    * residuals — the drift detector a curator runs when a source's
+    * language mix shifts between crawls (|residual| ≳ 3 flags a cell).
+    * Determinism without rounding: counts are exact longs, expected =
+    * (rowΣ·colΣ)/N is a fixed two-op double expression, and IEEE
+    * requires sqrt to be correctly rounded — so every output value is
+    * bit-identical across engines; no order-dependent float sum exists
+    * because the chi-square TOTAL is deliberately left to the reader
+    * (per-cell evidence is the actionable artifact anyway). Only
+    * OBSERVED cells are emitted; a structural zero (a source that
+    * never produces a language) is reconstructible from the marginals
+    * carried on every row of its lang/source.
+    *
+    * Scale: one (lang, source) agg; marginals are windows OVER THE
+    * CELL TABLE (|langs|·|sources| rows, not the corpus); the grand
+    * total is a driver anchor. Marginal products multiply in double to
+    * dodge long overflow at 100 TB row counts. */
+  def langSourceIndependence(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val grand = docs.count()
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("lang")
+    val ws = Window.partitionBy("source")
+    val e = (col("row_total").cast("double") * col("col_total")) / grand.toDouble
+    cells
+      .select(col("lang"), col("source"), col("n"),
+        sum("n").over(wl).as("row_total"),
+        sum("n").over(ws).as("col_total"))
+      .select(col("lang"), col("source"), col("n"),
+        col("row_total"), col("col_total"),
+        e.as("expected"),
+        ((col("n") - e) / sqrt(e)).as("std_residual"))
+      .orderBy("lang", "source")
+  }
+
+  val langSourceIndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2
+      |), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS g FROM documents)
+      |SELECT c.lang, c.source, c.n,
+      |       CAST(rt.t AS BIGINT) AS row_total,
+      |       CAST(ct.t AS BIGINT) AS col_total,
+      |       CAST(rt.t AS DOUBLE) * ct.t / tot.g AS expected,
+      |       (c.n - CAST(rt.t AS DOUBLE) * ct.t / tot.g)
+      |         / sqrt(CAST(rt.t AS DOUBLE) * ct.t / tot.g) AS std_residual
+      |FROM cells c
+      |JOIN (SELECT lang, SUM(n) AS t FROM cells GROUP BY 1) rt USING (lang)
+      |JOIN (SELECT source, SUM(n) AS t FROM cells GROUP BY 1) ct USING (source)
+      |CROSS JOIN tot
+      |ORDER BY lang, source""".stripMargin
+
   /** q82 — BPE vocabulary TRAINING (Sennrich et al.'s byte-pair
     * encoding, the real merge loop — q54 only mines round-one
     * candidates): [[BpeRounds]] rounds of count-adjacent-pairs →

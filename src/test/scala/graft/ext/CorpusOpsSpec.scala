@@ -96,4 +96,29 @@ class CorpusOpsSpec extends SparkSpec {
       assert(b <= n && f >= 0.0 && f <= 1.0)
     }
   }
+
+  test("independence table: marginals consistent, residuals centered") {
+    val rows = TextAnalysis.langSourceIndependence(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val grand = graft.Tables.load(spark, sf001, "documents").count()
+    // cell counts sum to the grand total; marginals match recounts
+    assert(rows.map(_._3).sum == grand)
+    rows.groupBy(_._1).foreach { case (lang, cs) =>
+      assert(cs.map(_._3).sum == cs.head._4, s"row_total wrong for $lang")
+    }
+    rows.groupBy(_._2).foreach { case (src, cs) =>
+      assert(cs.map(_._3).sum == cs.head._5, s"col_total wrong for $src")
+    }
+    rows.foreach { case (l, sr, n, rt, ct, e, resid) =>
+      assert(math.abs(e - rt.toDouble * ct / grand) < 1e-9)
+      assert(math.abs(resid - (n - e) / math.sqrt(e)) < 1e-9, s"($l,$sr)")
+    }
+    // expected mass never exceeds the grand total, and equals it only
+    // when every (lang, source) combination is observed — the operator
+    // reports OBSERVED cells (structural zeros are reconstructible
+    // from the emitted marginals)
+    assert(rows.map(_._6).sum <= grand + 1e-6)
+  }
 }
