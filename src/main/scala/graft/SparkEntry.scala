@@ -3,7 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Bi, Etl, Hierarchy}
-import graft.ext.{Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.functions.RollingFingerprint.rolling_fingerprint
 import org.apache.spark.sql.functions.col
 
@@ -113,7 +113,15 @@ object SparkEntry {
     "q83_regional_revenue" -> (Bi.regionalRevenue _),
     "q84_above_avg_orders" -> (Bi.aboveAvgOrders _),
     "q85_gap_fill" -> (Events.gapFill _),
-    "q86_lang_source_independence" -> (TextAnalysis.langSourceIndependence _)
+    "q86_lang_source_independence" -> (TextAnalysis.langSourceIndependence _),
+    "q87_hll_distinct" -> (Sketches.hllDistinct _),
+    "q88_zorder_stats" -> (graft.etl.Layout.zorderStats _),
+    "q89_bm25" -> (TextAnalysis.bm25 _),
+    "q90_ewma" -> (Events.ewmaValue _),
+    "q91_triangles" -> (Dedup.triangleStats _),
+    "q92_value_percentiles" -> (Events.valuePercentiles _),
+    "q93_hour_regression" -> (Events.hourValueRegression _),
+    "q94_bloom_prefilter" -> (Bi.bloomPrefilterRevenue _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -218,6 +226,14 @@ object SparkEntry {
     "q83_regional_revenue" -> Bi.regionalRevenueSql,
     "q84_above_avg_orders" -> Bi.aboveAvgOrdersSql,
     "q85_gap_fill" -> Events.gapFillSql,
-    "q86_lang_source_independence" -> TextAnalysis.langSourceIndependenceSql
+    "q86_lang_source_independence" -> TextAnalysis.langSourceIndependenceSql,
+    "q87_hll_distinct" -> Sketches.hllDistinctSql,
+    "q88_zorder_stats" -> graft.etl.Layout.zorderStatsSql,
+    "q89_bm25" -> TextAnalysis.bm25Sql,
+    "q90_ewma" -> Events.ewmaValueSql,
+    "q91_triangles" -> Dedup.triangleStatsSql,
+    "q92_value_percentiles" -> Events.valuePercentilesSql,
+    "q93_hour_regression" -> Events.hourValueRegressionSql,
+    "q94_bloom_prefilter" -> Bi.bloomPrefilterRevenueSql
   )
 }

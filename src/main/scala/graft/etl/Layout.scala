@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-design intent the reference encodes only as comments
@@ -39,4 +39,65 @@ object Layout {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Bits per dimension for the Z-order curve (2·ZBits-bit z-value). */
+  val ZBits = 8
+
+  /** Morton/Z-order interleave of two ZBits-wide ints — the multi-
+    * dimensional clustering key date-partitioning (one dim) can't give:
+    * sorting by z keeps BOTH dimensions locally dense, so per-file
+    * min/max stats stay tight on either column and row-group skipping
+    * works for predicates on x, on y, or both. Pure codegen'd bit ops. */
+  def zValue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def zValueSql(x: String, y: String): String =
+    (0 until ZBits).map(i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) | (((($y) >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
+  /** Cluster a frame along the Z-curve of (x, y) — the write-side
+    * layout step: range-partition by z so each output file covers one
+    * compact z-run (a small rectangle in (x, y) space), then sort
+    * within partitions for row-group-level stats. */
+  def clusterByZ(df: DataFrame, x: Column, y: Column,
+      partitions: Int): DataFrame = {
+    val z = zValue(x, y)
+    df.repartitionByRange(partitions, z).sortWithinPartitions(z)
+  }
+
+  /** q88 — the skipping-bounds report that PROVES the z-layout works:
+    * bucket lineitem rows by the top 6 z-bits of
+    * (l_partkey mod 256, l_suppkey mod 256) — exactly the file grain
+    * clusterByZ produces — and report each bucket's (x, y) envelope.
+    * Every bucket spans at most 1/8 of EACH dimension's domain (a
+    * 32×32 tile), so a predicate on either column prunes ~7/8 of the
+    * files from min/max stats alone; a single-column sort would give
+    * tight x bounds but full-domain y bounds. LayoutSpec asserts the
+    * envelope bound; the oracle re-derives the same interleave. */
+  def zorderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    li.select(col("x"), col("y"),
+        shiftright(zValue(col("x"), col("y")), 10).as("zbucket"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("zbucket")
+  }
+
+  val zorderStatsSql: String =
+    s"""WITH xy AS (
+       |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+       |), z AS (
+       |  SELECT x, y, (${zValueSql("x", "y")}) >> 10 AS zbucket FROM xy
+       |)
+       |SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |       MIN(x) AS min_x, MAX(x) AS max_x,
+       |       MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
 }

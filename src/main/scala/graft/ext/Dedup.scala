@@ -783,4 +783,76 @@ object Dedup {
        |), v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
   }
+
+  /** q91 — triangle census of the verified near-dup graph (q29's
+    * edges): per node, its degree, triangle count, and local clustering
+    * coefficient 2·T/(deg·(deg−1)). High coefficients mean dup clusters
+    * are genuine cliques (one shared template); low ones mean chains of
+    * pairwise-similar drift — which changes whether q62's
+    * single-survivor policy is safe or loses content.
+    *
+    * Standard distributed triangle enumeration: edges are kept oriented
+    * (doc_a < doc_b, as q29 emits them), so each triangle x<y<z is
+    * found exactly once by joining (x,y)⋈(y,z) and probing (x,z) — two
+    * hash self-joins, no direction explosion. The edge list is
+    * localCheckpoint'd so the three probes reuse one materialization.
+    * At 100 TB-corpus dup-graph sizes the same plan shuffles on the
+    * join keys; the near-dup graph is sparse (bounded degree), so the
+    * wedge fan-out stays linear in edges. */
+  def triangleStats(spark: SparkSession, sfDir: String): DataFrame =
+    triangleStatsOn(ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** Triangle kernel over any oriented (doc_a < doc_b) edge list. */
+  def triangleStatsOn(edges: DataFrame): DataFrame = {
+    val pairs = edges.localCheckpoint()
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(pairs.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") &&
+          col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("x"), col("e1.doc_b").as("y"),
+        col("e2.doc_b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy("doc_id")
+  }
+
+  val triangleStatsSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM ($ngramJaccardPairsSql)
+       |), deg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs)
+       |  GROUP BY 1
+       |), tri AS (
+       |  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       |), pern AS (
+       |  SELECT v AS doc_id, COUNT(*) AS n_tri
+       |  FROM (SELECT unnest([x, y, z]) AS v FROM tri)
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id, d.degree,
+       |       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       |       CASE WHEN d.degree >= 2
+       |            THEN round(2.0 * COALESCE(p.n_tri, 0)::DOUBLE
+       |                       / (d.degree * (d.degree - 1))::DOUBLE, 6)
+       |            ELSE 0.0 END AS clustering_coeff
+       |FROM deg d LEFT JOIN pern p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

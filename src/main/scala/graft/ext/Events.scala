@@ -726,4 +726,139 @@ object Events {
       |FROM ch
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  /** The exact-percentile grid q92 reports per event type. */
+  val Percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** q92 — exact linear-interpolated percentiles of `value` per event
+    * type (index = p·(n-1), weighted lower/higher average — the
+    * definition both Spark's `percentile` and DuckDB's `quantile_cont`
+    * implement). Complements q49's fixed-width histogram and q77's IQR
+    * fences with the aggregate itself. Exact percentile sorts values
+    * within each group once for all five cut points (ONE agg, one
+    * shuffle on event_type); at 100 TB swap in approx_percentile's
+    * KLL-style sketch for the same call shape — this query pins the
+    * exact semantics that sketch is then judged against. */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("value"), lit(Percentiles.toArray)).as("ps"))
+      .select(col("event_type") +: col("n") +:
+        Percentiles.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("ps"), i + 1), 6)
+            .as(s"p${(p * 100).toInt}")
+        }: _*)
+      .orderBy("event_type")
+  }
+
+  val valuePercentilesSql: String = {
+    val cuts = Percentiles
+      .map(p => s"round(quantile_cont(value, $p), 6) AS p${(p * 100).toInt}")
+      .mkString(",\n      |       ")
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |       $cuts
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** q93 — least-squares regression of value on hour-of-day per event
+    * type, built from EXACT decimal moments (n, Σx, Σx², Σy, Σy², Σxy)
+    * the way q68 builds its dispersion stats: integer hours and
+    * DECIMAL(18,2) values sum exactly in any order, so slope,
+    * intercept, and correlation are deterministic on both engines with
+    * no float-accumulation drift — the moments-then-combine shape is
+    * also exactly how a regression runs distributed at 100 TB (partial
+    * moments map-side, one tiny combine). */
+  def hourValueRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        Tables.money(col("value")).as("y"))
+    val m = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sxx) = (col("sx").cast("double"), col("sxx").cast("double"))
+    val (sy, syy) = (col("sy").cast("double"), col("syy").cast("double"))
+    val sxy = col("sxy").cast("double")
+    val covn = n * sxy - sx * sy // n²·cov(x,y)
+    val varxn = n * sxx - sx * sx
+    val varyn = n * syy - sy * sy
+    m.select(col("event_type"), col("n"),
+        round(covn / varxn, 6).as("slope"),
+        round((sy - (covn / varxn) * sx) / n, 6).as("intercept"),
+        round(covn / sqrt(varxn * varyn), 6).as("r"))
+      .orderBy("event_type")
+  }
+
+  // moments cast to DOUBLE BEFORE the combine arithmetic, so the oracle
+  // executes the identical IEEE op sequence as the Spark side (a
+  // decimal-exact combine followed by one cast would differ in the last
+  // bits — harmless under round(6), but why leave it to tolerance)
+  val hourValueRegressionSql: String =
+    """WITH pts AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+      |         CAST(value AS DECIMAL(18,2)) AS y
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |         SUM(x) AS sx, SUM(x*x) AS sxx,
+      |         SUM(y) AS sy, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      |  FROM pts GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n, n::DOUBLE AS nd, sx::DOUBLE AS sx,
+      |         sxx::DOUBLE AS sxx, sy::DOUBLE AS sy, syy::DOUBLE AS syy,
+      |         sxy::DOUBLE AS sxy
+      |  FROM m
+      |)
+      |SELECT event_type, n,
+      |       round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
+      |       round((sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd, 6)
+      |         AS intercept,
+      |       round((nd*sxy - sx*sy)
+      |             / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r
+      |FROM d ORDER BY event_type""".stripMargin
+
+  /** EWMA decay factor: next = α·x + (1−α)·prev. */
+  val EwmaAlpha = 0.3
+
+  /** q90 — per-user exponentially weighted moving average over the
+    * (ts, event_id)-ordered value sequence, seeded with the first
+    * value. The recurrence is inherently sequential per key, so it
+    * runs as ONE ordered fold inside a per-user aggregate —
+    * `aggregate()` over a sorted array here, `list_reduce` in the
+    * oracle — with both engines executing the identical IEEE op
+    * sequence (the fold order is pinned by the sort), not a windowed
+    * rewrite like (1−α)^(−i) prefix sums that overflows past ~700
+    * steps. One shuffle on user_id; per-user state is O(1) beyond the
+    * collected sequence, and at 100 TB the same recurrence moves to
+    * mapGroups over a secondary-sorted iterator (no array at all). */
+  def ewmaValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val xs = sort_array(collect_list(
+      struct(col("ts"), col("event_id"), col("value"))))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), xs.as("seq"))
+      .select(col("user_id"), col("n"),
+        round(aggregate(
+          slice(transform(col("seq"), s => s("value")), lit(2),
+            greatest(size(col("seq")) - 1, lit(0))),
+          element_at(transform(col("seq"), s => s("value")), 1),
+          (acc, x) => lit(EwmaAlpha) * x + lit(1.0 - EwmaAlpha) * acc), 6)
+          .as("ewma"))
+      .orderBy("user_id")
+  }
+
+  val ewmaValueSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |         list(value ORDER BY ts, event_id) AS xs
+       |  FROM events GROUP BY user_id
+       |)
+       |SELECT user_id, n,
+       |       round(list_reduce(xs,
+       |         (acc, x) -> $EwmaAlpha::DOUBLE * x
+       |                     + ${1.0 - EwmaAlpha}::DOUBLE * acc), 6) AS ewma
+       |FROM s ORDER BY user_id""".stripMargin
 }

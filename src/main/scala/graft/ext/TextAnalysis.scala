@@ -824,4 +824,87 @@ object TextAnalysis {
        |       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
        |         / COUNT(*) AS boiler_fraction
        |FROM g JOIN df USING (ng) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BM25 constants (Robertson/Sparck Jones defaults) and the pinned
+    * keyword query the retrieval demo scores. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("spark", "join", "window")
+  val Bm25TopK = 20
+
+  /** q89 — BM25 keyword retrieval: score every document against the
+    * pinned query, return the top-20. Extends q45's integer TF-IDF
+    * ranking to the real scoring function (idf = ln(1+(N−df+0.5)/
+    * (df+0.5)), tf saturation k1, length normalization b).
+    *
+    * Plan shape: the token explode is filtered to the query terms
+    * BEFORE the (doc_id, tok) aggregation — the corpus shuffles only
+    * rows mentioning a query term, which is the inverted-index access
+    * pattern without materializing an index. Document lengths aggregate
+    * once; corpus N and avgdl ride a 1-row broadcast (the q73 scalar
+    * pattern). Final top-20 is TakeOrderedAndProject with doc_id
+    * tiebreak, never a full sort. */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).cache()
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val tf = toks.filter(col("tok").isin(Bm25Query: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    val nd = col("n_docs").cast("double")
+    val avgdl = col("total_dl").cast("double") / nd
+    val idf = log(lit(1.0) +
+      (nd - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val termScore = idf * (tfd * lit(Bm25K1 + 1.0)) /
+      (tfd + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+
+    tf.join(broadcast(docFreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScore.as("s"))
+      .groupBy("doc_id").agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+  }
+
+  val bm25Sql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM toks
+       |  WHERE length(tok) > 0 GROUP BY 1
+       |), stats AS (
+       |  SELECT COUNT(*)::DOUBLE AS nd,
+       |         SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+       |  FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ($terms) GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |         SUM(ln(1.0 + (s.nd - dfq.df::DOUBLE + 0.5)
+       |                       / (dfq.df::DOUBLE + 0.5))
+       |             * (tf.tf::DOUBLE * ${Bm25K1 + 1.0})
+       |             / (tf.tf::DOUBLE + $Bm25K1
+       |                * (${1.0 - Bm25B} + $Bm25B * dl.dl::DOUBLE / s.avgdl)))
+       |           AS score
+       |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats s
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, round(score, 6) AS bm25
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
 }

@@ -409,4 +409,55 @@ object Bi {
     Tables.registerAll(spark, sfDir)
     spark.sql(aboveAvgOrdersSql)
   }
+
+  /** Bloom pre-filter sizing: fixed params keep the filter's bit layout
+    * a pure function of the inserted key set. */
+  val BloomExpectedKeys = 100000L
+  val BloomFpp = 0.01
+
+  /** q94 — bloom-filter semi-join reduction: revenue per nation for
+    * BUILDING-segment customers, with the fact side pre-filtered by a
+    * Bloom filter built on the qualifying customer keys BEFORE the join.
+    *
+    * This is the runtime-filter pattern (Spark's InjectRuntimeFilter /
+    * the classic semi-join reduction) made explicit: at 100 TB the
+    * filtered dim is too big to broadcast as a hash relation with its
+    * payload, but its Bloom filter is ~1.2 bytes/key and broadcasts
+    * fine — the fact scan then drops ~4/5 of its rows map-side, before
+    * paying the shuffle. False positives are harmless (the real join
+    * removes them), false negatives can't happen, so the result is
+    * byte-identical to the plain join the oracle runs. The filter rides
+    * a broadcast variable + a scalar predicate — the one place a UDF
+    * earns its keep, since sketch membership has no builtin Column
+    * form. */
+  def bloomPrefilterRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val bf = cust.stat.bloomFilter("c_custkey", BloomExpectedKeys, BloomFpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val orders = Tables.load(spark, sfDir, "orders")
+      .filter(mightContain(col("o_custkey")))
+    orders
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.money(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val bloomPrefilterRevenueSql: String =
+    """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 }

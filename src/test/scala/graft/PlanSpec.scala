@@ -26,11 +26,13 @@ class PlanSpec extends SparkSpec {
     //    explode+agg in a second job — the scalar BNLJ is cheaper)
     //  - q81: composes q13's exact top-k as its ground truth, so it
     //    inherits the same NQueries-bounded broadcast
+    //  - q89: the 1-row (N, avgdl) corpus-stats broadcast, same scalar
+    //    shape as q73
     // Everything else must plan hash/sort-merge joins, and nothing may
     // ever plan an unbroadcast CartesianProduct.
     val boundedBroadcastOk = Set(
       "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement",
-      "q73_lm_score", "q81_ann_recall")
+      "q73_lm_score", "q81_ann_recall", "q89_bm25")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

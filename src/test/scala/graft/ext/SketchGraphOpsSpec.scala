@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.etl.Layout
+import graft.queries.Bi
+import org.apache.spark.sql.functions._
+
+/** Specs for the sketch / layout / retrieval / graph operators added in
+  * round 3: portable HLL (q87), Z-order layout (q88), BM25 (q89), EWMA
+  * (q90), triangle census (q91), exact percentiles (q92), moment
+  * regression (q93), and the bloom-prefiltered join (q94). */
+class SketchGraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll estimate lands within 3 standard errors of exact") {
+    // rse for m=256 is 1.04/sqrt(256) = 6.5%
+    val rows = Sketches.hllDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val relErr = r.getDouble(3)
+      assert(relErr < 3 * 0.065,
+        s"${r.getString(0)}: rel_err $relErr outside 3 rse")
+    }
+  }
+
+  test("z-order buckets are 32x32 tiles: tight bounds on BOTH dims") {
+    val rows = Layout.zorderStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getLong(2), r.getLong(3))
+      val (minY, maxY) = (r.getLong(4), r.getLong(5))
+      assert(maxX - minX < 32, s"bucket ${r.getLong(0)}: x spans $minX..$maxX")
+      assert(maxY - minY < 32, s"bucket ${r.getLong(0)}: y spans $minY..$maxY")
+    }
+  }
+
+  test("z-value interleaves bits exactly") {
+    val out = spark.range(1)
+      .select(Layout.zValue(lit(0b1010L), lit(0b0110L)).as("z"))
+      .head.getLong(0)
+    // x bits at even positions, y bits at odd: x=1010, y=0110 →
+    // z = sum(x_i·4^i) + 2·sum(y_i·4^i) = (64+4) + 2·(16+4) = 108
+    assert(out == 108L, s"z=$out")
+  }
+
+  test("bm25 returns the full top-k, descending, docs contain a term") {
+    val rows = TextAnalysis.bm25(spark, sf001).collect()
+    assert(rows.length == TextAnalysis.Bm25TopK)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "not score-descending")
+    val topIds = rows.map(_.getLong(0)).toSet
+    val withTerm = graft.Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id").isin(topIds.toSeq: _*))
+      .filter(TextAnalysis.Bm25Query
+        .map(t => lower(col("text")).contains(t)).reduce(_ || _))
+      .count()
+    assert(withTerm == TextAnalysis.Bm25TopK,
+      "every retrieved doc must contain a query term")
+  }
+
+  test("ewma matches a driver-side fold on one user") {
+    val ev = Events.loadEvents(spark, sf001)
+      .filter(col("user_id") === 1L)
+      .select(col("ts"), col("event_id"), col("value"))
+      .orderBy("ts", "event_id").collect().map(_.getDouble(2))
+    assume(ev.nonEmpty)
+    val expected = ev.reduce((acc, x) =>
+      Events.EwmaAlpha * x + (1.0 - Events.EwmaAlpha) * acc)
+    val got = Events.ewmaValue(spark, sf001)
+      .filter(col("user_id") === 1L).head.getDouble(2)
+    assert(math.abs(got - BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"got $got expected $expected")
+  }
+
+  test("triangle kernel counts a known graph exactly") {
+    // 4-clique on 1-4 plus a pendant 4-5: C(4,3)=4 triangles, each
+    // clique node in 3 of them; node 5 in none, degree 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.triangleStatsOn(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    assert(out(4L) == ((4L, 3L, 0.5)))
+    assert(out(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("percentiles are ordered and bracketed by min/max") {
+    val ev = Events.loadEvents(spark, sf001)
+    val (lo, hi) = ev.agg(min("value"), max("value")).as[(Double, Double)].head
+    Events.valuePercentiles(spark, sf001).collect().foreach { r =>
+      val ps = (2 to 6).map(r.getDouble)
+      assert(ps == ps.sorted, s"${r.getString(0)}: quantiles not monotone")
+      assert(ps.head >= lo - 1e-6 && ps.last <= hi + 1e-6)
+    }
+  }
+
+  test("moment regression recovers an exact line") {
+    // y = 2x + 1 exactly: slope 2, intercept 1, r = 1
+    val pts = (0 until 100)
+      .map(i => ("t", i.toLong, BigDecimal(2 * i + 1))).toDF("g", "x", "y")
+    val m = pts.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy")).head
+    val (n, sx, sxx) = (m.getLong(1).toDouble,
+      m.getLong(2).toDouble, m.getLong(3).toDouble)
+    val sy = m.getDecimal(4).doubleValue
+    val sxy = m.getDecimal(6).doubleValue
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - 2.0) < 1e-9)
+    // and the fixture query yields |r| <= 1 everywhere
+    Events.hourValueRegression(spark, sf001).collect().foreach { r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9,
+        s"${r.getString(0)}: r out of range")
+    }
+  }
+
+  test("bloom-prefiltered join equals the plain join") {
+    val plain = {
+      val cust = graft.Tables.load(spark, sf001, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val nation = graft.Tables.load(spark, sf001, "nation")
+      graft.Tables.load(spark, sf001, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(graft.Tables.money(col("o_totalprice")))
+            .cast("double").as("revenue"))
+    }
+    val got = Bi.bloomPrefilterRevenue(spark, sf001)
+    assert(got.except(plain).isEmpty && plain.except(got).isEmpty,
+      "bloom pre-filter must not change the join result")
+  }
+}
