@@ -121,7 +121,9 @@ object SparkEntry {
     "q91_triangles" -> (Dedup.triangleStats _),
     "q92_value_percentiles" -> (Events.valuePercentiles _),
     "q93_hour_regression" -> (Events.hourValueRegression _),
-    "q94_bloom_prefilter" -> (Bi.bloomPrefilterRevenue _)
+    "q94_bloom_prefilter" -> (Bi.bloomPrefilterRevenue _),
+    "q95_daily_unpivot" -> (Events.dailyUnpivot _),
+    "q96_priority_sets" -> (Bi.prioritySets _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -234,6 +236,8 @@ object SparkEntry {
     "q91_triangles" -> Dedup.triangleStatsSql,
     "q92_value_percentiles" -> Events.valuePercentilesSql,
     "q93_hour_regression" -> Events.hourValueRegressionSql,
-    "q94_bloom_prefilter" -> Bi.bloomPrefilterRevenueSql
+    "q94_bloom_prefilter" -> Bi.bloomPrefilterRevenueSql,
+    "q95_daily_unpivot" -> Events.dailyUnpivotSql,
+    "q96_priority_sets" -> Bi.prioritySetsSql
   )
 }

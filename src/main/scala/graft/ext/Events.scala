@@ -257,6 +257,34 @@ object Events {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  /** q95 — unpivot/melt: q41's wide daily matrix back to long
+    * (day, event_type, n) form — the inverse reshape, completing the
+    * pivot family. `unpivot` is a Generate-style row fan-out (5 rows
+    * per input row here), no shuffle at all on top of the pivot it
+    * consumes; zero cells survive the round trip (the pivot
+    * materialized them), which is exactly what downstream dense models
+    * want and what the oracle's calendar×type scaffold rebuilds. */
+  def dailyUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = dailyPivot(spark, sfDir)
+    wide.unpivot(Array(col("day")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .orderBy("day", "event_type")
+  }
+
+  val dailyUnpivotSql: String = {
+    val types = EventTypes.map(t => s"('$t')").mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+       |types(event_type) AS (VALUES $types)
+       |SELECT d.day, t.event_type,
+       |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+       |FROM days d CROSS JOIN types t
+       |LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+       |ORDER BY d.day, t.event_type""".stripMargin
+  }
+
   /** q44 — hot-key join under explicit salting (graft.etl.Skew): events
     * join a 5-row event-type dim, the worst-case skew shape (every row
     * shares 5 keys). `saltedJoin` spreads each hot key across 8

@@ -451,6 +451,35 @@ object Bi {
       .orderBy("n_name")
   }
 
+  /** q96 — explicit GROUPING SETS: ((year, priority), (year),
+    * (priority)) — the general form q42's ROLLUP and q66's CUBE are
+    * special cases of, and one NEITHER can express (a rollup never
+    * keeps (priority) without (year, priority)'s parent chain ending
+    * in (); a cube would add () and nothing here wants the grand
+    * total). Catalyst plans it as ONE Expand (3 replicas per row,
+    * only the requested sets) + a single hash aggregate — same
+    * one-pass shape as rollup, no third scan. Aggregated-away cells
+    * coalesce to sentinels (-1 / 'ALL'); both grouping columns are
+    * non-null in the fixture, so no GROUPING() disambiguation is
+    * needed (q66 shows that form). Runs as the IDENTICAL SQL text on
+    * both engines. */
+  def prioritySets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(prioritySetsSql)
+  }
+
+  val prioritySetsSql: String =
+    """WITH g AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderpriority AS p,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders
+      |  GROUP BY GROUPING SETS ((y, p), (y), (p))
+      |)
+      |SELECT COALESCE(y, -1) AS order_year, COALESCE(p, 'ALL') AS priority,
+      |       n_orders, CAST(rev AS DOUBLE) AS revenue
+      |FROM g ORDER BY order_year, priority""".stripMargin
+
   val bloomPrefilterRevenueSql: String =
     """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -119,6 +119,30 @@ class SketchGraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("unpivot is the exact inverse reshape of the pivot") {
+    val long = Events.dailyUnpivot(spark, sf001)
+    assert(long.agg(sum("n")).head.getLong(0) ==
+      Events.loadEvents(spark, sf001).count(),
+      "melted cells must cover every event exactly once")
+    val nDays = Events.dailyPivot(spark, sf001).count()
+    assert(long.count() == nDays * Events.EventTypes.size,
+      "one row per (day, type) including zero cells")
+  }
+
+  test("grouping sets: marginals are consistent with the full cells") {
+    val g = Bi.prioritySets(spark, sf001).cache()
+    val full = g.filter(col("order_year") =!= -1 && col("priority") =!= "ALL")
+    val byYear = g.filter(col("order_year") =!= -1 && col("priority") === "ALL")
+    val byPrio = g.filter(col("order_year") === -1)
+    assert(full.agg(sum("n_orders")).head.getLong(0) ==
+      byYear.agg(sum("n_orders")).head.getLong(0))
+    assert(full.agg(sum("n_orders")).head.getLong(0) ==
+      byPrio.agg(sum("n_orders")).head.getLong(0))
+    // no grand-total row: this set shape is not a rollup or a cube
+    assert(g.filter(col("order_year") === -1 && col("priority") === "ALL")
+      .count() == 0)
+  }
+
   test("bloom-prefiltered join equals the plain join") {
     val plain = {
       val cust = graft.Tables.load(spark, sf001, "customer")
