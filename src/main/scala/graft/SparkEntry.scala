@@ -123,7 +123,9 @@ object SparkEntry {
     "q93_hour_regression" -> (Events.hourValueRegression _),
     "q94_bloom_prefilter" -> (Bi.bloomPrefilterRevenue _),
     "q95_daily_unpivot" -> (Events.dailyUnpivot _),
-    "q96_priority_sets" -> (Bi.prioritySets _)
+    "q96_priority_sets" -> (Bi.prioritySets _),
+    "q97_bpe_encode" -> (TextAnalysis.bpeEncode _),
+    "q98_logit_quality" -> (TextAnalysis.logitQuality _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -238,6 +240,8 @@ object SparkEntry {
     "q93_hour_regression" -> Events.hourValueRegressionSql,
     "q94_bloom_prefilter" -> Bi.bloomPrefilterRevenueSql,
     "q95_daily_unpivot" -> Events.dailyUnpivotSql,
-    "q96_priority_sets" -> Bi.prioritySetsSql
+    "q96_priority_sets" -> Bi.prioritySetsSql,
+    "q97_bpe_encode" -> TextAnalysis.bpeEncodeSql,
+    "q98_logit_quality" -> TextAnalysis.logitQualitySql
   )
 }

@@ -662,6 +662,15 @@ object TextAnalysis {
 
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    trainMerges(spark, sfDir)
+      .toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The training loop itself, returning the learned merge table as
+    * plain data so q97's encoder can fold it into its plan. */
+  def trainMerges(spark: SparkSession,
+      sfDir: String): Seq[(Long, String, String, Long)] = {
     val docs = Tables.load(spark, sfDir, "documents")
     var words = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
@@ -695,8 +704,7 @@ object TextAnalysis {
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "merge_left", "merge_right", "pair_count")
-      .orderBy("merge_rank")
+    merges.toSeq
   }
 
   val bpeTrainSql: String = {
@@ -733,6 +741,137 @@ object TextAnalysis {
        |       merge_right, pair_count
        |FROM ($out)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q97 — BPE ENCODE: apply q82's learned merge table to the corpus
+    * and report each document's subword token count and compression
+    * (chars per token) — the inference half of the tokenizer loop, the
+    * step that actually runs over 100 TB when a corpus is tokenized.
+    *
+    * The scalable trick: encode the DISTINCT-WORD DICTIONARY, not the
+    * corpus — merges apply to each unique word once (the dictionary is
+    * corpus-size-independent-ish), and documents then join word →
+    * symbol-count through a broadcast. Merges fold into the plan in
+    * rank order as literal `replace` steps over the same double-space
+    * symbol encoding training used (leftmost non-overlapping in both
+    * engines), so encode is exactly inverse-consistent with training.
+    * One explode + one broadcast join + one (doc_id) agg. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainMerges(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val words = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dict0 = words.select("w").distinct()
+      .select(col("w"),
+        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("s"))
+    val dict = merges.foldLeft(dict0) { case (d, (_, a, b, _)) =>
+      d.withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }.select(col("w"), size(split(trim(col("s")), " +")).cast("long").as("n_sym"))
+    words.join(broadcast(dict), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the training CTE chain re-generated with the word key
+    * carried through every round, then the same dictionary join. */
+  val bpeEncodeSql: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a, b, SUM(cnt) AS c FROM (
+         |    SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b, cnt
+         |    FROM (SELECT string_split_regex(trim(s), ' +') AS t, cnt FROM w${k - 1})
+         |    WHERE len(t) >= 2
+         |  ) GROUP BY 1, 2
+         |), m$k AS MATERIALIZED (
+         |  SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1
+         |), w$k AS MATERIALIZED (
+         |  SELECT w, replace(s,
+         |    ' ' || (SELECT a FROM m$k) || '  ' || (SELECT b FROM m$k) || ' ',
+         |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s, cnt
+         |  FROM w${k - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w
+       |), w0 AS MATERIALIZED (
+       |  SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt
+       |  FROM wd
+       |),
+       |$rounds,
+       |enc AS (
+       |  SELECT w, CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT)
+       |           AS n_sym
+       |  FROM w$BpeRounds
+       |), occ AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0
+       |), per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM occ JOIN enc USING (w) GROUP BY doc_id
+       |)
+       |SELECT p.doc_id, p.n_words, p.n_bpe_tokens,
+       |       round(d.n_chars::DOUBLE / p.n_bpe_tokens::DOUBLE, 6)
+       |         AS chars_per_token
+       |FROM per p JOIN documents d USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
+  /** Fixed logistic weights for q98 — a stand-in for a published
+    * fastText-style quality classifier's head: favors stopword-bearing,
+    * moderately long documents. Inference-side semantics are what the
+    * operator pins; swap the constants for real trained weights. */
+  val LogitW0 = -2.0
+  val LogitWLogTokens = 0.35
+  val LogitWAvgLen = 0.1
+  val LogitWStopword = 6.0
+
+  /** q98 — model scoring at scale: a logistic-regression head over the
+    * q16 text features, computed row-local (score = σ(w·x)) with NO
+    * cross-row reduction — the embarrassing-parallel inference shape
+    * that dominates 100 TB curation runs (classifier filtering). The
+    * whole thing is one scan, codegen'd end to end; the only shuffle
+    * is the output sort. Weights are plan literals here; a real model
+    * would broadcast them identically. */
+  def logitQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(lower(col("text")), "\\s+")
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nStop = regexp_count(lower(col("text")),
+      lit(markerRegex(englishStopwords))).cast("long")
+    val z = lit(LogitW0) +
+      lit(LogitWLogTokens) * log(nTokens.cast("double")) +
+      lit(LogitWAvgLen) * (nChars.cast("double") / nTokens.cast("double")) +
+      lit(LogitWStopword) * (nStop.cast("double") / nTokens.cast("double"))
+    docs.select(col("doc_id"), round(z, 6).as("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_keep"),
+        (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val logitQualitySql: String = {
+    val stopRe = markerRegex(englishStopwords)
+    val z = s"""$LogitW0 + $LogitWLogTokens * ln(len(string_split_regex(lower(text), '\\s+'))::DOUBLE)
+       |    + $LogitWAvgLen * (length(text)::DOUBLE / len(string_split_regex(lower(text), '\\s+'))::DOUBLE)
+       |    + $LogitWStopword * (len(regexp_extract_all(lower(text), '$stopRe'))::DOUBLE
+       |                         / len(string_split_regex(lower(text), '\\s+'))::DOUBLE)""".stripMargin
+    s"""SELECT doc_id,
+       |  round($z, 6) AS logit,
+       |  round(1.0 / (1.0 + exp(-($z))), 6) AS p_keep,
+       |  (1.0 / (1.0 + exp(-($z))) >= 0.5) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   /** q73 — unigram-LM quality scoring (the CCNet/Gopher "perplexity

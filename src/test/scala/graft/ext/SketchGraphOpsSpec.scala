@@ -143,6 +143,29 @@ class SketchGraphOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("bpe encode: merges only ever shrink the char-level tokenization") {
+    val enc = TextAnalysis.bpeEncode(spark, sf001).cache()
+    // per doc: n_words <= n_bpe_tokens <= total non-space chars
+    val letters = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nl"))
+    val joined = enc.join(letters, Seq("doc_id")).cache()
+    assert(joined.filter(col("n_bpe_tokens") < col("n_words")).count() == 0)
+    assert(joined.filter(col("n_bpe_tokens") > col("nl")).count() == 0)
+    // the 8 learned merges must actually fire: strictly fewer tokens
+    // than the char-level baseline somewhere
+    assert(joined.filter(col("n_bpe_tokens") < col("nl")).count() > 0,
+      "no merge ever applied")
+  }
+
+  test("logit scores are proper probabilities consistent with the gate") {
+    TextAnalysis.logitQuality(spark, sf001).collect().foreach { r =>
+      val p = r.getDouble(2)
+      assert(p > 0.0 && p < 1.0, s"p_keep $p out of range")
+      assert(r.getBoolean(3) == (p >= 0.5), "keep flag inconsistent")
+    }
+  }
+
   test("bloom-prefiltered join equals the plain join") {
     val plain = {
       val cust = graft.Tables.load(spark, sf001, "customer")
