@@ -125,7 +125,9 @@ object SparkEntry {
     "q95_daily_unpivot" -> (Events.dailyUnpivot _),
     "q96_priority_sets" -> (Bi.prioritySets _),
     "q97_bpe_encode" -> (TextAnalysis.bpeEncode _),
-    "q98_logit_quality" -> (TextAnalysis.logitQuality _)
+    "q98_logit_quality" -> (TextAnalysis.logitQuality _),
+    "q99_cms_heavy_hitters" -> (Sketches.cmsHeavyHitters _),
+    "q100_interval_overlap" -> (Events.sessionIncidentOverlap _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -242,6 +244,8 @@ object SparkEntry {
     "q95_daily_unpivot" -> Events.dailyUnpivotSql,
     "q96_priority_sets" -> Bi.prioritySetsSql,
     "q97_bpe_encode" -> TextAnalysis.bpeEncodeSql,
-    "q98_logit_quality" -> TextAnalysis.logitQualitySql
+    "q98_logit_quality" -> TextAnalysis.logitQualitySql,
+    "q99_cms_heavy_hitters" -> Sketches.cmsHeavyHittersSql,
+    "q100_interval_overlap" -> Events.sessionIncidentOverlapSql
   )
 }

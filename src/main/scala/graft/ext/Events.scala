@@ -878,6 +878,96 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Grid geometry for the interval-overlap join: 30-minute cells, and
+    * incidents extend 10 minutes past their error event. */
+  val OverlapGridUs = 1800000000L
+  val IncidentLenUs = 600000000L
+
+  /** q100 — INTERVAL × INTERVAL overlap join: each user session
+    * (q20's 30-minute-gap windows, half-open [start, last+gap)) joined
+    * to the same user's error incidents ([ts, ts+10min)), reporting
+    * per session the overlapping-incident count and total overlapped
+    * time. Completes the join family past q38's as-of and q55's
+    * point-in-interval.
+    *
+    * Spark has no native interval join, and a raw theta join would plan
+    * BNLJ — the scalable composition is GRID BUCKETING on both sides:
+    * explode each interval to the 30-min cells it covers, hash-join on
+    * (user_id, cell) — pure equi-join — dedup pairs that met in
+    * several cells, and verify the exact overlap predicate afterwards
+    * (cells only prune). Fan-out is bounded: len/grid + 2 cells per
+    * interval. The oracle runs DuckDB's native theta join — an
+    * independent algorithm, same rows. */
+  def sessionIncidentOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val G = OverlapGridUs
+    val sess = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s0"),
+        unix_micros(col("w.end")).as("s1"))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("i0"),
+        (unix_micros(col("ts")) + IncidentLenUs).as("i1"))
+    val sessB = sess.withColumn("cell",
+      explode(sequence(expr(s"s0 div $G"), expr(s"(s1 - 1) div $G"))))
+    val incB = inc.withColumn("cell",
+      explode(sequence(expr(s"i0 div $G"), expr(s"(i1 - 1) div $G"))))
+    val pairs = sessB.join(incB, Seq("user_id", "cell"))
+      .filter(col("s0") < col("i1") && col("i0") < col("s1"))
+      .select(col("user_id"), col("s0"), col("s1"),
+        col("event_id"), col("i0"), col("i1"))
+      .distinct()
+    val agg = pairs.groupBy("user_id", "s0")
+      .agg(count(lit(1)).as("n_incidents"),
+        sum(least(col("s1"), col("i1")) - greatest(col("s0"), col("i0")))
+          .as("overlap_us"))
+    sess.join(agg, Seq("user_id", "s0"), "left")
+      .select(col("user_id"), timestamp_micros(col("s0")).as("session_start"),
+        coalesce(col("n_incidents"), lit(0L)).as("n_incidents"),
+        coalesce(col("overlap_us"), lit(0L)).as("overlap_us"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val sessionIncidentOverlapSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts,
+       |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                   >= INTERVAL 30 MINUTE
+       |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |), grp AS (
+       |  SELECT user_id, ts,
+       |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |             ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM marked
+       |), sess AS (
+       |  -- s1 = last event + the 30-min session GAP (Spark's exclusive
+       |  -- session_window end); 1800000000 µs is the gap, which only
+       |  -- coincidentally equals the grid cell size
+       |  SELECT user_id, epoch_us(MIN(ts)) AS s0,
+       |         epoch_us(MAX(ts)) + 1800000000 AS s1
+       |  FROM grp GROUP BY user_id, session_id
+       |), inc AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS i0,
+       |         epoch_us(ts) + $IncidentLenUs AS i1
+       |  FROM events WHERE event_type = 'error'
+       |), agg AS (
+       |  SELECT s.user_id, s.s0, CAST(COUNT(*) AS BIGINT) AS n_incidents,
+       |         CAST(SUM(LEAST(s.s1, i.i1) - GREATEST(s.s0, i.i0)) AS BIGINT)
+       |           AS overlap_us
+       |  FROM sess s JOIN inc i
+       |    ON s.user_id = i.user_id AND s.s0 < i.i1 AND i.i0 < s.s1
+       |  GROUP BY 1, 2
+       |)
+       |SELECT s.user_id, make_timestamp(s.s0) AS session_start,
+       |       COALESCE(a.n_incidents, 0) AS n_incidents,
+       |       COALESCE(a.overlap_us, 0) AS overlap_us
+       |FROM sess s LEFT JOIN agg a ON s.user_id = a.user_id AND s.s0 = a.s0
+       |ORDER BY s.user_id, session_start""".stripMargin
+
   val ewmaValueSql: String =
     s"""WITH s AS (
        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,

@@ -48,29 +48,43 @@ object Sketches {
     s"CASE $cases ELSE 33 END"
   }
 
-  /** q87 — distinct users per event_type, exact vs the portable HLL,
-    * with the relative error the 6.5%-rse sketch actually achieved. */
-  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = HllBuckets
-    // loadEvents, not Tables.load: the events parquet is TIMESTAMP(NANOS)
-    // and needs the legacy nanosAsLong conf even when ts isn't selected
-    val ev = Events.loadEvents(spark, sfDir)
-      .select(col("event_type"), col("user_id"))
-    val h = md5(col("user_id").cast("string"))
-    val hashed = ev.select(col("event_type"),
-      conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+  /** The mergeable core: (group, bucket) → MAX(rho) register rows.
+    * Works identically on a batch frame and a streaming one (it is a
+    * plain groupBy-MAX), which is how StreamJobs runs a live distinct
+    * count: registers update monotonically as events arrive. */
+  def hllRegisters(df: DataFrame, group: String, key: String): DataFrame = {
+    val h = md5(col(key).cast("string"))
+    df.select(col(group), conv(substring(h, 1, 2), 16, 10)
+        .cast("int").as("bucket"),
       conv(substring(h, 3, 8), 16, 10).cast("long").as("v"))
-    val regs = hashed.groupBy("event_type", "bucket")
+      .groupBy(group, "bucket")
       .agg(max(rhoCol(col("v"))).as("reg"))
+  }
+
+  /** Register table → per-group estimate (raw harmonic mean + the
+    * small-range linear-counting correction). */
+  def hllEstimate(regs: DataFrame, group: String): DataFrame = {
+    val m = HllBuckets
     val raw = lit(HllAlpha * m * m) /
       (col("s") + (lit(m) - col("b")).cast("double"))
-    val est = regs.groupBy("event_type")
+    regs.groupBy(group)
       .agg(sum(pow(lit(2.0), -col("reg"))).as("s"), count(lit(1)).as("b"))
-      .select(col("event_type"),
+      .select(col(group),
         when(raw <= lit(2.5 * m) && col("b") < m,
           lit(m.toDouble) * log(lit(m.toDouble) /
             (lit(m) - col("b")).cast("double")))
           .otherwise(raw).as("est"))
+  }
+
+  /** q87 — distinct users per event_type, exact vs the portable HLL,
+    * with the relative error the 6.5%-rse sketch actually achieved. */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    // loadEvents, not Tables.load: the events parquet is TIMESTAMP(NANOS)
+    // and needs the legacy nanosAsLong conf even when ts isn't selected
+    val ev = Events.loadEvents(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val est = hllEstimate(
+      hllRegisters(ev, "event_type", "user_id"), "event_type")
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"))
     exact.join(est, Seq("event_type"))
@@ -111,5 +125,79 @@ object Sketches {
        |       round(abs(e.est - x.n_exact) / x.n_exact, 6) AS rel_err
        |FROM ex x JOIN est e ON x.event_type = e.event_type
        |ORDER BY x.event_type""".stripMargin
+  }
+
+  /** Count-min geometry: d=4 hash rows × w=256 counters. Error bound:
+    * overestimate ≤ e/w · total ≈ 1% of stream mass w.h.p. */
+  val CmsRows = 4
+  val CmsWidth = 256
+  val CmsTopK = 10
+
+  private def cmsBucket(r: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** q99 — count-min sketch over the token stream: estimate the
+    * frequencies of the exact top-10 tokens from a d×w counter table
+    * and report each overestimate (CMS never underestimates — the
+    * integer gap IS the collision mass, so both engines agree exactly;
+    * no floats anywhere).
+    *
+    * Same portable-sketch discipline as q87: buckets derive from md5,
+    * so the DuckDB oracle rebuilds the identical table. Counters merge
+    * by SUM (shards/days sketch independently), and the sketch build
+    * rides the (tok, cnt) aggregate the exact twin needs anyway — at
+    * 100 TB the sketch's d·w counters replace the vocabulary-sized
+    * frequency table wherever only heavy hitters matter. */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val cms = (0 until CmsRows)
+      .map(r => tf.select(lit(r).as("r"),
+        cmsBucket(r, col("tok")).as("b"), col("cnt")))
+      .reduce(_ union _)
+      .groupBy("r", "b").agg(sum("cnt").as("c"))
+    val top = tf.orderBy(col("cnt").desc, col("tok")).limit(CmsTopK)
+    val probes = top.select(col("tok"), col("cnt"),
+      explode(array((0 until CmsRows).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("b"))): _*)).as("p"))
+      .select(col("tok"), col("cnt"), col("p.r").as("r"), col("p.b").as("b"))
+    probes.join(cms, Seq("r", "b"))
+      .groupBy("tok")
+      .agg(max("cnt").as("exact_cnt"), min("c").as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val cmsHeavyHittersSql: String = {
+    val bucket = (r: Int, t: String) =>
+      s"('0x'||substr(md5('$r:'||$t),1,8))::BIGINT % $CmsWidth"
+    val rows = (0 until CmsRows)
+      .map(r => s"SELECT ${bucket(r, "tok")} AS b, $r AS r, cnt FROM tf")
+      .mkString(" UNION ALL ")
+    val probes = (0 until CmsRows)
+      .map(r => s"SELECT tok, cnt, $r AS r, ${bucket(r, "tok")} AS b FROM top")
+      .mkString(" UNION ALL ")
+    s"""WITH tf AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY tok
+       |), cms AS (
+       |  SELECT r, b, SUM(cnt) AS c FROM ($rows) GROUP BY 1, 2
+       |), top AS (
+       |  SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT $CmsTopK
+       |), probes AS ($probes)
+       |SELECT p.tok, MAX(p.cnt) AS exact_cnt,
+       |       CAST(MIN(c.c) AS BIGINT) AS cms_est,
+       |       CAST(MIN(c.c) - MAX(p.cnt) AS BIGINT) AS overestimate
+       |FROM probes p JOIN cms c ON p.r = c.r AND p.b = c.b
+       |GROUP BY p.tok
+       |ORDER BY exact_cnt DESC, p.tok""".stripMargin
   }
 }

@@ -76,6 +76,17 @@ object StreamJobs {
     (df.sparkSession.table(name), q)
   }
 
+  /** Live distinct-user counting via the portable HLL's register table
+    * (graft.ext.Sketches): a plain streaming groupBy-MAX over
+    * (event_type, bucket), so state is FIXED at |types|·256 rows no
+    * matter how many events or users flow through — the streaming
+    * distinct-count shape that never grows. Registers are monotone
+    * (MAX), so Update mode emits only buckets that actually rose;
+    * replayed to completion the table equals the batch registers
+    * bit-for-bit and feeds the same Sketches.hllEstimate. */
+  def hllUserRegisters(events: DataFrame): DataFrame =
+    graft.ext.Sketches.hllRegisters(events, "event_type", "user_id")
+
   /** Streaming exact-dedup: drops repeats of `event_id` arriving within
     * the watermark horizon — the streaming face of Dedup.exact. State is
     * bounded BY the watermark (dropDuplicatesWithinWatermark evicts ids

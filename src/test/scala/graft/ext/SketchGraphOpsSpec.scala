@@ -143,6 +143,26 @@ class SketchGraphOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("count-min never underestimates, and is tight on heavy hitters") {
+    val rows = Sketches.cmsHeavyHitters(spark, sf001).collect()
+    assert(rows.length == Sketches.CmsTopK)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"${r.getString(0)}: CMS underestimated")
+      assert(over == est - exact)
+    }
+  }
+
+  test("interval overlap: bounded by session length and incident count") {
+    val out = Events.sessionIncidentOverlap(spark, sf001).cache()
+    assert(out.filter(col("n_incidents") > 0).count() > 0,
+      "error incidents must overlap some session")
+    assert(out.filter(col("overlap_us") < 0).count() == 0)
+    assert(out.filter(
+      col("overlap_us") > col("n_incidents") * Events.IncidentLenUs)
+      .count() == 0, "per-incident overlap cannot exceed the incident")
+  }
+
   test("bpe encode: merges only ever shrink the char-level tokenization") {
     val enc = TextAnalysis.bpeEncode(spark, sf001).cache()
     // per doc: n_words <= n_bpe_tokens <= total non-space chars

@@ -30,6 +30,24 @@ class StreamJobsSpec extends SparkSpec {
     assert(got == want, s"stream/batch drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
   }
 
+  test("streaming HLL registers replay to the batch register table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.hllUserRegisters(stream), "hll_test", OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val want = graft.ext.Sketches.hllRegisters(
+      Events.loadEvents(spark, sf001), "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"register drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    // fixed state: at most |types| x 256 register rows, ever
+    assert(got.size <= Events.EventTypes.size * graft.ext.Sketches.HllBuckets)
+  }
+
   test("event-time timeouts close sessions as the watermark advances") {
     // stage the fixture as TWO time-ordered files so AvailableNow +
     // maxFilesPerTrigger=1 runs two micro-batches: batch 1 sets the
