@@ -861,7 +861,8 @@ object Events {
     * rewrite like (1−α)^(−i) prefix sums that overflows past ~700
     * steps. One shuffle on user_id; per-user state is O(1) beyond the
     * collected sequence, and at 100 TB the same recurrence moves to
-    * mapGroups over a secondary-sorted iterator (no array at all). */
+    * the array-free sorted-iterator pass below ([[ewmaValueStreaming]],
+    * spec-pinned bit-equal). */
   def ewmaValue(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = loadEvents(spark, sfDir)
     val xs = sort_array(collect_list(
@@ -967,6 +968,51 @@ object Events {
        |       COALESCE(a.overlap_us, 0) AS overlap_us
        |FROM sess s LEFT JOIN agg a ON s.user_id = a.user_id AND s.s0 = a.s0
        |ORDER BY s.user_id, session_start""".stripMargin
+
+  /** The array-free EWMA the q90 Scaladoc promises for 100 TB: hash-
+    * repartition by user, secondary-sort within partitions on
+    * (user_id, ts, event_id), and run the recurrence over the sorted
+    * iterator in one `mapPartitions` pass — per-user state is a single
+    * accumulator, no collected sequence, so a user with a billion
+    * events costs O(1) memory. Same op order as the fold, so
+    * EwmaSpec pins bit-equality against q90. */
+  def ewmaValueStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = loadEvents(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "tsu", "event_id")
+      .as[(Long, Long, Long, Double)]
+    ev.mapPartitions { it =>
+      new Iterator[(Long, Long, Double)] {
+        private var cur: Option[(Long, Long, Double)] = None // uid, n, acc
+        private var pending: Option[(Long, Long, Double)] = None
+        private def roll(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val (uid, _, _, v) = it.next()
+            cur match {
+              case Some((u, n, acc)) if u == uid =>
+                cur = Some((u, n + 1,
+                  EwmaAlpha * v + (1.0 - EwmaAlpha) * acc))
+              case Some(done) =>
+                pending = Some(done); cur = Some((uid, 1L, v))
+              case None => cur = Some((uid, 1L, v))
+            }
+          }
+          if (pending.isEmpty && !it.hasNext && cur.isDefined) {
+            pending = cur; cur = None
+          }
+        }
+        def hasNext: Boolean = { roll(); pending.isDefined }
+        def next(): (Long, Long, Double) = {
+          roll(); val r = pending.get; pending = None; r
+        }
+      }
+    }.toDF("user_id", "n", "ewma_raw")
+      .select(col("user_id"), col("n"), round(col("ewma_raw"), 6).as("ewma"))
+      .orderBy("user_id")
+  }
 
   val ewmaValueSql: String =
     s"""WITH s AS (

@@ -73,6 +73,14 @@ class SketchGraphOpsSpec extends SparkSpec {
       s"got $got expected $expected")
   }
 
+  test("array-free mapPartitions EWMA equals the fold formulation") {
+    val a = Events.ewmaValue(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Events.ewmaValueStreaming(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, s"drift: ${(a diff b).take(3)} vs ${(b diff a).take(3)}")
+  }
+
   test("triangle kernel counts a known graph exactly") {
     // 4-clique on 1-4 plus a pendant 4-5: C(4,3)=4 triangles, each
     // clique node in 3 of them; node 5 in none, degree 1
