@@ -28,11 +28,13 @@ class PlanSpec extends SparkSpec {
     //    inherits the same NQueries-bounded broadcast
     //  - q89: the 1-row (N, avgdl) corpus-stats broadcast, same scalar
     //    shape as q73
+    //  - q76: the 1-row string-min/max side agg crossed back into the
+    //    1-row distinct-count agg (both sides constant-bounded)
     // Everything else must plan hash/sort-merge joins, and nothing may
     // ever plan an unbroadcast CartesianProduct.
     val boundedBroadcastOk = Set(
       "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement",
-      "q73_lm_score", "q81_ann_recall", "q89_bm25")
+      "q73_lm_score", "q76_profile", "q81_ann_recall", "q89_bm25")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
