@@ -34,6 +34,21 @@ class SketchGraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("z-value matches a reference bit-interleave on 256 random pairs") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(256)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    def ref(x: Long, y: Long): Long =
+      (0 until Layout.ZBits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((x, y), z) =>
+      assert(z == ref(x, y), s"($x, $y): got $z want ${ref(x, y)}")
+    }
+  }
+
   test("z-value interleaves bits exactly") {
     val out = spark.range(1)
       .select(Layout.zValue(lit(0b1010L), lit(0b0110L)).as("z"))
