@@ -166,6 +166,41 @@ object Events {
       .orderBy("view_event_id")
   }
 
+  /** The cogroup-tier as-of join: the same semantics as q38, but as the
+    * per-key merge a native engine would run — `cogroup` shuffles each
+    * side ONCE on user_id and hands both iterators to a two-pointer
+    * merge (clicks sorted, views sorted, advance in lockstep) with O(1)
+    * state beyond the sorted buffers. This is the shape to reach for
+    * when the union+window trick can't express the semantics (e.g.
+    * per-pair custom logic); EventsSpec pins it row-equal to q38.
+    * At 100 TB: two co-partitioned shuffles, no window state. */
+  def asofJoinCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = loadEvents(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id")).as[(Long, Long, Long)]
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id")).as[(Long, Long, Long)]
+    views.groupByKey(_._1).cogroup(clicks.groupByKey(_._1)) {
+      (uid, vs, cs) =>
+        // per-click dedup to max event_id at the same ts (q38's tie rule)
+        val cl = cs.toArray.groupBy(_._2).view
+          .mapValues(_.map(_._3).max).toArray.sortBy(_._1)
+        val vo = vs.toArray.sortBy(v => (v._2, v._3))
+        var i = 0
+        var lastClick: java.lang.Long = null
+        vo.iterator.map { case (_, vts, vid) =>
+          while (i < cl.length && cl(i)._1 <= vts) {
+            lastClick = cl(i)._2; i += 1
+          }
+          (vid, uid, Option(lastClick).map(Long.unbox))
+        }
+    }.toDF("view_event_id", "user_id", "asof_click_id")
+      .orderBy("view_event_id")
+  }
+
   /** q40 — per-user event-to-event deltas via LAG over a PARTITIONED
     * window (each user's history sorts inside its own partition — no
     * global window, scales with user count): seconds since the previous

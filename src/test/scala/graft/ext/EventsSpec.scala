@@ -113,4 +113,13 @@ class EventsSpec extends SparkSpec {
     assert(got(201L).contains(101L), "same-timestamp click counts as at-or-before")
     assert(got(202L).isEmpty, "no click for user 2 -> null")
   }
+
+  test("cogroup as-of join is row-equal to the window formulation") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long](2)))).toSet
+    val a = key(Events.asofJoin(spark, sf001))
+    val b = key(Events.asofJoinCogroup(spark, sf001))
+    assert(a == b, s"drift: ${(a diff b).take(3)} vs ${(b diff a).take(3)}")
+  }
 }
