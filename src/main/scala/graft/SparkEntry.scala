@@ -127,7 +127,8 @@ object SparkEntry {
     "q97_bpe_encode" -> (TextAnalysis.bpeEncode _),
     "q98_logit_quality" -> (TextAnalysis.logitQuality _),
     "q99_cms_heavy_hitters" -> (Sketches.cmsHeavyHitters _),
-    "q100_interval_overlap" -> (Events.sessionIncidentOverlap _)
+    "q100_interval_overlap" -> (Events.sessionIncidentOverlap _),
+    "q101_trending_terms" -> (TextAnalysis.trendingTerms _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -246,6 +247,7 @@ object SparkEntry {
     "q97_bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "q98_logit_quality" -> TextAnalysis.logitQualitySql,
     "q99_cms_heavy_hitters" -> Sketches.cmsHeavyHittersSql,
-    "q100_interval_overlap" -> Events.sessionIncidentOverlapSql
+    "q100_interval_overlap" -> Events.sessionIncidentOverlapSql,
+    "q101_trending_terms" -> TextAnalysis.trendingTermsSql
   )
 }

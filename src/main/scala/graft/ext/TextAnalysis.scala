@@ -828,6 +828,48 @@ object TextAnalysis {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** q101 — trending terms: the top-3 tokens per DAY by occurrence
+    * count with their rank. The rank filter sits directly above the
+    * (day, tok) aggregate, so Catalyst plans WindowGroupLimit — each
+    * map task keeps only its local top-3 per day BEFORE the window
+    * shuffle (PlanSpec pins it). That per-group group-limit is what
+    * makes daily leaderboards over a 100 TB token stream cheap: the
+    * shuffle carries ≈ 3·|days|·|tasks| rows, not the token counts. */
+  val TrendingK = 3
+
+  def trendingTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // deterministic per-doc "day": docs carry no timestamp, so spread
+    // them over a synthetic 10-day calendar keyed by doc_id — the
+    // operator under test is the per-group limit, not the calendar
+    val toks = docs
+      .select((col("doc_id") % 10).as("day"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("day", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("n").desc, col("tok"))
+    toks.withColumn("rank", rank().over(w))
+      .filter(col("rank") <= TrendingK)
+      .select(col("day"), col("rank").cast("long").as("rank"),
+        col("tok"), col("n"))
+      .orderBy("day", "rank", "tok")
+  }
+
+  val trendingTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id % 10 AS day, tok, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY 1, 2
+       |), r AS (
+       |  SELECT day, tok, n,
+       |         rank() OVER (PARTITION BY day ORDER BY n DESC, tok) AS rnk
+       |  FROM tf
+       |)
+       |SELECT day, CAST(rnk AS BIGINT) AS rank, tok, n
+       |FROM r WHERE rnk <= $TrendingK ORDER BY day, rank, tok""".stripMargin
+
   /** Fixed logistic weights for q98 — a stand-in for a published
     * fastText-style quality classifier's head: favors stopword-bearing,
     * moderately long documents. Inference-side semantics are what the

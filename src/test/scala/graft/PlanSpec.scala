@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q101: the per-day rank filter plans as a partial WindowGroupLimit") {
+    val plan = finalPlan("q101_trending_terms")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k over (day) partitions must group-limit before the shuffle:\n$plan")
+  }
+
   test("q03: the 12-month range filter reaches the parquet scan") {
     val plan = finalPlan("q03_monthly_trend")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
