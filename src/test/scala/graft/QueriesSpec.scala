@@ -20,7 +20,7 @@ class QueriesSpec extends SparkSpec {
 
   test("oracle lint: deterministic, named, and DuckDB-shaped") {
     SparkEntry.queries.keys.foreach(k =>
-      assert(k.matches("^q\\d{2}_[a-z0-9_]+$"), s"bad query name: $k"))
+      assert(k.matches("^q\\d{2,3}_[a-z0-9_]+$"), s"bad query name: $k"))
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val l = sql.toLowerCase
       assert(!l.contains("current_date") && !l.contains("now()"),
