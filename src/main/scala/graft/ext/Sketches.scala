@@ -137,6 +137,16 @@ object Sketches {
     conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
       .cast("long") % CmsWidth
 
+  /** The mergeable CMS core: key column → (r, b) → SUM counter rows.
+    * Like [[hllRegisters]], a plain groupBy aggregation that runs
+    * unchanged on a streaming frame (Update/Complete mode) with state
+    * fixed at d·w rows — frequency estimates on an unbounded stream. */
+  def cmsCounters(df: DataFrame, key: String): DataFrame =
+    (0 until CmsRows)
+      .map(r => df.select(lit(r).as("r"), cmsBucket(r, col(key)).as("b")))
+      .reduce(_ union _)
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
   /** q99 — count-min sketch over the token stream: estimate the
     * frequencies of the exact top-10 tokens from a d×w counter table
     * and report each overestimate (CMS never underestimates — the

@@ -87,6 +87,13 @@ object StreamJobs {
   def hllUserRegisters(events: DataFrame): DataFrame =
     graft.ext.Sketches.hllRegisters(events, "event_type", "user_id")
 
+  /** Live event-type frequency sketch: the count-min counter table as a
+    * streaming groupBy-SUM — d·w rows of state for per-key frequency
+    * estimates over an unbounded stream (the heavy-hitter monitor
+    * shape). Replayed to completion it equals the batch counters. */
+  def cmsTypeCounters(events: DataFrame): DataFrame =
+    graft.ext.Sketches.cmsCounters(events, "event_type")
+
   /** Streaming exact-dedup: drops repeats of `event_id` arriving within
     * the watermark horizon — the streaming face of Dedup.exact. State is
     * bounded BY the watermark (dropDuplicatesWithinWatermark evicts ids

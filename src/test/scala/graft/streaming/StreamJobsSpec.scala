@@ -48,6 +48,22 @@ class StreamJobsSpec extends SparkSpec {
     assert(got.size <= Events.EventTypes.size * graft.ext.Sketches.HllBuckets)
   }
 
+  test("streaming CMS counters replay to the batch counter table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.cmsTypeCounters(stream), "cms_test", OutputMode.Complete())
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.ext.Sketches.cmsCounters(
+      Events.loadEvents(spark, sf001), "event_type")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"counter drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
+
   test("event-time timeouts close sessions as the watermark advances") {
     // stage the fixture as TWO time-ordered files so AvailableNow +
     // maxFilesPerTrigger=1 runs two micro-batches: batch 1 sets the
