@@ -870,6 +870,68 @@ object TextAnalysis {
        |SELECT day, CAST(rnk AS BIGINT) AS rank, tok, n
        |FROM r WHERE rnk <= $TrendingK ORDER BY day, rank, tok""".stripMargin
 
+  /** q102 — collocation mining: pointwise mutual information over
+    * within-document token co-occurrence, top-20 pairs. PMI =
+    * ln(N·c(a,b) / (c(a)·c(b))) over DOCUMENT-level counts (distinct
+    * tokens per doc), the classic "which words travel together"
+    * statistic driving phrase induction and stopword discovery.
+    *
+    * Scale shape: the co-occurrence self-join runs on the per-doc
+    * DISTINCT token list (explode × explode within doc_id, a < b), so
+    * its fan-out is Σ k_d² over per-doc vocabulary k — bounded by doc
+    * length, never corpus². Unigram doc frequencies broadcast back.
+    * All counts integer; the single ln per pair is deterministic. */
+  val PmiTopK = 20
+  val PmiMinPairDocs = 5L
+
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dt = docs.select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .cache()
+    val n = dt.select("doc_id").distinct().count()
+    val uni = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinPairDocs)
+    pairs
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("df").as("df_a"))),
+        Seq("tok_a"))
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("df").as("df_b"))),
+        Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log(lit(n.toDouble) * col("n_ab").cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(PmiTopK)
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0
+       |), n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM dt),
+       |uni AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok
+       |), pairs AS (
+       |  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinPairDocs
+       |)
+       |SELECT p.tok_a, p.tok_b, p.n_ab,
+       |       round(ln(n.n * p.n_ab::DOUBLE / (ua.df * ub.df)::DOUBLE), 6)
+       |         AS pmi
+       |FROM pairs p
+       |JOIN uni ua ON p.tok_a = ua.tok
+       |JOIN uni ub ON p.tok_b = ub.tok, n
+       |ORDER BY pmi DESC, p.tok_a, p.tok_b LIMIT $PmiTopK""".stripMargin
+
   /** Fixed logistic weights for q98 — a stand-in for a published
     * fastText-style quality classifier's head: favors stopword-bearing,
     * moderately long documents. Inference-side semantics are what the
