@@ -16,8 +16,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // the events fixture is parquet TIMESTAMP(NANOS), which Spark only
+    // reads behind this flag; set it here so NO caller depends on some
+    // earlier query having set it session-wide (Events.loadEvents then
+    // converts the long to a µs timestamp)
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register all fixture tables as temp views (names as in TESTDATA.md). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -480,6 +480,28 @@ object Bi {
       |       n_orders, CAST(rev AS DOUBLE) AS revenue
       |FROM g ORDER BY order_year, priority""".stripMargin
 
+  /** q103 — LATERAL correlated subquery: for every nation, its top-2
+    * customers by account balance, written as `FROM nation, LATERAL
+    * (SELECT … WHERE correlated ORDER BY … LIMIT 2)`. Catalyst
+    * decorrelates the lateral into WindowGroupLimit + one hash join
+    * (PlanSpec pins it) — no per-nation re-execution — and the
+    * IDENTICAL text runs on DuckDB, which plans its own lateral join:
+    * two engines, two algorithms, one result. The per-group-limit
+    * semantics q101 builds with window functions, expressed in the
+    * SQL-standard form. */
+  def lateralTopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(lateralTopCustomersSql)
+  }
+
+  val lateralTopCustomersSql: String =
+    """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n.n_name, acctbal DESC, c_name""".stripMargin
+
   val bloomPrefilterRevenueSql: String =
     """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

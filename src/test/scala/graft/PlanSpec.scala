@@ -64,6 +64,13 @@ class PlanSpec extends SparkSpec {
       s"rank<=k over (day) partitions must group-limit before the shuffle:\n$plan")
   }
 
+  test("q103: the LATERAL subquery decorrelates to a group-limited join") {
+    val plan = finalPlan("q103_lateral_topk")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("HashJoin"),
+      s"lateral must rewrite to WindowGroupLimit + hash join, not a " +
+        s"per-row subquery:\n$plan")
+  }
+
   test("q03: the 12-month range filter reaches the parquet scan") {
     val plan = finalPlan("q03_monthly_trend")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
