@@ -883,6 +883,70 @@ object Events {
       |             / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r
       |FROM d ORDER BY event_type""".stripMargin
 
+  /** q104 — skewness and excess kurtosis per event type from EXACT
+    * integer-cents raw moments (Σc, Σc², Σc³, Σc⁴ in long/decimal/
+    * HUGEINT — order-independent), completing the q68/q93 moment
+    * family with the 3rd and 4th moments. Unlike the built-in
+    * `skewness`/`kurtosis` (streaming float updates, order-dependent
+    * last bits), the exact-sums-then-one-double-combine form is
+    * deterministic and engine-portable; the m2^1.5 normalizer is
+    * written m2·√m2 because `sqrt` is correctly rounded everywhere
+    * while `pow(x, 1.5)` is libm-dependent. Map-side partial sums,
+    * one tiny combine — the distributed-moments shape. */
+  def valueMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+    val cd = col("c").cast("decimal(38,0)")
+    val m = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+      sum(cd * cd * cd).as("s3"), sum(cd * cd * cd * cd).as("s4"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val r4 = col("s4").cast("double") / nd
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    m.select(col("event_type"), col("n"),
+        round(mu, 6).as("mean_cents"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("excess_kurtosis"))
+      .orderBy("event_type")
+  }
+
+  val valueMomentsSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |         SUM(c) AS s1, SUM(c*c) AS s2,
+      |         SUM(c::HUGEINT * c * c) AS s3,
+      |         SUM(c::HUGEINT * c * c * c) AS s4
+      |  FROM c GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n,
+      |         s1::DOUBLE / n::DOUBLE AS mu,
+      |         s2::DOUBLE / n::DOUBLE AS r2,
+      |         s3::DOUBLE / n::DOUBLE AS r3,
+      |         s4::DOUBLE / n::DOUBLE AS r4
+      |  FROM m
+      |), k AS (
+      |  SELECT event_type, n, mu,
+      |         r2 - mu*mu AS m2,
+      |         r3 - 3.0*mu*r2 + 2.0*mu*mu*mu AS m3,
+      |         r4 - 4.0*mu*r3 + 6.0*mu*mu*r2 - 3.0*mu*mu*mu*mu AS m4
+      |  FROM d
+      |)
+      |SELECT event_type, n, round(mu, 6) AS mean_cents,
+      |       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+      |       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+      |FROM k ORDER BY event_type""".stripMargin
+
   /** EWMA decay factor: next = α·x + (1−α)·prev. */
   val EwmaAlpha = 0.3
 

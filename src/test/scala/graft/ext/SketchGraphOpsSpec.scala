@@ -121,6 +121,21 @@ class SketchGraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("exact moments agree with Spark's built-in skewness/kurtosis") {
+    val got = Events.valueMoments(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val want = Events.loadEvents(spark, sf001)
+      .select(col("event_type"), floor(col("value") * 100).as("c"))
+      .groupBy("event_type")
+      .agg(skewness(col("c")).as("s"), kurtosis(col("c")).as("k"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    got.foreach { case (t, (s, k)) =>
+      assert(math.abs(s - want(t)._1) < 1e-6, s"$t skew: $s vs ${want(t)._1}")
+      assert(math.abs(k - want(t)._2) < 1e-6, s"$t kurt: $k vs ${want(t)._2}")
+    }
+  }
+
   test("moment regression recovers an exact line") {
     // y = 2x + 1 exactly: slope 2, intercept 1, r = 1
     val pts = (0 until 100)
