@@ -208,7 +208,7 @@ object Bi {
     * (same pinning as q03) so the oracle never sees wall-clock. */
   def retentionSets(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.load(spark, sfDir, "orders")
-    val maxY = orders.agg(max(year(col("o_orderdate")))).head.getInt(0)
+    val maxY = orders.agg(max(year(col("o_orderdate")))).head().getInt(0)
     def custsIn(y: Int) = orders.filter(year(col("o_orderdate")) === y)
       .select(col("o_custkey").as("customer_id")).distinct()
     val cur = custsIn(maxY)
