@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming lift of the batch event analytics (graft.ext
@@ -74,6 +74,56 @@ object StreamJobs {
       .start()
     q.awaitTermination()
     (df.sparkSession.table(name), q)
+  }
+
+  /** Spark 4 `transformWithState` processor: running per-user event
+    * count and cents total, emitting one row per event. ValueState is
+    * the arbitrary-state tier ABOVE flatMapGroupsWithState — typed
+    * named states, timers, TTL — and requires the RocksDB state store
+    * (state lives off-heap on disk, the only store that holds 100 TB-
+    * stream state). Rows are sorted (ts, event_id) inside the handler:
+    * within a micro-batch arrival order is not a contract. */
+  private class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long),
+        (Long, Long, Long, Long)] {
+    @transient private var nState: ValueState[Long] = _
+    @transient private var centsState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, TTLConfig.NONE)
+      centsState = getHandle.getValueState[Long](
+        "cents", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var cents = if (centsState.exists()) centsState.get() else 0L
+      val out = rows.toArray.sortBy(r => (r._2, r._3)).map {
+        case (_, _, eventId, c) =>
+          n += 1; cents += c
+          (uid, eventId, n, cents)
+      }
+      nState.update(n); centsState.update(cents)
+      out.iterator
+    }
+  }
+
+  /** Running (n, cents) per user over the stream via transformWithState;
+    * spec pins full replay equal to the batch cumulative window. */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "running_n", "running_cents")
   }
 
   /** Live distinct-user counting via the portable HLL's register table

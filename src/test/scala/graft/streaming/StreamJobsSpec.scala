@@ -48,6 +48,32 @@ class StreamJobsSpec extends SparkSpec {
     assert(got.size <= Events.EventTypes.size * graft.ext.Sketches.HllBuckets)
   }
 
+  test("transformWithState running totals replay to the batch cumsum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.runningTotals(stream), "tws_test", OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val want = Events.loadEvents(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("running_n"),
+        sum(col("cents")).over(w).as("running_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
+
   test("streaming CMS counters replay to the batch counter table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cms")
     java.nio.file.Files.copy(
