@@ -34,6 +34,25 @@ class SketchGraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterByZ partitions carry tight envelopes on both dimensions") {
+    val li = graft.Tables.load(spark, sf001, "lineitem")
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    val parts = Layout.clusterByZ(li, col("x"), col("y"), 16)
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n"),
+        (max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(parts.length > 4, "range partitioner must actually split")
+    // z-range partitions are unions of z-tiles: each must span far less
+    // than the full 0..255 domain on BOTH dims (a single-column sort
+    // would show sy ~ 255 everywhere)
+    val avgSpanX = parts.map(_.getLong(2)).sum.toDouble / parts.length
+    val avgSpanY = parts.map(_.getLong(3)).sum.toDouble / parts.length
+    assert(avgSpanX < 200 && avgSpanY < 200,
+      s"z-clustering lost locality: avg x-span $avgSpanX, y-span $avgSpanY")
+  }
+
   test("z-value matches a reference bit-interleave on 256 random pairs") {
     val rnd = new scala.util.Random(42)
     val pts = Seq.fill(256)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
