@@ -200,6 +200,18 @@ class SketchGraphOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("cms counters conserve mass: every row lands once per hash row") {
+    val df = Seq.tabulate(500)(i => s"tok_${i % 37}").toDF("k")
+    val rows = Sketches.cmsCounters(df, "k").collect()
+    val perRow = rows.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum)
+    (0 until Sketches.CmsRows).foreach { r =>
+      assert(perRow(r) == 500L, s"hash row $r lost mass: ${perRow(r)}")
+    }
+    rows.foreach(r => assert(r.getLong(1) >= 0 &&
+      r.getLong(1) < Sketches.CmsWidth, s"bucket out of range: $r"))
+  }
+
   test("count-min never underestimates, and is tight on heavy hitters") {
     val rows = Sketches.cmsHeavyHitters(spark, sf001).collect()
     assert(rows.length == Sketches.CmsTopK)
