@@ -49,25 +49,23 @@ object Sampling {
     * pseudo-random order (md5(doc_id)), so shard contents are stable
     * across runs and engines.
     *
-    * Scale: the exact global running sum serializes through one
-    * partition — correct but sequential. At 100 TB shard within
-    * hash-buckets instead (bucket by md5 prefix, pack per bucket,
-    * offset shard ids by bucket): fully parallel, same shard-size
-    * guarantee, at the cost of global shard-id contiguity.
-    */
+    * Scale: the exact global running sum rides [[packOffsetsBy]]'s
+    * two-phase scan in (md5(doc_id), doc_id) order — range-partitioned
+    * intra-partition windows in parallel plus a #partitions-sized
+    * totals cumsum — so NO step serializes the corpus through one
+    * task (PlanSpec pins no-unpartitioned-window across every declared
+    * plan). The oracle states the same semantics as one flat window
+    * cumsum, independently proving the decomposition. */
   val TokensPerShard = 4000L
 
   def tokenShards(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val nTokens = size(split(col("text"), "\\s+")).cast("long")
-    val order = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val runningBefore = coalesce(
-      sum(col("n_tokens")).over(order.rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L))
-    docs
-      .select(col("doc_id"), nTokens.as("n_tokens"))
+    packOffsetsBy(
+      docs.select(col("doc_id"), nTokens.as("n_tokens")),
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")))
       .select(col("doc_id"), col("n_tokens"),
-        floor(runningBefore / TokensPerShard).as("shard_id"))
+        expr(s"start_off div $TokensPerShard").as("shard_id"))
       .orderBy("doc_id")
   }
 
@@ -227,14 +225,14 @@ object Sampling {
     * several; short docs share one).
     *
     * The global exclusive prefix sum is computed with the TWO-PHASE
-    * scan q33 only documents: `repartitionByRange(doc_id)` keeps
-    * doc_id order across partition ids, an intra-partition window
+    * scan (shared with q33): `repartitionByRange(keys)` keeps key
+    * order across partition ids, an intra-partition window
     * (partitioned by `spark_partition_id()`) produces local running
     * sums in parallel, per-partition totals (one tiny row per
-    * partition) get their own cumsum on the driver-sized side, and a
-    * broadcast join adds the two. No step ever serializes the corpus
-    * through one task, so the scan holds at 100 TB — the window over
-    * partition TOTALS touches `#partitions` rows, not `#docs`.
+    * partition) get a driver-side cumsum, and a broadcast join adds
+    * the two. No step ever serializes the corpus through one task, so
+    * the scan holds at 100 TB — the cumsum over partition TOTALS
+    * touches `#partitions` rows, not `#docs`.
     *
     * The range-partitioned frame is pinned with `localCheckpoint`
     * because RangePartitioner samples its bounds: both consumers (the
@@ -249,18 +247,35 @@ object Sampling {
 
   /** (doc_id, n_tokens) → + start_off via the scalable two-phase
     * exclusive prefix sum in doc_id order. */
-  def packOffsets(docs: DataFrame): DataFrame = {
-    val ranged = docs.repartitionByRange(col("doc_id"))
+  def packOffsets(docs: DataFrame): DataFrame =
+    packOffsetsBy(docs, Seq(col("doc_id")))
+
+  /** Two-phase exclusive prefix sum of `n_tokens` under the total order
+    * given by `orderKeys` (which must be a deterministic total order —
+    * include a unique tiebreak column). Adds `start_off`.
+    *
+    * The per-partition totals cumsum deliberately runs ON THE DRIVER:
+    * it touches exactly one row per shuffle partition (32 here, a few
+    * thousand on a 1000-executor cluster) — bounded by CLUSTER SIZE,
+    * not data size — and doing it driver-side keeps every WindowExec
+    * in the plan partitioned (PlanSpec pins that invariant globally).
+    * The ranged frame is pinned with `localCheckpoint` because
+    * RangePartitioner samples its bounds: both consumers (the intra
+    * window and the totals agg) must see the SAME partitioning. */
+  def packOffsetsBy(docs: DataFrame, orderKeys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = docs.sparkSession
+    val ranged = docs.repartitionByRange(orderKeys: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    val intra = Window.partitionBy("pid").orderBy("doc_id")
+    val intra = Window.partitionBy("pid").orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val totals = Window.orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pidBefore = ranged
-      .groupBy("pid").agg(sum("n_tokens").as("pid_total"))
-      .select(col("pid"),
-        coalesce(sum("pid_total").over(totals), lit(0L)).as("pid_before"))
+    val totals = ranged.groupBy("pid").agg(sum("n_tokens").as("pid_total"))
+      .orderBy("pid").collect()
+    var acc = 0L
+    val before = totals.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row }.toSeq
+    import spark.implicits._
+    val pidBefore = before.toDF("pid", "pid_before")
     ranged
       .withColumn("intra_before", coalesce(sum("n_tokens").over(intra), lit(0L)))
       .join(broadcast(pidBefore), "pid")

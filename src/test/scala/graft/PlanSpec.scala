@@ -112,6 +112,36 @@ class PlanSpec extends SparkSpec {
       s"20 anchor intervals must broadcast:\n$plan")
   }
 
+  test("no declared query plans an unpartitioned Window over unbounded input") {
+    // THE scale invariant for window functions: an empty partitionSpec
+    // funnels every row through ONE task. A global window is admissible
+    // only when its input is provably bounded BELOW it in the plan:
+    //  - WindowGroupLimit (the q02 rank≤k shape: each map partition
+    //    forwards ≤ k rows, so the single-partition window sees
+    //    ≤ k·#partitions rows — bounded by cluster size, not data), or
+    //  - GlobalLimit / TakeOrderedAndProject (a constant-k cut, the
+    //    q56 top-k coverage-curve shape),
+    // plus ONE named exemption whose bound is semantic, not structural:
+    //  - q58_rolling_daily windows over one row per CALENDAR DAY after
+    //    the daily aggregation — input grows with elapsed time, never
+    //    with data volume.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    val calendarBoundedOk = Set("q58_rolling_daily")
+    val bad = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(calendarBoundedOk).flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.sparkPlan
+      plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            w.find(n => n.isInstanceOf[WindowGroupLimitExec] ||
+              n.isInstanceOf[GlobalLimitExec] ||
+              n.isInstanceOf[TakeOrderedAndProjectExec]).isEmpty =>
+          s"$name: ${w.nodeName} over [${w.orderSpec.mkString(", ")}]"
+      }
+    }
+    assert(bad.isEmpty, s"unpartitioned windows: ${bad.mkString("; ")}")
+  }
+
   test("q40: the lag window is partitioned, never a global sort") {
     val plan = finalPlan("q40_user_deltas")
     val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
