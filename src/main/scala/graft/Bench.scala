@@ -65,7 +65,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a bounded tail of stdout: a ~4KB 104-query
+    // line can get its head (and the total) truncated away, which is
+    // exactly what nulled BENCH_r02's parse. So (a) persist the full
+    // JSON to a file, (b) print it, and (c) print LAST a compact line —
+    // total + slowest 5 — that always fits any tail window.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case _: Throwable => () }
+    println(full)
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
