@@ -55,7 +55,11 @@ object Bench {
         // the full physical plan without collecting to the driver.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drain scratch caches between reps: keeps the rep honest (no
+        // free ride on the previous rep's cache) and bounds storage
+        Scratch.drain(spark)
+        dt
       }
       val first = once()
       val times = first +: (2 to reps)

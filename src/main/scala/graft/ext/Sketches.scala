@@ -161,11 +161,11 @@ object Sketches {
     * frequency table wherever only heavy hitters matter. */
   def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val tf = docs
+    val tf = graft.Scratch.register(docs
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .cache())
     val cms = (0 until CmsRows)
       .map(r => tf.select(lit(r).as("r"),
         cmsBucket(r, col("tok")).as("b"), col("cnt")))

@@ -339,7 +339,8 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
     // tf feeds both the df rollup and the final argmin — cache it so the
     // corpus is scanned and exploded once, not per consumer
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
+    val tf = graft.Scratch.register(
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache())
     val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(docFreq), Seq("tok"))
       .groupBy("doc_id")
@@ -886,10 +887,10 @@ object TextAnalysis {
 
   def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val dt = docs.select(col("doc_id"),
+    val dt = graft.Scratch.register(docs.select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .cache()
+      .cache())
     val n = dt.select("doc_id").distinct().count()
     val uni = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     val pairs = dt.as("a")
@@ -1093,7 +1094,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).cache()
+    val dl = graft.Scratch.register(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).cache())
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val tf = toks.filter(col("tok").isin(Bm25Query: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -93,8 +93,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH/prefix candidate joins stay hash-based (no nested loop)") {
-    Seq("q14_ann_lsh", "q27_embedding_neardup", "q29_ngram_jaccard").foreach { q =>
-      val plan = finalPlan(q)
+    // q29/q11 are session-memoized behind a checkpoint, so their
+    // declared plans are scans; the FRESH builders are the pipeline's
+    // single plan source and are pinned here instead.
+    val fresh = Map(
+      "q29_ngram_jaccard(fresh)" ->
+        graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
+      "q11_minhash_lsh_pairs(fresh)" ->
+        graft.ext.Dedup.minhashPairsFresh(spark, sf001))
+    val declared = Seq("q14_ann_lsh", "q27_embedding_neardup")
+      .map(q => q -> SparkEntry.queries(q)(spark, sf001))
+    (fresh.toSeq ++ declared).foreach { case (q, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
         s"$q candidate join degenerated to a product:\n$plan")
@@ -179,7 +190,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q11: shared_bands aggregates without an Expand plan") {
-    val plan = finalPlan("q11_minhash_lsh_pairs").split("== Initial Plan ==")(0)
+    val df = graft.ext.Dedup.minhashPairsFresh(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(!plan.contains("Expand"),
       s"count(1) must not plan a countDistinct Expand:\n$plan")
   }

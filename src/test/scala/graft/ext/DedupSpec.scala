@@ -116,6 +116,29 @@ class DedupSpec extends SparkSpec {
       s"hybrid paths diverged: ${local.toSet diff dist.toSet}")
   }
 
+  test("verified pair lists are computed once per session and shared") {
+    // same DataFrame INSTANCE back from the memo — the five consumers
+    // (q30/q62/q79/q91 + q80) read one checkpointed build, not five
+    val a = Dedup.verifiedNgramPairs(spark, sf001)
+    val b = Dedup.verifiedNgramPairs(spark, sf001)
+    assert(a eq b, "memo must return the pinned instance")
+    // and the pinned copy agrees with an uncached fresh build
+    val pinned = a.orderBy("doc_a", "doc_b").collect().toSeq
+    val fresh = Dedup.ngramJaccardPairsFresh(spark, sf001).collect().toSeq
+    assert(pinned == fresh, "checkpointed pairs must equal a fresh build")
+  }
+
+  test("scratch caches drain after the harness action") {
+    val df = graft.Scratch.register(
+      Seq((1L, "a")).toDF("id", "v").cache())
+    df.count()
+    assert(graft.Scratch.pending(spark) >= 1)
+    graft.Scratch.drain(spark)
+    assert(graft.Scratch.pending(spark) == 0)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "drain must unpersist registered frames")
+  }
+
   test("simhash: near-dup texts land within small hamming distance") {
     val docs = Seq((1L, base), (2L, base.replace("cat", "bird")))
       .toDF("doc_id", "text")
