@@ -898,9 +898,12 @@ object Events {
       .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("c"))
     val cd = col("c").cast("decimal(38,0)")
+    // every power sum rides decimal(38,0): at 100 TB row counts Σc²
+    // already exceeds BIGINT (ANSI error or wrap), and the DuckDB twin
+    // promotes to HUGEINT — same width, same one cast to double below
     val m = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+      sum(cd).as("s1"), sum(cd * cd).as("s2"),
       sum(cd * cd * cd).as("s3"), sum(cd * cd * cd * cd).as("s4"))
     val nd = col("n").cast("double")
     val mu = col("s1").cast("double") / nd
@@ -1074,7 +1077,7 @@ object Events {
     * iterator in one `mapPartitions` pass — per-user state is a single
     * accumulator, no collected sequence, so a user with a billion
     * events costs O(1) memory. Same op order as the fold, so
-    * EwmaSpec pins bit-equality against q90. */
+    * SketchGraphOpsSpec pins bit-equality against q90. */
   def ewmaValueStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = loadEvents(spark, sfDir)

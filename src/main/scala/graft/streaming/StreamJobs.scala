@@ -114,8 +114,15 @@ object StreamJobs {
   def runningTotals(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // transformWithState requires the RocksDB state store. That choice
+    // is SESSION-wide, so it belongs at session construction — a query
+    // builder silently flipping it would switch the store under every
+    // other streaming query in the session. Fail fast instead.
+    require(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .exists(_.contains("RocksDBStateStoreProvider")),
+      "transformWithState needs spark.sql.streaming.stateStore.providerClass=" +
+        "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider set at session construction")
     events
       .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
         col("event_id"), floor(col("value") * 100).cast("long").as("cents"))

@@ -54,11 +54,19 @@ class StreamJobsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf001/events.parquet"),
       dir.resolve("events.parquet"))
     val stream = StreamJobs.readEvents(spark, dir.toString)
-    val got = StreamJobs.runToMemory(
-      StreamJobs.runningTotals(stream), "tws_test", OutputMode.Append())
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
+    // RocksDB is a session-wide choice the builder refuses to make for
+    // us; scope it to this test and restore the previous provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val got =
+      try StreamJobs.runToMemory(
+        StreamJobs.runningTotals(stream), "tws_test", OutputMode.Append())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val want = Events.loadEvents(spark, sf001)
