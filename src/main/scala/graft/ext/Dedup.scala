@@ -530,16 +530,12 @@ object Dedup {
     * through any chain of near-dup links — A~B, B~C puts A,B,C in ONE
     * cluster even if A,C were never directly compared).
     *
-    * Spark side: hash-to-min label propagation — every node starts
-    * labeled with itself; each round a node takes the min label among
-    * itself and its neighbors (join edges→labels + groupBy min, both
-    * shuffles keyed by node id); converges in O(cluster diameter)
-    * rounds, tiny for dup clusters. Driver-side fixpoint with
+    * Spark side: alternating large-star/small-star rounds (see
+    * [[connectedComponents]]) — O(log n) convergence on any shape,
+    * including the pathological long-chain graphs that defeat plain
+    * O(diameter) label propagation. Driver-side fixpoint with
     * localCheckpoint per round, same shape as Hierarchy.fixpoint. At
-    * 100 TB the same loop holds (labels/edges co-partition by key so the
-    * join is shuffle-stable); pathological long-chain graphs would call
-    * for the large-star/small-star variant, which this loop structurally
-    * matches.
+    * 100 TB the same loop holds: both phases shuffle keyed by node id.
     *
     * Oracle: DuckDB WITH RECURSIVE reachability → min reachable id —
     * an independent algorithm arriving at the same clustering. */
@@ -554,40 +550,73 @@ object Dedup {
     * (a 100 TB corpus can still emit billions of candidate pairs). */
   val EdgeCollectThreshold: Long = 1L << 20
 
-  /** Connected components by hash-to-min label propagation over an
-    * undirected pair list: every node takes the min label among itself
-    * and its neighbors each round until fixpoint (O(component diameter)
-    * rounds). Returns (id, lbl) with lbl = min reachable node id.
-    * Small graphs (≤ collectThreshold pairs) short-circuit to exact
-    * driver-side union-find — same labels, no per-round jobs. */
+  /** Connected components over an undirected pair list, by alternating
+    * LARGE-STAR / SMALL-STAR rounds (the published two-phase MapReduce
+    * CC algorithm of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14):
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors
+    *    to the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node re-points its smaller neighbors (and
+    *    itself) at the minimum of its smaller neighborhood.
+    *
+    * Both phases are one groupBy-min plus one join keyed by node id
+    * (shuffle-stable), and the alternation converges in O(log n)
+    * rounds on ANY graph shape — where plain hash-to-min label
+    * propagation needs O(diameter) rounds, i.e. millions on the
+    * chain-shaped dup graphs template drift produces (round 2 ran the
+    * propagation form; DedupSpec's 2M-edge chain fixture is exactly
+    * the shape that overran its round guard). Fixpoint = the edge set
+    * is a stable set of stars, each rooted at its component minimum.
+    *
+    * Returns (id, lbl) with lbl = min reachable node id. Small graphs
+    * (≤ collectThreshold pairs) short-circuit to exact driver-side
+    * union-find — same labels, no per-round jobs. */
   def connectedComponents(pairs: DataFrame,
-      collectThreshold: Long = EdgeCollectThreshold): DataFrame = {
+      collectThreshold: Long = EdgeCollectThreshold): DataFrame =
+    connectedComponentsWithRounds(pairs, collectThreshold)._1
+
+  /** [[connectedComponents]] plus the number of distributed rounds the
+    * run took (0 for the union-find short-circuit) — the spec pins the
+    * O(log n) bound with it. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      collectThreshold: Long = EdgeCollectThreshold): (DataFrame, Int) = {
     val Seq(a, b) = pairs.columns.toSeq.map(col)
     if (pairs.limit((collectThreshold + 1).toInt).count() <= collectThreshold)
-      return unionFindLocal(pairs)
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst"))).localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct()
-
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var changed = 1L
+      return (unionFindLocal(pairs), 0)
+    val nodes = pairs.select(a.as("id")).union(pairs.select(b.as("id")))
+      .distinct().localCheckpoint()
+    // canonicalize down-pointing (u > v), drop self-loops
+    var edges = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var round = 0
-    while (changed > 0 && round < MaxPropagationRounds) {
-      val nbrMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid")).agg(min("lbl").as("nbr_lbl"))
-      // carry the previous label THROUGH the round so convergence is a
-      // filter over the checkpointed result, not a third join per round
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+    var done = edges.isEmpty
+    while (!done && round < MaxPropagationRounds) {
+      // large-star over the undirected view
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = und.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the down-pointing result
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint()
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("id"), col("lbl"))
+      // strict fixpoint: ss ⊆ edges and same cardinality ⇒ equal sets
+      done = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
       round += 1
     }
-    labels
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    (labels, round)
   }
 
   /** Exact union-find (path-halving + union-by-smaller-root) over a

@@ -116,6 +116,34 @@ class DedupSpec extends SparkSpec {
       s"hybrid paths diverged: ${local.toSet diff dist.toSet}")
   }
 
+  test("2M-edge chain graph: distributed CC is exact in O(log n) rounds") {
+    // 16384 chains of 128 nodes each → 2,080,768 edges, diameter 127:
+    // the adversarial shape for connected components. Plain hash-to-min
+    // propagation needs ~127 rounds here (over any sane round guard);
+    // the large-star/small-star alternation must land in O(log n).
+    // Expected labels are analytic (chain c's min id), so this checks
+    // EXACTNESS on a graph far too big to eyeball — threshold 0 forces
+    // the production distributed branch.
+    import org.apache.spark.sql.functions.{col, expr => sexpr}
+    val chainLen = 128L
+    val nChains = 16384L
+    val edges = spark.range(nChains * (chainLen - 1)).select(
+      sexpr(s"(id div ${chainLen - 1}) * $chainLen + (id % ${chainLen - 1})")
+        .as("doc_a"),
+      sexpr(s"(id div ${chainLen - 1}) * $chainLen + (id % ${chainLen - 1}) + 1")
+        .as("doc_b"))
+    assert(edges.count() >= 2000000L)
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(edges, collectThreshold = 0)
+    val wrong = labels
+      .filter(col("lbl") =!= sexpr(s"(id div $chainLen) * $chainLen"))
+      .count()
+    assert(wrong == 0L, s"$wrong nodes got a non-chain-min label")
+    assert(labels.count() == nChains * chainLen)
+    assert(rounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(chainLen)) + 4,
+      s"star alternation must converge in O(log n) rounds, took $rounds")
+  }
+
   test("verified pair lists are computed once per session and shared") {
     // same DataFrame INSTANCE back from the memo — the five consumers
     // (q30/q62/q79/q91 + q80) read one checkpointed build, not five
