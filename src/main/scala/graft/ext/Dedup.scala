@@ -169,15 +169,7 @@ object Dedup {
     val bands = per.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    // each doc contributes exactly one key per band, so a (doc_a, doc_b)
-    // pair collides at most once per band: plain count == distinct band
-    // count, without the Expand plan countDistinct would cost
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_bands"))
+    val pairs = bandPairs(bands)
 
     // minhash-estimated jaccard: fraction of equal signature slots
     val estCol = (0 until K).map(k =>
@@ -197,6 +189,22 @@ object Dedup {
           (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
     (out, Seq(per))
   }
+
+  /** LSH candidate pairs from a (doc_id, band, key) frame — the banded
+    * self-join that is the classic hot-bucket skew point of every LSH
+    * pipeline. Each doc contributes exactly one key per band, so a
+    * (doc_a, doc_b) pair collides at most once per band: plain count ==
+    * distinct band count, without the Expand plan countDistinct would
+    * cost. Hot buckets (a template flooding one band key) are handled
+    * by AQE's skew-join split — DedupSpec injects a poisoned band and
+    * pins that the split actually fires (`skew=true` in the final
+    * plan) with the result unchanged. */
+  def bandPairs(bands: DataFrame): DataFrame = bands.as("a")
+    .join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+    .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    .agg(count(lit(1)).as("shared_bands"))
 
   /** DuckDB twin of the whole minhash pipeline, generated from the same
     * constants so geometry can never drift. */

@@ -144,6 +144,44 @@ class DedupSpec extends SparkSpec {
       s"star alternation must converge in O(log n) rounds, took $rounds")
   }
 
+  test("AQE splits the skewed LSH band join under a poisoned hot bucket") {
+    // ARCHITECTURE claims AQE absorbs banded-join hot buckets; prove it.
+    // 30k docs spread over 5k band keys (6 per bucket) plus ONE hot key
+    // holding 2k docs — the shape a flooding template produces. With
+    // thresholds scaled to the fixture, the skew-join split must fire
+    // (skew=true in the final adaptive plan) and the pair count must be
+    // exactly the analytic value, proving the split changed the
+    // schedule, not the answer.
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    // 5k docs over 1k buckets (5 each); hot bucket gets 3k docs whose
+    // ids ride an odd-multiplier bijection so the shuffle bytes don't
+    // compress away under the skew detector's map-size stats
+    val uniform = s2.range(5000).select(col("id").as("doc_id"),
+      lit(0).as("band"), concat(lit("key_"), col("id") % 1000).as("key"))
+    val hot = s2.range(3000).select(
+      // xxhash64 scatters ids across the long range (collision-free at
+      // n=3000 for this fixture — the exact-count assert would catch one)
+      expr("xxhash64(id)").as("doc_id"),
+      lit(0).as("band"), lit("key_poisoned_hot_band").as("key"))
+    val pairs = Dedup.bandPairs(uniform.union(hot))
+    // 1000 buckets × C(5,2) + C(3000,2); run the frame's OWN plan
+    // (toRdd.count) so AQE finalizes it — .count() would execute a
+    // derived count-only plan and leave this one provisional
+    val expected = 1000L * 10 + 3000L * 2999 / 2
+    assert(pairs.queryExecution.toRdd.count() == expected)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"skew-join split did not fire on the hot band:\n${plan.take(4000)}")
+  }
+
   test("verified pair lists are computed once per session and shared") {
     // same DataFrame INSTANCE back from the memo — the five consumers
     // (q30/q62/q79/q91 + q80) read one checkpointed build, not five
