@@ -131,7 +131,8 @@ object SparkEntry {
     "q101_trending_terms" -> (TextAnalysis.trendingTerms _),
     "q102_pmi_collocations" -> (TextAnalysis.pmiCollocations _),
     "q103_lateral_topk" -> (Bi.lateralTopCustomers _),
-    "q104_value_moments" -> (Events.valueMoments _)
+    "q104_value_moments" -> (Events.valueMoments _),
+    "q105_stratified_twopass" -> (Sampling.stratifiedTwoPass _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -254,6 +255,9 @@ object SparkEntry {
     "q101_trending_terms" -> TextAnalysis.trendingTermsSql,
     "q102_pmi_collocations" -> TextAnalysis.pmiCollocationsSql,
     "q103_lateral_topk" -> Bi.lateralTopCustomersSql,
-    "q104_value_moments" -> Events.valueMomentsSql
+    "q104_value_moments" -> Events.valueMomentsSql,
+    // deliberately q31's EXACT oracle: the two-pass distributed
+    // selection must reproduce the per-stratum window bit for bit
+    "q105_stratified_twopass" -> Sampling.stratifiedSampleSql
   )
 }

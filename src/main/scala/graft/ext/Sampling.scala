@@ -42,6 +42,53 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q105 — the MEGA-STRATA form of q31: identical sample, identical
+    * ranks, computed by distributed selection instead of one window per
+    * stratum. q31's `row_number` serializes each stratum through one
+    * task — fine to ~10M rows, wrong at 100 TB where a single (lang,
+    * source) cell can hold billions of documents. Two passes fix it:
+    *
+    *  1. histogram: count per (stratum, hash-bucket), where bucket =
+    *     first two hex digits of the md5 rank key — ≤ 256·|strata|
+    *     rows, with cumulative counts windowed over the 256-row
+    *     per-stratum histogram (bounded input, never the corpus);
+    *  2. select: rank rows only WITHIN (stratum, bucket) — 256-way
+    *     parallel per stratum — and keep a row iff bucket-cum-before +
+    *     in-bucket-rank clears the stratum quota.
+    *
+    * Because the bucket is a PREFIX of the rank key, (bucket, key,
+    * doc_id) order equals q31's global (key, doc_id) order, so the
+    * survivors AND their stratum_rank values are bit-identical to
+    * q31's — the oracle is literally the same window SQL, proving the
+    * decomposition exact (the strongest form of the "two-pass
+    * mega-strata variant" SURVEY §2.8 prescribes). One broadcast of
+    * the histogram; both shuffles keyed by (lang, source, bkt). */
+  def stratifiedTwoPass(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val key = md5(col("doc_id").cast("string"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      key.as("k"),
+      conv(substring(key, 1, 2), 16, 10).cast("int").as("bkt"))
+    val wS = Window.partitionBy("lang", "source").orderBy("bkt")
+    val info = base.groupBy("lang", "source", "bkt")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(
+        sum("c").over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total",
+        sum("c").over(Window.partitionBy("lang", "source")))
+      .withColumn("quota", ceil(col("total") * SampleFrac).cast("long"))
+      .drop("c")
+    val wB = Window.partitionBy("lang", "source", "bkt")
+      .orderBy(col("k"), col("doc_id"))
+    base.join(broadcast(info), Seq("lang", "source", "bkt"))
+      .withColumn("rk_in_bkt", row_number().over(wB))
+      .filter(col("cum_before") + col("rk_in_bkt") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("cum_before") + col("rk_in_bkt")).cast("long").as("stratum_rank"),
+        col("total").as("stratum_size"))
+      .orderBy("doc_id")
+  }
+
   /** q33 — token-budget sharding: pack documents into shards of roughly
     * `TokensPerShard` whitespace tokens each, the step that turns a
     * curated corpus into uniform training chunks. shard_id =

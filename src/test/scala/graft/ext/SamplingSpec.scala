@@ -19,6 +19,14 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("two-pass mega-strata selection reproduces q31 bit for bit") {
+    // same survivors, same stratum_rank, same order — the distributed
+    // selection is a pure decomposition of the per-stratum window
+    val a = Sampling.stratifiedSample(spark, sf001).collect().toSeq
+    val b = Sampling.stratifiedTwoPass(spark, sf001).collect().toSeq
+    assert(a == b, s"two-pass drifted: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+  }
+
   test("token shards fill to the budget and never split mid-doc") {
     val rows = Sampling.tokenShards(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
