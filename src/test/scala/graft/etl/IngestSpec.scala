@@ -45,4 +45,17 @@ class IngestSpec extends SparkSpec {
     // PERMISSIVE mode nulls the whole row's typed fields on mismatch
     assert(rows.exists(_.isNullAt(0)), "bad doc_id must coerce to null")
   }
+
+  test("q106 csv clean drops exactly the planted malformed rows") {
+    // recompute the fixture generator's predicates independently:
+    // kept = positive amount (i%5!=0) AND parseable date (not i%7==0
+    // bad string, not i%11==0 month-13)
+    val expected = (1 to 200).count(i => i % 5 != 0 && i % 7 != 0 && i % 11 != 0)
+    val got = graft.queries.Etl.csvClean(spark, sf001)
+    assert(got.count() == expected.toLong,
+      s"kept ${got.count()} rows, want $expected")
+    // the date column came out as a real DATE, not a string
+    assert(got.schema("transaction_date").dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
 }
