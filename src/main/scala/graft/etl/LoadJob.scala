@@ -136,4 +136,49 @@ object LoadJob {
     log.info(s"loaded $table (observed gate): $rows rows")
     Result(table, rows)
   }
+
+  /** Catalog twin of [[writeValidated]] — the reference loader's
+    * `auto_create_table=True` path (ETL_DAG.py:221): materialize an
+    * arbitrary frame as a CATALOG table, creating it from the frame's
+    * own schema when absent and replacing it when present. The frame is
+    * staged as `<name>__staging` and promoted with catalog renames
+    * (retire old → promote staging → drop retired), so a reader of the
+    * published name always sees either the previous table or the new
+    * one, never a partial write — same crash contract as the
+    * path-based promote. An optional quality gate rides the staging
+    * write via `Quality.observed`: one scan, counters on the write
+    * action, and a violation leaves the published table untouched. */
+  def saveAsCatalogTable(df: DataFrame, name: String,
+                         checks: Seq[Check] = Nil): Result = {
+    val spark = df.sparkSession
+    val staging = name + "__staging"
+    val retired = name + "__old"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
+    val (instrumented, obs) = Quality.observed(df, checks, name)
+    val rows =
+      try {
+        instrumented.write.mode("overwrite").saveAsTable(staging)
+        Quality.assertObserved(obs, checks, name)
+      } catch {
+        case e: Exception =>
+          try spark.sql(s"DROP TABLE IF EXISTS $staging")
+          catch { case c: Exception => e.addSuppressed(c) }
+          e match {
+            case v: ValidationError => throw v
+            case _ => throw new LoadError(s"failed staging catalog table $name", e)
+          }
+      }
+    val hadOld = spark.catalog.tableExists(name)
+    if (hadOld) spark.sql(s"ALTER TABLE $name RENAME TO $retired")
+    try spark.sql(s"ALTER TABLE $staging RENAME TO $name")
+    catch {
+      case e: Exception =>
+        if (hadOld) spark.sql(s"ALTER TABLE $retired RENAME TO $name")
+        throw new LoadError(s"could not promote staging table for $name", e)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
+    log.info(s"saved catalog table $name: $rows rows")
+    Result(name, rows)
+  }
 }

@@ -76,4 +76,43 @@ class LoadJobSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("B") && e.getMessage.contains("C"))
   }
+
+  test("saveAsCatalogTable auto-creates, schema round-trips, overwrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val name = "graft_catalog_sink_test"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // create-if-absent from the frame's own schema, typed columns incl.
+    // decimal money and a date — the auto_create_table contract
+    val v1 = Seq((1, "2024-01-02", "12.50"), (2, "2024-02-03", "7.25"))
+      .toDF("id", "d", "m")
+      .select(col("id"), col("d").cast("date").as("d"),
+        col("m").cast("decimal(10,2)").as("m"))
+    val r1 = LoadJob.saveAsCatalogTable(v1, name)
+    assert(r1.rows == 2 && spark.catalog.tableExists(name))
+    val back = spark.table(name)
+    // names and types must round-trip exactly; nullability is relaxed
+    // by the parquet-backed catalog (standard Spark read semantics)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      v1.schema.map(f => (f.name, f.dataType)),
+      "column names/types must round-trip exactly")
+    assert(back.count() == 2)
+    // overwrite-if-present: the new frame fully replaces the old
+    val v2 = Seq((3, "2025-05-06", "1.00")).toDF("id", "d", "m")
+      .select(col("id"), col("d").cast("date").as("d"),
+        col("m").cast("decimal(10,2)").as("m"))
+    assert(LoadJob.saveAsCatalogTable(v2, name).rows == 1)
+    assert(spark.table(name).select("id").as[Int].collect().toSeq == Seq(3))
+    // a gate violation must leave the published table untouched
+    intercept[ValidationError] {
+      LoadJob.saveAsCatalogTable(
+        v1.withColumn("m", col("m") * -1), name,
+        Seq(Check("m_positive", col("m") > 0, "m must be positive")))
+    }
+    assert(spark.table(name).select("id").as[Int].collect().toSeq == Seq(3),
+      "failed gate must not disturb the published table")
+    assert(!spark.catalog.tableExists(name + "__staging"),
+      "staging must be cleaned up after a failed gate")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }
