@@ -348,27 +348,35 @@ object Dedup {
   /** Session-memoized, checkpoint-pinned q29 result (unordered) — the
     * edge list q30/q62/q79/q91 consume. */
   def verifiedNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(spark, sfDir, "ngram")(ngramJaccardPairsBuild(spark, sfDir))
+    memoized(spark, sfDir, "ngram")(
+      (pairsFromDocsets(internedDocsets(spark, sfDir)), Nil))
 
   /** Uncached single-pass build (plan-shape tests pin THIS). */
   def ngramJaccardPairsFresh(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardPairsBuild(spark, sfDir)._1.orderBy("doc_a", "doc_b")
+    pairsFromDocsets(docsetsPlan(spark, sfDir)._1).orderBy("doc_a", "doc_b")
 
-  private def ngramJaccardPairsBuild(
+  /** Per-doc interned sorted token-set arrays (doc_id, tids, n) —
+    * session-memoized and checkpoint-pinned, because BOTH the q29
+    * pipeline and q37's batch-vs-corpus admission consume the same
+    * frame: one explode+intern+collect instead of two. */
+  def internedDocsets(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "docsets")(docsetsPlan(spark, sfDir))
+
+  private def docsetsPlan(
       spark: SparkSession, sfDir: String): (DataFrame, Seq[DataFrame]) = {
     val toks = wordNgrams(Tables.load(spark, sfDir, "documents")).cache()
-    val toksI = toks.join(broadcast(internVocab(toks)), Seq("ng"))
-      .select(col("doc_id"), col("tid"))
-
     // one shuffle keyed by doc_id → per-doc sorted token-set arrays; the
     // verification join reads these via broadcast (pure map) instead of
     // re-exploding candidate×token rows through a shuffle. At true 100 TB
     // doc counts, swap the broadcasts below for shuffle joins on
     // doc_a/doc_b; the plan shape is otherwise unchanged.
-    val docsets = toksI.groupBy("doc_id")
+    val ds = toks.join(broadcast(internVocab(toks)), Seq("ng"))
+      .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("tids"), count(lit(1)).as("n"))
-      .cache()
+    (ds, Seq(toks))
+  }
 
+  private def pairsFromDocsets(docsets: DataFrame): DataFrame = {
     // prefix length |x| - ceil(τ|x|) + 1 (any shorter could miss pairs);
     // candidate pairs = prefix-token collision + two PPJoin prunes:
     //  - length filter: J >= τ forces τ·|x| <= |y| <= |x|/τ;
@@ -408,7 +416,7 @@ object Dedup {
         (col("shared").cast("double") /
           (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= Tau)
-    (out, Seq(toks, docsets))
+    out
   }
 
   val ngramJaccardPairsSql: String =
@@ -456,13 +464,9 @@ object Dedup {
       .join(corpusHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
 
-    // near tier: q29's interned prefix filter, restricted to batch×corpus
-    val toks = graft.Scratch.register(wordNgrams(docs).cache())
-    val docsets = graft.Scratch.register(
-      toks.join(broadcast(internVocab(toks)), Seq("ng"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("tid"))).as("tids"), count(lit(1)).as("n"))
-        .cache())
+    // near tier: q29's interned prefix filter, restricted to batch×corpus,
+    // reading the SAME session-pinned docsets frame as the q29 pipeline
+    val docsets = internedDocsets(spark, sfDir)
     val prefix = docsets.select(col("doc_id"), col("n"),
       explode(slice(col("tids"), lit(1),
         (col("n") - ceil(col("n") * Tau).cast("long") + 1).cast("int"))).as("tid"))
