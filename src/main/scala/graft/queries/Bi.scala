@@ -426,22 +426,20 @@ object Bi {
     * fine — the fact scan then drops ~4/5 of its rows map-side, before
     * paying the shuffle. False positives are harmless (the real join
     * removes them), false negatives can't happen, so the result is
-    * byte-identical to the plain join the oracle runs. The filter rides
-    * a broadcast variable + a scalar predicate — the one place a UDF
-    * earns its keep, since sketch membership has no builtin Column
-    * form. */
+    * byte-identical to the plain join the oracle runs. The probe is
+    * Spark's own runtime-filter expression (`might_contain`) shipped
+    * as a plan literal — codegen'd, not a UDF. */
   def bloomPrefilterRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.load(spark, sfDir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"), col("c_nationkey"))
-    val bf = cust.stat.bloomFilter("c_custkey", BloomExpectedKeys, BloomFpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    val bf = graft.functions.Bloom.serialize(
+      cust.stat.bloomFilter("c_custkey", BloomExpectedKeys, BloomFpp))
 
     val nation = Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"))
     val orders = Tables.load(spark, sfDir, "orders")
-      .filter(mightContain(col("o_custkey")))
+      .filter(graft.functions.Bloom.mightContainLong(bf, col("o_custkey")))
     orders
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))

@@ -222,6 +222,17 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q94: the explicit bloom probe is might_contain, not a UDF") {
+    // the pre-built filter rides the plan as a binary literal probed by
+    // BloomFilterMightContain — codegen'd, visible to Catalyst; a Scala
+    // UDF here would be an optimization barrier AND leave codegen
+    val plan = finalPlan("q94_bloom_prefilter")
+    assert(plan.contains("might_contain"),
+      s"expected the native bloom probe in the plan:\n$plan")
+    assert(!plan.toLowerCase.contains("udf"),
+      s"bloom probe must not be a UDF:\n$plan")
+  }
+
   test("q63: EXISTS plans as a broadcast semi-join") {
     val plan = finalPlan("q63_semi_join")
     assert(plan.contains("LeftSemi"), s"semi-join expected:\n$plan")
