@@ -1069,6 +1069,90 @@ object TextAnalysis {
        |         / COUNT(*) AS boiler_fraction
        |FROM g JOIN df USING (ng) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Span length for q107 — long enough that a shared token run is
+    * verbatim duplication rather than phrasing coincidence (the
+    * substring-dedup literature uses ~50 BPE tokens; 10 whitespace
+    * words is the fixture-scaled analog). */
+  val DupSpanK = 10
+
+  /** q107 — duplicated-span coverage: for every document, the fraction
+    * of its TOKEN POSITIONS lying inside some k-token run that appears
+    * verbatim in another document. This is the substring-level dedup
+    * measure (the signal that drives "remove the repeated span, keep
+    * the doc" pipelines) — q74 counts how many distinct grams are
+    * shared, this measures how much of the document's body those
+    * shared runs actually cover: a doc with one viral 10-gram repeated
+    * throughout scores near 1.0 here but low on q74's distinct-gram
+    * share.
+    *
+    * Position coverage is the union of [s, s+k-1] intervals over
+    * duplicated start positions, computed exactly by exploding each
+    * surviving interval and COUNT(DISTINCT pos) per doc — the k×
+    * blowup touches ONLY duplicated spans (bounded by the duplicated
+    * content volume, not the corpus), and both the dedup-vs-corpus
+    * semi-join and the coverage count shuffle bare (doc_id, ints).
+    * Scale shape: one explode over the corpus (same as q74), one
+    * distinct-gram doc-frequency aggregate (AQE covers viral-gram
+    * skew), one semi-join back, one per-doc count. */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable docs frame (spec plants tiny corpora). */
+  def dupSpansOn(docs: DataFrame): DataFrame = {
+    val k = DupSpanK
+    val w = split(lower(col("text")), "\\s+")
+    val base = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
+    val grams = base.filter(col("n") >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+          i => struct(i.cast("long").as("s"),
+            concat_ws(" ", slice(col("w"), i, lit(k))).as("ng")))).as("g"))
+      .select(col("doc_id"), col("g.s").as("s"), col("g.ng").as("ng"))
+    // a gram is a duplicated span iff it occurs in MORE THAN ONE doc;
+    // distinct (doc, ng) first so within-doc repeats don't inflate it
+    val dup = grams.select("doc_id", "ng").distinct()
+      .groupBy("ng").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1).select("ng")
+    val covered = grams.join(dup, Seq("ng"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("covered_tokens"))
+    base.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpansSql: String = {
+    val k = DupSpanK
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+       |), starts AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w)-${k - 1})) AS s
+       |  FROM base WHERE len(w) >= $k
+       |), g AS (
+       |  SELECT doc_id, s, array_to_string(w[s:s+${k - 1}], ' ') AS ng FROM starts
+       |), dup AS (
+       |  SELECT ng FROM (SELECT DISTINCT doc_id, ng FROM g)
+       |  GROUP BY ng HAVING COUNT(*) > 1
+       |), cov AS (
+       |  SELECT doc_id, COUNT(DISTINCT p) AS covered
+       |  FROM (SELECT g.doc_id, unnest(generate_series(s, s+${k - 1})) AS p
+       |        FROM g JOIN dup USING (ng))
+       |  GROUP BY doc_id
+       |)
+       |SELECT b.doc_id,
+       |       CAST(len(b.w) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       |       CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(b.w) AS dup_fraction
+       |FROM base b LEFT JOIN cov c USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** BM25 constants (Robertson/Sparck Jones defaults) and the pinned
     * keyword query the retrieval demo scores. */
   val Bm25K1 = 1.2

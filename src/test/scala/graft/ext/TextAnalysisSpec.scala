@@ -101,4 +101,33 @@ class TextAnalysisSpec extends SparkSpec {
         "copies of benchmark docs must show contamination 1.0")
     }
   }
+
+  test("dup spans: coverage is the interval union over shared 10-gram runs") {
+    // doc 1/2 share EXACTLY one 10-token run planted inside distinct
+    // padding; doc 3 shares nothing; doc 4 is the run verbatim (n = k)
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val d1 = s"alpha beta gamma $run delta epsilon"
+    val d2 = s"one two three four five six $run seven"
+    val d3 = "plain words that never repeat across any other document here okay fine"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, run)).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpansOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // only the planted run's 10 positions are covered: padding differs,
+    // so every overlapping gram that strays outside the run is unique
+    assert(got(1L) == ((15L, 10L, 10.0 / 15.0)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((17L, 10L, 10.0 / 17.0)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((12L, 0L, 0.0)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((10L, 10L, 1.0)), s"doc4: ${got(4L)}")
+  }
+
+  test("dup spans: overlapping duplicated grams merge, not double-count") {
+    // two docs are identical 12-token texts -> all 3 grams duplicated,
+    // union of [1,10],[2,11],[3,12] covers all 12 positions exactly once
+    val t = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpansOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((12L, 12L, 1.0)) && got(2L) == ((12L, 12L, 1.0)),
+      s"full coverage expected: $got")
+  }
 }
