@@ -465,4 +465,106 @@ object Similarity {
        |       CAST(SUM(CASE WHEN nrm < $DegenerateNorm THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_degenerate
        |FROM e GROUP BY label ORDER BY label""".stripMargin
+
+  /** k-means geometry for q108: K clusters, `KmeansRounds` Lloyd
+    * recompute rounds, init = the first K vectors by vec_id (q25's
+    * deterministic-codebook discipline; at scale you'd k-means|| the
+    * init by hash-sampling, the loop below is unchanged). */
+  val KmeansK = 8
+  val KmeansRounds = 2
+
+  /** Nearest-centroid id for a literal codebook: highest cosine wins,
+    * ties break to the SMALLEST cid (struct sort on (cos, -cid), the
+    * q25 trick) — returns (cid, cos) so the winner's score isn't
+    * recomputed. */
+  private def nearest(v: Column, code: Seq[(Long, Seq[Double])]): (Column, Column) = {
+    val best = sort_array(array(code.map { case (cid, cv) =>
+      struct(cosine(v, typedlit(cv)).as("cos"), lit(-cid).as("ncid"))
+    }: _*), asc = false)(0)
+    (-best("ncid"), best("cos"))
+  }
+
+  /** Lloyd's iterations over an (vec_id, v) frame. Each round is one
+    * map-only assignment pass (codebook ships as literals — zero
+    * shuffle, the q25 IVF shape) plus one centroid recompute:
+    * posexplode to (cid, dim, x) and groupBy(cid, dim) — partial
+    * aggregation makes the shuffle |partitions|·K·Dim rows, NOT N·Dim,
+    * so the recompute is scan-bound at any corpus size. The K·Dim
+    * means collected per round are codebook-sized (the same bounded
+    * collect q25 documents); clusters that lose every member drop out
+    * of the codebook. Cosine against an unnormalized mean ≡ spherical
+    * k-means (cosine is scale-invariant, no renormalize pass needed).
+    */
+  def kmeansCodebook(e: DataFrame, k: Int, rounds: Int): Seq[(Long, Seq[Double])] = {
+    var code: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to rounds) {
+      val stats = e
+        .select(nearest(col("v"), code)._1.as("cid"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      code = stats.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(r => r.getDouble(2) / r.getLong(3)).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    code
+  }
+
+  /** q108 — spherical k-means over the corpus embeddings: the codebook
+    * TRAINING pass q25's IVF deliberately skips, exposed as a cluster
+    * profile (size + cohesion per cluster). Semantic-dedup pipelines
+    * run exactly this to group near-duplicate meaning before sampling
+    * within clusters. The final assignment is one more map-only pass
+    * with the trained codebook; avg cohesion rounds to 6 dp (cross-row
+    * sum order is shuffle-dependent; the per-row cosines themselves
+    * are bit-equal across engines via index-ordered folds). */
+  def kmeansClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val code = kmeansCodebook(e, KmeansK, KmeansRounds)
+    val (cid, cos) = nearest(col("v"), code)
+    val a = e.select(cid.as("cid"), cos.as("cos"))
+    a.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cos")), 6).as("avg_cos"))
+      .orderBy("cid")
+  }
+
+  val kmeansClustersSql: String = {
+    val k = KmeansK
+    // the oracle unrolls the SAME rounds as unnamed CTE stages: cN is
+    // the codebook entering round N+1, aN the assignment under cN
+    def assign(cb: String, out: String, keepV: Boolean) =
+      s"""$out AS (
+         |  SELECT vec_id${if (keepV) ", v" else ""}, cid, cos FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |           list_cosine_similarity(e.v, c.cv) AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, $cb c) WHERE rn = 1
+         |)""".stripMargin
+    def recompute(asg: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT cid, i, AVG(v[i]) AS m
+         |    FROM $asg, (SELECT unnest(generate_series(1, $Dim)) AS i)
+         |    GROUP BY cid, i)
+         |  GROUP BY cid
+         |)""".stripMargin
+    val rounds = (1 to KmeansRounds).map { r =>
+      assign(s"c${r - 1}", s"a$r", keepV = true) + ",\n" +
+        recompute(s"a$r", s"c$r")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       |$rounds,
+       |${assign(s"c$KmeansRounds", "af", keepV = false)}
+       |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |       round(AVG(cos), 6) AS avg_cos
+       |FROM af GROUP BY cid ORDER BY cid""".stripMargin
+  }
 }

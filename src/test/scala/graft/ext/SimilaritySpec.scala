@@ -79,4 +79,24 @@ class SimilaritySpec extends SparkSpec {
     // reported for observability.
     ann.foreach { case (q, n) => assert(q < Similarity.NQueries && n != q) }
   }
+
+  test("kmeans: planted directions recover their clusters and centroids") {
+    // two tight cones around orthogonal axes; ids interleave so the
+    // first-K init starts with one seed in EACH cone (k = 2)
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0, 0.0, 1.0) else Array(0.0, 10.0, 1.0)
+      (i.toLong, base.updated(2, 1.0 + 0.01 * (i / 2)).toSeq)
+    }
+    val e = pts.toDF("vec_id", "v")
+    val code = Similarity.kmeansCodebook(e, k = 2, rounds = 2)
+    assert(code.map(_._1) == Seq(0L, 1L), s"both seeds must survive: $code")
+    // each centroid stays inside its cone: dominant axis is the cone axis
+    val c0 = code.head._2
+    val c1 = code(1)._2
+    assert(c0(0) > 9.9 && c0(1) == 0.0, s"even cone centroid drifted: $c0")
+    assert(c1(1) > 9.9 && c1(0) == 0.0, s"odd cone centroid drifted: $c1")
+    // centroid z = mean of planted z ramp, identical for both cones
+    val zbar = (0 until 20).map(j => 1.0 + 0.01 * j).sum / 20.0
+    assert(math.abs(c0(2) - zbar) < 1e-12 && math.abs(c1(2) - zbar) < 1e-12)
+  }
 }
