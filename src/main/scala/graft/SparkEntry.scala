@@ -135,7 +135,8 @@ object SparkEntry {
     "q105_stratified_twopass" -> (Sampling.stratifiedTwoPass _),
     "q106_csv_clean" -> (Etl.csvClean _),
     "q107_dup_spans" -> (TextAnalysis.dupSpans _),
-    "q108_kmeans_clusters" -> (Similarity.kmeansClusters _)
+    "q108_kmeans_clusters" -> (Similarity.kmeansClusters _),
+    "q109_weighted_twopass" -> (Sampling.weightedMixTwoPass _)
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -264,6 +265,9 @@ object SparkEntry {
     "q105_stratified_twopass" -> Sampling.stratifiedSampleSql,
     "q106_csv_clean" -> Etl.csvCleanSql,
     "q107_dup_spans" -> TextAnalysis.dupSpansSql,
-    "q108_kmeans_clusters" -> Similarity.kmeansClustersSql
+    "q108_kmeans_clusters" -> Similarity.kmeansClustersSql,
+    // deliberately q52's EXACT oracle: the two-pass weighted mix must
+    // reproduce the per-language window bit for bit
+    "q109_weighted_twopass" -> Sampling.weightedMixSql
   )
 }

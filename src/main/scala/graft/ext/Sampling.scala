@@ -63,29 +63,61 @@ object Sampling {
     * decomposition exact (the strongest form of the "two-pass
     * mega-strata variant" SURVEY §2.8 prescribes). One broadcast of
     * the histogram; both shuffles keyed by (lang, source, bkt). */
-  def stratifiedTwoPass(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def stratifiedTwoPass(spark: SparkSession, sfDir: String): DataFrame =
+    twoPassRanked(Tables.load(spark, sfDir, "documents"),
+      Seq("lang", "source"), t => ceil(t * SampleFrac).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("stratum_rank"), col("stratum_size"))
+      .orderBy("doc_id")
+
+  /** The generic two-pass exact-quota kernel (shared by q105/q109):
+    * per-(stratum, 256-bucket) histogram with cumulative counts over
+    * the ≤256-row per-stratum histogram, broadcast back, in-bucket
+    * ranks 256-way parallel inside every stratum. `quotaOfTotal` maps
+    * the stratum total to its quota and may read other stratum columns
+    * (q109's per-language weight). Returns (strata..., doc_id,
+    * stratum_rank, stratum_size) for survivors, ranks bit-identical to
+    * the single-window form. */
+  private def twoPassRanked(docs: DataFrame, strata: Seq[String],
+      quotaOfTotal: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val key = md5(col("doc_id").cast("string"))
-    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+    val base = docs.select(strata.map(col) ++ Seq(col("doc_id"),
       key.as("k"),
-      conv(substring(key, 1, 2), 16, 10).cast("int").as("bkt"))
-    val wS = Window.partitionBy("lang", "source").orderBy("bkt")
-    val info = base.groupBy("lang", "source", "bkt")
+      conv(substring(key, 1, 2), 16, 10).cast("int").as("bkt")): _*)
+    val wS = Window.partitionBy(strata.map(col): _*).orderBy("bkt")
+    val info = base.groupBy((strata :+ "bkt").map(col): _*)
       .agg(count(lit(1)).as("c"))
       .withColumn("cum_before", coalesce(
         sum("c").over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("total",
-        sum("c").over(Window.partitionBy("lang", "source")))
-      .withColumn("quota", ceil(col("total") * SampleFrac).cast("long"))
+        sum("c").over(Window.partitionBy(strata.map(col): _*)))
+      .withColumn("quota", quotaOfTotal(col("total")))
       .drop("c")
-    val wB = Window.partitionBy("lang", "source", "bkt")
+    val wB = Window.partitionBy((strata :+ "bkt").map(col): _*)
       .orderBy(col("k"), col("doc_id"))
-    base.join(broadcast(info), Seq("lang", "source", "bkt"))
+    base.join(broadcast(info), strata :+ "bkt")
       .withColumn("rk_in_bkt", row_number().over(wB))
       .filter(col("cum_before") + col("rk_in_bkt") <= col("quota"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        (col("cum_before") + col("rk_in_bkt")).cast("long").as("stratum_rank"),
-        col("total").as("stratum_size"))
+      .withColumn("stratum_rank",
+        (col("cum_before") + col("rk_in_bkt")).cast("long"))
+      .withColumn("stratum_size", col("total"))
+  }
+
+  /** q109 — the mega-strata form of q52's weighted language mix: same
+    * survivors, same ranks, via the q105 two-pass kernel with the
+    * per-language quota ceil(|stratum|·w_lang). q52 partitions by lang
+    * ONLY — a handful of strata, so its one-window-per-stratum shape
+    * serializes the whole corpus through ≤|langs| tasks, the worst
+    * case for the window form and exactly where the 256-way in-bucket
+    * decomposition matters. Oracle is deliberately q52's identical
+    * window SQL. */
+  def weightedMixTwoPass(spark: SparkSession, sfDir: String): DataFrame = {
+    val weight = MixWeights.foldLeft(lit(0.0)) { case (acc, (l, w)) =>
+      when(col("lang") === l, w).otherwise(acc) }
+    twoPassRanked(Tables.load(spark, sfDir, "documents"),
+      Seq("lang"), t => ceil(t * weight).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        col("stratum_rank"), col("stratum_size"))
       .orderBy("doc_id")
   }
 

@@ -27,6 +27,12 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, s"two-pass drifted: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
   }
 
+  test("two-pass weighted mix reproduces q52 bit for bit") {
+    val a = Sampling.weightedMix(spark, sf001).collect().toSeq
+    val b = Sampling.weightedMixTwoPass(spark, sf001).collect().toSeq
+    assert(a == b, s"two-pass drifted: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+  }
+
   test("token shards fill to the budget and never split mid-doc") {
     val rows = Sampling.tokenShards(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
