@@ -40,6 +40,27 @@ object Layout {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Small-file compaction — the table-maintenance pass every
+    * long-running ingest needs: streaming/incremental writers leave
+    * thousands of KB-sized files per partition, and at 100 TB the
+    * resulting task-per-file scheduling + footer reads dominate scan
+    * cost. Rewrites the input to ⌈bytes/target⌉ near-equal files via a
+    * round-robin repartition (balanced regardless of input skew).
+    * Input size comes from the relation's own statistics (sum of file
+    * sizes for a parquet scan), so no extra pass over the data; the
+    * default 256 MB target matches `Tuning.TargetPartitionBytes`.
+    * Returns the output file count so callers can assert/log the
+    * compaction ratio. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 256L << 20): Long = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes)
+      .max(1).toLong
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Bits per dimension for the Z-order curve (2·ZBits-bit z-value). */
   val ZBits = 8
 

@@ -76,4 +76,24 @@ class LayoutSpec extends SparkSpec {
       s"bucketed join must not shuffle:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("compaction collapses a small-file shard forest losslessly") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"
+    val src = Tables.load(spark, sf001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    src.repartition(64).write.parquet(in) // the pathological writer
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 64)
+    // tiny target -> multiple output files, sized from the scan stats
+    val n = Layout.compact(spark, in, out, targetFileBytes = 24L * 1024)
+    assert(parquetFiles(out) == n, "planned and written file counts differ")
+    assert(n < 64 && n > 1, s"expected a real compaction ratio, got $n")
+    // lossless: same multiset of rows
+    val a = spark.read.parquet(in)
+    val b = spark.read.parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction must preserve the row multiset")
+  }
 }
