@@ -534,6 +534,143 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** PQ geometry for q111: M subspaces of Dim/M dims, K centroids per
+    * subspace, `PqRounds` Lloyd rounds each, trained on the NORMALIZED
+    * corpus so inner product ≡ cosine and ADC ranks like q13. K stays
+    * 16 (a 4-bit code) and the whole codebook is M·K·(Dim/M) = 1024
+    * doubles — the classic 64-dim→8-byte compression. */
+  val PqM = 8
+  val PqK = 16
+  val PqRounds = 1
+  private val PqSub = Dim / PqM
+
+  /** q111 — product-quantization ANN with asymmetric-distance (ADC)
+    * scoring: train a k-means codebook PER SUBSPACE (the q108 kernel on
+    * sliced vectors), encode every vector as M small codes, and score
+    * query→candidate as Σ_s dot(q_s, centroid_s[code_s]) — the exact
+    * query side against the compressed candidate side. At 100 TB this
+    * is THE memory lever: candidates ride the scan as M·log2(K) bits
+    * each (8 bytes here vs 256) and scoring is M table lookups per
+    * pair, while training/codebooks stay bounded (M·K·subdim doubles).
+    *
+    * Cross-engine determinism: vectors normalize by the in-order
+    * self-dot norm, codebooks derive from the same literal-seed Lloyd
+    * rounds both engines run, codes look up centroids BY CID (map
+    * literal here, join there — robust to a cluster emptying out), and
+    * the M ADC terms add in fixed subspace order (left-associated in
+    * both engines). Ranking knife-edges would need two approx scores
+    * within ~1e-12 — the q108 acceptance, extended to ranks. */
+  def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+      .filter(col("nrm") > 0)
+    val e = e0.select(col("vec_id"),
+      transform(col("v0"), x => x / col("nrm")).as("v"))
+    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map { s =>
+      kmeansCodebook(
+        e.select(col("vec_id"), slice(col("v"), s * PqSub + 1, PqSub).as("v")),
+        PqK, PqRounds)
+    }
+    val codes = (0 until PqM).map { s =>
+      nearest(slice(col("v"), s * PqSub + 1, PqSub), books(s))._1.as(s"c$s")
+    }
+    val enc = e.select(col("vec_id") +: codes: _*)
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val terms = (0 until PqM).map { s =>
+      dot(slice(col("qv"), s * PqSub + 1, PqSub),
+        element_at(typedlit(books(s).toMap), col(s"c$s")))
+    }
+    enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        terms.reduceLeft(_ + _).as("acos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("acos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("acos"), 6).as("approx_cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  val pqAnnSql: String = {
+    require(PqRounds == 1, "pqAnnSql unrolls exactly one Lloyd round")
+    def lo(s: Int) = s * PqSub + 1
+    def hi(s: Int) = (s + 1) * PqSub
+    def sub(s: Int) = s"v[${lo(s)}:${hi(s)}]"
+    // per subspace: seed codebook, `PqRounds` assign+recompute rounds,
+    // then the final assignment = that vector's code
+    val perSub = (0 until PqM).map { s =>
+      // assignment is by COSINE (the q108 kernel's metric; both the
+      // Lloyd rounds and the final encode must match Spark's
+      // kmeansCodebook/nearest), scoring by dot
+      def assign(cb: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT e.vec_id, ${sub(s)} AS v, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_cosine_similarity(${sub(s)}, c.cv) DESC, c.cid) AS rn
+           |    FROM e, $cb c) WHERE rn = 1
+           |)""".stripMargin
+      def assignFromSub(cb: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT a.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
+           |    FROM a${s}_1 a, $cb c) WHERE rn = 1
+           |)""".stripMargin
+      def recompute(asg: String, out: String) =
+        s"""$out AS (
+           |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+           |    SELECT cid, i, AVG(v[i]) AS m
+           |    FROM $asg, (SELECT unnest(generate_series(1, $PqSub)) AS i)
+           |    GROUP BY cid, i)
+           |  GROUP BY cid
+           |)""".stripMargin
+      Seq(
+        s"c${s}_0 AS (SELECT vec_id AS cid, ${sub(s)} AS cv FROM e WHERE vec_id < $PqK)",
+        assign(s"c${s}_0", s"a${s}_1"),
+        recompute(s"a${s}_1", s"c${s}_1"),
+        assignFromSub(s"c${s}_1", s"code$s")
+      ).mkString(",\n")
+    }.mkString(",\n")
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN code$s ON code$s.vec_id = e.vec_id").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"code$s.cid AS c$s").mkString(", ")
+    val termJoins = (0 until PqM)
+      .map(s => s"JOIN c${s}_1 k$s ON k$s.cid = cd.c$s").mkString(" ")
+    val termSum = (0 until PqM)
+      .map(s => s"list_dot_product(q.qv[${lo(s)}:${hi(s)}], k$s.cv)")
+      .mkString(" + ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v0,
+       |         sqrt(list_dot_product(embedding::DOUBLE[],
+       |                               embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
+       |  FROM e0 WHERE nrm > 0
+       |),
+       |$perSub,
+       |codes AS (SELECT e.vec_id, $codeCols FROM e $codeJoins),
+       |queries AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |            WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, cd.vec_id AS neighbor_id, $termSum AS acos
+       |  FROM codes cd JOIN queries q ON cd.vec_id != q.query_id $termJoins
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, acos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY acos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, neighbor_id, round(acos, 6) AS approx_cos
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val kmeansClustersSql: String = {
     val k = KmeansK
     // the oracle unrolls the SAME rounds as unnamed CTE stages: cN is

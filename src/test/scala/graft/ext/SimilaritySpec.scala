@@ -80,6 +80,37 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach { case (q, n) => assert(q < Similarity.NQueries && n != q) }
   }
 
+  test("pq ann: valid shape, deterministic, and real recall vs brute force") {
+    val pq = Similarity.pqAnn(spark, sf001)
+    val rows = pq.collect()
+    assert(pq.columns.toSeq ==
+      Seq("query_id", "rk", "neighbor_id", "approx_cos"))
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keys.forall(_ < Similarity.NQueries))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Similarity.TopK),
+        "each query must have exactly ranks 1..k")
+    }
+    // approx scores for NORMALIZED vectors must stay in a sane cosine
+    // range (quantization can push slightly past ±1)
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.5))
+    // recall@k against the exact baseline: coarse 4-bit codes still have
+    // to land a good share of the true neighbors, or the codebook /
+    // lookup wiring is broken (empirically ~0.6+ at this SF; 0.3 floor
+    // keeps the test insensitive to fixture drift)
+    val exact = Similarity.bruteForceTopK(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = byQ.map { case (q, rs) =>
+      val got = rs.map(_.getLong(2)).toSet
+      got.intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"PQ recall collapsed: $mean")
+    // determinism: a second run is bit-identical (no RNG anywhere)
+    assert(Similarity.pqAnn(spark, sf001).collect().toSeq == rows.toSeq)
+  }
+
   test("kmeans: planted directions recover their clusters and centroids") {
     // two tight cones around orthogonal axes; ids interleave so the
     // first-K init starts with one seed in EACH cone (k = 2)
