@@ -30,11 +30,15 @@ class PlanSpec extends SparkSpec {
     //    shape as q73
     //  - q76: the 1-row string-min/max side agg crossed back into the
     //    1-row distinct-count agg (both sides constant-bounded)
+    //  - q111: ADC scoring crosses the NQueries(=8) normalized query
+    //    vectors into the encoded-candidate scan — the same bounded
+    //    shape as q13, with the candidate side compressed to PQ codes
     // Everything else must plan hash/sort-merge joins, and nothing may
     // ever plan an unbroadcast CartesianProduct.
     val boundedBroadcastOk = Set(
       "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement",
-      "q73_lm_score", "q76_profile", "q81_ann_recall", "q89_bm25")
+      "q73_lm_score", "q76_profile", "q81_ann_recall", "q89_bm25",
+      "q111_pq_ann")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
