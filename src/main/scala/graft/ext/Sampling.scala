@@ -433,4 +433,53 @@ object Sampling {
       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** q114 epoch-shuffle geometry: the seed names the epoch (re-seeding
+    * re-permutes the corpus between epochs — the property pretraining
+    * needs) and shards hold a fixed DOC count (q33 shards by token
+    * budget; this is the row-count twin). */
+  val EpochSeed = "epoch-1"
+  val EpochShardDocs = 64L
+
+  /** q114 — deterministic epoch shuffle: assign every document a
+    * pseudorandom-but-reproducible global shuffle rank (md5 over
+    * seed:doc_id — a keyed permutation, so epoch N+1 reshuffles by
+    * changing one literal) and cut the permuted order into fixed-size
+    * shards. This is THE step between curation and the trainer: the
+    * global order must be uniform, stable under re-runs, and computed
+    * without ever serializing the corpus through one task.
+    *
+    * The rank is the [[packOffsetsBy]] two-phase exclusive prefix sum
+    * of 1 under the (hash, doc_id) total order — every window in the
+    * plan stays partitioned (PlanSpec's global invariant), the
+    * per-partition totals cumsum touches #partitions rows, and the
+    * hash order itself is embarrassingly parallel. The oracle states
+    * the same semantics as one flat row_number window — fine at test
+    * scale in DuckDB, and an independent proof the decomposition
+    * reassembles the exact global permutation. */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit(EpochSeed + ":"), col("doc_id").cast("string")))
+          .as("h"),
+        lit(1L).as("n_tokens"))
+    packOffsetsBy(docs, Seq(col("h"), col("doc_id")))
+      .select(col("doc_id"), col("start_off").as("shuffle_rank"),
+        expr(s"start_off div $EpochShardDocs").as("shard_id"),
+        (col("start_off") % EpochShardDocs).as("shard_pos"))
+      .orderBy("doc_id")
+  }
+
+  val epochShuffleSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (
+       |           ORDER BY md5('$EpochSeed:' || CAST(doc_id AS VARCHAR)),
+       |                    doc_id) - 1 AS rk
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS shuffle_rank,
+       |       CAST(rk // $EpochShardDocs AS BIGINT) AS shard_id,
+       |       CAST(rk % $EpochShardDocs AS BIGINT) AS shard_pos
+       |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -1236,4 +1236,167 @@ object TextAnalysis {
        |SELECT doc_id, round(score, 6) AS bm25
        |FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
+
+  /** Gopher-style repetition/quality rule constants (Rae et al. 2021,
+    * "Scaling Language Models", public). Word-count and mean-word-length
+    * bounds are the published values; the stopword floor is 1 (canonical
+    * 2) because this synthetic corpus tops out at one distinct hit —
+    * the RULE is what matters, the constant is tunable. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStop = 1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMaxSymRatio = 0.1
+
+  /** q112 — the Gopher rule gate: the standard composite pre-training
+    * document filter, emitted as per-rule booleans plus the final keep
+    * decision so a curator can see WHICH rule rejected a document (the
+    * actionable artifact — a bare keep bit hides whether the corpus is
+    * failing on length or on symbol noise).
+    *
+    * Every rule is a single-pass builtin-function composition over the
+    * text column — regexp counts, array intersect/filter HOFs — fully
+    * codegen'd, zero joins, zero shuffles except the output sort. At
+    * 100 TB this runs at scan speed and is embarrassingly parallel. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val nWords = size(toks).cast("long")
+    val nw = nWords.cast("double")
+    val meanLen =
+      length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nw
+    val nStop = size(array_intersect(
+      split(lower(col("text")), "\\s+"), typedlit(GopherStop)))
+    val alphaFrac =
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nw
+    val symRatio =
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double") / nw
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        nStop.cast("long").as("n_stop_distinct"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        round(symRatio, 6).as("sym_ratio"))
+      .withColumn("words_ok",
+        col("n_words").between(GopherMinWords, GopherMaxWords))
+      .withColumn("mean_len_ok",
+        col("mean_word_len").between(GopherMinMeanLen, GopherMaxMeanLen))
+      .withColumn("stop_ok", col("n_stop_distinct") >= GopherMinStop)
+      .withColumn("alpha_ok", col("alpha_frac") >= GopherMinAlphaFrac)
+      .withColumn("sym_ok", col("sym_ratio") <= GopherMaxSymRatio)
+      .withColumn("keep", col("words_ok") && col("mean_len_ok") &&
+        col("stop_ok") && col("alpha_ok") && col("sym_ok"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val stops = GopherStop.map(s => s"'$s'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+       |    round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+       |          / len(string_split_regex(text, '\\s+')), 6) AS mean_word_len,
+       |    CAST(len(list_intersect(string_split_regex(lower(text), '\\s+'),
+       |                            [$stops])) AS BIGINT) AS n_stop_distinct,
+       |    round(len(list_filter(string_split_regex(text, '\\s+'),
+       |                          w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+       |          / len(string_split_regex(text, '\\s+')), 6) AS alpha_frac,
+       |    round(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+       |          / len(string_split_regex(text, '\\s+')), 6) AS sym_ratio
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, alpha_frac,
+       |       sym_ratio,
+       |       n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS words_ok,
+       |       mean_word_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen AS mean_len_ok,
+       |       n_stop_distinct >= $GopherMinStop AS stop_ok,
+       |       alpha_frac >= $GopherMinAlphaFrac AS alpha_ok,
+       |       sym_ratio <= $GopherMaxSymRatio AS sym_ok,
+       |       (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |         AND (mean_word_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen)
+       |         AND n_stop_distinct >= $GopherMinStop
+       |         AND alpha_frac >= $GopherMinAlphaFrac
+       |         AND sym_ratio <= $GopherMaxSymRatio AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Vocabulary size for q113's drift comparison — constant-bounded, so
+    * the grid below is |sources| × 200, never corpus-sized. */
+  val DriftVocab = 200
+
+  /** q113 — per-source unigram KL drift: D_KL(source ‖ corpus) over the
+    * corpus top-[[DriftVocab]] vocabulary with add-one smoothing — the
+    * distribution-shift monitor a curator runs per crawl/source to catch
+    * a feed whose content drifted from the corpus mix (q86 tests lang ×
+    * source INDEPENDENCE on counts; this measures CONTENT divergence on
+    * the token distribution itself).
+    *
+    * Scale shape: one token-explode pass into a (tok) count, a top-V
+    * TakeOrdered (V constant), a broadcast semi-join to keep only vocab
+    * tokens in the per-source counts, and a |sources|×V smoothing grid
+    * from a broadcast nested-loop whose build side is the CONSTANT
+    * 200-row vocab — the q56/q73 bounded-broadcast shape, pinned in
+    * PlanSpec. The KL sum rides a 200-term-per-source agg and rounds to
+    * 6 dp (same float policy as q70's entropy). */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+      .orderBy(col("cg").desc, col("tok")).limit(DriftVocab)
+    // bounded driver anchors (≤ V rows in): the vocab token total and
+    // the ACTUAL vocab size — smoothing must divide by |vocab|, not the
+    // cap, or p stops summing to 1 when the corpus has < V types (and
+    // KL goes negative)
+    val anchor = vocab.agg(sum("cg"), count(lit(1))).first()
+    val gt = anchor.getLong(0)
+    val vocabN = anchor.getLong(1)
+    val sv = toks.join(broadcast(vocab.select("tok")), "tok")
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val st = sv.groupBy("source").agg(sum("cs").as("ns"))
+    val v = lit(vocabN.toDouble)
+    val p = (coalesce(col("cs"), lit(0L)).cast("double") + 1.0) /
+      (col("ns").cast("double") + v)
+    val q = (col("cg").cast("double") + 1.0) / (lit(gt.toDouble) + v)
+    st.crossJoin(broadcast(vocab))
+      .join(sv, Seq("source", "tok"), "left")
+      .select(col("source"), col("ns"), (p * log(p / q)).as("term"))
+      .groupBy("source", "ns")
+      .agg(round(sum("term"), 6).as("kl_divergence"))
+      .select(col("source"), col("ns").as("vocab_tokens"),
+        col("kl_divergence"))
+      .orderBy("source")
+  }
+
+  val sourceDriftSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, tok FROM (
+       |    SELECT source,
+       |           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |    FROM documents) WHERE length(tok) > 0
+       |), vocab AS (
+       |  SELECT tok, COUNT(*) AS cg FROM toks GROUP BY 1
+       |  ORDER BY cg DESC, tok LIMIT $DriftVocab
+       |), n AS (SELECT SUM(cg)::DOUBLE AS gt, COUNT(*)::DOUBLE AS vn
+       |         FROM vocab),
+       |sv AS (
+       |  SELECT source, t.tok, COUNT(*) AS cs
+       |  FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2
+       |), st AS (SELECT source, SUM(cs) AS ns FROM sv GROUP BY 1),
+       |grid AS (
+       |  SELECT st.source, st.ns, v.tok, v.cg FROM st, vocab v
+       |), j AS (
+       |  SELECT g.source, g.ns, g.cg, COALESCE(sv.cs, 0) AS cs
+       |  FROM grid g LEFT JOIN sv ON sv.source = g.source AND sv.tok = g.tok
+       |)
+       |SELECT source, CAST(ns AS BIGINT) AS vocab_tokens,
+       |       round(SUM(((cs::DOUBLE + 1.0) / (ns::DOUBLE + vn))
+       |         * ln(((cs::DOUBLE + 1.0) / (ns::DOUBLE + vn))
+       |               / ((cg::DOUBLE + 1.0) / (gt + vn)))), 6)
+       |         AS kl_divergence
+       |FROM j, n GROUP BY source, ns ORDER BY source""".stripMargin
 }

@@ -33,6 +33,36 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, s"two-pass drifted: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
   }
 
+  test("epoch shuffle is a dense permutation in keyed-hash order") {
+    val rows = Sampling.epochShuffle(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    // ranks are exactly 0..n-1 (a permutation, no gap/dup from the
+    // two-phase decomposition)
+    assert(rows.map(_._2).sorted.toSeq == (0L until n),
+      "shuffle ranks must be a dense permutation")
+    // rank order agrees with the flat md5 keyed order computed here
+    import org.apache.spark.sql.functions._
+    val want = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit(Sampling.EpochSeed + ":"),
+          col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .sorted.map(_._2).zipWithIndex
+      .map { case (d, i) => d -> i.toLong }.toMap
+    rows.foreach { case (d, rk, sid, pos) =>
+      assert(rk == want(d), s"doc $d rank $rk != flat-order ${want(d)}")
+      assert(sid == rk / Sampling.EpochShardDocs && pos == rk % Sampling.EpochShardDocs)
+    }
+    // every shard except the last is exactly full
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    val last = sizes.keys.max
+    sizes.foreach { case (sid, sz) =>
+      if (sid != last) assert(sz == Sampling.EpochShardDocs,
+        s"shard $sid has $sz docs")
+    }
+  }
+
   test("token shards fill to the budget and never split mid-doc") {
     val rows = Sampling.tokenShards(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

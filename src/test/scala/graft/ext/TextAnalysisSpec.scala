@@ -130,4 +130,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == ((12L, 12L, 1.0)) && got(2L) == ((12L, 12L, 1.0)),
       s"full coverage expected: $got")
   }
+
+  test("gopher gate: keep is exactly the conjunction and rules discriminate") {
+    val rows = TextAnalysis.gopherRules(spark, sf001).collect()
+    rows.foreach { r =>
+      val flags = Seq("words_ok", "mean_len_ok", "stop_ok", "alpha_ok",
+        "sym_ok").map(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") == flags.forall(identity),
+        s"keep must be the conjunction: $r")
+      val nw = r.getAs[Long]("n_words")
+      assert((nw >= TextAnalysis.GopherMinWords) ==
+        r.getAs[Boolean]("words_ok"), s"words_ok drifted: $r")
+    }
+    // the gate must actually split this corpus (not vacuously all-pass)
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"gate should discriminate: $kept of ${rows.length} kept")
+  }
+
+  test("source drift: KL is non-negative and covers every source") {
+    val rows = TextAnalysis.sourceDrift(spark, sf001).collect()
+    val sources = graft.Tables.load(spark, sf001, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == sources, "one row per source")
+    rows.foreach { r =>
+      // KL >= 0 always; rounding can only graze zero from above
+      assert(r.getAs[Double]("kl_divergence") >= -1e-6,
+        s"negative KL: $r")
+      assert(r.getAs[Long]("vocab_tokens") > 0, s"empty source: $r")
+    }
+  }
 }
