@@ -1035,13 +1035,19 @@ object TextAnalysis {
     * doc-count per 5-gram is a plain count because each doc contributes
     * its DISTINCT grams exactly once.
     *
-    * Scale: one explode + two keyed shuffles (ng, then doc_id); the
-    * ng-keyed join is the classic hot-key risk for viral spans — AQE
+    * Scale: one explode + two keyed shuffles (gram, then doc_id); the
+    * gram-keyed join is the classic hot-key risk for viral spans — AQE
     * skew join covers it, and the fraction is a single integer division
     * so no FP rounding is needed. Docs shorter than 5 tokens have no
-    * 5-grams and drop out on both sides. */
+    * 5-grams and drop out on both sides. Grams shuffle as 60-bit md5
+    * fingerprints (the q107 trick — bare longs, not ~30-char strings),
+    * pinned once for both consumers. */
   def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = fiveGrams(Tables.load(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
+          .as("ng"))
+      .localCheckpoint()
     val docFreq = grams.groupBy("ng").agg(count(lit(1)).as("ndocs"))
     grams.join(docFreq, "ng")
       .groupBy("doc_id")
@@ -1054,12 +1060,14 @@ object TextAnalysis {
   }
 
   val boilerplateNgramsSql: String =
-    s"""WITH g AS (
+    s"""WITH g0 AS (
        |  SELECT doc_id, unnest(list_distinct(
        |           [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
        |            for i in generate_series(1, len(w)-4)])) AS ng
        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents)
        |  WHERE len(w) >= $ContamN
+       |), g AS (
+       |  SELECT doc_id, ('0x'||substr(md5(ng), 1, 15))::BIGINT AS ng FROM g0
        |), df AS (
        |  SELECT ng, COUNT(*) AS ndocs FROM g GROUP BY ng
        |)
@@ -1091,6 +1099,12 @@ object TextAnalysis {
     * blowup touches ONLY duplicated spans (bounded by the duplicated
     * content volume, not the corpus), and both the dedup-vs-corpus
     * semi-join and the coverage count shuffle bare (doc_id, ints).
+    * Grams travel as 60-bit md5-derived fingerprints (the q59 conv
+    * pattern, bit-identical in DuckDB), never as strings — the
+    * doc-frequency and semi-join shuffles carry 8-byte longs instead
+    * of ~6·k-char text, and a collision needs two of the corpus's
+    * distinct grams to share 60 bits (≪ 1 expected below ~10⁸ grams;
+    * at larger corpora widen to the full 128-bit pair like q23).
     * Scale shape: one explode over the corpus (same as q74), one
     * distinct-gram doc-frequency aggregate (AQE covers viral-gram
     * skew), one semi-join back, one per-doc count. */
@@ -1108,13 +1122,19 @@ object TextAnalysis {
         explode(transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
           i => struct(i.cast("long").as("s"),
             concat_ws(" ", slice(col("w"), i, lit(k))).as("ng")))).as("g"))
-      .select(col("doc_id"), col("g.s").as("s"), col("g.ng").as("ng"))
+      .select(col("doc_id"), col("g.s").as("s"),
+        conv(substring(md5(col("g.ng")), 1, 15), 16, 10).cast("long")
+          .as("gh"))
+      // both consumers (doc-frequency, coverage semi-join) read the
+      // exploded+fingerprinted grams; pin them once — 3 bare longs per
+      // gram — instead of re-running the explode+md5 per consumer
+      .localCheckpoint()
     // a gram is a duplicated span iff it occurs in MORE THAN ONE doc;
-    // distinct (doc, ng) first so within-doc repeats don't inflate it
-    val dup = grams.select("doc_id", "ng").distinct()
-      .groupBy("ng").agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") > 1).select("ng")
-    val covered = grams.join(dup, Seq("ng"), "left_semi")
+    // distinct (doc, gram) first so within-doc repeats don't inflate it
+    val dup = grams.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1).select("gh")
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
       .groupBy("doc_id").agg(countDistinct(col("p")).as("covered_tokens"))
@@ -1135,14 +1155,17 @@ object TextAnalysis {
        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-${k - 1})) AS s
        |  FROM base WHERE len(w) >= $k
        |), g AS (
-       |  SELECT doc_id, s, array_to_string(w[s:s+${k - 1}], ' ') AS ng FROM starts
+       |  SELECT doc_id, s,
+       |         ('0x'||substr(md5(array_to_string(w[s:s+${k - 1}], ' ')),
+       |                       1, 15))::BIGINT AS gh
+       |  FROM starts
        |), dup AS (
-       |  SELECT ng FROM (SELECT DISTINCT doc_id, ng FROM g)
-       |  GROUP BY ng HAVING COUNT(*) > 1
+       |  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+       |  GROUP BY gh HAVING COUNT(*) > 1
        |), cov AS (
        |  SELECT doc_id, COUNT(DISTINCT p) AS covered
        |  FROM (SELECT g.doc_id, unnest(generate_series(s, s+${k - 1})) AS p
-       |        FROM g JOIN dup USING (ng))
+       |        FROM g JOIN dup USING (gh))
        |  GROUP BY doc_id
        |)
        |SELECT b.doc_id,
