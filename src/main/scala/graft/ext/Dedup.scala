@@ -860,6 +860,71 @@ object Dedup {
        |JOIN documents sb ON p.doc_b = sb.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q115 — source-level resemblance via MinHash UNION: each source's
+    * signature is the component-wise min over every shingle the source
+    * emits (a minhash of the UNION of its documents' shingle sets — the
+    * mergeability that makes minhash a sketch, not just a pair trick),
+    * and each source pair reports the matching-component fraction, the
+    * standard estimator of whole-source Jaccard. q79 counts VERIFIED
+    * near-dup pairs (exact, pair-bounded); this estimates corpus-level
+    * overlap from |sources|·K longs of state — the sketch a curator
+    * merges across 100 TB of shards for pennies, with no pairwise doc
+    * work at all.
+    *
+    * Scale shape: the shingle explode is the only corpus-sized step;
+    * signatures collapse by (source) with map-side partial mins; the
+    * pair grid is |sources|² over a broadcast of |sources| signature
+    * rows (bounded metadata, the q86 marginal assumption — PlanSpec
+    * exemption documented). Same md5/Kirsch-Mitzenmacher family as
+    * q11, so the estimate is oracle-exact. */
+  def sourceResemblance(spark: SparkSession, sfDir: String): DataFrame =
+    sourceResemblanceOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable (source, text) frame (spec plants corpora). */
+  def sourceResemblanceOn(docs: DataFrame): DataFrame = {
+    val sigs = signaturesFromShingles(
+      shingles(docs.select(col("source").as("doc_id"), col("text"))))
+      .withColumnRenamed("doc_id", "source")
+    val a = sigs.select(col("source").as("source_a") +:
+      (0 until K).map(k => col(s"s$k").as(s"a$k")): _*)
+    val b = sigs.select(col("source").as("source_b") +:
+      (0 until K).map(k => col(s"s$k").as(s"b$k")): _*)
+    val matches = (0 until K)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), matches.as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / K)
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceResemblanceSql: String =
+    s"""WITH t AS (
+       |  SELECT source, string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT source, unnest(list_distinct(
+       |           [w[i]||' '||w[i+1]||' '||w[i+2]
+       |            for i in generate_series(1, len(w)-2)])) AS sh
+       |  FROM t WHERE len(w) >= $ShingleWords
+       |), h AS (
+       |  SELECT source,
+       |         ('0x'||substr(md5(sh), 1, 8))::BIGINT AS h1,
+       |         ('0x'||substr(md5(sh), 9, 8))::BIGINT AS h2
+       |  FROM sh
+       |), sig AS (
+       |  SELECT source, k, MIN((h1 + k * h2) % $P32) AS mv
+       |  FROM h, (SELECT unnest(generate_series(0, ${K - 1})) AS k)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST(SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_match,
+       |       SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END)::DOUBLE / $K
+       |         AS est_jaccard
+       |FROM sig a JOIN sig b ON a.k = b.k AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val simhashSql: String = {
     val votes = (0 until SimhashBits).map(b =>
       s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")

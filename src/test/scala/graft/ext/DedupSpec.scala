@@ -217,4 +217,24 @@ class DedupSpec extends SparkSpec {
     val toks = Dedup.shingles(sh) // shingles change little for 1-word swap
     assert(toks.count() > 0)
   }
+
+  test("source resemblance: identical sources max out, disjoint stay low") {
+    // srcA and srcB carry the SAME two documents -> identical shingle
+    // unions -> identical signatures -> est_jaccard = 1. srcC shares no
+    // trigram with either -> est near 0.
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d3 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      ("srcA", d1), ("srcA", d2),
+      ("srcB", d1), ("srcB", d2),
+      ("srcC", d3)).toDF("source", "text")
+    val got = Dedup.sourceResemblanceOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"),
+      ("srcB", "srcC")), s"pair grid wrong: ${got.keySet}")
+    assert(got(("srcA", "srcB")) == 1.0, s"identical unions: $got")
+    assert(got(("srcA", "srcC")) < 0.5 && got(("srcB", "srcC")) < 0.5,
+      s"disjoint sources should estimate low: $got")
+  }
 }
