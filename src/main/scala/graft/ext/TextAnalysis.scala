@@ -1285,8 +1285,13 @@ object TextAnalysis {
     * text column — regexp counts, array intersect/filter HOFs — fully
     * codegen'd, zero joins, zero shuffles except the output sort. At
     * 100 TB this runs at scan speed and is embarrassingly parallel. */
-  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOn(Tables.load(spark, sfDir, "documents")).orderBy("doc_id")
+
+  /** The gate projection itself — stateless, so the SAME Column graph
+    * runs batch (q112) and on a document stream (StreamJobs.gopherGate);
+    * StreamJobsSpec pins the replay equal to the batch result. */
+  def gopherRulesOn(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), "\\s+")
     val nWords = size(toks).cast("long")
     val nw = nWords.cast("double")
@@ -1312,7 +1317,6 @@ object TextAnalysis {
       .withColumn("sym_ok", col("sym_ratio") <= GopherMaxSymRatio)
       .withColumn("keep", col("words_ok") && col("mean_len_ok") &&
         col("stop_ok") && col("alpha_ok") && col("sym_ok"))
-      .orderBy("doc_id")
   }
 
   val gopherRulesSql: String = {

@@ -35,6 +35,27 @@ object StreamJobs {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The documents schema for file-source streams over the corpus. */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of document parquet files —
+    * the ingestion face of the curation pipeline: new crawl shards land
+    * as files, the gate below scores them as they arrive. */
+  def readDocuments(spark: SparkSession, docsDir: String): DataFrame =
+    spark.readStream.schema(documentSchema).parquet(docsDir)
+
+  /** Streaming Gopher gate: the EXACT batch q112 Column graph applied
+    * per arriving document — stateless (no watermark, no state store),
+    * so Append mode emits each doc's rule flags exactly once and the
+    * replay of a static corpus equals the batch result row for row
+    * (StreamJobsSpec). At 100 TB/day this is the shape you want:
+    * scoring rides the ingest scan, nothing accumulates. */
+  def gopherGate(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.gopherRulesOn(docs)
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark:
     * late data beyond the watermark is dropped, state is bounded. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -30,6 +30,23 @@ class StreamJobsSpec extends SparkSpec {
     assert(got == want, s"stream/batch drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
   }
 
+  test("streaming gopher gate replays to the batch q112 rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = StreamJobs.readDocuments(spark, dir.toString)
+    assert(stream.isStreaming)
+    // stateless gate -> Append emits each doc once; replay == batch
+    val got = StreamJobs.runToMemory(
+      StreamJobs.gopherGate(stream), "gate_test", OutputMode.Append())
+      .collect().map(r => r.toSeq).toSet
+    val want = graft.ext.TextAnalysis.gopherRules(spark, sf001)
+      .collect().map(r => r.toSeq).toSet
+    assert(got == want,
+      s"gate drift: ${(got diff want).take(2)} vs ${(want diff got).take(2)}")
+  }
+
   test("streaming HLL registers replay to the batch register table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll")
     java.nio.file.Files.copy(
