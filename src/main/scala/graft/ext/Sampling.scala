@@ -470,6 +470,57 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature for q116 — the multilingual-pretraining standard
+    * (τ < 1 upsamples small sources toward uniform; τ = 1 is
+    * proportional, τ = 0 uniform). 0.7 is the published mT5 default. */
+  val MixTau = 0.7
+
+  /** q116 — temperature-scaled source mixing: the sampling weights a
+    * multilingual/multi-source pretraining run uses to keep big crawls
+    * from drowning small high-quality sources. Each source reports its
+    * natural share n_s/N, its temperature weight n_s^τ / Σ n_t^τ, and
+    * the boost factor between them — the artifact a curator reads to
+    * see exactly how hard each source is being up/down-sampled (boost
+    * > 1 = upsampled). q52/q109 CONSUME a fixed weight map; this
+    * DERIVES one from corpus statistics.
+    *
+    * Scale shape: one count-agg to |sources| rows, then arithmetic on
+    * the bounded cell table with the two totals as driver anchors
+    * (q86's marginal pattern) — nothing corpus-sized after the first
+    * shuffle. Float policy: the 6-dp round at the edge absorbs libm
+    * pow/sum ulp skew (the q70 rule). */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.load(spark, sfDir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val t = per.agg(sum("n_docs"),
+      sum(pow(col("n_docs").cast("double"), MixTau))).first()
+    val nt = t.getLong(0).toDouble
+    val wt = t.getDouble(1)
+    val share = col("n_docs").cast("double") / nt
+    val w = pow(col("n_docs").cast("double"), MixTau) / wt
+    per.select(col("source"), col("n_docs"),
+        round(share, 6).as("share"),
+        round(w, 6).as("temp_weight"),
+        round(w / share, 6).as("boost"))
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT SUM(n_docs)::DOUBLE AS nt,
+       |         SUM(pow(n_docs::DOUBLE, $MixTau::DOUBLE)) AS wt
+       |  FROM per
+       |)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       round(n_docs::DOUBLE / nt, 6) AS share,
+       |       round(pow(n_docs::DOUBLE, $MixTau::DOUBLE) / wt, 6)
+       |         AS temp_weight,
+       |       round((pow(n_docs::DOUBLE, $MixTau::DOUBLE) / wt)
+       |             / (n_docs::DOUBLE / nt), 6) AS boost
+       |FROM per, t ORDER BY source""".stripMargin
+
   val epochShuffleSql: String =
     s"""WITH r AS (
        |  SELECT doc_id,

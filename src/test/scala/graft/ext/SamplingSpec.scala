@@ -33,6 +33,22 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, s"two-pass drifted: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
   }
 
+  test("temperature mix: weights normalize and tau<1 boosts small sources") {
+    val rows = Sampling.temperatureMix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // both share and temp_weight are distributions (sum ~= 1 after 6dp)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "shares must sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3, "weights must sum to 1")
+    // tau < 1: the smallest source gets boost >= the largest source's
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.head._5 >= bySize.last._5,
+      s"small sources must be upsampled: ${bySize.head} vs ${bySize.last}")
+    // monotone: weight order follows count order (pow is monotone)
+    assert(bySize.map(_._4).toSeq == bySize.map(_._4).sorted.toSeq,
+      "temperature weights must be monotone in source size")
+  }
+
   test("epoch shuffle is a dense permutation in keyed-hash order") {
     val rows = Sampling.epochShuffle(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
