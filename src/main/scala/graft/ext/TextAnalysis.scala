@@ -1027,6 +1027,91 @@ object TextAnalysis {
       |       ROUND(log2(t) - sgc / n, 6) AS bits_per_token
       |FROM a, tot ORDER BY doc_id""".stripMargin
 
+  /** Interpolation weight for q118 — classic Jelinek-Mercer: score
+    * under λ·p(w₂|w₁) + (1−λ)·p(w₂). 0.75 on the bigram is the
+    * textbook default; exact in binary, so no cross-engine drift. */
+  val BigramLambda = 0.75
+
+  /** q118 — interpolated bigram LM scoring: train bigram + unigram
+    * models on the whole corpus and score each document by bits per
+    * bigram position under the Jelinek-Mercer mixture
+    * λ·c₂(w₁,w₂)/c₁(w₁) + (1−λ)·c₁(w₂)/T — the KenLM-style perplexity
+    * filter one order up from q73's unigram (context-aware: scrambling
+    * the same common words costs strictly more bits — the spec pins
+    * it — while a unigram model can't tell). No unseen-key smoothing
+    * is needed because the model trains on the corpus it scores: every
+    * document bigram exists in c₂ by construction. MLE caveat, by
+    * design: a SINGLETON context w₁ gives p(w₂|w₁) = 1 (rare-word runs
+    * score cheap) — curators cut both tails, same as q73; a
+    * context-count smoother (Witten-Bell) is the upgrade path if the
+    * low tail needs separating.
+    *
+    * Scale: the bigram count table is the big intermediate (bounded by
+    * corpus volume, keyed shuffles with map-side combine); scoring
+    * joins doc bigrams back on (w₁,w₂) then w₁/w₂ — broadcast here,
+    * vocab-keyed shuffle joins at 100 TB. The per-doc floating sum
+    * happens once and rounds at the edge (q70 policy); the corpus
+    * total is a 1-row driver anchor. */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLmOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable (doc_id, text) frame (spec plants corpora). */
+  def bigramLmOn(docs: DataFrame): DataFrame = {
+    val w = split(lower(col("text")), "\\s+")
+    val pairs = docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i.cast("int") + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val toks = docs.select(
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val t = uni.agg(sum("c1")).first().getLong(0).toDouble
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val pBi = col("c2").cast("double") / col("cw1").cast("double")
+    val pUni = col("cw2").cast("double") / t
+    val mix = lit(BigramLambda) * pBi + lit(1 - BigramLambda) * pUni
+    pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("tok").as("w1"), col("c1").as("cw1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c1").as("cw2")), Seq("w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(log2(mix)).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams").cast("double"), 6)
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+       |        FROM d WHERE len(w) >= 2)
+       |), toks AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY 1),
+       |t AS (SELECT SUM(c1)::DOUBLE AS t FROM uni),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |         $BigramLambda * (bi.c2::DOUBLE / u1.c1::DOUBLE)
+       |           + ${1 - BigramLambda} * (u2.c1::DOUBLE / t.t) AS mix
+       |  FROM pairs p
+       |  JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+       |  JOIN uni u1 ON u1.tok = p.w1
+       |  JOIN uni u2 ON u2.tok = p.w2, t
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |       round(-SUM(log2(mix)) / COUNT(*), 6) AS bits_per_bigram
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q74 — cross-document boilerplate detection: the complement of q34
     * (which scores repetition WITHIN a doc) and q35 (contamination vs a
     * benchmark set) — here a 5-gram is boilerplate if it occurs in MORE

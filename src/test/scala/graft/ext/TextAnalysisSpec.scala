@@ -148,6 +148,27 @@ class TextAnalysisSpec extends SparkSpec {
       s"gate should discriminate: $kept of ${rows.length} kept")
   }
 
+  test("bigram LM: scrambling the same words costs more bits") {
+    // three copies of a natural sentence make its bigrams frequent; the
+    // scramble reuses the SAME words (so its w1 context counts are just
+    // as high) but none of its bigrams — context-awareness means the
+    // scramble must cost strictly more bits per position. (A unigram
+    // model scores both identically — this is exactly what q118 adds
+    // over q73.)
+    val nat = "the cat sat on the mat while the dog slept near the door"
+    val scr = "cat the on sat the while mat dog the near slept door the"
+    val docs = Seq((1L, nat), (2L, nat), (3L, nat), (4L, scr))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // n_bigrams = n_tokens - 1
+    assert(got(1L)._1 == nat.split("\\s+").length - 1)
+    assert(got(1L)._2 == got(2L)._2 && got(2L)._2 == got(3L)._2,
+      "identical docs must score equal")
+    assert(got(4L)._2 > got(1L)._2,
+      s"scrambled contexts must cost more bits: $got")
+  }
+
   test("source drift: KL is non-negative and covers every source") {
     val rows = TextAnalysis.sourceDrift(spark, sf001).collect()
     val sources = graft.Tables.load(spark, sf001, "documents")
