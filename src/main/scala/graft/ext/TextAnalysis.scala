@@ -1056,7 +1056,13 @@ object TextAnalysis {
     bigramLmOn(Tables.load(spark, sfDir, "documents"))
 
   /** Core over an injectable (doc_id, text) frame (spec plants corpora). */
-  def bigramLmOn(docs: DataFrame): DataFrame = {
+  def bigramLmOn(docs: DataFrame): DataFrame =
+    bigramBits(docs, wittenBell = false)
+
+  /** Shared bigram-scoring pipeline for q118 (fixed λ) and q119
+    * (Witten-Bell λ per context); the two differ only in the mixture
+    * weight. */
+  private def bigramBits(docs: DataFrame, wittenBell: Boolean): DataFrame = {
     val w = split(lower(col("text")), "\\s+")
     val pairs = docs.select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 2)
@@ -1072,11 +1078,21 @@ object TextAnalysis {
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val pBi = col("c2").cast("double") / col("cw1").cast("double")
     val pUni = col("cw2").cast("double") / t
-    val mix = lit(BigramLambda) * pBi + lit(1 - BigramLambda) * pUni
-    pairs
+    val lam =
+      if (wittenBell)
+        col("cw1").cast("double") /
+          (col("cw1") + col("d1")).cast("double")
+      else lit(BigramLambda)
+    val mix = lam * pBi + (lit(1.0) - lam) * pUni
+    val joined = pairs
       .join(bi, Seq("w1", "w2"))
       .join(uni.select(col("tok").as("w1"), col("c1").as("cw1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("c1").as("cw2")), Seq("w2"))
+    val ctxJoined =
+      if (wittenBell)
+        joined.join(bi.groupBy("w1").agg(count(lit(1)).as("d1")), Seq("w1"))
+      else joined
+    ctxJoined
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(log2(mix)).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -1084,6 +1100,53 @@ object TextAnalysis {
           .as("bits_per_bigram"))
       .orderBy("doc_id")
   }
+
+  /** q119 — Witten-Bell smoothed bigram LM: the q118 mixture with the
+    * interpolation weight LEARNED per context instead of fixed —
+    * λ(w₁) = c₁(w₁)/(c₁(w₁) + d(w₁)) where d(w₁) counts distinct
+    * continuations of w₁ (Witten-Bell 1991, the "how often does this
+    * context surprise me" estimate). This repairs q118's documented
+    * MLE degeneracy: a singleton context now mixes half its mass back
+    * to the unigram (λ = 1/2), so rare-word runs stop scoring cheap —
+    * the spec asserts exactly the ordering the fixed-λ model can't
+    * deliver. Same join graph as q118 plus one |vocab|-bounded
+    * context-statistics aggregate; identical scale shape. */
+  def wittenBellLm(spark: SparkSession, sfDir: String): DataFrame =
+    wittenBellLmOn(Tables.load(spark, sfDir, "documents"))
+
+  def wittenBellLmOn(docs: DataFrame): DataFrame =
+    bigramBits(docs, wittenBell = true)
+
+  val wittenBellLmSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+       |        FROM d WHERE len(w) >= 2)
+       |), toks AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY 1),
+       |t AS (SELECT SUM(c1)::DOUBLE AS t FROM uni),
+       |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+       |ctx AS (SELECT w1, COUNT(*) AS d1 FROM bi GROUP BY 1),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |         (u1.c1::DOUBLE / (u1.c1 + ctx.d1)::DOUBLE)
+       |           * (bi.c2::DOUBLE / u1.c1::DOUBLE)
+       |         + (1.0 - u1.c1::DOUBLE / (u1.c1 + ctx.d1)::DOUBLE)
+       |           * (u2.c1::DOUBLE / t.t) AS mix
+       |  FROM pairs p
+       |  JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+       |  JOIN uni u1 ON u1.tok = p.w1
+       |  JOIN uni u2 ON u2.tok = p.w2
+       |  JOIN ctx ON ctx.w1 = p.w1, t
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |       round(-SUM(log2(mix)) / COUNT(*), 6) AS bits_per_bigram
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val bigramLmSql: String =
     s"""WITH d AS (

@@ -169,6 +169,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"scrambled contexts must cost more bits: $got")
   }
 
+  test("witten-bell: singleton-context runs stop scoring cheap") {
+    // under q118's MLE a unique word predicts its successor with p=1,
+    // so an all-rare-words doc scores nearly free; Witten-Bell gives a
+    // singleton context λ=1/2, pushing ~1 bit of cost per position.
+    // Two invariants MLE can't deliver together: (a) WB strictly
+    // raises the rare-run cost, (b) genuinely predictable text (one
+    // dominant successor per context, high counts) stays cheap — the
+    // rare run must now cost MORE than the predictable doc by a wide
+    // margin, not less.
+    val predictable = "ping pong ping pong ping pong ping pong ping pong"
+    val rare = "zebra quark nimbus fjord waltz glyph vortex prism ember oasis dune krill"
+    val docs = Seq((1L, predictable), (2L, predictable), (3L, predictable),
+      (4L, rare)).toDF("doc_id", "text")
+    val mle = TextAnalysis.bigramLmOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wb = TextAnalysis.wittenBellLmOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(wb(4L) > mle(4L) + 0.3,
+      s"WB must charge singleton contexts: mle=$mle wb=$wb")
+    assert(wb(4L) > 2 * wb(1L),
+      s"rare run must cost far more than predictable text: $wb")
+  }
+
   test("source drift: KL is non-negative and covers every source") {
     val rows = TextAnalysis.sourceDrift(spark, sf001).collect()
     val sources = graft.Tables.load(spark, sf001, "documents")
