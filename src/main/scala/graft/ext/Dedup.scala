@@ -747,6 +747,50 @@ object Dedup {
       |JOIN documents d USING (doc_id)
       |ORDER BY doc_id""".stripMargin)
 
+  /** q120 — dedup-then-sample, the canonical curation endpoint: drop
+    * every non-survivor of the near-dup clustering (q62's choice — keep
+    * the longest doc per cluster), then draw q31's exact per-stratum
+    * quota from what remains via the two-pass mega-strata kernel. This
+    * is the composition a real pipeline ships — sampling BEFORE dedup
+    * over-represents template families (their members fill the quota
+    * with near-copies); this order makes the sample's diversity honest.
+    *
+    * Scale shape: the drop list is bounded by the duplicated volume
+    * (cluster members only), anti-joined against the corpus; the
+    * selection is the q105 two-pass kernel — no per-stratum
+    * serialization, every window bounded. */
+  def dedupSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dropped = dedupSurvivors(spark, sfDir)
+      .filter(!col("survivor")).select("doc_id")
+    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+    Sampling.twoPassRanked(kept, Seq("lang", "source"),
+        t => ceil(t * Sampling.SampleFrac).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("stratum_rank"), col("stratum_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle composes the q62 survivors CTE with q31's window SQL
+    * over the anti-joined remainder — same texts, so none can drift. */
+  val dedupSampleSql: String =
+    s"""WITH surv AS ($dedupSurvivorsSql),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.source
+       |  FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id
+       |  WHERE s.doc_id IS NULL OR s.survivor
+       |), r AS (
+       |  SELECT doc_id, lang, source,
+       |         row_number() OVER (PARTITION BY lang, source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR(20))), doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY lang, source) AS cnt
+       |  FROM kept)
+       |SELECT doc_id, lang, source,
+       |       CAST(rk AS BIGINT) AS stratum_rank,
+       |       CAST(cnt AS BIGINT) AS stratum_size
+       |FROM r WHERE rk <= ceil(cnt * ${Sampling.SampleFrac})
+       |ORDER BY doc_id""".stripMargin
+
   /** q80 — PageRank over the near-dup similarity graph (the q11 LSH
     * candidate pairs, undirected): rank the "hub" documents whose text
     * radiates through the most duplication chains — the doc a curator

@@ -78,7 +78,7 @@ object Sampling {
     * (q109's per-language weight). Returns (strata..., doc_id,
     * stratum_rank, stratum_size) for survivors, ranks bit-identical to
     * the single-window form. */
-  private def twoPassRanked(docs: DataFrame, strata: Seq[String],
+  private[ext] def twoPassRanked(docs: DataFrame, strata: Seq[String],
       quotaOfTotal: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val key = md5(col("doc_id").cast("string"))
     val base = docs.select(strata.map(col) ++ Seq(col("doc_id"),

@@ -1517,19 +1517,35 @@ object TextAnalysis {
     * PlanSpec. The KL sum rides a 200-term-per-source agg and rounds to
     * 6 dp (same float policy as q70's entropy). */
   def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val toks = docs.select(col("source"),
+    val toks = tokensBySource(Tables.load(spark, sfDir, "documents"))
+    val (vocab, gt, vocabN) = driftVocab(toks)
+    driftKl(toks, vocab, gt, vocabN)
+  }
+
+  /** (source, tok) stream used by both the drift model build and the
+    * scoring side. */
+  def tokensBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
+
+  /** The drift reference model: the top-[[DriftVocab]] vocabulary with
+    * corpus counts, plus its two bounded driver anchors — the vocab
+    * token total and the ACTUAL vocab size (smoothing must divide by
+    * |vocab|, not the cap, or p stops summing to 1 when the corpus has
+    * < V types and KL goes negative). */
+  def driftVocab(toks: DataFrame): (DataFrame, Long, Long) = {
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
       .orderBy(col("cg").desc, col("tok")).limit(DriftVocab)
-    // bounded driver anchors (≤ V rows in): the vocab token total and
-    // the ACTUAL vocab size — smoothing must divide by |vocab|, not the
-    // cap, or p stops summing to 1 when the corpus has < V types (and
-    // KL goes negative)
     val anchor = vocab.agg(sum("cg"), count(lit(1))).first()
-    val gt = anchor.getLong(0)
-    val vocabN = anchor.getLong(1)
+    (vocab, anchor.getLong(0), anchor.getLong(1))
+  }
+
+  /** Score a (source, tok) frame against a drift reference model — the
+    * same kernel serves batch q113 (model == scored corpus) and the
+    * streaming monitor (model == static reference, scored per batch). */
+  def driftKl(toks: DataFrame, vocab: DataFrame, gt: Long,
+      vocabN: Long): DataFrame = {
     val sv = toks.join(broadcast(vocab.select("tok")), "tok")
       .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
     val st = sv.groupBy("source").agg(sum("cs").as("ns"))

@@ -56,6 +56,35 @@ object StreamJobs {
   def gopherGate(docs: DataFrame): DataFrame =
     graft.ext.TextAnalysis.gopherRulesOn(docs)
 
+  /** Streaming drift monitor: score each arriving micro-batch of
+    * documents against a FIXED reference model (vocab + totals trained
+    * once on a static corpus via `TextAnalysis.driftVocab`), appending
+    * one (batch_id, source, vocab_tokens, kl_divergence) row set per
+    * batch — the corpus-health dashboard feed that catches a crawl
+    * source drifting mid-ingest, using the EXACT q113 kernel. The
+    * reference vocab is pinned once (localCheckpoint) so each batch
+    * pays only its own token explode; per-batch state is zero (foreachBatch,
+    * no store). Replaying a static corpus as one batch reproduces the
+    * batch q113 rows (StreamJobsSpec). */
+  def driftMonitor(docsStream: DataFrame, refDocs: DataFrame,
+      outPath: String): StreamingQuery = {
+    val refToks = graft.ext.TextAnalysis.tokensBySource(refDocs)
+    val (vocab, gt, vn) = graft.ext.TextAnalysis.driftVocab(refToks)
+    val vocabPinned = vocab.localCheckpoint()
+    docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.ext.TextAnalysis
+          .driftKl(graft.ext.TextAnalysis.tokensBySource(batch),
+            vocabPinned, gt, vn)
+          .withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(outPath)
+        (): Unit
+      }
+      .start()
+  }
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark:
     * late data beyond the watermark is dropped, state is bounded. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -47,6 +47,30 @@ class StreamJobsSpec extends SparkSpec {
       s"gate drift: ${(got diff want).take(2)} vs ${(want diff got).take(2)}")
   }
 
+  test("streaming drift monitor replays to the batch q113 rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft-drift-out")
+      .resolve("kl").toString
+    val refDocs = graft.Tables.load(spark, sf001, "documents")
+    val q = StreamJobs.driftMonitor(
+      StreamJobs.readDocuments(spark, dir.toString), refDocs, out)
+    q.awaitTermination(60000)
+    // one file-source batch over a static corpus, scored against itself
+    // == the batch q113 result exactly
+    val got = spark.read.parquet(out)
+      .select("source", "vocab_tokens", "kl_divergence")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = graft.ext.TextAnalysis.sourceDrift(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want,
+      s"drift drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
+
   test("streaming HLL registers replay to the batch register table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll")
     java.nio.file.Files.copy(
