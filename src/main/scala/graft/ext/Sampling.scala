@@ -434,6 +434,63 @@ object Sampling {
       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** q121 batch geometry: docs per training batch within a length
+    * bucket. Buckets are powers of two on token count, so sequences in
+    * one batch pad to at most 2× the shortest — the standard
+    * dynamic-batching trade. */
+  val BatchDocs = 16L
+
+  /** q121 — length-bucketed batch assignment (dynamic batching): bucket
+    * every document by ⌈log₂ n_tokens⌉, shuffle within the bucket by
+    * the q114 keyed-md5 permutation, and cut each bucket's order into
+    * fixed-size training batches. Batching by similar length is what
+    * keeps padding waste bounded when sequences collate; the in-bucket
+    * shuffle keeps batches i.i.d. within their length class.
+    *
+    * The in-bucket rank rides [[twoPassRanked]] with an always-pass
+    * quota — full ranking, not selection — so no bucket ever
+    * serializes through one window task no matter how many documents
+    * share a length class (the q105 argument, reused verbatim). The
+    * bucket id is exact integer log₂ (bit length of n−1), immune to
+    * float log knife-edges on power-of-two counts. */
+  def lengthBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      // ceil(log2 n) as bit-length of (n-1): 1..2 -> bucket matches
+      // pad-to-2x classes; exact integer arithmetic on both engines
+      .withColumn("len_bucket",
+        length(conv((col("n_tokens") - 1).cast("string"), 10, 2))
+          .cast("long"))
+    val ranked = twoPassRanked(docs, Seq("len_bucket"), total => total)
+    ranked
+      .join(docs.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("len_bucket"),
+        expr(s"(stratum_rank - 1) div $BatchDocs").as("batch_id"),
+        ((col("stratum_rank") - 1) % BatchDocs).as("batch_pos"))
+      .orderBy("doc_id")
+  }
+
+  val lengthBatchesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(length(bin(n_tokens - 1)) AS BIGINT) AS len_bucket
+       |  FROM d
+       |), r AS (
+       |  SELECT doc_id, n_tokens, len_bucket,
+       |         row_number() OVER (PARTITION BY len_bucket
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR(20))), doc_id) AS rk
+       |  FROM b)
+       |SELECT doc_id, n_tokens, len_bucket,
+       |       CAST((rk - 1) // $BatchDocs AS BIGINT) AS batch_id,
+       |       CAST((rk - 1) % $BatchDocs AS BIGINT) AS batch_pos
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** q114 epoch-shuffle geometry: the seed names the epoch (re-seeding
     * re-permutes the corpus between epochs — the property pretraining
     * needs) and shards hold a fixed DOC count (q33 shards by token

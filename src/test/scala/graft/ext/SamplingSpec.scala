@@ -49,6 +49,27 @@ class SamplingSpec extends SparkSpec {
       "temperature weights must be monotone in source size")
   }
 
+  test("length batches: buckets bound the 2x pad ratio, batches fill") {
+    val rows = Sampling.lengthBatches(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // bucket invariant: 2^(b-1) < n_tokens <= 2^b  (pad waste <= 2x)
+    rows.foreach { case (d, n, b, _, _) =>
+      assert(n <= (1L << b) && (b == 1 || n > (1L << (b - 1))),
+        s"doc $d: $n tokens outside bucket $b")
+    }
+    // within every (bucket, batch): positions dense from 0; every batch
+    // except a bucket's last is exactly full
+    rows.groupBy(r => (r._3, r._4)).foreach { case ((b, bid), rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (0L until rs.size),
+        s"bucket $b batch $bid positions not dense")
+      val lastBatch = rows.filter(_._3 == b).map(_._4).max
+      if (bid != lastBatch)
+        assert(rs.size == Sampling.BatchDocs,
+          s"bucket $b batch $bid underfull: ${rs.size}")
+    }
+  }
+
   test("epoch shuffle is a dense permutation in keyed-hash order") {
     val rows = Sampling.epochShuffle(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
