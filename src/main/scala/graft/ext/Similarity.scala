@@ -738,4 +738,78 @@ object Similarity {
        |       round(AVG(cos), 6) AS avg_cos
        |FROM af GROUP BY cid ORDER BY cid""".stripMargin
   }
+
+  /** z-score threshold for q122 — flag a vector when its cohesion with
+    * its own label's centroid sits ≥ 2σ below the label mean. */
+  val OutlierZ = 2.0
+
+  /** q122 — per-label centroid outlier detection: build each label's
+    * mean vector, score every vector by cosine to ITS OWN label
+    * centroid, and flag rows whose cohesion z-score sits below
+    * −[[OutlierZ]] — the geometric mislabel detector complementing
+    * q57's kNN label agreement (q57 votes with neighbors; this
+    * measures the vector's pull toward its class center; rows flagged
+    * by both are the curator's first queue).
+    *
+    * Scale shape: the centroid build is one posexplode + (label, dim)
+    * agg — |labels|·Dim cells, never corpus-sized — broadcast back;
+    * scoring is a map-only cosine per row; the z-statistics are one
+    * more |labels|-row agg. Float policy: μ/σ come from power sums
+    * (round-6 edge absorbs order skew), z is ROUNDED FIRST and the
+    * flag derives from the rounded value, so the boolean can only
+    * disagree across engines where the rounded z itself would. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingOutliersOn(Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (spec plants outliers). */
+  def embeddingOutliersOn(embs: DataFrame): DataFrame = {
+    val e = embs
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(col("label"), transform(col("ms"), s => s("m")).as("c"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), col("c")).as("cos"))
+    val stats = scored.groupBy("label")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("cos")).as("s1"), sum(col("cos") * col("cos")).as("s2"))
+    val mu = col("s1") / col("n")
+    val z = (col("cos") - mu) / sqrt(col("s2") / col("n") - mu * mu)
+    scored.join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(col("cos"), 6).as("cos_centroid"), round(z, 6).as("z"))
+      .withColumn("outlier", col("z") <= -OutlierZ)
+      .orderBy("vec_id")
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY i) AS c FROM (
+       |    SELECT label, i, AVG(v[i]) AS m
+       |    FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |    GROUP BY 1, 2)
+       |  GROUP BY label
+       |), scored AS (
+       |  SELECT e.vec_id, e.label,
+       |         list_cosine_similarity(e.v, cent.c) AS cos
+       |  FROM e JOIN cent USING (label)
+       |), stats AS (
+       |  SELECT label, COUNT(*)::DOUBLE AS n,
+       |         SUM(cos) AS s1, SUM(cos * cos) AS s2
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT vec_id, label,
+       |       round(cos, 6) AS cos_centroid,
+       |       round((cos - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+       |         AS z,
+       |       round((cos - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+       |         <= -$OutlierZ AS outlier
+       |FROM scored JOIN stats USING (label)
+       |ORDER BY vec_id""".stripMargin
 }

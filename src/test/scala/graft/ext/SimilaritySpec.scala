@@ -130,4 +130,19 @@ class SimilaritySpec extends SparkSpec {
     val zbar = (0 until 20).map(j => 1.0 + 0.01 * j).sum / 20.0
     assert(math.abs(c0(2) - zbar) < 1e-12 && math.abs(c1(2) - zbar) < 1e-12)
   }
+
+  test("embedding outliers: the anti-aligned plant is the one flag") {
+    import spark.implicits._
+    // 19 coherent vectors along +x (tiny jitter on y keeps sigma > 0)
+    // plus one anti-aligned plant: only the plant's cohesion z-score
+    // can clear -OutlierZ
+    val coherent = (0 until 19).map(i =>
+      (i.toLong, Array(10.0f, 0.01f * i, 0f), 1))
+    val plant = Seq((99L, Array(-10.0f, 0f, 0f), 1))
+    val embs = (coherent ++ plant).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingOutliersOn(embs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got(99L), "anti-aligned plant must flag")
+    assert(got.count(_._2) == 1, s"only the plant flags: $got")
+  }
 }
