@@ -1408,6 +1408,67 @@ object TextAnalysis {
        |FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** Batch width for q123 — doc_id ranges stand in for ingest batches
+    * (the fixture has no ingest timestamp; any monotone batch key
+    * works the same way in production). */
+  val GrowthBatchDocs = 50L
+
+  /** q123 — vocabulary growth curve (the Heaps'-law saturation check):
+    * for each ingest batch, how many NEVER-SEEN-BEFORE token types it
+    * contributed and the cumulative vocabulary size after it — the
+    * curve a curator reads to decide whether more of a source still
+    * buys new language or just repeats the old (flattening curve =
+    * saturated source).
+    *
+    * Scale shape: "first batch that saw each token" is ONE min-agg
+    * keyed by token (map-side combine, no explode survives the
+    * shuffle); new-type counts collapse to one row per batch; the
+    * cumulative vocabulary rides the q72 two-phase prefix-sum kernel
+    * over that table, so even a batch axis that grows with corpus
+    * volume never funnels through one window task (no unpartitioned-
+    * window exemption needed). All integers, no float policy. */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batch = expr(s"doc_id div $GrowthBatchDocs")
+    val firstBatch = docs.select(batch.as("batch"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(min("batch").as("batch"))
+    val perBatch = firstBatch.groupBy("batch")
+      .agg(count(lit(1)).as("new_types"))
+    val docsPerBatch = docs.groupBy(batch.as("batch"))
+      .agg(count(lit(1)).as("n_docs"))
+    val joined = docsPerBatch.join(perBatch, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    Sampling.packOffsetsBy(
+        joined.withColumn("n_tokens", col("new_types")), Seq(col("batch")))
+      .select(col("batch"), col("n_docs"), col("new_types"),
+        (col("start_off") + col("new_types")).as("vocab_size"))
+      .orderBy("batch")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH fb AS (
+       |  SELECT tok, MIN(batch) AS batch FROM (
+       |    SELECT doc_id // $GrowthBatchDocs AS batch,
+       |           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY tok
+       |), pb AS (
+       |  SELECT batch, COUNT(*) AS new_types FROM fb GROUP BY 1
+       |), db AS (
+       |  SELECT doc_id // $GrowthBatchDocs AS batch, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT db.batch, CAST(db.n_docs AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(pb.new_types, 0) AS BIGINT) AS new_types,
+       |       CAST(SUM(COALESCE(pb.new_types, 0)) OVER (ORDER BY db.batch
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS vocab_size
+       |FROM db LEFT JOIN pb USING (batch)
+       |ORDER BY db.batch""".stripMargin
+
   /** Gopher-style repetition/quality rule constants (Rae et al. 2021,
     * "Scaling Language Models", public). Word-count and mean-word-length
     * bounds are the published values; the stopword floor is 1 (canonical
