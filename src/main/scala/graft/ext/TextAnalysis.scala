@@ -1469,6 +1469,70 @@ object TextAnalysis {
        |FROM db LEFT JOIN pb USING (batch)
        |ORDER BY db.batch""".stripMargin
 
+  /** q124 — length-distribution divergence between source pairs: the
+    * two-sample Kolmogorov–Smirnov statistic D = max |CDF_a − CDF_b|
+    * over the document token-count support — the structural-drift
+    * check that catches a source whose documents suddenly run short
+    * (truncation bug) or long (concatenation bug) even when its
+    * vocabulary (q113) looks unchanged.
+    *
+    * Scale shape: lengths collapse to a (source, n) count table; the
+    * CDF windows are partitioned by source over the length support
+    * (bounded by max document length — a training corpus caps it by
+    * construction); the pair comparison joins the CDF grid to itself
+    * keyed by support point. Determinism is total: counts are exact,
+    * each CDF value is one integer division, and MAX is
+    * order-independent — no float-sum policy needed, the 6-dp round
+    * is cosmetic. */
+  def lengthKs(spark: SparkSession, sfDir: String): DataFrame =
+    lengthKsOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable (source, text) frame (spec plants
+    * shifted and identical distributions). */
+  def lengthKsOn(docs: DataFrame): DataFrame = {
+    val lens = docs.select(col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("n"))
+    val counts = lens.groupBy("source", "n").agg(count(lit(1)).as("c"))
+    val support = lens.select("n").distinct()
+    val totals = lens.groupBy("source").agg(count(lit(1)).as("tot"))
+    val cum = totals.crossJoin(broadcast(support))
+      .join(counts, Seq("source", "n"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("n")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("n"),
+        (col("cum").cast("double") / col("tot").cast("double")).as("cdf"))
+    cum.as("a").join(cum.as("b"),
+        col("a.n") === col("b.n") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(round(max(abs(col("a.cdf") - col("b.cdf"))), 6).as("ks_d"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val lengthKsSql: String =
+    s"""WITH lens AS (
+       |  SELECT source,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+       |  FROM documents
+       |), counts AS (
+       |  SELECT source, n, COUNT(*) AS c FROM lens GROUP BY 1, 2
+       |), support AS (SELECT DISTINCT n FROM lens),
+       |totals AS (SELECT source, COUNT(*) AS tot FROM lens GROUP BY 1),
+       |cum AS (
+       |  SELECT source, n,
+       |         SUM(COALESCE(c, 0)) OVER (PARTITION BY source ORDER BY n
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+       |           / tot AS cdf
+       |  FROM (SELECT t.source, t.tot, s.n FROM totals t, support s) g
+       |  LEFT JOIN counts USING (source, n)
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       round(MAX(abs(a.cdf - b.cdf)), 6) AS ks_d
+       |FROM cum a JOIN cum b ON a.n = b.n AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Gopher-style repetition/quality rule constants (Rae et al. 2021,
     * "Scaling Language Models", public). Word-count and mean-word-length
     * bounds are the published values; the stopword floor is 1 (canonical

@@ -192,6 +192,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"rare run must cost far more than predictable text: $wb")
   }
 
+  test("length KS: shifted distributions max out, identical ones read 0") {
+    // srcA: all docs 10 tokens; srcB: all 20 (disjoint supports -> D=1);
+    // srcC: same distribution as srcA -> D(A,C)=0
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("srcA", doc(10)), ("srcA", doc(10)),
+      ("srcB", doc(20)), ("srcB", doc(20)),
+      ("srcC", doc(10)), ("srcC", doc(10))).toDF("source", "text")
+    val got = TextAnalysis.lengthKsOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("srcA", "srcB")) == 1.0, s"disjoint supports: $got")
+    assert(got(("srcA", "srcC")) == 0.0, s"identical dists: $got")
+    assert(got(("srcB", "srcC")) == 1.0, s"disjoint supports: $got")
+  }
+
   test("source drift: KL is non-negative and covers every source") {
     val rows = TextAnalysis.sourceDrift(spark, sf001).collect()
     val sources = graft.Tables.load(spark, sf001, "documents")
