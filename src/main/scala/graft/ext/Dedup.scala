@@ -791,6 +791,45 @@ object Dedup {
        |FROM r WHERE rk <= ceil(cnt * ${Sampling.SampleFrac})
        |ORDER BY doc_id""".stripMargin
 
+  /** q125 — train/val/test leakage audit: count verified near-dup
+    * pairs whose endpoints land in DIFFERENT splits under q59's
+    * hash-based assignment — the contamination check every eval
+    * pipeline must pass (a val doc with a train-side near-duplicate
+    * leaks the answer; random splitting guarantees some leakage, this
+    * measures it). Cells where split_a = split_b are reported too:
+    * within-train dup mass is the dedup workload, cross-split mass is
+    * the eval hazard.
+    *
+    * Scale shape: rides the session-pinned verified pair list (the
+    * q29 pipeline, computed once), adds two hash-derived split columns
+    * (map-only — the split is a pure function of doc_id, no join back
+    * to the corpus), and collapses to ≤ 9 cells. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedNgramPairs(spark, sfDir).select("doc_a", "doc_b")
+    pairs
+      .select(
+        least(Sampling.splitOf(col("doc_a")),
+          Sampling.splitOf(col("doc_b"))).as("split_x"),
+        greatest(Sampling.splitOf(col("doc_a")),
+          Sampling.splitOf(col("doc_b"))).as("split_y"))
+      .groupBy("split_x", "split_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_x") =!= col("split_y"))
+      .orderBy("split_x", "split_y")
+  }
+
+  val splitLeakageSql: String = {
+    val sa = Sampling.splitOfSql("doc_a")
+    val sb = Sampling.splitOfSql("doc_b")
+    s"""WITH p AS ($ngramJaccardPairsSql)
+       |SELECT least($sa, $sb) AS split_x,
+       |       greatest($sa, $sb) AS split_y,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       least($sa, $sb) != greatest($sa, $sb) AS leaks
+       |FROM p
+       |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin
+  }
+
   /** q80 — PageRank over the near-dup similarity graph (the q11 LSH
     * candidate pairs, undirected): rank the "hub" documents whose text
     * radiates through the most duplication chains — the doc a curator

@@ -406,15 +406,28 @@ object Sampling {
     * along in one pass. */
   val SplitBuckets: Seq[(Int, String)] = Seq(90 -> "train", 95 -> "val")
 
+  /** The hash-based split assignment as a Column over a doc_id — shared
+    * by q59's summary and q125's leakage audit so the two can't drift. */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket =
+      conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    SplitBuckets.foldRight(lit("test"): org.apache.spark.sql.Column) {
+      case ((hi, name), acc) => when(bucket < hi, name).otherwise(acc) }
+  }
+
+  /** The same assignment as DuckDB SQL over a doc_id expression,
+    * generated from [[SplitBuckets]] so the two forms cannot drift. */
+  def splitOfSql(docId: String): String = {
+    val b = s"('0x'||substr(md5(CAST($docId AS VARCHAR)),1,8))::BIGINT % 100"
+    SplitBuckets.map { case (hi, name) => s"WHEN $b < $hi THEN '$name'" }
+      .mkString("CASE ", " ", " ELSE 'test' END")
+  }
+
   def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    val splitCol = SplitBuckets.foldRight(lit("test"): org.apache.spark.sql.Column) {
-      case ((hi, name), acc) => when(bucket < hi, name).otherwise(acc) }
     docs
-      .select(splitCol.as("split"),
+      .select(splitOf(col("doc_id")).as("split"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
