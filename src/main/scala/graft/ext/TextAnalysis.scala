@@ -1715,4 +1715,93 @@ object TextAnalysis {
        |               / ((cg::DOUBLE + 1.0) / (gt + vn)))), 6)
        |         AS kl_divergence
        |FROM j, n GROUP BY source, ns ORDER BY source""".stripMargin
+
+  /** Segment width for q126 — the fixture has no newline structure, so
+    * "lines" are non-overlapping 8-token windows: long enough that a
+    * repeated segment is templated text, short enough to localize it. */
+  val ScrubSegTokens = 8
+
+  /** q126 — duplicated-segment scrub, the CCNet/RefinedWeb paragraph
+    * dedup step (Wenzek et al. dedup normalized paragraphs across the
+    * whole crawl; reference surface: the §7.5 cleaning family): cut
+    * every document into non-overlapping [[ScrubSegTokens]]-token
+    * segments, drop each segment whose content hash occurs in MORE
+    * THAN ONE document (headers, footers, templated spans), and
+    * reconstitute the cleaned text from the survivors in order. Unlike
+    * q74 (which only MEASURES the shared-gram share) this emits the
+    * scrubbed corpus itself plus per-doc removal counts.
+    *
+    * Scale shape: one explode over the corpus, a doc-frequency
+    * aggregate keyed by the segment hash (map-side combine; AQE covers
+    * a viral-segment hot key), one join back, and a per-doc reduce —
+    * all shuffles carry (doc_id, idx, 8-byte hash) rows, with segment
+    * TEXT carried only on the exploded side that reconstitutes. The
+    * segment travels as a 60-bit md5 fingerprint (the q107 trick:
+    * bare longs, not strings; collisions need two of the corpus's
+    * distinct segments to share 60 bits — widen to the 128-bit pair at
+    * ≫10⁸ segments). The exploded frame is pinned once for its two
+    * consumers (doc-frequency, reconstruction). Rebuild order rides
+    * `array_sort` on (idx, seg) structs per doc — no global sort. */
+  def segmentScrub(spark: SparkSession, sfDir: String): DataFrame =
+    segmentScrubOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable docs frame (spec plants tiny corpora). */
+  def segmentScrubOn(docs: DataFrame): DataFrame = {
+    val k = ScrubSegTokens
+    val w = split(lower(col("text")), "\\s+")
+    val segs = docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        ceil(size(col("w")) / lit(k.toDouble)).cast("int").as("nseg"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nseg") - 1),
+          i => concat_ws(" ", slice(col("w"), i * k + 1, lit(k)))))
+          .as(Seq("idx", "seg")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("seg"),
+        conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long")
+          .as("sh"))
+      .localCheckpoint()
+    val docFreq = segs.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    segs.join(docFreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("ndocs") === 1, struct(col("idx"), col("seg"))))),
+            s => s.getField("seg"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val segmentScrubSql: String = {
+    val k = ScrubSegTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(0,
+       |           CAST(ceil(len(w) / $k.0) AS BIGINT) - 1)) AS idx
+       |  FROM t
+       |), segs AS (
+       |  SELECT doc_id, idx,
+       |         array_to_string(w[(idx*$k+1):(idx*$k+$k)], ' ') AS seg
+       |  FROM s
+       |), h AS (
+       |  SELECT doc_id, idx, seg,
+       |         ('0x'||substr(md5(seg), 1, 15))::BIGINT AS sh
+       |  FROM segs
+       |), df AS (
+       |  SELECT sh, COUNT(DISTINCT doc_id) AS ndocs FROM h GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dropped,
+       |       COALESCE(string_agg(seg, ' ' ORDER BY idx)
+       |         FILTER (WHERE ndocs = 1), '') AS clean_text
+       |FROM h JOIN df USING (sh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -120,6 +120,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == ((10L, 10L, 1.0)), s"doc4: ${got(4L)}")
   }
 
+  test("segment scrub: shared 8-token segments are dropped, order kept") {
+    // docs 1 and 2 share segment B verbatim at SEGMENT-ALIGNED positions;
+    // doc 3 contains B's words but straddling a segment boundary, so its
+    // segments hash differently and survive
+    val segA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 8).map(i => s"c$i").mkString(" ")
+    val segD = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segB"),            // A unique, B shared -> keep A
+      (2L, s"$segC $segB $segD"),      // C,D unique, B shared -> keep C D
+      (3L, s"pad1 pad2 pad3 pad4 $segB x1 x2 x3 x4")  // B off-alignment
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentScrubOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 1L, segA)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, s"$segC $segD")), s"doc2: ${got(2L)}")
+    assert(got(3L)._2 == 0L && got(3L)._3.startsWith("pad1"),
+      s"off-alignment B must not be scrubbed: ${got(3L)}")
+  }
+
+  test("segment scrub: fully-templated doc scrubs to empty text") {
+    val seg = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, seg), (2L, seg)).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentScrubOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((1L, 1L, "")) && got(2L) == ((1L, 1L, "")),
+      s"both copies scrub to empty: $got")
+  }
+
   test("dup spans: overlapping duplicated grams merge, not double-count") {
     // two docs are identical 12-token texts -> all 3 grams duplicated,
     // union of [1,10],[2,11],[3,12] covers all 12 positions exactly once
