@@ -603,4 +603,108 @@ object Sampling {
        |       CAST(rk // $EpochShardDocs AS BIGINT) AS shard_id,
        |       CAST(rk % $EpochShardDocs AS BIGINT) AS shard_pos
        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q127 fixture constants: epoch cap C and training budget
+    * B = (37/10) × corpus tokens — 3.7 epochs' worth, between C×min and
+    * C×max of the fixture's per-source caps, so the allocation splits
+    * into a genuinely mixed capped/uncapped outcome. */
+  val UnimaxEpochCap = 4
+  val UnimaxBudgetNum = 37L
+  val UnimaxBudgetDen = 10L
+
+  /** q127 — UniMax token-budget allocation across sources (Chung et
+    * al., ICLR 2023: cap every source at C epochs, spread the rest of
+    * the budget uniformly). Complements q116: temperature mixing skews
+    * SHARES by p^(1/τ); UniMax instead answers "how many tokens of each
+    * source may a B-token training run draw without repeating any
+    * source more than C times". Sources ascending by size: a source is
+    * capped (gets exactly C·nᵢ tokens) while C·nᵢ ≤ remaining/(sources
+    * left); everyone after the boundary splits the remainder equally.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined token
+    * count to |sources| rows; the allocation scan is O(|sources| log
+    * |sources|) on the driver — the bounded-anchor pattern (q116's
+    * totals, q25's codebook), NOT an unpartitioned window and NOT an
+    * n² join, both of which PlanSpec bans. |sources| is corpus
+    * metadata (hundreds at 100 TB), never data-sized.
+    *
+    * Exactness: capped-prefix flags ride pure BIGINT arithmetic
+    * (C·nᵢ·(N−i+1) ≤ B − Σ_{j<i} C·nⱼ — the naive prefix is exact
+    * because caps fail monotonically: once C·nᵢ exceeds the running
+    * uniform share, every later, larger source does too). Only the
+    * final uniform share divides, in DOUBLE, identically in both
+    * engines; round at the edge per the q70 rule. */
+  def unimaxBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.load(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(lower(col("text")), "\\s+")).cast("long"))
+        .as("n_tokens"))
+    val total = per.agg(sum("n_tokens")).first().getLong(0)
+    unimaxOn(per, UnimaxBudgetNum * total / UnimaxBudgetDen, UnimaxEpochCap)
+  }
+
+  /** Core over an injectable (source, n_tokens) frame — spec plants
+    * hand-computable size ladders. `budget`/`cap` in tokens/epochs. */
+  def unimaxOn(per: DataFrame, budget: Long, cap: Int): DataFrame = {
+    val spark = per.sparkSession
+    import spark.implicits._
+    val srcs = per.select(col("source").cast("string"),
+        col("n_tokens").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }
+    val nSrc = srcs.length
+    var sPrev = 0L
+    val flags = srcs.zipWithIndex.map { case ((_, n), idx) =>
+      val f = cap.toLong * n * (nSrc - idx) <= budget - sPrev
+      sPrev += cap.toLong * n
+      f
+    }
+    val k = flags.count(identity)
+    val sK = srcs.zip(flags).collect { case ((_, n), true) => cap.toLong * n }.sum
+    val share = (budget - sK).toDouble / math.max(nSrc - k, 1)
+    val rows = srcs.zip(flags).toSeq.map { case ((s, n), f) =>
+      val alloc = if (f) (cap.toLong * n).toDouble else share
+      (s, n, f, alloc, alloc / n)
+    }
+    rows.toDF("source", "n_tokens", "capped", "alloc_raw", "epochs_raw")
+      .select(col("source"), col("n_tokens"), col("capped"),
+        round(col("alloc_raw"), 2).as("alloc_tokens"),
+        round(col("epochs_raw"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
+  val unimaxBudgetSql: String = {
+    val c = UnimaxEpochCap
+    s"""WITH per AS (
+       |  SELECT source,
+       |         SUM(len(string_split_regex(lower(text), '\\s+'))) AS n
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT COUNT(*) AS nn,
+       |         $UnimaxBudgetNum * SUM(n) // $UnimaxBudgetDen AS b
+       |  FROM per
+       |), r AS (
+       |  SELECT source, n,
+       |         row_number() OVER (ORDER BY n, source) AS i,
+       |         COALESCE(SUM($c*n) OVER (ORDER BY n, source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS sp
+       |  FROM per
+       |), f AS (
+       |  SELECT r.*, nn, b, $c*n*(nn - i + 1) <= b - sp AS capped
+       |  FROM r, t
+       |), k AS (
+       |  SELECT COUNT(*) FILTER (WHERE capped) AS kk,
+       |         COALESCE(SUM($c*n) FILTER (WHERE capped), 0) AS sk
+       |  FROM f
+       |)
+       |SELECT source, CAST(n AS BIGINT) AS n_tokens, capped,
+       |       round(CASE WHEN capped THEN ($c*n)::DOUBLE
+       |             ELSE (b - sk)::DOUBLE / greatest(nn - kk, 1) END, 2)
+       |         AS alloc_tokens,
+       |       round((CASE WHEN capped THEN ($c*n)::DOUBLE
+       |             ELSE (b - sk)::DOUBLE / greatest(nn - kk, 1) END)
+       |             / n::DOUBLE, 6) AS epochs
+       |FROM f, k ORDER BY source""".stripMargin
+  }
 }

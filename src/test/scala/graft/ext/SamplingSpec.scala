@@ -158,4 +158,41 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.stratifiedSample(spark, sf001).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("unimax: small sources cap at C epochs, the rest split the remainder") {
+    import spark.implicits._
+    // n = [10, 10, 100], C=4, B=150: both 10s cap (4·10·3=120≤150,
+    // 4·10·2=80≤110), the 100 can't (400>70) -> allocs 40, 40, 70
+    val per = Seq(("a", 10L), ("b", 100L), ("c", 10L)).toDF("source", "n_tokens")
+    val got = Sampling.unimaxOn(per, 150L, 4).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((true, 40.0, 4.0)), s"a: ${got("a")}")
+    assert(got("c") == ((true, 40.0, 4.0)), s"c: ${got("c")}")
+    assert(got("b") == ((false, 70.0, 0.7)), s"b: ${got("b")}")
+  }
+
+  test("unimax edge cases: budget under uniform share, budget over all caps") {
+    import spark.implicits._
+    val per = Seq(("a", 10L), ("b", 100L), ("c", 10L)).toDF("source", "n_tokens")
+    // B=100: 4·10·3=120>100 -> nobody caps, all get B/N=33.33…
+    val low = Sampling.unimaxOn(per, 100L, 4).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(low.values.forall(v => !v._1 && v._2 == 33.33), s"low: $low")
+    // B=500 > ΣC·n=480: everyone caps, budget deliberately underspent
+    val high = Sampling.unimaxOn(per, 500L, 4).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(2), r.getDouble(4)))).toMap
+    assert(high.values.forall(v => v._1 && v._2 == 4.0), s"high: $high")
+  }
+
+  test("unimax on the fixture: mixed capped/uncapped, budget exactly spent") {
+    val rows = Sampling.unimaxBudget(spark, sf001).collect()
+    val capped = rows.count(_.getBoolean(2))
+    assert(capped > 0 && capped < rows.length,
+      s"B=3.7×corpus with C=4 must split the fixture: $capped/${rows.length}")
+    // uncapped epochs sit strictly between the capped boundary and C
+    rows.filterNot(_.getBoolean(2)).foreach { r =>
+      assert(r.getDouble(4) < 4.0, s"uncapped ${r.getString(0)} above cap")
+    }
+  }
 }
