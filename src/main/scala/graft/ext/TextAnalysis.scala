@@ -1804,4 +1804,92 @@ object TextAnalysis {
        |FROM h JOIN df USING (sh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Fit window for q128 — top-R most frequent terms per source. The
+    * head of the rank-frequency curve is where Zipf is linear; R=200
+    * keeps the fit stable at every fixture SF (each source's vocab is
+    * far larger). */
+  val ZipfTopTerms = 200
+
+  /** q128 — Zipf slope per source: OLS fit of ln(freq) on ln(rank)
+    * over each source's top-[[ZipfTopTerms]] terms. A corpus-health
+    * probe the q123 Heaps curve doesn't give: natural text sits near
+    * slope −1; templated/synthetic sources flatten (machine logs) or
+    * steepen (boilerplate) — a per-source fingerprint for mixture
+    * audits.
+    *
+    * Scale shape: term frequency is a map-side-combined (source, tok)
+    * count; the top-R cut is a per-source rank window that plans as
+    * WindowGroupLimit (each map partition forwards ≤R rows per
+    * source), so the regression sees |sources|·R rows — corpus
+    * metadata, not corpus volume. Moments then combine per the q93
+    * shape. Float policy: x,y are ln() doubles, so sums are
+    * order-sensitive in the last bits only (~1e-12 over 200 terms,
+    * no cancellation: n·Σx²−(Σx)² ≈ n²·var(x) with var(x)=O(1)) —
+    * the 6-dp edge round absorbs it (the q70 rule). */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame =
+    zipfSlopeOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable docs frame (spec plants exact power laws). */
+  def zipfSlopeOn(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("freq").desc, col("tok"))
+    val pts = tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ZipfTopTerms)
+      .select(col("source"),
+        log(col("rk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val m = pts.groupBy("source").agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n_terms").cast("double")
+    val covn = n * col("sxy") - col("sx") * col("sy")
+    val varxn = n * col("sxx") - col("sx") * col("sx")
+    val varyn = n * col("syy") - col("sy") * col("sy")
+    m.select(col("source"), col("n_terms"),
+        round(covn / varxn, 6).as("slope"),
+        round((col("sy") - (covn / varxn) * col("sx")) / n, 6)
+          .as("intercept"),
+        round(covn * covn / (varxn * varyn), 6).as("r2"))
+      .orderBy("source")
+  }
+
+  val zipfSlopeSql: String =
+    s"""WITH tf AS (
+       |  SELECT source, tok, COUNT(*) AS freq FROM (
+       |    SELECT source,
+       |           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY 1, 2
+       |), r AS (
+       |  SELECT source, freq, row_number() OVER (
+       |           PARTITION BY source ORDER BY freq DESC, tok) AS rk
+       |  FROM tf
+       |), pts AS (
+       |  SELECT source, ln(rk::DOUBLE) AS x, ln(freq::DOUBLE) AS y
+       |  FROM r WHERE rk <= $ZipfTopTerms
+       |), m AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |         SUM(x) AS sx, SUM(x*x) AS sxx,
+       |         SUM(y) AS sy, SUM(y*y) AS syy, SUM(x*y) AS sxy
+       |  FROM pts GROUP BY 1
+       |), d AS (
+       |  SELECT source, n_terms, n_terms::DOUBLE AS nd, sx, sxx, sy,
+       |         syy, sxy
+       |  FROM m
+       |)
+       |SELECT source, n_terms,
+       |       round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
+       |       round((sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx)
+       |             / nd, 6) AS intercept,
+       |       round((nd*sxy - sx*sy) * (nd*sxy - sx*sy)
+       |             / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r2
+       |FROM d ORDER BY source""".stripMargin
 }

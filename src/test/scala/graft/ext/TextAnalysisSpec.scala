@@ -152,6 +152,36 @@ class TextAnalysisSpec extends SparkSpec {
       s"both copies scrub to empty: $got")
   }
 
+  test("zipf slope: an exact power-law corpus fits slope -1, r2 1") {
+    // term t_r appears floor(1024/r) times -> ln f = ln 1024 - ln r
+    // exactly on the fit head, so OLS must recover slope -1 tightly
+    val words = (1 to 64).flatMap(r =>
+      Seq.fill(1024 / r)(f"w$r%03d")) // w001 64x... deterministic text
+    val docs = Seq((1L, words.mkString(" "), "pow"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.zipfSlopeOn(docs).collect()
+    assert(got.length == 1)
+    val (n, slope, r2) = (got(0).getLong(1), got(0).getDouble(2),
+      got(0).getDouble(3 + 1))
+    assert(n == 64L, s"64 distinct terms, got $n")
+    // floor() quantization perturbs ln f by <1/r, so not exactly -1
+    assert(math.abs(slope + 1.0) < 0.02, s"slope $slope")
+    assert(r2 > 0.999, s"r2 $r2")
+  }
+
+  test("zipf slope: fixture run fits the head per source, bounded rows") {
+    val rows = TextAnalysis.zipfSlope(spark, sf001).collect()
+    val nSrc = graft.Tables.load(spark, sf001, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSrc)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= TextAnalysis.ZipfTopTerms)
+      assert(r.getDouble(2) < 0, s"${r.getString(0)}: slope must be negative")
+      val r2 = r.getDouble(4)
+      assert(r2 > 0 && r2 <= 1.0, s"${r.getString(0)}: r2 $r2")
+    }
+  }
+
   test("dup spans: overlapping duplicated grams merge, not double-count") {
     // two docs are identical 12-token texts -> all 3 grams duplicated,
     // union of [1,10],[2,11],[3,12] covers all 12 positions exactly once
