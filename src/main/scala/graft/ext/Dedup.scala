@@ -1095,4 +1095,66 @@ object Dedup {
        |            ELSE 0.0 END AS clustering_coeff
        |FROM deg d LEFT JOIN pern p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Boundary width for q129. 3 tokens: wide enough that a tail→head
+    * match is a real continuation signal on the fixture (8 pairs at
+    * sf0.001/sf0.01), narrow enough to tolerate shard splitters that
+    * cut mid-sentence. */
+  val StitchBoundaryTokens = 3
+
+  /** q129 — split-document stitching: find (left, right) doc pairs
+    * where left's LAST [[StitchBoundaryTokens]] tokens equal right's
+    * FIRST ones — the signature of a crawl/shard splitter cutting one
+    * document into two (the reassembly twin of q107's substring dedup:
+    * there we find spans shared ANYWHERE; here the overlap must sit
+    * exactly on the document boundary, which is what makes the pair a
+    * stitch candidate rather than a near-dup).
+    *
+    * Scale shape: each doc contributes ONE boundary row (head gram,
+    * tail gram) straight off the scan — no explode. The candidate join
+    * runs on [[hash60]] fingerprints of the grams (long keys shuffle,
+    * not strings) and exactness is restored by comparing the gram TEXT
+    * post-join, so a 60-bit collision can suggest a pair but never emit
+    * one. Output is candidate-bounded: |docs| in, matched pairs out. */
+  def splitStitch(spark: SparkSession, sfDir: String): DataFrame =
+    splitStitchOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable docs frame (spec plants split documents). */
+  def splitStitchOn(docs: DataFrame): DataFrame = {
+    val k = StitchBoundaryTokens
+    val w = split(lower(col("text")), "\\s+")
+    val hb = docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), 1, k)).as("head_gram"),
+        concat_ws(" ", slice(col("w"), -k, k)).as("tail_gram"))
+    val lefts = hb.select(col("doc_id").as("left_doc"),
+      col("tail_gram"), hash60(col("tail_gram")).as("th"))
+    val rights = hb.select(col("doc_id").as("right_doc"),
+      col("head_gram"), hash60(col("head_gram")).as("hh"))
+    lefts.join(rights,
+        col("th") === col("hh") && col("left_doc") =!= col("right_doc"))
+      .filter(col("tail_gram") === col("head_gram"))
+      .select(col("left_doc"), col("right_doc"),
+        col("tail_gram").as("boundary"))
+      .orderBy("left_doc", "right_doc")
+  }
+
+  val splitStitchSql: String = {
+    val k = StitchBoundaryTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), hb AS (
+       |  SELECT doc_id,
+       |         array_to_string(w[1:$k], ' ') AS head_gram,
+       |         array_to_string(w[-$k:], ' ') AS tail_gram
+       |  FROM t WHERE len(w) >= $k
+       |)
+       |SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+       |       a.tail_gram AS boundary
+       |FROM hb a JOIN hb b
+       |  ON a.tail_gram = b.head_gram AND a.doc_id <> b.doc_id
+       |ORDER BY left_doc, right_doc""".stripMargin
+  }
 }

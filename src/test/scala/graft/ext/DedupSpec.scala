@@ -237,4 +237,17 @@ class DedupSpec extends SparkSpec {
     assert(got(("srcA", "srcC")) < 0.5 && got(("srcB", "srcC")) < 0.5,
       s"disjoint sources should estimate low: $got")
   }
+  test("split stitch: tail->head boundary pairs, exact-k docs chain both ways") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 a b c"),   // tail "a b c"
+      (2L, "a b c y1 y2 y3"),   // head "a b c" -> (1,2)
+      (3L, "a b c"),            // head == tail -> (1,3),(3,2); (3,3) excluded
+      (4L, "a b"),              // under k tokens: excluded entirely
+      (5L, "x1 a b c x2 x3")    // "a b c" mid-doc only: no boundary match
+    ).toDF("doc_id", "text")
+    val rows = Dedup.splitStitchOn(docs).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (3L, 2L)), s"pairs: $got")
+    assert(rows.forall(_.getString(2) == "a b c"), "boundary text carried")
+  }
 }
