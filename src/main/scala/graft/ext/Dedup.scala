@@ -1096,6 +1096,114 @@ object Dedup {
        |FROM deg d LEFT JOIN pern p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q130 parameters: token k-grams hashed, then winnowed with window
+    * w — every window of w consecutive gram hashes contributes its
+    * minimum (rightmost on ties), giving guaranteed fingerprint density
+    * in [1/w, 2/(w+1)] (Schleimer, Wilkerson, Aiken, SIGMOD 2003). */
+  val WinnowGramTokens = 4
+  val WinnowWindow = 4
+
+  /** q130 — winnowing fingerprint selection, the MOSS local-sampling
+    * scheme: unlike MinHash (q11, a GLOBAL per-doc sketch for set
+    * resemblance), winnowing picks POSITIONED fingerprints such that
+    * any shared substring of ≥ w+k−1 tokens is guaranteed to share at
+    * least one selected fingerprint — the right primitive for
+    * substring-level plagiarism/overlap detection (q107's span finder
+    * would consume these at 100 TB instead of every gram).
+    *
+    * Engine-portable tie-break without argmin-over-struct: each gram's
+    * (hash, position) packs into ONE exact BIGINT key
+    * `h36·2²⁴ + (2²⁴−1−pos)` — window MIN of the key IS "min hash,
+    * rightmost position" (36-bit hash + 24-bit position stay inside
+    * 60 bits, no ANSI overflow). The fingerprint set is the DISTINCT
+    * window-min per doc; hash and position unpack by integer div/mod.
+    *
+    * Scale shape: explode to grams, ONE per-doc ordered window (never
+    * global), distinct, count — all partitioned by doc_id. Output one
+    * row per doc: selection density must land in the winnowing bound,
+    * which the spec pins. */
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    winnowingOn(Tables.load(spark, sfDir, "documents"))
+
+  /** The distinct selected (doc_id, n_grams, packed wmin) rows —
+    * winnowing's output set, before the per-doc rollup. */
+  private[ext] def winnowSelected(docs: DataFrame): DataFrame = {
+    val (k, wWin) = (WinnowGramTokens, WinnowWindow)
+    val posMod = 1L << 24
+    val toks = split(lower(col("text")), "\\s+")
+    val grams = docs
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), (size(col("w")) - k + 1).cast("long").as("n_grams"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(k)))))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("n_grams"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("g")), 1, 9), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), col("n_grams"), col("pos"), col("h"),
+        (col("h") * posMod + (lit(posMod - 1) - col("pos"))).as("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, wWin - 1)
+    grams
+      .withColumn("wmin", min(col("key")).over(w))
+      .filter(col("pos") <= col("n_grams") - wWin) // full windows only
+      .select(col("doc_id"), col("n_grams"), col("wmin")).distinct()
+  }
+
+  /** Test hook: a doc set's selected gram hashes (positions stripped). */
+  private[ext] def winnowingFingerprints(docs: DataFrame): Set[Long] =
+    winnowSelected(docs).select(shiftright(col("wmin"), 24))
+      .collect().map(_.getLong(0)).toSet
+
+  /** Core over an injectable docs frame (spec plants shared runs). */
+  def winnowingOn(docs: DataFrame): DataFrame = {
+    val fps = winnowSelected(docs)
+    fps.groupBy("doc_id")
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fp"),
+        sum(shiftright(col("wmin"), 24)).as("fp_hash_sum"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        round(col("n_fp").cast("double") / col("n_grams"), 6).as("density"),
+        col("fp_hash_sum"))
+      .orderBy("doc_id")
+  }
+
+  val winnowingSql: String = {
+    val (k, wWin) = (WinnowGramTokens, WinnowWindow)
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(len(w) - $k + 1 AS BIGINT) AS n_grams,
+       |         unnest(generate_series(0, len(w) - $k)) AS pos, w
+       |  FROM t WHERE len(w) >= $k
+       |), h AS (
+       |  SELECT doc_id, n_grams, pos,
+       |         ('0x'||substr(md5(
+       |            array_to_string(w[(pos+1):(pos+$k)], ' ')), 1, 9))::BIGINT
+       |           AS hh
+       |  FROM g
+       |), keyed AS (
+       |  SELECT doc_id, n_grams, pos,
+       |         hh * 16777216 + (16777215 - pos) AS key
+       |  FROM h
+       |), wm AS (
+       |  SELECT doc_id, n_grams, pos,
+       |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${wWin - 1} FOLLOWING)
+       |           AS wmin
+       |  FROM keyed
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, n_grams, wmin
+       |  FROM wm WHERE pos <= n_grams - $wWin
+       |)
+       |SELECT doc_id, MAX(n_grams) AS n_grams,
+       |       CAST(COUNT(*) AS BIGINT) AS n_fp,
+       |       round(COUNT(*)::DOUBLE / MAX(n_grams), 6) AS density,
+       |       CAST(SUM(wmin // 16777216) AS BIGINT) AS fp_hash_sum
+       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Boundary width for q129. 3 tokens: wide enough that a tail→head
     * match is a real continuation signal on the fixture (8 pairs at
     * sf0.001/sf0.01), narrow enough to tolerate shard splitters that

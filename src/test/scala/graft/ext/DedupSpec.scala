@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.SparkSpec
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{ceil, coalesce, count, least, lit, min, row_number}
+import org.apache.spark.sql.functions.{ceil, coalesce, col, count, least, lit, min, row_number}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -249,5 +249,43 @@ class DedupSpec extends SparkSpec {
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 3L), (3L, 2L)), s"pairs: $got")
     assert(rows.forall(_.getString(2) == "a b c"), "boundary text carried")
+  }
+
+  test("winnowing: density lands in the [1/w, 2/(w+1)] guarantee band") {
+    val rows = Dedup.winnowing(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (g, fp, d) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // exact lower bound: a key is the min of at most w consecutive
+      // windows, so n_fp >= full_windows/w; the 2/(w+1) asymptote is
+      // only a statistical ceiling, pinned on docs long enough for it
+      val windows = g - Dedup.WinnowWindow + 1
+      val lb = math.max(1.0,
+        windows.toDouble / Dedup.WinnowWindow) / g
+      assert(fp >= 1 && fp.toDouble / g >= lb - 1e-9,
+        s"doc ${r.getLong(0)}: density $d below bound $lb ($g grams)")
+      if (g >= 50) assert(d <= 0.55,
+        s"doc ${r.getLong(0)}: density $d of $g grams, $fp fps")
+    }
+  }
+
+  test("winnowing: identical docs get identical fingerprint sets, and a" +
+      " shared long run guarantees a shared fingerprint") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // >= w+k-1=7 toks
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, s"$shared " + (1 to 30).map(i => s"a$i").mkString(" ")),
+      (4L, (1 to 30).map(i => s"b$i").mkString(" ") + s" $shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowingOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got(1L) == got(2L), s"identical docs diverge: $got")
+    // docs 3 and 4 share a 12-token run: winnowing guarantees at least
+    // one common selected gram hash inside it
+    val fp3 = Dedup.winnowingFingerprints(docs.filter(col("doc_id") === 3))
+    val fp4 = Dedup.winnowingFingerprints(docs.filter(col("doc_id") === 4))
+    val common = fp3.intersect(fp4)
+    assert(common.nonEmpty, "shared 12-token run must share a fingerprint")
   }
 }
