@@ -673,6 +673,90 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** q131 shard counts: the audit compares an 8-shard layout with the
+    * 9-shard layout after one shard is added. */
+  val RdvShardsBefore = 8
+  val RdvShardsAfter = 9
+
+  /** q131 — rendezvous (highest-random-weight) shard assignment and
+    * the resize-churn audit (Thaler & Ravishankar 1996, the HRW scheme
+    * behind consistent object placement): doc d lands on the shard s
+    * maximizing hash(s:d). Adding a shard moves ONLY the docs whose
+    * new-shard weight wins — expected churn 1/N_after, and nothing
+    * relocates between surviving shards, which is what makes HRW the
+    * right layout for an incrementally-growing corpus (a mod-N
+    * re-shard would move (N-1)/N of 100 TB; HRW moves 1/N).
+    *
+    * Engine-portable argmax: each (shard, doc) weight is a 52-bit md5
+    * prefix packed as `w·16 + shard`, and the assignment is ONE
+    * `greatest(...)` projection over the N packed keys — no explode,
+    * no shuffle; the doc-level frame reduces map-side to the ≤N²
+    * (old, new) transition matrix before anything moves. Output: one
+    * row per shard with before/after populations and arrival/departure
+    * counts; the spec pins the HRW invariant (departures flow only to
+    * the new shard). */
+  def rendezvousShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count().toDouble // bounded driver anchor (q116)
+    def packed(s: Int) =
+      conv(substring(md5(concat(lit(s"s$s:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") * 16 + s
+    val before = greatest((0 until RdvShardsBefore).map(packed): _*) % 16
+    val after = greatest((0 until RdvShardsAfter).map(packed): _*) % 16
+    val m = docs.select(before.as("old_shard"), after.as("new_shard"))
+      .groupBy("old_shard", "new_shard").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny transition matrix, four consumers below
+    val shards = m.sparkSession.range(RdvShardsAfter)
+      .select(col("id").as("shard"))
+    def tot(key: String, nm: String, onlyMoves: Boolean) = {
+      val base = if (onlyMoves) m.filter(col("old_shard") =!= col("new_shard")) else m
+      base.groupBy(col(key).as("shard")).agg(sum("n").as(nm))
+    }
+    shards
+      .join(tot("old_shard", "n_before", onlyMoves = false), Seq("shard"), "left")
+      .join(tot("new_shard", "n_after", onlyMoves = false), Seq("shard"), "left")
+      .join(tot("new_shard", "arrivals", onlyMoves = true), Seq("shard"), "left")
+      .join(tot("old_shard", "departures", onlyMoves = true), Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("arrivals"), lit(0L)).as("arrivals"),
+        coalesce(col("departures"), lit(0L)).as("departures"),
+        round(coalesce(col("arrivals"), lit(0L)).cast("double") / nDocs, 6)
+          .as("arrival_frac"))
+      .orderBy("shard")
+  }
+
+  val rendezvousShardsSql: String = {
+    def packedSql(s: Int) =
+      s"('0x'||substr(md5('s$s:'||CAST(doc_id AS VARCHAR)),1,13))::BIGINT*16+$s"
+    val before = (0 until RdvShardsBefore).map(packedSql).mkString("greatest(", ", ", ")")
+    val after = (0 until RdvShardsAfter).map(packedSql).mkString("greatest(", ", ", ")")
+    s"""WITH a AS (
+       |  SELECT $before % 16 AS old_shard, $after % 16 AS new_shard
+       |  FROM documents
+       |), m AS (
+       |  SELECT old_shard, new_shard, COUNT(*) AS n FROM a GROUP BY 1, 2
+       |), nd AS (SELECT SUM(n)::DOUBLE AS total FROM m),
+       |shards AS (
+       |  SELECT unnest(generate_series(0, ${RdvShardsAfter - 1})) AS shard
+       |), nb AS (SELECT old_shard AS shard, SUM(n) AS n_before FROM m GROUP BY 1),
+       |na AS (SELECT new_shard AS shard, SUM(n) AS n_after FROM m GROUP BY 1),
+       |ar AS (SELECT new_shard AS shard, SUM(n) AS arrivals FROM m
+       |       WHERE old_shard <> new_shard GROUP BY 1),
+       |dp AS (SELECT old_shard AS shard, SUM(n) AS departures FROM m
+       |       WHERE old_shard <> new_shard GROUP BY 1)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+       |       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+       |       CAST(COALESCE(arrivals, 0) AS BIGINT) AS arrivals,
+       |       CAST(COALESCE(departures, 0) AS BIGINT) AS departures,
+       |       round(COALESCE(arrivals, 0)::DOUBLE / total, 6) AS arrival_frac
+       |FROM shards LEFT JOIN nb USING (shard) LEFT JOIN na USING (shard)
+       |LEFT JOIN ar USING (shard) LEFT JOIN dp USING (shard), nd
+       |ORDER BY shard""".stripMargin
+  }
+
   val unimaxBudgetSql: String = {
     val c = UnimaxEpochCap
     s"""WITH per AS (

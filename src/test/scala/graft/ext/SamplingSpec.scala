@@ -185,6 +185,29 @@ class SamplingSpec extends SparkSpec {
     assert(high.values.forall(v => v._1 && v._2 == 4.0), s"high: $high")
   }
 
+  test("rendezvous shards: resize moves docs ONLY into the new shard") {
+    val rows = Sampling.rendezvousShards(spark, sf001).collect()
+    assert(rows.length == Sampling.RdvShardsAfter)
+    val newShard = Sampling.RdvShardsAfter - 1
+    rows.foreach { r =>
+      val (s, nb, na, arr, dep) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      if (s == newShard) {
+        assert(nb == 0L && dep == 0L && na == arr,
+          s"new shard $s: before=$nb after=$na arr=$arr dep=$dep")
+      } else {
+        assert(arr == 0L, s"HRW must not relocate into surviving shard $s")
+        assert(na == nb - dep, s"shard $s population must only shrink by departures")
+      }
+    }
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val churn = rows.map(_.getLong(3)).sum / total
+    val exp = 1.0 / Sampling.RdvShardsAfter
+    val sigma = math.sqrt(exp * (1 - exp) / total)
+    assert(math.abs(churn - exp) < 5 * sigma + 1e-9,
+      s"churn $churn should be near $exp (n=$total)")
+  }
+
   test("unimax on the fixture: mixed capped/uncapped, budget exactly spent") {
     val rows = Sampling.unimaxBudget(spark, sf001).collect()
     val capped = rows.count(_.getBoolean(2))
