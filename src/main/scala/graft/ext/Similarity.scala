@@ -534,6 +534,52 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Cosine threshold for q132's within-cluster semantic duplicates.
+    * The fixture embeddings are near-orthogonal (pairwise cosine tops
+    * out ≈0.51), so 0.4 marks the genuinely-close tail; production
+    * SemDeDup runs 0.95+ on real encoder output — the knob, not the
+    * plan, changes. */
+  val SemDedupTau = 0.4
+
+  /** q132 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with k-means (the q108
+    * codebook) and comparing pairs ONLY within a cluster. A vector is a
+    * duplicate when some EARLIER (lower vec_id) member of its own
+    * cluster has cosine ≥ [[SemDedupTau]] — keep-the-first, the same
+    * survivor rule as q62. Output: every vector with its cluster, its
+    * earlier-duplicate count, the smallest such partner, and the keep
+    * verdict.
+    *
+    * Scale shape: this is exactly why SemDeDup clusters first — the
+    * quadratic pair comparison is confined to single clusters, and K
+    * grows with the corpus (paper uses 50k clusters for LAION) so
+    * E[cluster size] stays bounded and the within-cluster self-join is
+    * a bucketed join on cid, never a global cross product. A runaway
+    * hot cluster is AQE-skew-split (or salted, q44) like any hot key.
+    * Float policy: the threshold tests the ROUNDED (6 dp) cosine, so
+    * the verdict can only diverge across engines where the rounded
+    * score itself would (the q122 discipline). */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val code = kmeansCodebook(e, KmeansK, KmeansRounds)
+    val a = e.select(col("vec_id"),
+      nearest(col("v"), code)._1.as("cid"), col("v"))
+    val dups = a.as("x")
+      .join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .filter(round(cosine(col("x.v"), col("y.v")), 6) >= SemDedupTau)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"), min(col("y.vec_id")).as("dup_of"))
+    a.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        col("dup_of"),
+        col("n_earlier_dups").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** PQ geometry for q111: M subspaces of Dim/M dims, K centroids per
     * subspace, `PqRounds` Lloyd rounds each, trained on the NORMALIZED
     * corpus so inner product ≡ cosine and ADC ranks like q13. K stays
@@ -705,10 +751,12 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
-  val kmeansClustersSql: String = {
+  /** Shared oracle prefix for q108/q132: unrolls the SAME Lloyd rounds
+    * as unnamed CTE stages (cN = codebook entering round N+1, aN = the
+    * assignment under cN) and ends on `af`, the final assignment
+    * (vec_id[, v], cid, cos). */
+  private def kmeansAfCteSql(keepFinalV: Boolean): String = {
     val k = KmeansK
-    // the oracle unrolls the SAME rounds as unnamed CTE stages: cN is
-    // the codebook entering round N+1, aN the assignment under cN
     def assign(cb: String, out: String, keepV: Boolean) =
       s"""$out AS (
          |  SELECT vec_id${if (keepV) ", v" else ""}, cid, cos FROM (
@@ -733,11 +781,29 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
        |$rounds,
-       |${assign(s"c$KmeansRounds", "af", keepV = false)}
+       |${assign(s"c$KmeansRounds", "af", keepV = keepFinalV)}""".stripMargin
+  }
+
+  val kmeansClustersSql: String =
+    s"""${kmeansAfCteSql(keepFinalV = false)}
        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
        |       round(AVG(cos), 6) AS avg_cos
        |FROM af GROUP BY cid ORDER BY cid""".stripMargin
-  }
+
+  val semDedupSql: String =
+    s"""${kmeansAfCteSql(keepFinalV = true)},
+       |d AS (
+       |  SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_earlier_dups,
+       |         MIN(b.vec_id) AS dup_of
+       |  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemDedupTau
+       |  GROUP BY 1
+       |)
+       |SELECT x.vec_id, x.cid,
+       |       COALESCE(d.n_earlier_dups, 0) AS n_earlier_dups,
+       |       d.dup_of, d.n_earlier_dups IS NULL AS keep
+       |FROM af x LEFT JOIN d ON x.vec_id = d.vec_id
+       |ORDER BY x.vec_id""".stripMargin
 
   /** z-score threshold for q122 — flag a vector when its cohesion with
     * its own label's centroid sits ≥ 2σ below the label mean. */

@@ -131,6 +131,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c0(2) - zbar) < 1e-12 && math.abs(c1(2) - zbar) < 1e-12)
   }
 
+  test("semdedup: verdicts are internally consistent and first-in-cluster keeps") {
+    val rows = Similarity.semDedup(spark, sf001).collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.length == n, "every vector gets exactly one verdict")
+    rows.foreach { r =>
+      val (vid, dups, keep) = (r.getLong(0), r.getLong(2), r.getBoolean(4))
+      assert(keep == (dups == 0L), s"keep must mirror the dup count: $r")
+      if (dups > 0) assert(r.getLong(3) < vid, s"dup_of must be earlier: $r")
+      else assert(r.isNullAt(3), s"keepers have no partner: $r")
+    }
+    // keep-the-first: the smallest vec_id of every cluster has no
+    // earlier same-cluster member, so it must always survive
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      val first = members.minBy(_.getLong(0))
+      assert(first.getBoolean(4), s"first member of cluster $cid must keep")
+    }
+  }
+
   test("embedding outliers: the anti-aligned plant is the one flag") {
     import spark.implicits._
     // 19 coherent vectors along +x (tiny jitter on y keeps sigma > 0)
