@@ -127,6 +127,151 @@ object Sketches {
        |ORDER BY x.event_type""".stripMargin
   }
 
+  /** The estimate formula over (Σ 2^-reg, #buckets-hit) columns —
+    * shared by the single-group, pairwise-merged, and streaming paths. */
+  private def hllEstExpr(s: Column, b: Column): Column = {
+    val m = HllBuckets
+    val raw = lit(HllAlpha * m * m) / (s + (lit(m) - b).cast("double"))
+    when(raw <= lit(2.5 * m) && b < m,
+      lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - b).cast("double")))
+      .otherwise(raw)
+  }
+
+  /** q133 — HLL set algebra across event-type audiences: for every
+    * type pair, the union estimate comes from MAX-merging the two
+    * groups' registers (the HLL mergeability property, used directly),
+    * the intersection by inclusion–exclusion, and the estimated
+    * audience-overlap Jaccard — next to its exact twin so the row
+    * shows the sketch error it actually achieved.
+    *
+    * Scale shape: the sketch side never touches users twice — ONE scan
+    * builds per-group registers (|groups|·m rows), and all pairwise
+    * unions are register-level joins on that tiny table (two broadcast
+    * equi-joins + a MAX, never an OR-predicate join that would plan as
+    * BNLJ). At 100 TB you'd persist the register table and answer any
+    * ad-hoc overlap question from it alone; the exact twin here is the
+    * verification column, not the production path. Inclusion–exclusion
+    * noise can push a near-empty intersection below zero — reported
+    * as-is (the honest estimator, ±6.5% rse per operand). Every
+    * estimate is a deterministic function of md5 (the q87 argument),
+    * so the oracle matches exactly. */
+  def hllOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Events.loadEvents(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val regs = hllRegisters(ev, "event_type", "user_id")
+    val types = ev.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a")).as("x")
+      .join(types.select(col("event_type").as("type_b")).as("y"),
+        col("type_a") < col("type_b"))
+    // a pair's registers = union of its two groups' register rows,
+    // MAX-merged per bucket (register absent in both ⇒ bucket unhit)
+    val contrib =
+      pairs.join(broadcast(regs), col("event_type") === col("type_a"))
+        .select(col("type_a"), col("type_b"), col("bucket"), col("reg"))
+        .unionAll(
+          pairs.join(broadcast(regs), col("event_type") === col("type_b"))
+            .select(col("type_a"), col("type_b"), col("bucket"), col("reg")))
+    val unionEst = contrib
+      .groupBy("type_a", "type_b", "bucket").agg(max("reg").as("reg"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(pow(lit(2.0), -col("reg"))).as("s"), count(lit(1)).as("b"))
+      .select(col("type_a"), col("type_b"),
+        hllEstExpr(col("s"), col("b")).as("est_union"))
+    val perType = hllEstimate(regs, "event_type")
+    // exact twin: distinct (user, type) pairs self-joined on user
+    val du = ev.distinct()
+    val exact = du.as("p").join(du.as("q"),
+        col("p.user_id") === col("q.user_id") &&
+          col("p.event_type") < col("q.event_type"))
+      .groupBy(col("p.event_type").as("type_a"),
+        col("q.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_int"))
+    val nPer = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val estInt = col("est_a") + col("est_b") - col("est_union")
+    val jaccExact = col("n_int").cast("double") /
+      (col("na") + col("nb") - col("n_int")).cast("double")
+    unionEst
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("est").as("est_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("est").as("est_b"))), Seq("type_b"))
+      .join(broadcast(exact), Seq("type_a", "type_b"), "left")
+      .join(broadcast(nPer.select(col("event_type").as("type_a"),
+        col("n").as("na"))), Seq("type_a"))
+      .join(broadcast(nPer.select(col("event_type").as("type_b"),
+        col("n").as("nb"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(col("est_a"), 4).as("est_a"),
+        round(col("est_b"), 4).as("est_b"),
+        round(col("est_union"), 4).as("est_union"),
+        round(estInt, 4).as("est_intersect"),
+        round(estInt / col("est_union"), 6).as("jacc_est"),
+        round(coalesce(jaccExact, lit(0.0)), 6).as("jacc_exact"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val hllOverlapSql: String = {
+    val m = HllBuckets
+    val est = (s: String, b: String) =>
+      s"""CASE WHEN ${HllAlpha * m * m}::DOUBLE / ($s + ($m - $b)) <= ${2.5 * m}
+         |          AND $b < $m
+         |     THEN $m * ln($m::DOUBLE / ($m - $b))
+         |     ELSE ${HllAlpha * m * m}::DOUBLE / ($s + ($m - $b)) END""".stripMargin
+    s"""WITH hashed AS (
+       |  SELECT event_type,
+       |         ('0x'||substr(md5(user_id::VARCHAR),1,2))::INT AS bucket,
+       |         ('0x'||substr(md5(user_id::VARCHAR),3,8))::BIGINT AS v
+       |  FROM events
+       |), regs AS (
+       |  SELECT event_type, bucket, MAX($rhoSql) AS reg
+       |  FROM hashed GROUP BY 1, 2
+       |), types AS (SELECT DISTINCT event_type AS t FROM events),
+       |pairs AS (
+       |  SELECT x.t AS type_a, y.t AS type_b FROM types x JOIN types y ON x.t < y.t
+       |), contrib AS (
+       |  SELECT p.type_a, p.type_b, r.bucket, r.reg
+       |  FROM pairs p JOIN regs r ON r.event_type = p.type_a
+       |  UNION ALL
+       |  SELECT p.type_a, p.type_b, r.bucket, r.reg
+       |  FROM pairs p JOIN regs r ON r.event_type = p.type_b
+       |), uagg AS (
+       |  SELECT type_a, type_b, SUM(power(2.0, -reg)) AS s, COUNT(*) AS b
+       |  FROM (SELECT type_a, type_b, bucket, MAX(reg) AS reg
+       |        FROM contrib GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2
+       |), uest AS (
+       |  SELECT type_a, type_b, ${est("s", "b")} AS est_union FROM uagg
+       |), gagg AS (
+       |  SELECT event_type, SUM(power(2.0, -reg)) AS s, COUNT(*) AS b
+       |  FROM regs GROUP BY 1
+       |), gest AS (
+       |  SELECT event_type, ${est("s", "b")} AS est FROM gagg
+       |), du AS (SELECT DISTINCT user_id, event_type FROM events),
+       |ex AS (
+       |  SELECT p.event_type AS type_a, q.event_type AS type_b,
+       |         COUNT(*) AS n_int
+       |  FROM du p JOIN du q ON p.user_id = q.user_id
+       |                     AND p.event_type < q.event_type
+       |  GROUP BY 1, 2
+       |), np AS (
+       |  SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1
+       |)
+       |SELECT u.type_a, u.type_b,
+       |       round(a.est, 4) AS est_a, round(b.est, 4) AS est_b,
+       |       round(u.est_union, 4) AS est_union,
+       |       round(a.est + b.est - u.est_union, 4) AS est_intersect,
+       |       round((a.est + b.est - u.est_union) / u.est_union, 6) AS jacc_est,
+       |       round(COALESCE(e.n_int::DOUBLE /
+       |         (na.n + nb.n - e.n_int)::DOUBLE, 0.0), 6) AS jacc_exact
+       |FROM uest u
+       |JOIN gest a ON a.event_type = u.type_a
+       |JOIN gest b ON b.event_type = u.type_b
+       |LEFT JOIN ex e ON e.type_a = u.type_a AND e.type_b = u.type_b
+       |JOIN np na ON na.event_type = u.type_a
+       |JOIN np nb ON nb.event_type = u.type_b
+       |ORDER BY u.type_a, u.type_b""".stripMargin
+  }
+
   /** Count-min geometry: d=4 hash rows × w=256 counters. Error bound:
     * overestimate ≤ e/w · total ≈ 1% of stream mass w.h.p. */
   val CmsRows = 4
