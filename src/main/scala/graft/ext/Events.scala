@@ -18,14 +18,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events {
 
-  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark only reads as a nanos-since-epoch long behind the legacy flag;
-    * convert to a proper µs timestamp with integer division (double
-    * division would lose precision above 2^53 ns). */
+  /** Normalize the events fixture's ts to a session-TZ µs timestamp,
+    * whatever physical type the generator wrote this round: TIMESTAMP
+    * (NANOS) surfaces as a nanos-since-epoch long behind the legacy flag
+    * (integer division — double division would lose precision above
+    * 2^53 ns); TIMESTAMP(MICROS) surfaces as TIMESTAMP_NTZ and only
+    * needs the NTZ→LTZ cast (value-preserving under the UTC session TZ
+    * every graft entrypoint pins). */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** q18 — tumbling 1-hour windows per event_type via window(). */

@@ -25,14 +25,19 @@ object StreamJobs {
 
   /** File-source stream over a DIRECTORY of event parquet files (the
     * file stream source rejects a bare file path — production streams
-    * watch directories). Nanos ts arrives as long, converted like the
-    * batch path. */
+    * watch directories). The ts physical type follows whatever the
+    * generator wrote this round (TIMESTAMP(NANOS) → long behind the
+    * legacy flag, or TIMESTAMP(MICROS) → NTZ), so infer the schema from
+    * the files already present and normalize exactly like the batch
+    * path ([[graft.ext.Events.loadEvents]]). */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(eventsDir).schema
+    val s = spark.readStream.schema(schema).parquet(eventsDir)
+    schema("ts").dataType match {
+      case LongType => s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => s.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** The documents schema for file-source streams over the corpus. */

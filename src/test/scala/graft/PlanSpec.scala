@@ -39,13 +39,16 @@ class PlanSpec extends SparkSpec {
     //    (bounded metadata, the q86 marginal assumption) into itself
     //  - q124: the CDF grid crosses the length support (bounded by max
     //    document length) into the |sources| totals — both bounded
+    //  - q133: the type-pair grid crosses |event_types| distinct values
+    //    into itself (≤ dozens of rows); every join touching users or
+    //    registers stays an equi-join
     // Everything else must plan hash/sort-merge joins, and nothing may
     // ever plan an unbroadcast CartesianProduct.
     val boundedBroadcastOk = Set(
       "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement",
       "q73_lm_score", "q76_profile", "q81_ann_recall", "q89_bm25",
       "q111_pq_ann", "q113_source_drift", "q115_source_resemblance",
-      "q124_length_ks")
+      "q124_length_ks", "q133_hll_overlap")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
