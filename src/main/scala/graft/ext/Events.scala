@@ -1134,4 +1134,57 @@ object Events {
        |         (acc, x) -> $EwmaAlpha::DOUBLE * x
        |                     + ${1.0 - EwmaAlpha}::DOUBLE * acc), 6) AS ewma
        |FROM s ORDER BY user_id""".stripMargin
+
+  /** q136 — first-order Markov transition matrix over each user's
+    * event sequence: P(next type | current type), plus the entropy of
+    * each row — the "what does a user do after X" model behind
+    * session simulation, anomaly scoring (improbable transitions),
+    * and next-event prediction baselines.
+    *
+    * Scale shape: ONE shuffle keyed by user; `lead` runs inside each
+    * user's partition ordered by (ts, event_id) — the deterministic
+    * tie-break, since timestamps can collide — and everything after
+    * is |types|² ≤ tiny: the matrix probabilities and row entropies
+    * are windows/joins over ≤25 rows. This is the q40/q71 sequence
+    * shape ending in a constant-size model instead of per-user rows. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(wu))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    val p = col("n").cast("double") / col("row_n").cast("double")
+    pairs.withColumn("row_n", sum("n").over(wf))
+      .withColumn("p", p)
+      .withColumn("h_bits",
+        sum(-p * log2(p)).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("p"), 6).as("p"), round(col("h_bits"), 6).as("h_bits"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), probs AS (
+      |  SELECT from_type, to_type, n,
+      |         n::DOUBLE / (SUM(n) OVER (PARTITION BY from_type))::DOUBLE
+      |           AS p
+      |  FROM m
+      |)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |       round(p, 6) AS p,
+      |       round(SUM(-p * log2(p)) OVER (PARTITION BY from_type), 6)
+      |         AS h_bits
+      |FROM probs ORDER BY from_type, to_type""".stripMargin
 }

@@ -791,4 +791,97 @@ object Sampling {
        |             / n::DOUBLE, 6) AS epochs
        |FROM f, k ORDER BY source""".stripMargin
   }
+
+  /** DSIR geometry: hashed uni+bigram features into B buckets; docs
+    * from DsirTarget define the target-domain distribution. */
+  val DsirBuckets = 1024
+  val DsirTarget = "src0"
+
+  /** q135 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-domain-like its hashed n-gram bag is —
+    * avg log p_target(b)/p_raw(b) over the doc's features, add-1
+    * smoothed — the standard cheap proxy for "select raw-web data
+    * that looks like the curated domain" ahead of resampling.
+    *
+    * Portability: features hash through md5 → 1024 buckets (the q99
+    * bucket recipe), so both engines build the identical feature
+    * distributions; the bucket log-ratio table has ≤ B rows.
+    *
+    * Scale shape: gram hashing is map-side; per-doc bucket counts and
+    * the two global bucket histograms are keyed aggregations with
+    * map-side combine; scoring is a BROADCAST join of the ≤1024-row
+    * log-ratio table back onto per-doc counts — no vocabulary-sized
+    * shuffle anywhere, which is the entire point of the hashed
+    * features at 100 TB (the vocabulary table DSIR replaces would be
+    * corpus-sized). The totals anchor is a 1-row aggregate (q118's t
+    * precedent). */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = split(lower(col("text")), "\\s+")
+    val grams = docs.select(col("doc_id"), col("source"), w.as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("w"),
+          when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => concat(element_at(col("w"), i), lit(" "),
+                element_at(col("w"), i.cast("int") + 1))))
+            .otherwise(array().cast("array<string>")))).as("g"))
+    val feat = grams.select(col("doc_id"), col("source"),
+      (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+        % DsirBuckets).as("b"))
+    val perDoc = feat.groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+    val buckets = feat.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"))
+    val tot = buckets.agg(sum("cr"), sum("ct")).first()
+    val (rTot, tTot) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    val lr = log((col("ct") + lit(1L)).cast("double") /
+        lit(tTot + DsirBuckets)) -
+      log((col("cr") + lit(1L)).cast("double") / lit(rTot + DsirBuckets))
+    perDoc.join(broadcast(buckets.select(col("b"), lr.as("lr"))), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_feats"), sum(col("c") * col("lr")).as("s"))
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        round(col("s") / col("n_feats").cast("double"), 6)
+          .as("avg_log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), uni AS (
+       |  SELECT doc_id, source, unnest(w) AS g FROM d
+       |), bi AS (
+       |  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+       |  FROM (SELECT doc_id, source, w,
+       |               unnest(generate_series(1, len(w)-1)) AS i
+       |        FROM d WHERE len(w) >= 2)
+       |), g AS (
+       |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+       |), f AS (
+       |  SELECT doc_id, source,
+       |         ('0x'||substr(md5(g),1,8))::BIGINT % $DsirBuckets AS b
+       |  FROM g
+       |), pd AS (
+       |  SELECT doc_id, source, b, COUNT(*) AS c FROM f GROUP BY 1, 2, 3
+       |), bk AS (
+       |  SELECT b, COUNT(*) AS cr,
+       |         SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct
+       |  FROM f GROUP BY 1
+       |), tt AS (
+       |  SELECT SUM(cr)::DOUBLE AS r, SUM(ct)::DOUBLE AS t FROM bk
+       |), lr AS (
+       |  SELECT b, ln((ct + 1)::DOUBLE / (t + $DsirBuckets))
+       |           - ln((cr + 1)::DOUBLE / (r + $DsirBuckets)) AS lr
+       |  FROM bk, tt
+       |)
+       |SELECT pd.doc_id, pd.source, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |       round(SUM(c * lr.lr) / SUM(c), 6) AS avg_log_ratio
+       |FROM pd JOIN lr USING (b)
+       |GROUP BY 1, 2 ORDER BY pd.doc_id""".stripMargin
 }

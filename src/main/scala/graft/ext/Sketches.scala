@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Portable probabilistic sketches — the 100 TB answer to "how many
@@ -354,5 +355,142 @@ object Sketches {
        |FROM probes p JOIN cms c ON p.r = c.r AND p.b = c.b
        |GROUP BY p.tok
        |ORDER BY exact_cnt DESC, p.tok""".stripMargin
+  }
+
+  /** DDSketch geometry: 64 sub-buckets per octave → relative error
+    * bounded by 2^(1/64) − 1 ≈ 1.1% on every quantile. */
+  val DdSubBuckets = 64
+  val DdQuantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** q134 — mergeable log-bucket quantile sketch (the DDSketch/HDR-
+    * histogram idea) next to the exact rank-select twin, per event
+    * type, with the relative error each estimate actually achieved.
+    *
+    * The bucket index is PURE INTEGER/STRING arithmetic — cents =
+    * floor(value·100), octave e = len(bin(cents))−1 (floor(log2)
+    * without ever calling a float log), sub-bucket = ((c − 2^e)·64)
+    * div 2^e — so both engines land every value in the identical
+    * bucket with zero ulp risk; the only float ops are the final
+    * bucket-midpoint formula, the same IEEE sequence on both sides.
+    *
+    * Scale shape: the sketch is ONE scan → (type, bucket) counts with
+    * map-side combine — at most |types|·(64·octaves) tiny rows — and
+    * buckets merge by SUM, so shards/days/streams sketch independently
+    * and union (same mergeability argument as q87's HLL registers /
+    * q99's CMS counters; this completes the sketch triad: distinct,
+    * frequency, quantile). Rank selection then runs a window over the
+    * bucket table PARTITIONED by type — never over raw rows, which is
+    * exactly what q92's exact `percentile` cannot avoid at 100 TB.
+    * The exact twin here rank-selects over per-cents GROUPS (bounded
+    * by the value domain, not the row count) — the verification
+    * column, not the production path. */
+  def ddsketchQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = DdSubBuckets
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+      // non-positive values get the dedicated underflow bucket -1
+      .withColumn("e",
+        when(col("c") >= 1, length(conv(col("c").cast("string"), 10, 2)) - 1))
+      .withColumn("base", pow(lit(2.0), col("e")).cast("long"))
+      .withColumn("bucket",
+        when(col("c") >= 1,
+          col("e") * k + expr(s"((c - base) * $k) div base"))
+          .otherwise(lit(-1L)))
+    val sketch = ev.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("bn"))
+    val totals = sketch.groupBy("event_type").agg(sum("bn").as("n"))
+    val wb = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = sketch.withColumn("cum", sum("bn").over(wb))
+      .join(broadcast(totals), Seq("event_type"))
+    // per (type, q): the smallest bucket whose cumulative count covers
+    // rank ceil(q·n); estimate = arithmetic midpoint of that bucket
+    val qs = DdQuantiles.map(q =>
+      struct(lit(q).as("q"), ceil(lit(q) * col("n")).as("r")))
+    val hit = cum.select(col("event_type"), col("bucket"), col("cum"),
+        col("n"), explode(array(qs: _*)).as("p"))
+      .filter(col("cum") >= col("p.r"))
+      .groupBy(col("event_type"), col("p.q").as("q"), col("n"))
+      .agg(min("bucket").as("bucket"))
+    val base = pow(lit(2.0), floor(col("bucket") / k))
+    val est = when(col("bucket") >= 0,
+      base * (lit(1.0) + (pmod(col("bucket"), lit(k)).cast("double") +
+        lit(0.5)) / k) / lit(100.0)).otherwise(lit(0.0))
+    // exact twin: rank-select over per-cents groups (domain-bounded)
+    val cg = ev.groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
+    val wc = Window.partitionBy("event_type").orderBy("c")
+    val cumc = cg.withColumn("cumc", sum("cn").over(wc))
+      .join(broadcast(totals), Seq("event_type"))
+    val exact = cumc.select(col("event_type"), col("c"), col("cumc"),
+        explode(array(qs: _*)).as("p"))
+      .filter(col("cumc") >= col("p.r"))
+      .groupBy(col("event_type"), col("p.q").as("q"))
+      .agg((min("c").cast("double") / 100.0).as("exact"))
+    hit.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n"),
+        round(est, 6).as("est"), round(col("exact"), 6).as("exact"),
+        round(abs(est - col("exact")) / col("exact"), 6).as("rel_err"))
+      .orderBy("event_type", "q")
+  }
+
+  val ddsketchQuantilesSql: String = {
+    val k = DdSubBuckets
+    val qrows = DdQuantiles
+      .map(q => s"SELECT $q::DOUBLE AS q").mkString(" UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT event_type, floor(value * 100)::BIGINT AS c FROM events
+       |), eb AS (
+       |  SELECT event_type, c,
+       |         CASE WHEN c >= 1 THEN length(bin(c)) - 1 END AS e
+       |  FROM ev
+       |), bk AS (
+       |  SELECT event_type,
+       |         CASE WHEN c >= 1
+       |              THEN e::BIGINT * $k +
+       |                   ((c - (2.0 ^ e)::BIGINT) * $k)
+       |                     // (2.0 ^ e)::BIGINT
+       |              ELSE -1 END AS bucket
+       |  FROM eb
+       |), sk AS (
+       |  SELECT event_type, bucket, COUNT(*) AS bn FROM bk GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, SUM(bn) AS n FROM sk GROUP BY 1
+       |), cum AS (
+       |  SELECT s.event_type, s.bucket, t.n,
+       |         SUM(s.bn) OVER (PARTITION BY s.event_type
+       |                         ORDER BY s.bucket) AS cum
+       |  FROM sk s JOIN tot t USING (event_type)
+       |), qs AS ($qrows),
+       |hit AS (
+       |  SELECT event_type, q, MAX(n) AS n, MIN(bucket) AS bucket
+       |  FROM cum CROSS JOIN qs
+       |  WHERE cum >= ceil(q * n)
+       |  GROUP BY 1, 2
+       |), cg AS (
+       |  SELECT event_type, c, COUNT(*) AS cn FROM ev GROUP BY 1, 2
+       |), cumc AS (
+       |  SELECT g.event_type, g.c, t.n,
+       |         SUM(g.cn) OVER (PARTITION BY g.event_type
+       |                         ORDER BY g.c) AS cumc
+       |  FROM cg g JOIN tot t USING (event_type)
+       |), ex AS (
+       |  SELECT event_type, q, MIN(c)::DOUBLE / 100.0 AS exact
+       |  FROM cumc CROSS JOIN qs
+       |  WHERE cumc >= ceil(q * n)
+       |  GROUP BY 1, 2
+       |), est AS (
+       |  SELECT event_type, q, n::BIGINT AS n,
+       |         CASE WHEN bucket >= 0
+       |              THEN (2.0 ^ floor(bucket / $k)) *
+       |                   (1.0 + ((bucket % $k)::DOUBLE + 0.5) / $k)
+       |                   / 100.0
+       |              ELSE 0.0 END AS est
+       |  FROM hit
+       |)
+       |SELECT e.event_type, e.q, e.n, round(e.est, 6) AS est,
+       |       round(x.exact, 6) AS exact,
+       |       round(abs(e.est - x.exact) / x.exact, 6) AS rel_err
+       |FROM est e JOIN ex x USING (event_type, q)
+       |ORDER BY e.event_type, e.q""".stripMargin
   }
 }
