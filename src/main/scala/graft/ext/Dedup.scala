@@ -1265,4 +1265,87 @@ object Dedup {
        |  ON a.tail_gram = b.head_gram AND a.doc_id <> b.doc_id
        |ORDER BY left_doc, right_doc""".stripMargin
   }
+
+  /** Containment threshold: the smaller doc's n-gram set must be 80%
+    * inside the bigger one. */
+  val ContainTau = 0.8
+
+  /** q137 — asymmetric n-gram CONTAINMENT join: find (small, big) doc
+    * pairs where the smaller document's bigram set sits ≥ 80% inside
+    * the bigger one — quotes, excerpts, and copy-with-additions that
+    * symmetric Jaccard dedup (q29, τ on the UNION) structurally
+    * misses: a 50-gram doc fully quoted inside a 500-gram doc has
+    * J ≈ 0.1 but containment 1.0.
+    *
+    * Candidate generation is the asymmetric prefix scheme: only the
+    * SMALLER side's containment prefix (n − ⌈c·n⌉ + 1 rarest tokens —
+    * pigeonhole: if the intersection reaches c·n_small, a shared token
+    * must land in that slice) probes the FULL posting lists of docs
+    * with n_big ≥ n_small. Because interned ids sort rarest-first
+    * ([[internVocab]]), prefix tokens are the RARE end of the
+    * vocabulary, so the probed posting lists stay short; hot common
+    * tokens never enter the probe side. Verification re-checks exact
+    * intersection with the codegen'd two-pointer kernel on the
+    * memoized [[internedDocsets]] — shared with q29/q37, so the
+    * expensive explode+intern runs once per session. At 100 TB the
+    * docset broadcasts become shuffle joins on doc id; candidate
+    * count stays bounded by prefix×posting collisions, never n². */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = internedDocsets(spark, sfDir)
+    val c = ContainTau
+    val prefix = ds.select(col("doc_id"), col("n"),
+        explode(slice(col("tids"), lit(1),
+          (col("n") - ceil(col("n") * c).cast("long") + 1).cast("int")))
+          .as("tid"))
+    val full = ds.select(col("doc_id"), col("n"), explode(col("tids")).as("tid"))
+    val candidates = prefix.as("a")
+      .join(full.as("b"),
+        col("a.tid") === col("b.tid") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
+      .distinct()
+    candidates
+      .join(broadcast(ds.select(col("doc_id").as("doc_small"),
+        col("tids").as("tids_a"), col("n").as("n_small"))), Seq("doc_small"))
+      .join(broadcast(ds.select(col("doc_id").as("doc_big"),
+        col("tids").as("tids_b"), col("n").as("n_big"))), Seq("doc_big"))
+      .select(col("doc_small"), col("doc_big"), col("n_small"), col("n_big"),
+        graft.functions.SortedIntersectSize.sorted_intersect_size(
+          col("tids_a"), col("tids_b")).as("shared"))
+      .filter(col("shared").cast("double") >= lit(c) * col("n_small"))
+      .select(col("doc_small"), col("doc_big"), col("shared"),
+        col("n_small"), col("n_big"),
+        round(col("shared").cast("double") / col("n_small").cast("double"), 6)
+          .as("containment"),
+        round(col("shared").cast("double") /
+          (col("n_small") + col("n_big") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("doc_small", "doc_big")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]
+       |                 for i in generate_series(1, len(t)-1)])) AS ng
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= $NgramWords
+       |), counts AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+       |), shared AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS s
+       |  FROM toks a JOIN toks b ON a.ng = b.ng AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT da AS doc_small, db AS doc_big, CAST(s AS BIGINT) AS shared,
+       |       CAST(ca.n AS BIGINT) AS n_small, CAST(cb.n AS BIGINT) AS n_big,
+       |       round(s::DOUBLE / ca.n::DOUBLE, 6) AS containment,
+       |       round(s::DOUBLE / (ca.n + cb.n - s)::DOUBLE, 6) AS jaccard
+       |FROM shared
+       |JOIN counts ca ON da = ca.doc_id
+       |JOIN counts cb ON db = cb.doc_id
+       |WHERE (ca.n < cb.n OR (ca.n = cb.n AND da < db))
+       |  AND s::DOUBLE >= $ContainTau * ca.n
+       |ORDER BY doc_small, doc_big""".stripMargin
 }
