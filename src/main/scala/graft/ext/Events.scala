@@ -1187,4 +1187,83 @@ object Events {
       |       round(SUM(-p * log2(p)) OVER (PARTITION BY from_type), 6)
       |         AS h_bits
       |FROM probs ORDER BY from_type, to_type""".stripMargin
+
+  /** q138 — A/B experiment readout: users split 50/50 by a portable
+    * hash (md5(user_id) % 2 — the q31 determinism discipline, so both
+    * engines and every re-run assign identical variants), metric =
+    * revenue per user (purchase value, integer cents), compared with
+    * Welch's unequal-variance z-test and the |z| > 1.96 call at
+    * α = 0.05. A continuous metric, not a conversion proportion: in
+    * this fixture every user purchases, which degenerates the pooled
+    * two-proportion statistic (p̂ = 1 ⇒ zero denominator).
+    *
+    * Scale shape: ONE user-keyed aggregation (map-side combine of
+    * per-user cents), then a conditional-sum combine to a single row
+    * of exact moments (n, Σc, Σc² per arm — Σc² in DECIMAL(38,0),
+    * the q104 overflow discipline), so the z float is one identical
+    * IEEE sequence on both engines from integer inputs. At 100 TB the
+    * plan is unchanged: no per-event state, no window, no join. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val users = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("c"))
+      .select(col("c"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).as("variant"))
+    val cd = col("c").cast("decimal(38,0)")
+    val s = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, cd).otherwise(lit(0).cast("decimal(38,0)"))).as("s_a"),
+      sum(when(col("variant") === 0, cd * cd).otherwise(lit(0).cast("decimal(38,0)"))).as("s2_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, cd).otherwise(lit(0).cast("decimal(38,0)"))).as("s_b"),
+      sum(when(col("variant") === 1, cd * cd).otherwise(lit(0).cast("decimal(38,0)"))).as("s2_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (col("s_a").cast("double"), col("s_b").cast("double"))
+    val (sa2, sb2) = (col("s2_a").cast("double"), col("s2_b").cast("double"))
+    val (ma, mb) = (sa / na, sb / nb)
+    val va = (sa2 - sa * sa / na) / (na - lit(1.0))
+    val vb = (sb2 - sb * sb / nb) / (nb - lit(1.0))
+    val z = (ma - mb) / sqrt(va / na + vb / nb)
+    s.select(col("n_a"), col("n_b"),
+        round(ma / 100.0, 6).as("mean_rev_a"),
+        round(mb / 100.0, 6).as("mean_rev_b"),
+        round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+      .orderBy("n_a")
+  }
+
+  val abTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN event_type = 'purchase'
+      |                  THEN floor(value * 100)::BIGINT ELSE 0 END) AS c,
+      |         ('0x'||substr(md5(user_id::VARCHAR),1,8))::BIGINT % 2
+      |           AS variant
+      |  FROM events GROUP BY user_id
+      |), s AS (
+      |  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+      |         SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS s_a,
+      |         SUM(CASE WHEN variant = 0 THEN c * c ELSE 0 END) AS s2_a,
+      |         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+      |         SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS s_b,
+      |         SUM(CASE WHEN variant = 1 THEN c * c ELSE 0 END) AS s2_b
+      |  FROM u
+      |), d AS (
+      |  SELECT n_a, n_b,
+      |         n_a::DOUBLE AS na, s_a::DOUBLE AS sa, s2_a::DOUBLE AS sa2,
+      |         n_b::DOUBLE AS nb, s_b::DOUBLE AS sb, s2_b::DOUBLE AS sb2
+      |  FROM s
+      |), w AS (
+      |  SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+      |         (sa2 - sa * sa / na) / (na - 1.0) AS va,
+      |         (sb2 - sb * sb / nb) / (nb - 1.0) AS vb
+      |  FROM d
+      |)
+      |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+      |       round(ma / 100.0, 6) AS mean_rev_a,
+      |       round(mb / 100.0, 6) AS mean_rev_b,
+      |       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z,
+      |       abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant
+      |FROM w ORDER BY n_a""".stripMargin
 }

@@ -1892,4 +1892,90 @@ object TextAnalysis {
        |       round((nd*sxy - sx*sy) * (nd*sxy - sx*sy)
        |             / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r2
        |FROM d ORDER BY source""".stripMargin
+
+  /** χ² feature selection: top terms per source, minimum doc support. */
+  val Chi2TopK = 5
+  val Chi2MinDocs = 3
+
+  /** q139 — χ² discriminative terms per source: for every (source,
+    * term) 2×2 doc-occurrence contingency table (in-source-with-term /
+    * elsewhere-with-term / in-source-without / elsewhere-without),
+    * rank terms by χ² = N(AD−BC)²/((A+B)(C+D)(A+C)(B+D)) and keep the
+    * top 5 with ≥ 3 supporting docs — the classic feature-selection
+    * statistic (Yang & Pedersen 1997) and q45's TF-IDF ranking seen
+    * through a significance lens instead of a frequency one.
+    *
+    * Determinism: every table cell is an integer count, so χ² is one
+    * identical IEEE sequence on both engines; rank ties break on the
+    * term string. Scale shape: distinct (doc, source, term) pairs →
+    * vocab-keyed counts with map-side combine; the per-term row
+    * totals join back on term (vocab-keyed shuffle at 100 TB, never
+    * corpus-keyed); source doc counts broadcast (|sources| rows); the
+    * top-k window partitions by source over the already-aggregated
+    * (source, term) table and plans as WindowGroupLimit. */
+  def chi2Terms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dt = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val st = dt.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+    val tokTot = dt.groupBy("tok").agg(count(lit(1)).as("ab"))
+    val srcTot = dt.select(col("source"), col("doc_id")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("ac"))
+    val nTot = docs.count().toDouble
+    val (a, b) = (col("a").cast("double"),
+      (col("ab") - col("a")).cast("double"))
+    val c = (col("ac") - col("a")).cast("double")
+    val d = lit(nTot) - a - b - c
+    val chi2 = lit(nTot) * (a * d - b * c) * (a * d - b * c) /
+      ((a + b) * (c + d) * (a + c) * (b + d))
+    val scored = st.filter(col("a") >= Chi2MinDocs)
+      .join(tokTot, Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .select(col("source"), col("tok"), col("a"), chi2.as("chi2"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("chi2").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Chi2TopK)
+      .select(col("source"), col("rk"), col("tok"), col("a").as("n_docs"),
+        round(col("chi2"), 6).as("chi2"))
+      .orderBy("source", "rk")
+  }
+
+  val chi2TermsSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, source, tok
+       |  FROM (SELECT doc_id, source,
+       |               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0
+       |), st AS (
+       |  SELECT source, tok, COUNT(*) AS a FROM dt GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT tok, COUNT(*) AS ab FROM dt GROUP BY 1
+       |), sc AS (
+       |  SELECT source, COUNT(DISTINCT doc_id) AS ac FROM dt GROUP BY 1
+       |), n AS (
+       |  SELECT COUNT(*)::DOUBLE AS nt FROM documents
+       |), x AS (
+       |  SELECT st.source, st.tok, st.a,
+       |         st.a::DOUBLE AS ad, (tt.ab - st.a)::DOUBLE AS bd,
+       |         (sc.ac - st.a)::DOUBLE AS cd,
+       |         nt - st.a::DOUBLE - (tt.ab - st.a)::DOUBLE
+       |            - (sc.ac - st.a)::DOUBLE AS dd, nt
+       |  FROM st JOIN tt USING (tok) JOIN sc USING (source), n
+       |  WHERE st.a >= $Chi2MinDocs
+       |), r AS (
+       |  SELECT source, tok, a,
+       |         nt * (ad*dd - bd*cd) * (ad*dd - bd*cd)
+       |           / ((ad+bd) * (cd+dd) * (ad+cd) * (bd+dd)) AS chi2,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY nt * (ad*dd - bd*cd) * (ad*dd - bd*cd)
+       |             / ((ad+bd) * (cd+dd) * (ad+cd) * (bd+dd)) DESC,
+       |           tok) AS rk
+       |  FROM x
+       |)
+       |SELECT source, CAST(rk AS INT) AS rk, tok,
+       |       CAST(a AS BIGINT) AS n_docs, round(chi2, 6) AS chi2
+       |FROM r WHERE rk <= $Chi2TopK ORDER BY source, rk""".stripMargin
 }
