@@ -384,11 +384,14 @@ object Sketches {
     * The exact twin here rank-selects over per-cents GROUPS (bounded
     * by the value domain, not the row count) — the verification
     * column, not the production path. */
-  def ddsketchQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The mergeable core: (group, value) → (group, bucket) count rows.
+    * Like [[hllRegisters]]/[[cmsCounters]], a plain groupBy aggregation
+    * that runs unchanged on a streaming frame — bounded quantile state
+    * over an unbounded stream (buckets merge by SUM). */
+  def ddBucketCounts(df: DataFrame, group: String, value: String): DataFrame = {
     val k = DdSubBuckets
-    val ev = Tables.load(spark, sfDir, "events")
-      .select(col("event_type"),
-        floor(col("value") * 100).cast("long").as("c"))
+    df.select(col(group),
+        floor(col(value) * 100).cast("long").as("c"))
       // non-positive values get the dedicated underflow bucket -1
       .withColumn("e",
         when(col("c") >= 1, length(conv(col("c").cast("string"), 10, 2)) - 1))
@@ -397,8 +400,16 @@ object Sketches {
         when(col("c") >= 1,
           col("e") * k + expr(s"((c - base) * $k) div base"))
           .otherwise(lit(-1L)))
-    val sketch = ev.groupBy("event_type", "bucket")
+      .groupBy(group, "bucket")
       .agg(count(lit(1)).as("bn"))
+  }
+
+  def ddsketchQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = DdSubBuckets
+    val raw = Tables.load(spark, sfDir, "events")
+    val ev = raw.select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+    val sketch = ddBucketCounts(raw, "event_type", "value")
     val totals = sketch.groupBy("event_type").agg(sum("bn").as("n"))
     val wb = Window.partitionBy("event_type").orderBy("bucket")
     val cum = sketch.withColumn("cum", sum("bn").over(wb))

@@ -206,6 +206,15 @@ object StreamJobs {
   def cmsTypeCounters(events: DataFrame): DataFrame =
     graft.ext.Sketches.cmsCounters(events, "event_type")
 
+  /** Live value-quantile sketch: the q134 DDSketch bucket table as a
+    * streaming groupBy-SUM — |types|·(64·octaves) rows of state for
+    * bounded-relative-error quantiles over an unbounded stream (the
+    * latency/value-percentile monitor shape). Replayed to completion
+    * it equals the batch bucket table bit-for-bit and feeds the same
+    * rank-selection tail. */
+  def ddValueBuckets(events: DataFrame): DataFrame =
+    graft.ext.Sketches.ddBucketCounts(events, "event_type", "value")
+
   /** Streaming exact-dedup: drops repeats of `event_id` arriving within
     * the watermark horizon — the streaming face of Dedup.exact. State is
     * bounded BY the watermark (dropDuplicatesWithinWatermark evicts ids

@@ -89,6 +89,22 @@ class StreamJobsSpec extends SparkSpec {
     assert(got.size <= Events.EventTypes.size * graft.ext.Sketches.HllBuckets)
   }
 
+  test("streaming DDSketch buckets replay to the batch bucket table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.ddValueBuckets(stream), "dd_test", OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.ext.Sketches.ddBucketCounts(
+      Events.loadEvents(spark, sf001), "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"bucket drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
+
   test("transformWithState running totals replay to the batch cumsum") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tws")
     java.nio.file.Files.copy(
