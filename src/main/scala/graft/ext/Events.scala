@@ -1266,4 +1266,98 @@ object Events {
       |       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS z,
       |       abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant
       |FROM w ORDER BY n_a""".stripMargin
+
+  /** q140 — association rules over session baskets: which event types
+    * co-occur in the same user session, scored with the market-basket
+    * triple (support, confidence, lift) — the Agrawal et al. 1993
+    * statistics, with a session as the basket. Lift > 1 marks pairs
+    * that co-occur beyond what their marginals predict; the feature a
+    * recommender or anomaly gate actually consumes.
+    *
+    * Sessionization is the q20 lag+cumsum form (gap ≥ 30 min starts a
+    * new session) rather than `session_window`, so the basket keys are
+    * formula-identical in both engines. Scale shape: one user-keyed
+    * shuffle for the session windows; baskets reduce to DISTINCT
+    * (session, type) rows; the pair join is an equi-join on the
+    * session key with < 5 types per basket (bounded fan-out); the
+    * final rule table is |types|² ≤ tiny, joined to broadcast
+    * marginals. */
+  def sessionBaskets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = ev.withColumn("prev", lag(col("ts"), 1).over(wu))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800000000L,
+          1L).otherwise(0L))
+    val wcum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = flagged
+      .withColumn("session_id", sum("new_session").over(wcum))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val totals = st.select(col("user_id"), col("session_id")).distinct().count()
+    val singles = st.groupBy(col("event_type")).agg(count(lit(1)).as("n1"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n12"))
+    val s = lit(totals.toDouble)
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("t1"),
+        col("n1").as("c1"))), Seq("t1"))
+      .join(broadcast(singles.select(col("event_type").as("t2"),
+        col("n1").as("c2"))), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n12"),
+        round(col("n12").cast("double") / s, 6).as("support"),
+        round(col("n12").cast("double") / col("c1").cast("double"), 6)
+          .as("confidence"),
+        round(col("n12").cast("double") * s /
+          (col("c1").cast("double") * col("c2").cast("double")), 6)
+          .as("lift"))
+      .orderBy("t1", "t2")
+  }
+
+  val sessionBasketsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE
+      |              OR LAG(ts) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), grp AS (
+      |  SELECT user_id, event_type,
+      |         SUM(new_session) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |           AS session_id
+      |  FROM marked
+      |), st AS (
+      |  SELECT DISTINCT user_id, session_id, event_type FROM grp
+      |), tot AS (
+      |  SELECT COUNT(*)::DOUBLE AS s
+      |  FROM (SELECT DISTINCT user_id, session_id FROM st)
+      |), singles AS (
+      |  SELECT event_type, COUNT(*) AS n1 FROM st GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n12
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT t1, t2, CAST(n12 AS BIGINT) AS n12,
+      |       round(n12::DOUBLE / s, 6) AS support,
+      |       round(n12::DOUBLE / c1.n1::DOUBLE, 6) AS confidence,
+      |       round(n12::DOUBLE * s / (c1.n1::DOUBLE * c2.n1::DOUBLE), 6)
+      |         AS lift
+      |FROM pairs
+      |JOIN singles c1 ON c1.event_type = t1
+      |JOIN singles c2 ON c2.event_type = t2, tot
+      |ORDER BY t1, t2""".stripMargin
 }
