@@ -878,4 +878,81 @@ object Similarity {
        |         <= -$OutlierZ AS outlier
        |FROM scored JOIN stats USING (label)
        |ORDER BY vec_id""".stripMargin
+
+  /** Matryoshka prefix length: retrieve with the first 16 of 64 dims. */
+  val MrlDim = 16
+
+  /** q141 — Matryoshka retrieval eval (Kusupati et al. 2022): run the
+    * q13 top-k with only the FIRST MrlDim dimensions of each vector
+    * and score recall@k against the full-dimension exact answer — the
+    * question a 100 TB ANN deployment asks before shipping truncated
+    * embeddings (4× less memory/bandwidth per vector if recall
+    * holds). Also reports how far the truncated scores sit from the
+    * full-dim ones over the hit set (mean |Δcos|).
+    *
+    * Scale shape: identical to q13/q81 — queries broadcast, one
+    * candidate scan (now over sliced arrays, so the kernel reads 16
+    * doubles not 64), per-query WindowGroupLimit top-k, then an
+    * 8×10-row join. The slice happens BEFORE the cosine kernel; at
+    * 100 TB the truncated copy is what you'd materialize. */
+  def mrlRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        slice(col("v"), 1, MrlDim).as("vt"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vt").as("qvt"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qvt"), col("vt")).as("cos_t"),
+        cosine(col("qv"), col("v")).as("cos_f"))
+    val approx = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_t").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_t"), col("cos_f"))
+    val exact = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("cos_t").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        avg(abs(col("cos_f") - col("cos_t"))).as("gap"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall"),
+        round(coalesce(col("gap"), lit(0.0)), 6).as("mean_cos_gap"))
+      .orderBy("query_id")
+  }
+
+  val mrlRecallSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         (embedding::DOUBLE[])[1:$MrlDim] AS vt
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.vt, c.vt) AS cos_t,
+       |         list_cosine_similarity(q.v, c.v) AS cos_f
+       |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), approx AS (
+       |  SELECT query_id, neighbor_id, cos_t, cos_f
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_t DESC, neighbor_id) AS rk FROM scored)
+       |  WHERE rk <= $TopK
+       |), exact_k AS ($bruteForceTopKSql)
+       |SELECT x.query_id,
+       |       CAST(SUM(CASE WHEN a.cos_t IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_hits,
+       |       SUM(CASE WHEN a.cos_t IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |         / COUNT(*) AS recall,
+       |       round(COALESCE(AVG(abs(a.cos_f - a.cos_t)), 0.0), 6)
+       |         AS mean_cos_gap
+       |FROM exact_k x
+       |LEFT JOIN approx a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 }
