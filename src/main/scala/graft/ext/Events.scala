@@ -1360,4 +1360,65 @@ object Events {
       |JOIN singles c1 ON c1.event_type = t1
       |JOIN singles c2 ON c2.event_type = t2, tot
       |ORDER BY t1, t2""".stripMargin
+
+  /** Modified z-score cutoff (Iglewicz & Hoaglin 1993). */
+  val MadZ = 3.5
+
+  /** q143 — robust outlier detection via MAD (median absolute
+    * deviation): per event type, the median, the MAD, and how many
+    * events exceed the |0.6745·(x−med)/MAD| > 3.5 modified z-score —
+    * the heavy-tail-safe complement to q77's IQR fences (a single
+    * wild value moves a mean/stddev fence but not a median/MAD one).
+    *
+    * Both medians run on integer cents, interpolated identically by
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` (the q92
+    * pinned pair), so the fences are engine-identical doubles.
+    * Scale shape: two (type)-keyed aggs (median, then median of
+    * deviations with the 5-row median table broadcast back) and one
+    * counting pass — exact medians sort within each type, the
+    * documented trade; at 100 TB swap in q134's DDSketch buckets for
+    * the same call shape with bounded error. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("c"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("c"), col("med"),
+        abs(col("c").cast("double") - col("med")).as("d"))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("d"), lit(0.5)).as("mad"))
+    val z = lit(0.6745) * (col("c").cast("double") - col("med")) / col("mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")) / 100.0, 6).as("median_value"),
+        round(max(col("mad")) / 100.0, 6).as("mad_value"),
+        sum(when(abs(z) > MadZ, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, floor(value * 100)::BIGINT AS c FROM events
+       |), med AS (
+       |  SELECT event_type, quantile_cont(c, 0.5) AS med
+       |  FROM ev GROUP BY 1
+       |), dev AS (
+       |  SELECT ev.event_type, ev.c, med.med,
+       |         abs(ev.c::DOUBLE - med.med) AS d
+       |  FROM ev JOIN med USING (event_type)
+       |), mad AS (
+       |  SELECT event_type, quantile_cont(d, 0.5) AS mad
+       |  FROM dev GROUP BY 1
+       |)
+       |SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |       round(MAX(dev.med) / 100.0, 6) AS median_value,
+       |       round(MAX(mad.mad) / 100.0, 6) AS mad_value,
+       |       SUM(CASE WHEN abs(0.6745 * (dev.c::DOUBLE - dev.med)
+       |                         / mad.mad) > $MadZ
+       |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+       |FROM dev JOIN mad USING (event_type)
+       |GROUP BY 1 ORDER BY dev.event_type""".stripMargin
 }

@@ -1978,4 +1978,75 @@ object TextAnalysis {
        |SELECT source, CAST(rk AS INT) AS rk, tok,
        |       CAST(a AS BIGINT) AS n_docs, round(chi2, 6) AS chi2
        |FROM r WHERE rk <= $Chi2TopK ORDER BY source, rk""".stripMargin
+
+  /** q142 — CCNet-style perplexity bucketing (Wenzek et al. 2020):
+    * split each source's documents into head/middle/tail tertiles of
+    * the q73 unigram LM score and report each bucket's volume and
+    * score envelope — the shape of the classic "keep the head, drop
+    * the tail" web-corpus curation decision, as a per-source report
+    * the curator reads before picking cutoffs.
+    *
+    * Buckets come from ntile(3) over (rounded bits, doc_id) — scores
+    * round to 6dp BEFORE ranking, so the bucket boundaries are
+    * engine-identical even at equal-score ties. Scale shape: the q73
+    * scoring pipeline (vocab-keyed aggs + broadcast model), then ONE
+    * window partitioned per source over doc-level rows, then a
+    * (source, bucket) agg — nothing global, nothing quadratic. */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "source", "tok")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val model = tf.groupBy("tok").agg(sum(col("c")).as("gc"))
+    val total = model.agg(sum(col("gc")).as("t"))
+    val scored = tf.join(broadcast(model), "tok")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("gc"))).as("sgc"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"),
+        round(log2(col("t")) - col("sgc") / col("n"), 6).as("bits"))
+    val w = Window.partitionBy("source").orderBy(col("bits"), col("doc_id"))
+    // mean over integer micro-bits: summing the 6dp-rounded scores as
+    // scaled longs is order-independent, where a double sum could land
+    // the mean on a half-ulp round(…,6) knife edge
+    scored.withColumn("bucket", ntile(3).over(w))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min("bits"), 6).as("min_bits"),
+        round(max("bits"), 6).as("max_bits"),
+        round(sum(round(col("bits") * 1e6, 0).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 1e6, 6)
+          .as("mean_bits"))
+      .orderBy("source", "bucket")
+  }
+
+  val ccnetBucketsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, source, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2, 3
+      |), model AS (SELECT tok, SUM(c) AS gc FROM tf GROUP BY tok),
+      |tot AS (SELECT SUM(gc) AS t FROM model),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |         round(log2(t) - SUM(c * log2(gc)) / SUM(c), 6) AS bits
+      |  FROM tf JOIN model USING (tok), tot
+      |  GROUP BY doc_id, source, t
+      |), b AS (
+      |  SELECT source, bits,
+      |         ntile(3) OVER (PARTITION BY source ORDER BY bits, doc_id)
+      |           AS bucket
+      |  FROM scored
+      |)
+      |SELECT source, CAST(bucket AS INT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       round(MIN(bits), 6) AS min_bits,
+      |       round(MAX(bits), 6) AS max_bits,
+      |       round(SUM(round(bits * 1e6)::BIGINT)::DOUBLE
+      |             / COUNT(*)::DOUBLE / 1e6, 6) AS mean_bits
+      |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 }
