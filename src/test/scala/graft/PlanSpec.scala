@@ -42,13 +42,18 @@ class PlanSpec extends SparkSpec {
     //  - q133: the type-pair grid crosses |event_types| distinct values
     //    into itself (≤ dozens of rows); every join touching users or
     //    registers stays an equi-join
+    //  - q141: the q13 shape with sliced vectors — NQueries(=8)
+    //    broadcast query rows crossed into the candidate scan
+    //  - q142: the 1-row corpus-total anchor crossed into per-doc
+    //    scores (q73's own shape, constant-bounded)
     // Everything else must plan hash/sort-merge joins, and nothing may
     // ever plan an unbroadcast CartesianProduct.
     val boundedBroadcastOk = Set(
       "q13_embedding_topk", "q56_vocab_coverage", "q57_knn_label_agreement",
       "q73_lm_score", "q76_profile", "q81_ann_recall", "q89_bm25",
       "q111_pq_ann", "q113_source_drift", "q115_source_resemblance",
-      "q124_length_ks", "q133_hll_overlap")
+      "q124_length_ks", "q133_hll_overlap", "q141_mrl_recall",
+      "q142_ccnet_buckets")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
