@@ -509,4 +509,59 @@ object Bi {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |WHERE c.c_mktsegment = 'BUILDING'
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** q144 cutoff: orders placed before, line items shipped after. */
+  val ShipCutoff = "1998-06-01"
+
+  /** q144 — shipping-priority top-k (the TPC-H Q3 shape): revenue of
+    * still-shipping BUILDING-segment orders placed before the cutoff,
+    * top 10 — the canonical fact×fact join (lineitem×orders, the two
+    * biggest fixtures) with a selective dimension semi-filter.
+    *
+    * Scale shape: the customer filter broadcasts into the orders
+    * scan; both date filters push to parquet (scan-level pruning on
+    * the BIGGEST tables — `PushedFilters` in the plan); the
+    * lineitem×orders join shuffles on orderkey, the one unavoidable
+    * shuffle; the per-order aggregate is exact DECIMAL(18,2), so the
+    * descending-revenue top-10 is a deterministic
+    * TakeOrderedAndProject over EXACT values (decimal ties break on
+    * l_orderkey), never a float knife edge. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit(ShipCutoff).cast("timestamp")
+    val cust = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cut)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("rev_dec").cast("double").as("revenue"))
+  }
+
+  val shippingPrioritySql: String =
+    s"""WITH agg AS (
+       |  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |             * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS rev_dec
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE c.c_mktsegment = 'BUILDING'
+       |    AND o.o_orderdate < TIMESTAMP '$ShipCutoff'
+       |    AND l.l_shipdate > TIMESTAMP '$ShipCutoff'
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT l_orderkey,
+       |       make_timestamp(epoch_us(o_orderdate)) AS o_orderdate,
+       |       o_orderpriority, CAST(rev_dec AS DOUBLE) AS revenue
+       |FROM agg
+       |ORDER BY rev_dec DESC, l_orderkey LIMIT 10""".stripMargin
 }
