@@ -1421,4 +1421,74 @@ object Events {
        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
        |FROM dev JOIN mad USING (event_type)
        |GROUP BY 1 ORDER BY dev.event_type""".stripMargin
+
+  /** q145 — revenue concentration: rank users by purchase revenue,
+    * report each user-count decile's revenue share and cumulative
+    * share (the Pareto curve a monetization or data-mixing dashboard
+    * draws), plus the Gini coefficient — all WITHOUT a global window.
+    *
+    * The global descending rank and running revenue both come from
+    * [[Sampling.packOffsetsBy]]'s two-phase prefix sum (range
+    * partition → partitioned intra window → driver cumsum of one row
+    * per partition), the same machinery as q33/q72 — so the plan
+    * stays partitioned at any user count where a naive
+    * `row_number() OVER (ORDER BY …)` serializes the corpus through
+    * one task. Gini folds out of aggregates alone via
+    * Σᵢ i·rᵢ = (n+1)·S − Σᵢ cumᵢ (cum is the inclusive running sum),
+    * so no second sort is needed; every intermediate is integer
+    * cents. */
+  def revenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val u = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("rev"))
+    val keys = Seq(col("rev").desc, col("user_id").asc)
+    val cumRev = Sampling.packOffsetsBy(
+        u.withColumn("n_tokens", col("rev")), keys)
+      .select(col("user_id"), col("rev"),
+        (col("start_off") + col("rev")).as("cum"))
+    val ranks = Sampling.packOffsetsBy(
+        u.withColumn("n_tokens", lit(1L)), keys)
+      .select(col("user_id"), col("start_off").as("rank0"))
+    val joined = cumRev.join(ranks, Seq("user_id"))
+    val t = joined.agg(count(lit(1)), sum("rev"),
+      sum(col("cum").cast("decimal(38,0)"))).first()
+    val (n, s) = (t.getLong(0), t.getLong(1))
+    val sumCum = t.getDecimal(2).doubleValue
+    val gini = 2.0 * sumCum / (n.toDouble * s.toDouble) -
+      (n + 1).toDouble / n.toDouble
+    joined
+      .withColumn("decile", expr(s"(rank0 * 10) div $n").cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("rev").cast("double") / s.toDouble, 6).as("rev_share"),
+        round(max("cum").cast("double") / s.toDouble, 6).as("cum_share"))
+      .withColumn("gini", round(lit(gini), 6))
+      .orderBy("decile")
+  }
+
+  val revenueConcentrationSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN event_type = 'purchase'
+      |                  THEN floor(value * 100)::BIGINT ELSE 0 END) AS rev
+      |  FROM events GROUP BY user_id
+      |), r AS (
+      |  SELECT user_id, rev,
+      |         row_number() OVER (ORDER BY rev DESC, user_id) - 1 AS rank0,
+      |         SUM(rev) OVER (ORDER BY rev DESC, user_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM u
+      |), t AS (
+      |  SELECT COUNT(*) AS n, SUM(rev) AS s, SUM(cum) AS sumcum FROM r
+      |)
+      |SELECT CAST((rank0 * 10) // n AS INT) AS decile,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       round(SUM(rev)::DOUBLE / MAX(s)::DOUBLE, 6) AS rev_share,
+      |       round(MAX(cum)::DOUBLE / MAX(s)::DOUBLE, 6) AS cum_share,
+      |       round(2.0 * MAX(sumcum)::DOUBLE
+      |             / (MAX(n)::DOUBLE * MAX(s)::DOUBLE)
+      |             - (MAX(n) + 1)::DOUBLE / MAX(n)::DOUBLE, 6) AS gini
+      |FROM r, t
+      |GROUP BY 1 ORDER BY decile""".stripMargin
 }
