@@ -1491,4 +1491,62 @@ object Events {
       |             - (MAX(n) + 1)::DOUBLE / MAX(n)::DOUBLE, 6) AS gini
       |FROM r, t
       |GROUP BY 1 ORDER BY decile""".stripMargin
+
+  /** q146 — last-touch attribution: credit each purchase to the most
+    * recent PRECEDING non-purchase event of the same user (the
+    * marketing-analytics classic), reported as touch-type → purchase
+    * counts, credited revenue, and share — plus 'none' rows for
+    * purchases with no preceding touch.
+    *
+    * Scale shape: ONE user-keyed shuffle; the credited touch is
+    * `last(..., ignoreNulls)` over each user's (ts, event_id)-ordered
+    * partition bounded to [unbounded, -1] — running state per user,
+    * no self-join, no per-purchase scan-back; then a |types|-sized
+    * aggregate. The same window q40/q90 already pin as partitioned. */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = ev.withColumn("touch",
+      last(when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(wu))
+    val p = touched.filter(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("none")).as("touch"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val t = p.agg(count(lit(1)), sum("cents")).first()
+    val (np, s) = (t.getLong(0), t.getLong(1))
+    p.groupBy("touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("cents").cast("double") / 100.0, 2).as("revenue"),
+        round(count(lit(1)).cast("double") / np.toDouble, 6)
+          .as("purchase_share"),
+        round(sum("cents").cast("double") / s.toDouble, 6)
+          .as("revenue_share"))
+      .orderBy("touch")
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_type, value,
+      |         last_value(CASE WHEN event_type <> 'purchase'
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS touch
+      |  FROM events
+      |), p AS (
+      |  SELECT COALESCE(touch, 'none') AS touch,
+      |         floor(value * 100)::BIGINT AS cents
+      |  FROM touched WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT COUNT(*) AS np, SUM(cents) AS s FROM p
+      |)
+      |SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |       round(SUM(cents)::DOUBLE / 100.0, 2) AS revenue,
+      |       round(COUNT(*)::DOUBLE / MAX(np)::DOUBLE, 6)
+      |         AS purchase_share,
+      |       round(SUM(cents)::DOUBLE / MAX(s)::DOUBLE, 6)
+      |         AS revenue_share
+      |FROM p, t
+      |GROUP BY touch ORDER BY touch""".stripMargin
 }
