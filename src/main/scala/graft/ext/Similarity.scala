@@ -955,4 +955,59 @@ object Similarity {
        |LEFT JOIN approx a
        |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
+  /** q147 — int8 quantization distortion: symmetric per-vector int8
+    * quantization (scale = max|x|/127, the standard ANN-index
+    * compression) and the cosine distortion 1 − cos(v, dequant(v)) it
+    * introduces, reported per label — the measurement that decides
+    * whether an index can ship 8-bit vectors (4× smaller again than
+    * q141's dimension truncation; the two compose).
+    *
+    * Determinism: scale/quantize/dequantize are per-row array lambdas
+    * (identical IEEE ops on both engines; round(x/scale) never sits
+    * on a .5 for continuous doubles), the per-vector distortion
+    * rounds to integer nano-units BEFORE the cross-row mean (the q142
+    * discipline), and max picks an identical value. Scale shape: ONE
+    * scan, all math inside the row, one |labels|-sized agg — at
+    * 100 TB this is the map-only job you'd run to materialize the
+    * int8 copy, with the report as a free side aggregate. */
+  def int8Distortion(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+          (a, e) => greatest(a, e)) / lit(127.0))
+    val dq = transform(col("v"),
+      x => round(x / col("scale"), 0) * col("scale"))
+    val scored = emb.withColumn("dist",
+      when(col("scale") > 0.0, lit(1.0) - cosine(col("v"), dq))
+        .otherwise(lit(0.0)))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(round(col("dist") * 1e9, 0).cast("long"))
+          .cast("double") / count(lit(1)).cast("double") / 1e9, 6)
+          .as("mean_distortion"),
+        round(max("dist"), 6).as("max_distortion"))
+      .orderBy("label")
+  }
+
+  val int8DistortionSql: String =
+    """WITH e AS (
+      |  SELECT label, embedding::DOUBLE[] AS v,
+      |         list_max(list_transform(embedding::DOUBLE[],
+      |           x -> abs(x))) / 127.0 AS s
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT label,
+      |         CASE WHEN s > 0.0
+      |              THEN 1.0 - list_cosine_similarity(v,
+      |                list_transform(v, x -> round(x / s) * s))
+      |              ELSE 0.0 END AS dist
+      |  FROM e
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |       round(SUM(round(dist * 1e9)::BIGINT)::DOUBLE
+      |             / COUNT(*)::DOUBLE / 1e9, 6) AS mean_distortion,
+      |       round(MAX(dist), 6) AS max_distortion
+      |FROM scored GROUP BY label ORDER BY label""".stripMargin
 }
