@@ -1348,4 +1348,57 @@ object Dedup {
        |WHERE (ca.n < cb.n OR (ca.n = cb.n AND da < db))
        |  AND s::DOUBLE >= $ContainTau * ca.n
        |ORDER BY doc_small, doc_big""".stripMargin
+
+  /** q148 — SOFT dedup: instead of q62's hard drop, weight every
+    * document by 1/|its near-dup cluster| so each duplicate family
+    * contributes one document's worth of training mass in expectation
+    * — the repetition-controlling alternative when dropping loses
+    * long-tail variants. Reported per source: raw docs, effective
+    * (weighted) docs, and the retention ratio — the table a curator
+    * compares against q62's hard-dedup counts.
+    *
+    * Weights sum as integer nano-units (round(1e9/k) — 1/k repeats
+    * across members, and a float sum's order would sit exactly on the
+    * rounding knife edge), so both engines aggregate identically.
+    * Scale shape: rides the session-memoized q29→q30 cluster pipeline
+    * (6th consumer); singleton docs never enter the cluster join —
+    * one left join + a |sources|-sized agg. */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = clusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_size"))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val wNano = round(lit(1e9) /
+      coalesce(col("cluster_size"), lit(1L)).cast("double"), 0).cast("long")
+    docs.join(cl, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wNano).as("eff_nano"),
+        sum(when(col("cluster_size").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"))
+      .select(col("source"), col("n_docs"), col("n_clustered"),
+        round(col("eff_nano").cast("double") / 1e9, 6).as("effective_docs"),
+        round(col("eff_nano").cast("double") / 1e9 /
+          col("n_docs").cast("double"), 6).as("retention"))
+      .orderBy("source")
+  }
+
+  val softDedupWeightsSql: String = {
+    val cl = clustersSql
+    s"""WITH cl AS ($cl),
+       |w AS (
+       |  SELECT d.doc_id, d.source,
+       |         round(1e9 / COALESCE(cl.cluster_size, 1)::DOUBLE)::BIGINT
+       |           AS w_nano,
+       |         CASE WHEN cl.cluster_size IS NOT NULL THEN 1 ELSE 0 END
+       |           AS clustered
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(clustered) AS BIGINT) AS n_clustered,
+       |       round(SUM(w_nano)::DOUBLE / 1e9, 6) AS effective_docs,
+       |       round(SUM(w_nano)::DOUBLE / 1e9 / COUNT(*)::DOUBLE, 6)
+       |         AS retention
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+  }
 }
