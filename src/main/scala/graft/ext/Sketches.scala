@@ -357,6 +357,94 @@ object Sketches {
        |ORDER BY exact_cnt DESC, p.tok""".stripMargin
   }
 
+  /** q149 — weekly-active-users from DAILY HLL registers: sketch each
+    * day once, then answer every trailing-7-day distinct-user question
+    * by MAX-merging that week's register rows — sketch algebra over
+    * time, the reason a 100 TB pipeline stores per-day registers
+    * instead of re-scanning a week of raw events per WAU point (the
+    * q133 merge argument, rolled along the calendar). The exact twin
+    * (distinct users over the true 7-day window) rides along per day
+    * with the achieved relative error.
+    *
+    * Scale shape: ONE scan → per-(day, bucket) registers (days·256
+    * rows); each day's registers fan out to the ≤7 window ends they
+    * serve via a 7-element explode (rows stay register-sized, never
+    * event-sized); MAX-merge + estimate per window end. The exact
+    * twin's (day × user) frame is the verification column, not the
+    * production path. */
+  def wauHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Events.loadEvents(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val regs = hllRegisters(ev, "day", "user_id")
+    val ends = regs.select(col("bucket"), col("reg"),
+        explode(sequence(lit(0), lit(6))).as("i"),
+        date_add(col("day"), col("i")).as("wend"))
+      .drop("i")
+    val dayRange = ev.agg(min("day"), max("day")).first()
+    val (d0, d1) = (dayRange.getDate(0), dayRange.getDate(1))
+    val merged = ends.filter(col("wend") <= lit(d1) && col("wend") >= lit(d0))
+      .groupBy("wend", "bucket").agg(max("reg").as("reg"))
+    val est = hllEstimate(merged, "wend")
+    // exact twin: distinct users over the true trailing window
+    val du = ev.distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+        date_add(col("day"), col("i")).as("wend"))
+      .filter(col("wend") <= lit(d1) && col("wend") >= lit(d0))
+      .select(col("wend"), col("user_id")).distinct()
+      .groupBy("wend").agg(count(lit(1)).as("n_exact"))
+    du.join(est, Seq("wend"))
+      .select(col("wend").as("week_ending"), col("n_exact"),
+        round(col("est"), 4).as("n_hll"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy("week_ending")
+  }
+
+  val wauHllSql: String = {
+    val m = HllBuckets
+    s"""WITH ev AS (
+       |  SELECT ts::DATE AS day, user_id FROM events
+       |), hashed AS (
+       |  SELECT day,
+       |         ('0x'||substr(md5(user_id::VARCHAR),1,2))::INT AS bucket,
+       |         ('0x'||substr(md5(user_id::VARCHAR),3,8))::BIGINT AS v
+       |  FROM ev
+       |), regs AS (
+       |  SELECT day, bucket, MAX($rhoSql) AS reg
+       |  FROM hashed GROUP BY 1, 2
+       |), rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+       |ends AS (
+       |  SELECT r.day + i::INT AS wend, r.bucket, r.reg
+       |  FROM regs r CROSS JOIN UNNEST(generate_series(0, 6)) AS t(i), rng
+       |  WHERE r.day + i::INT BETWEEN rng.d0 AND rng.d1
+       |), merged AS (
+       |  SELECT wend, bucket, MAX(reg) AS reg FROM ends GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT wend, SUM(power(2.0, -reg)) AS s, COUNT(*) AS b
+       |  FROM merged GROUP BY 1
+       |), est AS (
+       |  SELECT wend,
+       |         CASE WHEN ${HllAlpha * m * m}::DOUBLE / (s + ($m - b))
+       |                   <= ${2.5 * m} AND b < $m
+       |              THEN $m * ln($m::DOUBLE / ($m - b))
+       |              ELSE ${HllAlpha * m * m}::DOUBLE / (s + ($m - b)) END
+       |           AS est
+       |  FROM agg
+       |), ex AS (
+       |  SELECT wend, COUNT(*) AS n_exact FROM (
+       |    SELECT DISTINCT d.day + i::INT AS wend, d.user_id
+       |    FROM (SELECT DISTINCT day, user_id FROM ev) d
+       |    CROSS JOIN UNNEST(generate_series(0, 6)) AS t(i), rng
+       |    WHERE d.day + i::INT BETWEEN rng.d0 AND rng.d1
+       |  ) GROUP BY 1
+       |)
+       |SELECT ex.wend AS week_ending, ex.n_exact,
+       |       round(est.est, 4) AS n_hll,
+       |       round(abs(est.est - ex.n_exact) / ex.n_exact, 6) AS rel_err
+       |FROM ex JOIN est USING (wend)
+       |ORDER BY week_ending""".stripMargin
+  }
+
   /** DDSketch geometry: 64 sub-buckets per octave → relative error
     * bounded by 2^(1/64) − 1 ≈ 1.1% on every quantile. */
   val DdSubBuckets = 64
