@@ -445,6 +445,108 @@ object Sketches {
        |ORDER BY week_ending""".stripMargin
   }
 
+  /** q150 — HyperANF (Boldi & Vigna 2011) over the near-dup graph:
+    * estimate every node's 2-hop neighborhood size by iterating
+    * register MAX-merges along edges — each node starts with the HLL
+    * register of itself, and round k replaces its registers with the
+    * MAX of its neighbors' round-(k−1) registers and its own. Two
+    * rounds ≡ |B(node, 2)|. The exact 2-hop closure rides along with
+    * the achieved error.
+    *
+    * This is the sketch that makes neighborhood-function/diameter
+    * estimation tractable on big graphs: state is nodes·m register
+    * rows and each round is ONE edge-keyed join + MAX — no frontier
+    * materialization, no per-node BFS. The exact twin's 2-hop
+    * self-join is the verification column (fine on the bounded dup
+    * graph; the register path is what survives a billion-edge one).
+    * Rides the session-memoized q29 edge list (7th consumer). */
+  def hyperAnf(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.verifiedNgramPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"))).distinct()
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val regs0 = hllRegisters(
+      nodes.withColumn("nbr", col("node")), "node", "nbr")
+    val regs2 = (1 to 2).foldLeft(regs0) { (regs, _) =>
+      regs.unionAll(
+          edges.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select(col("src").as("node"), col("bucket"), col("reg")))
+        .groupBy("node", "bucket").agg(max("reg").as("reg"))
+    }
+    val est = hllEstimate(regs2, "node")
+    val hop1 = edges
+    val hop2 = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+    val reach = nodes.select(col("node").as("src"), col("node").as("dst"))
+      .unionAll(hop1).unionAll(hop2).distinct()
+      .groupBy("src").agg(count(lit(1)).as("n_exact"))
+    reach.join(est, col("src") === col("node"))
+      .select(col("src").as("doc_id"), col("n_exact"),
+        round(col("est"), 4).as("n_hll"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy("doc_id")
+  }
+
+  val hyperAnfSql: String = {
+    val m = HllBuckets
+    s"""WITH jp AS (${Dedup.ngramJaccardPairsSql}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM jp
+       |), nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |hashed AS (
+       |  SELECT node,
+       |         ('0x'||substr(md5(node::VARCHAR),1,2))::INT AS bucket,
+       |         ('0x'||substr(md5(node::VARCHAR),3,8))::BIGINT AS v
+       |  FROM nodes
+       |), regs0 AS (
+       |  SELECT node, bucket, MAX($rhoSql) AS reg FROM hashed GROUP BY 1, 2
+       |), regs1 AS (
+       |  SELECT node, bucket, MAX(reg) AS reg FROM (
+       |    SELECT node, bucket, reg FROM regs0
+       |    UNION ALL
+       |    SELECT e.src AS node, r.bucket, r.reg
+       |    FROM edges e JOIN regs0 r ON r.node = e.dst
+       |  ) GROUP BY 1, 2
+       |), regs2 AS (
+       |  SELECT node, bucket, MAX(reg) AS reg FROM (
+       |    SELECT node, bucket, reg FROM regs1
+       |    UNION ALL
+       |    SELECT e.src AS node, r.bucket, r.reg
+       |    FROM edges e JOIN regs1 r ON r.node = e.dst
+       |  ) GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT node, SUM(power(2.0, -reg)) AS s, COUNT(*) AS b
+       |  FROM regs2 GROUP BY 1
+       |), est AS (
+       |  SELECT node,
+       |         CASE WHEN ${HllAlpha * m * m}::DOUBLE / (s + ($m - b))
+       |                   <= ${2.5 * m} AND b < $m
+       |              THEN $m * ln($m::DOUBLE / ($m - b))
+       |              ELSE ${HllAlpha * m * m}::DOUBLE / (s + ($m - b)) END
+       |           AS est
+       |  FROM agg
+       |), reach AS (
+       |  SELECT src, COUNT(*) AS n_exact FROM (
+       |    SELECT node AS src, node AS dst FROM nodes
+       |    UNION
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT e1.src, e2.dst FROM edges e1
+       |    JOIN edges e2 ON e1.dst = e2.src
+       |  ) GROUP BY 1
+       |)
+       |SELECT r.src AS doc_id, r.n_exact, round(e.est, 4) AS n_hll,
+       |       round(abs(e.est - r.n_exact) / r.n_exact, 6) AS rel_err
+       |FROM reach r JOIN est e ON e.node = r.src
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DDSketch geometry: 64 sub-buckets per octave → relative error
     * bounded by 2^(1/64) − 1 ≈ 1.1% on every quantile. */
   val DdSubBuckets = 64
