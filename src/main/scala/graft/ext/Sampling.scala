@@ -884,4 +884,55 @@ object Sampling {
        |       round(SUM(c * lr.lr) / SUM(c), 6) AS avg_log_ratio
        |FROM pd JOIN lr USING (b)
        |GROUP BY 1, 2 ORDER BY pd.doc_id""".stripMargin
+
+  /** Weighted-reservoir draw size per source. */
+  val ReservoirK = 3
+
+  /** q151 — deterministic weighted reservoir sampling (Efraimidis &
+    * Spirakis 2006, A-ES): draw K docs per source with probability
+    * proportional to length, WITHOUT an RNG — each doc's uniform draw
+    * u ∈ (0,1) derives from md5(doc_id) (the q31 determinism
+    * discipline), its reservoir key is ln(u)/w (the monotone form of
+    * u^{1/w}), and the K largest keys per source win. Identical draws
+    * on both engines and on every re-run — reproducible weighted
+    * sampling, which is what an ablation pipeline actually needs.
+    *
+    * Scale shape: the key is map-side arithmetic on the scan; the
+    * per-source top-K plans as WindowGroupLimit (partial top-K before
+    * the shuffle), so the full corpus never sorts — the one-pass
+    * distributed reservoir. */
+  def weightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // u from 13 hex chars (52 bits — fits a double exactly); (u+1)/16^13
+    // keeps u strictly inside (0,1) so ln(u) is finite
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(math.pow(16.0, 13))
+    val key = log(u) / col("n_chars").cast("double")
+    val w = Window.partitionBy("source")
+      .orderBy(col("key").desc, col("doc_id"))
+    docs.select(col("source"), col("doc_id"), col("n_chars"), key.as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ReservoirK)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+        round(col("key") * 1e6, 6).as("key_micro"))
+      .orderBy("source", "rk")
+  }
+
+  val weightedReservoirSql: String =
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id, n_chars,
+       |         ln((('0x'||substr(md5(doc_id::VARCHAR),1,13))::BIGINT
+       |             ::DOUBLE + 1.0) / ${math.pow(16.0, 13)})
+       |           / n_chars::DOUBLE AS key
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT source, doc_id, n_chars, key,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY key DESC, doc_id) AS rk
+       |  FROM keyed
+       |)
+       |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars,
+       |       round(key * 1e6, 6) AS key_micro
+       |FROM ranked WHERE rk <= $ReservoirK
+       |ORDER BY source, rk""".stripMargin
 }
