@@ -86,4 +86,25 @@ class PropertySpec extends AnyFunSuite {
       v >= 0L && v < graft.ext.Dedup.P32
     })
   }
+
+  test("DDSketch buckets merge: sketch(halves) summed == sketch(whole)") {
+    // the property that lets shards/days sketch independently at 100 TB
+    val spark = graft.TestSession.spark
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+    val whole = graft.ext.Sketches
+      .ddBucketCounts(ev, "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val half = (sel: org.apache.spark.sql.Column) => graft.ext.Sketches
+      .ddBucketCounts(ev.filter(sel), "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val a = half(col("event_id") % 2 === 0)
+    val b = half(col("event_id") % 2 =!= 0)
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "bucket-count SUM-merge must equal one pass")
+  }
 }
