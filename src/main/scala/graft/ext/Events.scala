@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1549,4 +1549,83 @@ object Events {
       |         AS revenue_share
       |FROM p, t
       |GROUP BY touch ORDER BY touch""".stripMargin
+
+  /** q152 — RFM segmentation: score every purchasing user 1–3 on
+    * Recency (seconds before the corpus's last event), Frequency
+    * (purchase count), and Monetary (revenue cents), then report each
+    * RFM segment's population and value — the classic lifecycle
+    * segmentation a growth dashboard runs daily.
+    *
+    * Tertile cutoffs come from exact percentiles of the per-user
+    * values (the q92-pinned `percentile`/`quantile_cont` pair), and
+    * scoring is then a map-side comparison against 6 broadcast
+    * threshold doubles — NO global ranking window, which is how the
+    * segmentation stays shuffle-light at any user count (ntile over
+    * all users would serialize the corpus through one task). The
+    * anchor is MAX(ts) over the data, not wall-clock, so the result
+    * is reproducible. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val anchor = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val u = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(((lit(anchor) - max(unix_micros(col("ts")))) / 1000000L)
+          .cast("long").as("rec_s"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100).cast("long")).as("mon"))
+    val cuts = u.agg(
+      percentile(col("rec_s"), lit(Array(1.0 / 3, 2.0 / 3))).as("rc"),
+      percentile(col("freq"), lit(Array(1.0 / 3, 2.0 / 3))).as("fc"),
+      percentile(col("mon"), lit(Array(1.0 / 3, 2.0 / 3))).as("mc")).first()
+    val Seq(r1, r2) = cuts.getSeq[Double](0).toSeq
+    val Seq(f1, f2) = cuts.getSeq[Double](1).toSeq
+    val Seq(m1, m2) = cuts.getSeq[Double](2).toSeq
+    def score(c: Column, lo: Double, hi: Double, invert: Boolean) = {
+      val s = when(c.cast("double") <= lo, 1)
+        .when(c.cast("double") <= hi, 2).otherwise(3)
+      if (invert) lit(4) - s else s
+    }
+    u.select(col("user_id"), col("mon"),
+        // low recency-seconds = recently active = best score
+        score(col("rec_s"), r1, r2, invert = true).as("r"),
+        score(col("freq"), f1, f2, invert = false).as("f"),
+        score(col("mon"), m1, m2, invert = false).as("m"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("mon").cast("double") / 100.0, 2).as("revenue"))
+      .orderBy("r", "f", "m")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH anchor AS (
+      |  SELECT MAX(epoch_us(ts)) AS a FROM events
+      |), u AS (
+      |  SELECT user_id,
+      |         ((MAX(a) - MAX(epoch_us(ts))) // 1000000)::BIGINT AS rec_s,
+      |         COUNT(*) AS freq,
+      |         SUM(floor(value * 100)::BIGINT) AS mon
+      |  FROM events, anchor
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY user_id
+      |), cuts AS (
+      |  SELECT quantile_cont(rec_s, 1.0/3) AS r1,
+      |         quantile_cont(rec_s, 2.0/3) AS r2,
+      |         quantile_cont(freq, 1.0/3) AS f1,
+      |         quantile_cont(freq, 2.0/3) AS f2,
+      |         quantile_cont(mon, 1.0/3) AS m1,
+      |         quantile_cont(mon, 2.0/3) AS m2
+      |  FROM u
+      |), scored AS (
+      |  SELECT user_id, mon,
+      |         4 - (CASE WHEN rec_s::DOUBLE <= r1 THEN 1
+      |                   WHEN rec_s::DOUBLE <= r2 THEN 2 ELSE 3 END) AS r,
+      |         CASE WHEN freq::DOUBLE <= f1 THEN 1
+      |              WHEN freq::DOUBLE <= f2 THEN 2 ELSE 3 END AS f,
+      |         CASE WHEN mon::DOUBLE <= m1 THEN 1
+      |              WHEN mon::DOUBLE <= m2 THEN 2 ELSE 3 END AS m
+      |  FROM u, cuts
+      |)
+      |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       round(SUM(mon)::DOUBLE / 100.0, 2) AS revenue
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
 }
