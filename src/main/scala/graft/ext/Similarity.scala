@@ -1010,4 +1010,55 @@ object Similarity {
       |             / COUNT(*)::DOUBLE / 1e9, 6) AS mean_distortion,
       |       round(MAX(dist), 6) AS max_distortion
       |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
+  /** q153 — label-centroid confusion structure: the cosine similarity
+    * between every pair of class centroids — the embedding-space
+    * confusion matrix that predicts which labels a classifier (or an
+    * ANN route) will mix up, and the first thing to read when q57's
+    * kNN agreement drops. Flags pairs above the q132 SemDeDup
+    * threshold as merge candidates.
+    *
+    * Scale shape: centroids are one (label, dim)-keyed mean (q122's
+    * shape, map-side partial sums over the corpus scan); everything
+    * after operates on |labels| rows — the pair grid is |labels|²/2
+    * over a broadcast — so the corpus is read exactly once no matter
+    * how many label pairs exist. */
+  def centroidMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"),
+        max("n").as("n_vectors"))
+      .select(col("label"), transform(col("ms"), s => s("m")).as("c"),
+        col("n_vectors"))
+    cent.as("a")
+      .join(broadcast(cent.as("b")), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n_vectors").as("n_a"), col("b.n_vectors").as("n_b"),
+        round(cosine(col("a.c"), col("b.c")), 6).as("centroid_cos"))
+      .withColumn("merge_candidate", col("centroid_cos") >= SemDedupTau)
+      .orderBy("label_a", "label_b")
+  }
+
+  val centroidMatrixSql: String =
+    s"""WITH e AS (
+       |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY i) AS c, MAX(n) AS n_vectors
+       |  FROM (
+       |    SELECT label, i, AVG(v[i]) AS m, COUNT(*) AS n
+       |    FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |    GROUP BY 1, 2)
+       |  GROUP BY label
+       |)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       CAST(a.n_vectors AS BIGINT) AS n_a,
+       |       CAST(b.n_vectors AS BIGINT) AS n_b,
+       |       round(list_cosine_similarity(a.c, b.c), 6) AS centroid_cos,
+       |       round(list_cosine_similarity(a.c, b.c), 6) >= $SemDedupTau
+       |         AS merge_candidate
+       |FROM cent a JOIN cent b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
 }
