@@ -46,6 +46,8 @@ class PlanSpec extends SparkSpec {
     //    broadcast query rows crossed into the candidate scan
     //  - q142: the 1-row corpus-total anchor crossed into per-doc
     //    scores (q73's own shape, constant-bounded)
+    //  - q153: the |labels|²/2 centroid-pair grid — 10 broadcast rows
+    //    crossed into themselves; the corpus scan stays upstream
     // Everything else must plan hash/sort-merge joins, and nothing may
     // ever plan an unbroadcast CartesianProduct.
     val boundedBroadcastOk = Set(
@@ -53,7 +55,7 @@ class PlanSpec extends SparkSpec {
       "q73_lm_score", "q76_profile", "q81_ann_recall", "q89_bm25",
       "q111_pq_ann", "q113_source_drift", "q115_source_resemblance",
       "q124_length_ks", "q133_hll_overlap", "q141_mrl_recall",
-      "q142_ccnet_buckets")
+      "q142_ccnet_buckets", "q153_centroid_matrix")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
