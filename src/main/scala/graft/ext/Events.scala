@@ -1628,4 +1628,72 @@ object Events {
       |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users,
       |       round(SUM(mon)::DOUBLE / 100.0, 2) AS revenue
       |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
+  /** Volume-anomaly z cutoff. */
+  val AnomalyZ = 3.0
+
+  /** q155 — volume-anomaly minutes: flag the minutes where an event
+    * type's arrival count sits more than 3σ from that type's
+    * per-minute mean — the traffic-spike/outage detector every
+    * event-pipeline dashboard runs. Reports each type's minute count,
+    * moment envelope, and the anomalous minutes' share.
+    *
+    * Mean/σ come from EXACT integer moments of the per-minute counts
+    * (n, Σc, Σc² — the q93/q104 discipline), so the fences are one
+    * identical IEEE sequence on both engines. Two keyed aggs: events
+    * → (type, minute) counts (map-side combine), counts → per-type
+    * moments (tiny) broadcast back over the minute table — never a
+    * window over raw events. The same fence logic runs streaming over
+    * a tumbling-minute aggregate. */
+  def anomalyMinutes(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val perMin = ev.groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val m = perMin.groupBy("event_type").agg(
+      count(lit(1)).as("n_minutes"),
+      sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+    val nd = col("n_minutes").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val sd = sqrt(col("s2").cast("double") / nd - mu * mu)
+    perMin.join(broadcast(m), Seq("event_type"))
+      .withColumn("anom",
+        when(abs(col("c").cast("double") - mu) > lit(AnomalyZ) * sd, 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(max(col("n_minutes")).as("n_minutes"),
+        round(max(mu), 6).as("mean_per_min"),
+        round(max(sd), 6).as("sd_per_min"),
+        sum("anom").as("n_anomalous"),
+        round(sum("anom").cast("double") / max(nd), 6).as("anom_share"))
+      .orderBy("event_type")
+  }
+
+  val anomalyMinutesSql: String =
+    s"""WITH pm AS (
+       |  SELECT event_type, date_trunc('minute', ts) AS minute,
+       |         COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT event_type, COUNT(*) AS n_minutes,
+       |         SUM(c) AS s1, SUM(c * c) AS s2
+       |  FROM pm GROUP BY 1
+       |), d AS (
+       |  SELECT pm.event_type, pm.c,
+       |         m.n_minutes, m.n_minutes::DOUBLE AS nd,
+       |         m.s1::DOUBLE / m.n_minutes::DOUBLE AS mu,
+       |         sqrt(m.s2::DOUBLE / m.n_minutes::DOUBLE
+       |              - (m.s1::DOUBLE / m.n_minutes::DOUBLE)
+       |                * (m.s1::DOUBLE / m.n_minutes::DOUBLE)) AS sd
+       |  FROM pm JOIN m USING (event_type)
+       |)
+       |SELECT event_type, CAST(MAX(n_minutes) AS BIGINT) AS n_minutes,
+       |       round(MAX(mu), 6) AS mean_per_min,
+       |       round(MAX(sd), 6) AS sd_per_min,
+       |       CAST(SUM(CASE WHEN abs(c::DOUBLE - mu) > $AnomalyZ * sd
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+       |       round(SUM(CASE WHEN abs(c::DOUBLE - mu) > $AnomalyZ * sd
+       |                      THEN 1 ELSE 0 END)::DOUBLE / MAX(nd), 6)
+       |         AS anom_share
+       |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -564,4 +564,55 @@ object Bi {
        |       o_orderpriority, CAST(rev_dec AS DOUBLE) AS revenue
        |FROM agg
        |ORDER BY rev_dec DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q154 — fulfillment SLA by priority: per order-priority class, how
+    * many orders are fully shipped by the q144 cutoff, the fill rate,
+    * and the median days from order to FINAL shipment — the
+    * operations twin of q144's revenue view, and a second fact×fact
+    * composition over the two biggest fixtures.
+    *
+    * Scale shape: lineitem collapses to per-order (max shipdate, all
+    * shipped?) FIRST — a map-side-combinable orderkey agg that
+    * shrinks the fact×fact join's left side to one row per order
+    * before it meets orders; the priority rollup is then |classes|
+    * rows. The median rides the q92-pinned exact percentile over
+    * integer day diffs. */
+  def fillRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit(ShipCutoff).cast("timestamp")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(max(col("l_shipdate")).as("last_ship"),
+        max(when(col("l_shipdate") > cut, 1L).otherwise(0L)).as("open"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cut)
+    ord.join(li, ord("o_orderkey") === li("okey"))
+      .select(col("o_orderpriority").as("priority"),
+        (lit(1L) - col("open")).as("filled"),
+        datediff(col("last_ship"), col("o_orderdate")).cast("long").as("days"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("filled").as("n_filled"),
+        round(sum("filled").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("fill_rate"),
+        round(percentile(col("days"), lit(0.5)), 2).as("median_ship_days"))
+      .orderBy("priority")
+  }
+
+  val fillRateSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS okey, MAX(l_shipdate) AS last_ship,
+       |         MAX(CASE WHEN l_shipdate > TIMESTAMP '$ShipCutoff'
+       |                  THEN 1 ELSE 0 END) AS open
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT o.o_orderpriority AS priority,
+       |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |       CAST(SUM(1 - li.open) AS BIGINT) AS n_filled,
+       |       round(SUM(1 - li.open)::DOUBLE / COUNT(*)::DOUBLE, 6)
+       |         AS fill_rate,
+       |       round(quantile_cont(date_diff('day', o.o_orderdate::DATE,
+       |         li.last_ship::DATE), 0.5), 2) AS median_ship_days
+       |FROM orders o JOIN li ON o.o_orderkey = li.okey
+       |WHERE o.o_orderdate < TIMESTAMP '$ShipCutoff'
+       |GROUP BY 1 ORDER BY priority""".stripMargin
 }
