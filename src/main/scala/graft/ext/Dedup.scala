@@ -1401,4 +1401,90 @@ object Dedup {
        |         AS retention
        |FROM w GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** Wide-simhash pair geometry: 48 fingerprint bits split into 4
+    * bands of 12 — pigeonhole guarantees any pair within Hamming
+    * distance 3 collides on at least one full band. (q12's 16-bit
+    * fingerprint is a per-doc feature; at pair-generation scale it
+    * saturates — 1% of RANDOM pairs land within 3 bits — so the pair
+    * query widens to 48, where chance collisions are ~1e-10.) */
+  val SimhashPairBits = 48
+  val SimhashBands = 4
+  val HamTau = 3
+
+  /** q156 — SimHash banded near-dup pairs: the bit-band LSH
+    * (Charikar 2002 fingerprints + the Hamming-pigeonhole bucketing
+    * of Manku et al. 2007) as a pair GENERATOR, complementing q11's
+    * MinHash bands (set resemblance) and q29's prefix filter (exact
+    * Jaccard): candidates collide on one of 4 12-bit bands — an
+    * equi-join on (band, value), never all-pairs — and survivors are
+    * verified by exact Hamming distance ≤ 3 over the full 48 bits.
+    *
+    * Scale shape: fingerprints are one vocab-keyed agg (same shape as
+    * q12); the band table is 4 rows per doc; bucket sizes follow band
+    * collisions (AQE skew-splits hot template buckets); verification
+    * is a bit_count over two longs. The DuckDB twin brute-forces all
+    * pairs, independently proving the bands dropped no qualifying
+    * pair. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("th", hash60(col("tok")))
+    val votes = (0 until SimhashPairBits).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val bits = (0 until SimhashPairBits).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    val sh = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).cast("long").as("sh"))
+      .localCheckpoint()
+    val bandW = SimhashPairBits / SimhashBands
+    val bands = sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("bi"),
+            shiftright(col("sh"), b * bandW)
+              .bitwiseAND(lit((1L << bandW) - 1)).as("bv"))): _*)).as("p"))
+      .select(col("doc_id"), col("p.bi").as("bi"), col("p.bv").as("bv"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"))), Seq("doc_a"))
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= HamTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String = {
+    val votes = (0 until SimhashPairBits).map(b =>
+      s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val bits = (0 until SimhashPairBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${hash60Sql("tok")} AS th FROM (
+       |    SELECT doc_id,
+       |           unnest(list_distinct(string_split_regex(lower(text),
+       |             '\\s+'))) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) > 0
+       |), v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM v)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $HamTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }
