@@ -1487,4 +1487,74 @@ object Dedup {
        |WHERE bit_count(xor(a.sh, b.sh)) <= $HamTau
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** q157 — LSH bucket-size audit: per minhash band, the bucket-count,
+    * the size envelope (p50/p99/max over buckets), and the implied
+    * candidate-pair volume Σ s·(s−1)/2 — the report that TUNES an LSH
+    * deployment: hot template buckets show up as a fat max (the skew
+    * AQE must split), and the pair volume is the banded join's actual
+    * cost model, checked BEFORE running it at 100 TB. Same band
+    * construction as q11 (constants shared, so the audit can never
+    * drift from the pipeline it audits); everything aggregates from
+    * (band, key) counts — bucket-sized rows, never pair-sized. */
+  def lshBucketAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val hashed = shingles(docs).select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("sh")), 9, 8), 16, 10).cast("long").as("h2"))
+    val mins = (0 until K).map(k =>
+      min((col("h1") + lit(k.toLong) * col("h2")) % P32).as(s"s$k"))
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until RowsPerBand).map(i =>
+          col(s"s${b * RowsPerBand + i}").cast("string")): _*).as("key"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = bands.groupBy("band", "key").agg(count(lit(1)).as("s"))
+    buckets.groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("s").as("n_docs"),
+        max("s").as("max_bucket"),
+        round(percentile(col("s"), lit(0.5)), 2).as("p50_bucket"),
+        round(percentile(col("s"), lit(0.99)), 2).as("p99_bucket"),
+        expr("sum((s * (s - 1)) div 2)").as("cand_pairs"))
+      .orderBy("band")
+  }
+
+  val lshBucketAuditSql: String = {
+    val sigCols = (0 until K)
+      .map(k => s"MIN((h1 + $k * h2) % $P32) AS s$k").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(i => s"s${b * RowsPerBand + i}::VARCHAR").mkString("||','||")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents
+       |), shg AS (
+       |  SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+       |                 for i in generate_series(1, len(t)-2)])) AS sh
+       |  FROM toks WHERE len(t) >= $ShingleWords
+       |), hashed AS (
+       |  SELECT doc_id,
+       |         ('0x'||substr(md5(sh),1,8))::BIGINT AS h1,
+       |         ('0x'||substr(md5(sh),9,8))::BIGINT AS h2
+       |  FROM shg
+       |), sig AS (
+       |  SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id
+       |), bands AS ($bandSelects
+       |), buckets AS (
+       |  SELECT band, key, COUNT(*) AS s FROM bands GROUP BY 1, 2
+       |)
+       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |       CAST(SUM(s) AS BIGINT) AS n_docs,
+       |       CAST(MAX(s) AS BIGINT) AS max_bucket,
+       |       round(quantile_cont(s, 0.5), 2) AS p50_bucket,
+       |       round(quantile_cont(s, 0.99), 2) AS p99_bucket,
+       |       CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+  }
 }
