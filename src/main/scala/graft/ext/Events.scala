@@ -1696,4 +1696,77 @@ object Events {
        |                      THEN 1 ELSE 0 END)::DOUBLE / MAX(nd), 6)
        |         AS anom_share
        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q158 — session quality rollup: the product-analytics vitals over
+    * q20/q140's sessionization — sessions, bounce rate (single-event
+    * sessions), events per session, and the median session duration —
+    * split by whether the session converted (contains a purchase).
+    * This is the table growth teams watch daily; the split is the
+    * engagement-vs-conversion read.
+    *
+    * Scale shape: the q140 lag+cumsum sessionization (one user-keyed
+    * shuffle), then ONE (user, session) aggregate carrying length,
+    * duration, and the conversion flag, then a 2-row rollup; the
+    * median rides the pinned exact percentile over integer seconds. */
+  def sessionQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = ev.withColumn("prev", lag(col("ts"), 1).over(wu))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800000000L,
+          1L).otherwise(0L))
+    val wcum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = flagged
+      .withColumn("session_id", sum("new_session").over(wcum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(1000000L)).cast("long").as("dur_s"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    s.groupBy("converted")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("bounce_rate"),
+        round(sum("n_events").cast("double") / count(lit(1)).cast("double"),
+          6).as("events_per_session"),
+        round(percentile(col("dur_s"), lit(0.5)), 2).as("median_dur_s"))
+      .orderBy("converted")
+  }
+
+  val sessionQualitySql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE
+      |              OR LAG(ts) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), grp AS (
+      |  SELECT user_id, ts, event_type,
+      |         SUM(new_session) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |           AS session_id
+      |  FROM marked
+      |), s AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |         ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000)::BIGINT
+      |           AS dur_s,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS converted
+      |  FROM grp GROUP BY 1, 2
+      |)
+      |SELECT converted::BIGINT AS converted,
+      |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |       round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+      |             / COUNT(*)::DOUBLE, 6) AS bounce_rate,
+      |       round(SUM(n_events)::DOUBLE / COUNT(*)::DOUBLE, 6)
+      |         AS events_per_session,
+      |       round(quantile_cont(dur_s, 0.5), 2) AS median_dur_s
+      |FROM s GROUP BY 1 ORDER BY converted""".stripMargin
 }
