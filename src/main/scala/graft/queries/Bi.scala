@@ -615,4 +615,62 @@ object Bi {
        |FROM orders o JOIN li ON o.o_orderkey = li.okey
        |WHERE o.o_orderdate < TIMESTAMP '$ShipCutoff'
        |GROUP BY 1 ORDER BY priority""".stripMargin
+
+  /** q159 — market share (the TPC-H Q8 shape): each supplier nation's
+    * share of its region's lineitem revenue per order year — the
+    * share-of-denominator pattern where the ratio's numerator is one
+    * group and the denominator a SUPER-group, computed with a
+    * partitioned window over the already-aggregated (region, year,
+    * nation) table instead of a second scan-and-join pass.
+    *
+    * Scale shape: one lineitem×orders shuffle join (the q144 spine);
+    * supplier/nation/region broadcast; revenue aggregates in exact
+    * DECIMAL before any division, and the share window runs over
+    * |regions|·|years|·|nations| rows — model-sized, never
+    * fact-sized. */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val reg = Tables.load(spark, sfDir, "region")
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val agg = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name").as("region"),
+        year(col("o_orderdate")).as("o_year"),
+        col("n_name").as("nation"))
+      .agg(sum(rev).as("rev_dec"))
+    val w = Window.partitionBy("region", "o_year")
+    agg.withColumn("mkt_dec", sum("rev_dec").over(w))
+      .select(col("region"), col("o_year"), col("nation"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("rev_dec").cast("double") /
+          col("mkt_dec").cast("double"), 6).as("mkt_share"))
+      .orderBy("region", "o_year", "nation")
+  }
+
+  val marketShareSql: String =
+    """WITH agg AS (
+      |  SELECT r.r_name AS region, year(o.o_orderdate) AS o_year,
+      |         n.n_name AS nation,
+      |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS rev_dec
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT region, CAST(o_year AS INT) AS o_year, nation,
+      |       CAST(rev_dec AS DOUBLE) AS revenue,
+      |       round(rev_dec::DOUBLE /
+      |         (SUM(rev_dec) OVER (PARTITION BY region, o_year))::DOUBLE, 6)
+      |         AS mkt_share
+      |FROM agg
+      |ORDER BY region, o_year, nation""".stripMargin
 }
