@@ -829,6 +829,56 @@ object TextAnalysis {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** q160 — tokenizer fertility by language: BPE pieces emitted per
+    * whitespace word, per lang — THE comparative tokenizer-quality
+    * metric (a lang with fertility ≫ the corpus mean pays more
+    * sequence length per word, trains slower, and usually signals an
+    * under-trained vocab for that script). Rides the q97 encoder:
+    * merges train once, the distinct-word dictionary encodes once and
+    * broadcasts back over occurrences, so fertility is a |langs|-row
+    * rollup on top of machinery that is already sub-linear in corpus
+    * size. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainMerges(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val words = docs.select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dict0 = words.select("w").distinct()
+      .select(col("w"),
+        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("s"))
+    val dict = merges.foldLeft(dict0) { case (d, (_, a, b, _)) =>
+      d.withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }.select(col("w"),
+      size(split(trim(col("s")), " +")).cast("long").as("n_sym"))
+    words.join(broadcast(dict), Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: q97's training+dictionary CTE chain with the per-doc tail
+    * swapped for a per-lang rollup (string-surgery on the shared SQL
+    * so the two oracles can never train different merges). */
+  val tokenizerFertilitySql: String = {
+    val marker = "occ AS ("
+    val prefix = bpeEncodeSql.substring(0, bpeEncodeSql.indexOf(marker))
+    prefix + """occ AS (
+      |  SELECT lang, w FROM (
+      |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0
+      |)
+      |SELECT o.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+      |       round(SUM(e.n_sym)::DOUBLE / COUNT(*)::DOUBLE, 6) AS fertility
+      |FROM occ o JOIN enc e USING (w)
+      |GROUP BY o.lang ORDER BY o.lang""".stripMargin
+  }
+
   /** q101 — trending terms: the top-3 tokens per DAY by occurrence
     * count with their rank. The rank filter sits directly above the
     * (day, tok) aggregate, so Catalyst plans WindowGroupLimit — each
