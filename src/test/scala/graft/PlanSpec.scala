@@ -98,6 +98,26 @@ class PlanSpec extends SparkSpec {
       s"date range must be pushed into the scan:\n$plan")
   }
 
+  test("q144: both fact filters push to the scans and top-k is TakeOrdered") {
+    val plan = finalPlan("q144_shipping_priority")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem ship-date filter must reach the scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders date filter must reach the scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"decimal top-10 must plan as TakeOrderedAndProject, not a full sort:\n$plan")
+  }
+
+  test("q159: market share windows over the aggregate, scans lineitem once") {
+    // the AQE toString prints the tree twice (initial + final), so "one
+    // scan" == at most one mention per printed tree
+    val plan = finalPlan("q159_market_share")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 2,
+      s"the share denominator must come from the window, not a rescan:\n$plan")
+    assert(plan.contains("Window"),
+      s"share must come from a window over the aggregate:\n$plan")
+  }
+
   test("q06: NOT EXISTS plans as a broadcast anti-join") {
     val plan = finalPlan("q06_customers_without_orders")
     assert(plan.contains("LeftAnti"), s"anti-join expected:\n$plan")
