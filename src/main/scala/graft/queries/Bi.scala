@@ -673,4 +673,101 @@ object Bi {
       |         AS mkt_share
       |FROM agg
       |ORDER BY region, o_year, nation""".stripMargin
+
+  /** q161 — backlog aging: open orders (any line still unshipped at
+    * the cutoff) bucketed by how long they have been waiting — the
+    * 30/60/90-day aging report an operations dashboard tracks, per
+    * priority. Reuses q154's per-order collapse; the bucket edge is
+    * integer day arithmetic, so rows land identically on both
+    * engines. One fact×fact join against one-row-per-order, then a
+    * |priorities|×|buckets| rollup. */
+  def backlogAging(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit(ShipCutoff).cast("timestamp")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(max(when(col("l_shipdate") > cut, 1L).otherwise(0L)).as("open"))
+      .filter(col("open") === 1L)
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cut)
+    val age = datediff(cut, col("o_orderdate")).cast("long")
+    val bucket = when(age <= 30, "0-30")
+      .when(age <= 60, "31-60")
+      .when(age <= 90, "61-90").otherwise("90+")
+    ord.join(li, ord("o_orderkey") === li("okey"))
+      .select(col("o_orderpriority").as("priority"), bucket.as("age_bucket"),
+        Tables.money(col("o_totalprice")).as("v"))
+      .groupBy("priority", "age_bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("v")).cast("double").as("open_value"))
+      .orderBy("priority", "age_bucket")
+  }
+
+  val backlogAgingSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS okey
+       |  FROM lineitem GROUP BY 1
+       |  HAVING MAX(CASE WHEN l_shipdate > TIMESTAMP '$ShipCutoff'
+       |                  THEN 1 ELSE 0 END) = 1
+       |), aged AS (
+       |  SELECT o.o_orderpriority AS priority,
+       |         CASE WHEN date_diff('day', o.o_orderdate::DATE,
+       |                     DATE '$ShipCutoff') <= 30 THEN '0-30'
+       |              WHEN date_diff('day', o.o_orderdate::DATE,
+       |                     DATE '$ShipCutoff') <= 60 THEN '31-60'
+       |              WHEN date_diff('day', o.o_orderdate::DATE,
+       |                     DATE '$ShipCutoff') <= 90 THEN '61-90'
+       |              ELSE '90+' END AS age_bucket,
+       |         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+       |  FROM orders o JOIN li ON o.o_orderkey = li.okey
+       |  WHERE o.o_orderdate < TIMESTAMP '$ShipCutoff'
+       |)
+       |SELECT priority, age_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |       CAST(SUM(v) AS DOUBLE) AS open_value
+       |FROM aged GROUP BY 1, 2 ORDER BY priority, age_bucket""".stripMargin
+
+  /** q162 — supplier concentration (HHI) per part type: the
+    * Herfindahl–Hirschman index Σ shareᵢ² of suppliers' revenue
+    * within each part type — the procurement-risk statistic (HHI →
+    * 1 means one supplier owns the category). Third distinct fact
+    * spine: lineitem joins PART (brand/type dims) and supplier.
+    *
+    * Scale shape: one (type, supplier) revenue agg off the
+    * lineitem×part broadcast join, then shares square-and-sum inside
+    * a (type)-keyed agg — the HHI folds from exact decimal sums with
+    * the two divisions at the very end. */
+  def supplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val ts = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_type").as("p_type"), col("l_suppkey").as("supp"))
+      .agg(sum(rev).as("r"))
+    // squares stay exact DECIMAL(37,4) so the cross-supplier sum is
+    // order-independent; the two divisions happen once, on doubles
+    val rd = col("r").cast("decimal(18,2)")
+    ts.groupBy("p_type")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("tot"),
+        sum(rd * rd).as("sq"))
+      .select(col("p_type"), col("n_suppliers"),
+        col("tot").cast("double").as("type_revenue"),
+        round(col("sq").cast("double") / (col("tot").cast("double") *
+          col("tot").cast("double")), 6).as("hhi"))
+      .orderBy("p_type")
+  }
+
+  val supplierHhiSql: String =
+    """WITH ts AS (
+      |  SELECT p.p_type, l.l_suppkey AS supp,
+      |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS r
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |       CAST(SUM(r) AS DOUBLE) AS type_revenue,
+      |       round(SUM(r::DECIMAL(18,2) * r::DECIMAL(18,2))::DOUBLE /
+      |             (SUM(r)::DOUBLE * SUM(r)::DOUBLE), 6) AS hhi
+      |FROM ts GROUP BY 1 ORDER BY p_type""".stripMargin
 }
