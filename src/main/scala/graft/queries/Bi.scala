@@ -770,4 +770,80 @@ object Bi {
       |       round(SUM(r::DECIMAL(18,2) * r::DECIMAL(18,2))::DOUBLE /
       |             (SUM(r)::DOUBLE * SUM(r)::DOUBLE), 6) AS hhi
       |FROM ts GROUP BY 1 ORDER BY p_type""".stripMargin
+
+  /** q163 — return rates by brand: the share of lineitems (and of
+    * revenue) flagged returned per part brand — the product-quality
+    * readout merchandising watches. One broadcast dim join, one
+    * brand-keyed agg; rates are ratios of exact integers/decimals
+    * with the division at the edge. */
+  def returnRates(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val isRet = col("l_returnflag") === "R"
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(isRet, 1L).otherwise(0L)).as("n_returned"),
+        sum(rev).as("rev_dec"),
+        sum(when(isRet, rev).otherwise(lit(0).cast("decimal(23,4)")))
+          .as("ret_dec"))
+      .select(col("brand"), col("n_lines"), col("n_returned"),
+        round(col("n_returned").cast("double") /
+          col("n_lines").cast("double"), 6).as("return_rate"),
+        round(col("ret_dec").cast("double") /
+          col("rev_dec").cast("double"), 6).as("revenue_return_share"))
+      .orderBy("brand")
+  }
+
+  val returnRatesSql: String =
+    """WITH j AS (
+      |  SELECT p.p_brand AS brand, l.l_returnflag,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(1.0 - l.l_discount AS DECIMAL(4,2)) AS rev
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |)
+      |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_returned,
+      |       round(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |             ::DOUBLE / COUNT(*)::DOUBLE, 6) AS return_rate,
+      |       round(SUM(CASE WHEN l_returnflag = 'R' THEN rev
+      |                      ELSE 0 END)::DOUBLE / SUM(rev)::DOUBLE, 6)
+      |         AS revenue_return_share
+      |FROM j GROUP BY 1 ORDER BY brand""".stripMargin
+
+  /** q164 — the TPC-H Q6 revenue-forecast aggregate: what additional
+    * revenue would appear if discounts in a band were eliminated —
+    * SUM(extendedprice · discount) over one year, a discount band,
+    * and a quantity cap. The iconic scan-only query: every predicate
+    * pushes to parquet, no join, no shuffle beyond one partial-agg
+    * combine — at 100 TB this is a pure I/O-bound columnar scan, the
+    * query that measures scan efficiency itself. Discounts compare as
+    * integer basis points (the IEEE-safe form of BETWEEN 0.05 AND
+    * 0.07 over binary doubles). */
+  def revenueForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val bp = round(col("l_discount") * 100, 0).cast("int")
+    li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        bp >= 5 && bp <= 7 && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(Tables.money(col("l_extendedprice")) *
+          Tables.money(col("l_discount"))).cast("double").as("forecast"))
+      .orderBy("n_lines")
+  }
+
+  val revenueForecastSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS forecast
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  AND round(l_discount * 100)::INT BETWEEN 5 AND 7
+      |  AND l_quantity < 24
+      |ORDER BY n_lines""".stripMargin
 }
