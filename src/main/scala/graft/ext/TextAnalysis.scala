@@ -291,6 +291,54 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q165 — PII exposure matrix: per (source, pattern-kind), how many
+    * documents hit the q39 scrub patterns and how many total spans —
+    * the compliance read that decides WHERE scrubbing effort goes
+    * (one leaky source vs corpus-wide noise), sharing q39's exact
+    * pattern constants so the audit can never drift from the scrub
+    * it audits.
+    *
+    * Scale shape: counts are codegen'd regexp projections on the one
+    * corpus scan; `stack` unpivots |patterns| columns to rows BEFORE
+    * the (source, kind) agg, so the shuffle carries 3 rows per doc,
+    * never text. */
+  def piiMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = ScrubPatterns.map { case (n, p) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(n) }
+    val stackExpr = s"stack(${ScrubPatterns.size}, " +
+      ScrubPatterns.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+      ") as (kind, hits)"
+    docs.select(col("source") +: counts: _*)
+      .select(col("source"), expr(stackExpr))
+      .groupBy("source", "kind")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum("hits").as("n_spans"))
+      .select(col("source"), col("kind"), col("n_docs_hit"), col("n_spans"),
+        round(col("n_docs_hit").cast("double") /
+          col("n_docs").cast("double"), 6).as("doc_hit_rate"))
+      .orderBy("source", "kind")
+  }
+
+  val piiMatrixSql: String = {
+    val arms = ScrubPatterns.map { case (n, p) =>
+      s"""SELECT source, '$n' AS kind,
+         |       CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS hits
+         |FROM documents""".stripMargin }
+      .mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |$arms
+       |)
+       |SELECT source, kind,
+       |       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_docs_hit,
+       |       CAST(SUM(hits) AS BIGINT) AS n_spans,
+       |       round(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::DOUBLE
+       |             / COUNT(*)::DOUBLE, 6) AS doc_hit_rate
+       |FROM s GROUP BY 1, 2 ORDER BY source, kind""".stripMargin
+  }
+
   /** q43 — per-language length quantiles, the distribution snapshot a
     * curator reads before setting corpus filters. EXACT `percentile`
     * (not approx) at dyadic fractions (0.25/0.5/0.75) so linear
