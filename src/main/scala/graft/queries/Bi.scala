@@ -846,4 +846,84 @@ object Bi {
       |  AND round(l_discount * 100)::INT BETWEEN 5 AND 7
       |  AND l_quantity < 24
       |ORDER BY n_lines""".stripMargin
+
+  /** q166 — top supplier per nation, TIES KEPT: RANK (not row_number)
+    * over exact decimal revenue within each supplier nation, keeping
+    * every rank-1 supplier — the tie-correct form of "who leads each
+    * market" (row_number would silently drop co-leaders; exact
+    * decimal ordering means ties are REAL ties, not float accidents).
+    * The rank filter sits directly over the aggregate, so Catalyst
+    * plans WindowGroupLimit — partial top-1-with-ties per map task
+    * before the |nations|-partitioned window. */
+  def topSupplierPerNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val nat = Tables.load(spark, sfDir, "nation")
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val agg = li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_name").as("supplier"))
+      .agg(sum(rev).as("rev_dec"))
+    val w = Window.partitionBy("nation").orderBy(col("rev_dec").desc)
+    agg.withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1)
+      .select(col("nation"), col("supplier"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy("nation", "supplier")
+  }
+
+  val topSupplierPerNationSql: String =
+    """WITH agg AS (
+      |  SELECT n.n_name AS nation, s.s_name AS supplier,
+      |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS rev_dec
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT nation, supplier, rev_dec,
+      |         rank() OVER (PARTITION BY nation ORDER BY rev_dec DESC)
+      |           AS rk
+      |  FROM agg
+      |)
+      |SELECT nation, supplier, CAST(rev_dec AS DOUBLE) AS revenue
+      |FROM ranked WHERE rk = 1
+      |ORDER BY nation, supplier""".stripMargin
+
+  /** q167 — month-over-month revenue growth: monthly order revenue
+    * with LAG deltas and growth rate. The window is GLOBAL but over
+    * one row per CALENDAR MONTH (the q58 argument — input grows with
+    * elapsed time, never data volume), which is the admissible form
+    * of a global window; revenue aggregates in exact decimal before
+    * the one growth division. */
+  def momGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+    val monthly = ord.groupBy(
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.money(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy("month")
+    monthly.withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+      .select(col("month"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        round((col("rev_dec") - col("prev_dec")).cast("double") /
+          col("prev_dec").cast("double"), 6).as("mom_growth"))
+      .orderBy("month")
+  }
+
+  val momGrowthSql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT make_timestamp(epoch_us(month)) AS month, n_orders,
+      |       CAST(rev_dec AS DOUBLE) AS revenue,
+      |       round((rev_dec - lag(rev_dec) OVER (ORDER BY month))::DOUBLE
+      |             / (lag(rev_dec) OVER (ORDER BY month))::DOUBLE, 6)
+      |         AS mom_growth
+      |FROM m ORDER BY month""".stripMargin
 }
