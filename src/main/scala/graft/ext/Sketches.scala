@@ -547,6 +547,98 @@ object Sketches {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Portable Bloom geometry: m bits, k hash functions. */
+  val BloomBits = 4096
+  val BloomHashes = 3
+
+  private def bloomPos(i: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), c.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  /** q168 — Bloom-filter false-positive audit: build a PORTABLE Bloom
+    * filter (m=4096 bits, k=3, md5-derived positions — the q87
+    * discipline, so both engines set the identical bits) over the
+    * urgent orders' keys, probe it with every non-urgent key, and
+    * report the EMPIRICAL false-positive rate next to the
+    * load-predicted one (bits_set/m)^k — the audit that validates
+    * q94's engine-native bloom pushdown with a filter whose every bit
+    * the oracle can reproduce.
+    *
+    * Scale shape: the bit table is ≤ m rows (distinct positions —
+    * SUM/OR-mergeable across shards like every sketch here), probes
+    * explode to k position rows and semi-join the broadcast bit
+    * table; a probe is a false positive iff all k positions hit.
+    * One membership row out. */
+  def bloomAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"))
+    val members = ord.filter(col("p") === "1-URGENT").select(col("k"))
+    val probes = ord.filter(col("p") =!= "1-URGENT").select(col("k"))
+    val posArr = (c: Column) =>
+      array((0 until BloomHashes).map(i => bloomPos(i, c)): _*)
+    val bits = members.select(explode(posArr(col("k"))).as("b")).distinct()
+    val probeHits = probes
+      .select(col("k"), explode(posArr(col("k"))).as("b"))
+      .join(broadcast(bits), Seq("b"))
+      .groupBy("k").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomHashes)
+    val nm = members.count()
+    val np = probes.count()
+    val bs = bits.count()
+    val fp = probeHits.count()
+    // explicit x*x*x, not pow: libm pow is only 1-ulp-accurate and the
+    // two engines' libms may disagree on that last bit
+    val loadFrac = bs.toDouble / BloomBits
+    val predicted = (0 until BloomHashes)
+      .foldLeft(1.0)((acc, _) => acc * loadFrac)
+    import spark.implicits._
+    Seq((nm, np, bs, fp,
+        BigDecimal(fp.toDouble / np.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(predicted)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_members", "n_probes", "bits_set", "n_false_pos",
+        "empirical_fpr", "predicted_fpr")
+      .orderBy("n_members")
+  }
+
+  val bloomAuditSql: String = {
+    val pos = (i: Int, c: String) =>
+      s"('0x'||substr(md5('$i:'||$c::VARCHAR),1,8))::BIGINT % $BloomBits"
+    val posRows = (0 until BloomHashes)
+      .map(i => s"SELECT k, ${pos(i, "k")} AS b FROM probes")
+      .mkString(" UNION ALL ")
+    val bitRows = (0 until BloomHashes)
+      .map(i => s"SELECT ${pos(i, "k")} AS b FROM members")
+      .mkString(" UNION ALL ")
+    s"""WITH members AS (
+       |  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+       |), probes AS (
+       |  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority <> '1-URGENT'
+       |), bits AS (
+       |  SELECT DISTINCT b FROM ($bitRows)
+       |), ph AS (
+       |  SELECT p.k, COUNT(*) AS hits
+       |  FROM ($posRows) p JOIN bits ON p.b = bits.b
+       |  GROUP BY p.k
+       |), t AS (
+       |  SELECT (SELECT COUNT(*) FROM members) AS n_members,
+       |         (SELECT COUNT(*) FROM probes) AS n_probes,
+       |         (SELECT COUNT(*) FROM bits) AS bits_set,
+       |         (SELECT COUNT(*) FROM ph WHERE hits = $BloomHashes)
+       |           AS n_false_pos
+       |)
+       |SELECT n_members::BIGINT AS n_members, n_probes::BIGINT AS n_probes,
+       |       bits_set::BIGINT AS bits_set, n_false_pos::BIGINT AS n_false_pos,
+       |       round(n_false_pos::DOUBLE / n_probes::DOUBLE, 6)
+       |         AS empirical_fpr,
+       |       round(1.0 * (bits_set::DOUBLE / $BloomBits)
+       |                 * (bits_set::DOUBLE / $BloomBits)
+       |                 * (bits_set::DOUBLE / $BloomBits), 6)
+       |         AS predicted_fpr
+       |FROM t ORDER BY n_members""".stripMargin
+  }
+
   /** DDSketch geometry: 64 sub-buckets per octave → relative error
     * bounded by 2^(1/64) − 1 ≈ 1.1% on every quantile. */
   val DdSubBuckets = 64
