@@ -1557,4 +1557,71 @@ object Dedup {
        |       CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
        |FROM buckets GROUP BY band ORDER BY band""".stripMargin
   }
+
+  /** q169 — the dedup cascade funnel: the two cheap tiers of a
+    * production dedup stack run IN SEQUENCE — exact text-hash
+    * keep-first, then SimHash Hamming≤3 near-dup (q156's pairs) over
+    * the exact survivors — reported as the stage-by-stage funnel
+    * (in, out, removed, rate) a curator reads to see where volume
+    * actually dies. The near-dup survivor rule is the LOCAL greedy
+    * ("drop any doc with a smaller-id surviving neighbor") — one
+    * anti-join, no transitive closure — the documented cheap tier
+    * before q30's connected components.
+    *
+    * Scale shape: stage 1 is a hash agg (min doc per md5); stage 2
+    * restricts the q156 pair list to survivor×survivor and anti-joins
+    * — all key-partitioned, nothing quadratic, nothing iterative. */
+  def dedupFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n0 = docs.count()
+    val s1 = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val n1 = s1.count()
+    val pairs = simhashPairs(spark, sfDir).select("doc_a", "doc_b")
+      .join(s1.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(s1.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+    val s2 = s1.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val n2 = s2.count()
+    import docs.sparkSession.implicits._
+    Seq(
+      ("1_exact_hash", n0, n1),
+      ("2_simhash_ham3", n1, n2))
+      .toDF("stage", "docs_in", "docs_out")
+      .select(col("stage"), col("docs_in"), col("docs_out"),
+        (col("docs_in") - col("docs_out")).as("removed"),
+        round((col("docs_in") - col("docs_out")).cast("double") /
+          col("docs_in").cast("double"), 6).as("removal_rate"))
+      .orderBy("stage")
+  }
+
+  val dedupFunnelSql: String =
+    s"""WITH s1 AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |), sp AS ($simhashPairsSql
+       |), spx AS (
+       |  SELECT p.doc_a, p.doc_b FROM sp p
+       |  JOIN s1 a ON p.doc_a = a.doc_id
+       |  JOIN s1 b ON p.doc_b = b.doc_id
+       |), s2 AS (
+       |  SELECT doc_id FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM spx)
+       |), t AS (
+       |  SELECT (SELECT COUNT(*) FROM documents) AS n0,
+       |         (SELECT COUNT(*) FROM s1) AS n1,
+       |         (SELECT COUNT(*) FROM s2) AS n2
+       |), f AS (
+       |  SELECT '1_exact_hash' AS stage, n0 AS docs_in, n1 AS docs_out
+       |  FROM t
+       |  UNION ALL
+       |  SELECT '2_simhash_ham3', n1, n2 FROM t
+       |)
+       |SELECT stage, docs_in::BIGINT AS docs_in,
+       |       docs_out::BIGINT AS docs_out,
+       |       (docs_in - docs_out)::BIGINT AS removed,
+       |       round((docs_in - docs_out)::DOUBLE / docs_in::DOUBLE, 6)
+       |         AS removal_rate
+       |FROM f ORDER BY stage""".stripMargin
 }
