@@ -1697,6 +1697,145 @@ object Events {
        |         AS anom_share
        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q170 — hour-of-day seasonal profile + residual outliers: per
+    * event type, learn the 24-slot seasonal mean of value from exact
+    * integer-cents sums, subtract it, and count events whose residual
+    * exceeds 3σ of the residual distribution — the "is this value
+    * weird FOR 3AM" detector, which catches what q143/q77's global
+    * fences cannot (a value normal at noon but absurd at night).
+    * De-seasonalization is the first step of every STL-style
+    * decomposition; this is its groupBy form.
+    *
+    * Everything derives from two (type, hour)-keyed and (type)-keyed
+    * integer-moment aggregations (the q93/q104 discipline), the
+    * 24-row seasonal table broadcast back — identical IEEE math both
+    * engines, no window over raw events. */
+  def seasonalResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        floor(col("value") * 100).cast("long").as("c"))
+    val seasonal = ev.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n_h"), sum("c").as("s_h"))
+      .select(col("event_type"), col("hr"),
+        (col("s_h").cast("double") / col("n_h").cast("double")).as("mu_h"))
+    val resid = ev.join(broadcast(seasonal), Seq("event_type", "hr"))
+      .select(col("event_type"),
+        (col("c").cast("double") - col("mu_h")).as("r"))
+    val m = resid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("r").as("s1"),
+        sum(col("r") * col("r")).as("s2"))
+    val nd = col("n").cast("double")
+    val mu = col("s1") / nd
+    val sd = sqrt(col("s2") / nd - mu * mu)
+    resid.join(broadcast(m), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_events"),
+        round(max(sd) / 100.0, 6).as("resid_sd_value"),
+        sum(when(abs(col("r") - mu) > lit(3.0) * sd, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("resid_sd_value"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n_events").cast("double"), 6).as("outlier_share"))
+      .orderBy("event_type")
+  }
+
+  val seasonalResidualsSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, hour(ts) AS hr,
+      |         floor(value * 100)::BIGINT AS c
+      |  FROM events
+      |), seasonal AS (
+      |  SELECT event_type, hr, SUM(c)::DOUBLE / COUNT(*)::DOUBLE AS mu_h
+      |  FROM ev GROUP BY 1, 2
+      |), resid AS (
+      |  SELECT ev.event_type, ev.c::DOUBLE - s.mu_h AS r
+      |  FROM ev JOIN seasonal s USING (event_type, hr)
+      |), m AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(r) AS s1, SUM(r * r) AS s2
+      |  FROM resid GROUP BY 1
+      |), d AS (
+      |  SELECT r.event_type, r.r, m.n,
+      |         m.s1 / m.n::DOUBLE AS mu,
+      |         sqrt(m.s2 / m.n::DOUBLE
+      |              - (m.s1 / m.n::DOUBLE) * (m.s1 / m.n::DOUBLE)) AS sd
+      |  FROM resid r JOIN m USING (event_type)
+      |)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |       round(MAX(sd) / 100.0, 6) AS resid_sd_value,
+      |       CAST(SUM(CASE WHEN abs(r - mu) > 3.0 * sd THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_outliers,
+      |       round(SUM(CASE WHEN abs(r - mu) > 3.0 * sd THEN 1 ELSE 0 END)
+      |             ::DOUBLE / MAX(n)::DOUBLE, 6) AS outlier_share
+      |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q171 — Spearman rank correlation WITHOUT a global window: does a
+    * user's purchase frequency predict their revenue rank? Both
+    * global rank columns come from [[Sampling.packOffsetsBy]]'s
+    * two-phase prefix sum over a deterministic (metric, user_id)
+    * order (the q145 machinery — range partition, partitioned intra
+    * window, driver cumsum of one row per partition), then ρ is
+    * Pearson over the INTEGER ranks via exact decimal moments: a
+    * rank-based statistic at any user count with no single-task sort
+    * anywhere. Ties break by user_id (row_number semantics,
+    * documented — the engines agree because the order is total). */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val u = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("freq"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("rev"))
+    def rankBy(metric: String) = Sampling.packOffsetsBy(
+        u.withColumn("n_tokens", lit(1L)),
+        Seq(col(metric).asc, col("user_id").asc))
+      .select(col("user_id"), (col("start_off") + 1L).as(s"rk_$metric"))
+    val ranked = rankBy("freq").join(rankBy("rev"), Seq("user_id"))
+    val (x, y) = (col("rk_freq").cast("decimal(38,0)"),
+      col("rk_rev").cast("decimal(38,0)"))
+    val mo = ranked.agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(y).as("sy"), sum(y * y).as("syy"), sum(x * y).as("sxy")).first()
+    val n = mo.getLong(0).toDouble
+    val Seq(sx, sxx, sy, syy, sxy) =
+      (1 to 5).map(i => mo.getDecimal(i).doubleValue)
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    import spark.implicits._
+    Seq((mo.getLong(0),
+        BigDecimal(rho).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toDF("n_users", "spearman_rho")
+      .orderBy("n_users")
+  }
+
+  val spearmanSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS freq,
+      |         SUM(CASE WHEN event_type = 'purchase'
+      |                  THEN floor(value * 100)::BIGINT ELSE 0 END) AS rev
+      |  FROM events GROUP BY user_id
+      |), r AS (
+      |  SELECT user_id,
+      |         row_number() OVER (ORDER BY freq, user_id) AS rx,
+      |         row_number() OVER (ORDER BY rev, user_id) AS ry
+      |  FROM u
+      |), m AS (
+      |  SELECT COUNT(*)::DOUBLE AS n,
+      |         SUM(rx)::DOUBLE AS sx, SUM(rx * rx)::DOUBLE AS sxx,
+      |         SUM(ry)::DOUBLE AS sy, SUM(ry * ry)::DOUBLE AS syy,
+      |         SUM(rx * ry)::DOUBLE AS sxy,
+      |         COUNT(*) AS n_users
+      |  FROM r
+      |)
+      |SELECT n_users::BIGINT AS n_users,
+      |       round((n * sxy - sx * sy) /
+      |         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |         AS spearman_rho
+      |FROM m ORDER BY n_users""".stripMargin
+
   /** q158 — session quality rollup: the product-analytics vitals over
     * q20/q140's sessionization — sessions, bounce rate (single-event
     * sessions), events per session, and the median session duration —
