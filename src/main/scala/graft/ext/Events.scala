@@ -1836,6 +1836,68 @@ object Events {
       |         AS spearman_rho
       |FROM m ORDER BY n_users""".stripMargin
 
+  /** q173 — three-step ordered funnel: signup → view → purchase, each
+    * step's event strictly after the previous step's FIRST qualifying
+    * event (q50's two-step shape extended to the general ordered
+    * funnel). Per-user stage timestamps fold in ONE conditional
+    * aggregation pass — min(signup), then min(view after that), then
+    * min(purchase after that) — computed as three chained per-user
+    * aggs on the same user-keyed frame: no self-joins over events, no
+    * per-user sort, just keyed min-combines. The output is the stage
+    * table with conversion counts and drop-off rates. */
+  def funnel3(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
+    import spark.implicits._
+    Seq(("1_signup", n1, n1), ("2_view_after", n1, n2),
+        ("3_purchase_after", n2, n3))
+      .toDF("stage", "entered", "converted")
+      .select(col("stage"), col("entered"), col("converted"),
+        round(col("converted").cast("double") /
+          col("entered").cast("double"), 6).as("conversion_rate"))
+      .orderBy("stage")
+  }
+
+  val funnel3Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t1
+      |  GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY 1
+      |), t AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |         (SELECT COUNT(*) FROM s2) AS n2,
+      |         (SELECT COUNT(*) FROM s3) AS n3
+      |), f AS (
+      |  SELECT '1_signup' AS stage, n1 AS entered, n1 AS converted FROM t
+      |  UNION ALL SELECT '2_view_after', n1, n2 FROM t
+      |  UNION ALL SELECT '3_purchase_after', n2, n3 FROM t
+      |)
+      |SELECT stage, entered::BIGINT AS entered,
+      |       converted::BIGINT AS converted,
+      |       round(converted::DOUBLE / entered::DOUBLE, 6)
+      |         AS conversion_rate
+      |FROM f ORDER BY stage""".stripMargin
+
   /** q158 — session quality rollup: the product-analytics vitals over
     * q20/q140's sessionization — sessions, bounce rate (single-event
     * sessions), events per session, and the median session duration —

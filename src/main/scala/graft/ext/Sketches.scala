@@ -547,6 +547,98 @@ object Sketches {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q172 — new-users curve from cumulative HLL registers: estimate
+    * each day's NEW distinct users as est(≤day) − est(≤day−1), where
+    * the cumulative register table is a running MAX per bucket over
+    * days — a window PARTITIONED BY BUCKET (256 partitions, rows =
+    * days·m), never by data volume. The exact first-seen count rides
+    * along. This is the incremental face of q87/q149: a pipeline that
+    * stores daily registers answers "how many users have we EVER
+    * seen, and how many are new today" with register-sized state —
+    * the cardinality curve that decides when a crawl stops paying.
+    * (Differences of ±6.5%-rse estimates are noisy for small daily
+    * increments — reported as-is, the honest estimator; the exact
+    * column quantifies it.) */
+  def newUsersCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Events.loadEvents(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val regs = hllRegisters(ev, "day", "user_id")
+    // cumulative registers: running MAX per bucket across days; a
+    // bucket absent before day d simply has no row yet
+    val wb = Window.partitionBy("bucket").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val days = ev.select("day").distinct()
+    val grid = days.crossJoin(broadcast(
+      spark.range(HllBuckets).select(col("id").cast("int").as("bucket"))))
+    val cum = grid.join(regs, Seq("day", "bucket"), "left")
+      .withColumn("creg", max("reg").over(wb))
+      .filter(col("creg").isNotNull)
+    val est = hllEstimate(cum.select(col("day"), col("bucket"),
+      col("creg").as("reg")), "day")
+    val wd = Window.orderBy("day") // |days| rows — calendar-bounded
+    val curve = est.withColumn("prev", lag(col("est"), 1).over(wd))
+      .select(col("day"),
+        round(col("est"), 4).as("cum_users_hll"),
+        round(col("est") - coalesce(col("prev"), lit(0.0)), 4)
+          .as("new_users_hll"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users_exact"))
+    curve.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users_exact"), lit(0L))
+          .as("new_users_exact"),
+        col("new_users_hll"), col("cum_users_hll"))
+      .orderBy("day")
+  }
+
+  val newUsersCurveSql: String = {
+    val m = HllBuckets
+    s"""WITH ev AS (
+       |  SELECT ts::DATE AS day, user_id FROM events
+       |), hashed AS (
+       |  SELECT day,
+       |         ('0x'||substr(md5(user_id::VARCHAR),1,2))::INT AS bucket,
+       |         ('0x'||substr(md5(user_id::VARCHAR),3,8))::BIGINT AS v
+       |  FROM ev
+       |), regs AS (
+       |  SELECT day, bucket, MAX($rhoSql) AS reg
+       |  FROM hashed GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT d.day, b.bucket
+       |  FROM (SELECT DISTINCT day FROM ev) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS bucket) b
+       |), cum AS (
+       |  SELECT g.day, g.bucket,
+       |         MAX(r.reg) OVER (PARTITION BY g.bucket ORDER BY g.day
+       |                          ROWS UNBOUNDED PRECEDING) AS creg
+       |  FROM grid g LEFT JOIN regs r USING (day, bucket)
+       |), agg AS (
+       |  SELECT day, SUM(power(2.0, -creg)) AS s, COUNT(*) AS b
+       |  FROM cum WHERE creg IS NOT NULL GROUP BY 1
+       |), est AS (
+       |  SELECT day,
+       |         CASE WHEN ${HllAlpha * m * m}::DOUBLE / (s + ($m - b))
+       |                   <= ${2.5 * m} AND b < $m
+       |              THEN $m * ln($m::DOUBLE / ($m - b))
+       |              ELSE ${HllAlpha * m * m}::DOUBLE / (s + ($m - b)) END
+       |           AS est
+       |  FROM agg
+       |), curve AS (
+       |  SELECT day, round(est, 4) AS cum_users_hll,
+       |         round(est - COALESCE(lag(est) OVER (ORDER BY day), 0.0), 4)
+       |           AS new_users_hll
+       |  FROM est
+       |), fs AS (
+       |  SELECT day, COUNT(*) AS new_users_exact FROM (
+       |    SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1
+       |  ) GROUP BY 1
+       |)
+       |SELECT c.day, COALESCE(fs.new_users_exact, 0)::BIGINT
+       |         AS new_users_exact,
+       |       c.new_users_hll, c.cum_users_hll
+       |FROM curve c LEFT JOIN fs USING (day)
+       |ORDER BY c.day""".stripMargin
+  }
+
   /** Portable Bloom geometry: m bits, k hash functions. */
   val BloomBits = 4096
   val BloomHashes = 3

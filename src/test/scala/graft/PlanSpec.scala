@@ -55,7 +55,10 @@ class PlanSpec extends SparkSpec {
       "q73_lm_score", "q76_profile", "q81_ann_recall", "q89_bm25",
       "q111_pq_ann", "q113_source_drift", "q115_source_resemblance",
       "q124_length_ks", "q133_hll_overlap", "q141_mrl_recall",
-      "q142_ccnet_buckets", "q153_centroid_matrix")
+      "q142_ccnet_buckets", "q153_centroid_matrix",
+      // q172: the calendar-day grid crosses the CONSTANT 256-bucket
+      // list — days×m register rows, bounded by elapsed time
+      "q172_new_users_curve")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
@@ -179,8 +182,10 @@ class PlanSpec extends SparkSpec {
     //    with data volume.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
-    // q167 windows over one row per calendar MONTH — same argument
-    val calendarBoundedOk = Set("q58_rolling_daily", "q167_mom_growth")
+    // q167 windows over one row per calendar MONTH, q172 over one row
+    // per calendar DAY (after the register cumulation) — same argument
+    val calendarBoundedOk =
+      Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve")
     val bad = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(calendarBoundedOk).flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.sparkPlan
