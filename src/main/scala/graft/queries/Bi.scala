@@ -926,4 +926,36 @@ object Bi {
       |             / (lag(rev_dec) OVER (ORDER BY month))::DOUBLE, 6)
       |         AS mom_growth
       |FROM m ORDER BY month""".stripMargin
+
+  /** q174 — explicit GROUPING SETS: the asymmetric aggregation set
+    * {(status, priority), (status), ()} — deliberately NOT the
+    * rollup/cube lattice (q42/q66 cover those): per-priority totals
+    * within status, status totals, and the grand total, WITHOUT the
+    * (priority)-only cut a cube would force. One scan, one Expand (3
+    * projections per row), one hash aggregate — the same single-pass
+    * plan shape PlanSpec pins for rollup, on an arbitrary set list. */
+  def orderGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val orderGroupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY status, priority""".stripMargin
 }
