@@ -1426,7 +1426,17 @@ object Dedup {
     * is a bit_count over two longs. The DuckDB twin brute-forces all
     * pairs, independently proving the bands dropped no qualifying
     * pair. */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedSimhashPairs(spark, sfDir).orderBy("doc_a", "doc_b")
+
+  /** Session-memoized, checkpoint-pinned q156 pair list (unordered) —
+    * shared with q169's cascade funnel. */
+  def verifiedSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "simhash")(
+      (simhashPairsFresh(spark, sfDir), Nil))
+
+  /** Uncached single-pass build (plan-shape tests pin THIS). */
+  def simhashPairsFresh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val toks = docs
       .select(col("doc_id"),
@@ -1462,7 +1472,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= HamTau)
-      .orderBy("doc_a", "doc_b")
   }
 
   val simhashPairsSql: String = {
@@ -1579,7 +1588,7 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val n1 = s1.count()
-    val pairs = simhashPairs(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = verifiedSimhashPairs(spark, sfDir).select("doc_a", "doc_b")
       .join(s1.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
       .join(s1.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
     val s2 = s1.join(pairs.select(col("doc_b").as("doc_id")).distinct(),

@@ -144,7 +144,9 @@ class PlanSpec extends SparkSpec {
       "q29_ngram_jaccard(fresh)" ->
         graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
       "q11_minhash_lsh_pairs(fresh)" ->
-        graft.ext.Dedup.minhashPairsFresh(spark, sf001))
+        graft.ext.Dedup.minhashPairsFresh(spark, sf001),
+      "q156_simhash_pairs(fresh)" ->
+        graft.ext.Dedup.simhashPairsFresh(spark, sf001))
     val declared = Seq("q14_ann_lsh", "q27_embedding_neardup")
       .map(q => q -> SparkEntry.queries(q)(spark, sf001))
     (fresh.toSeq ++ declared).foreach { case (q, df) =>
