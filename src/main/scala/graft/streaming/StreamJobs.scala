@@ -101,6 +101,20 @@ object StreamJobs {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Tumbling per-minute arrival counts — the live input of q155's
+    * volume-anomaly fence: the batch job learns (μ, σ) per type from
+    * these counts, the stream emits each minute's count as its window
+    * closes, and the fence compare is a stateless map over this
+    * output. State = one open window per (type, minute) inside the
+    * watermark. Replayed to completion it equals the batch per-minute
+    * table exactly (StreamJobsSpec pins it). */
+  def minuteCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("minute"), col("event_type"), col("c"))
+
   /** Sliding 1-hour windows every 15 minutes (4 open windows per event):
     * the streaming face of Events.sliding. State holds size/slide = 4
     * windows per key until the watermark closes them — the multiplier a

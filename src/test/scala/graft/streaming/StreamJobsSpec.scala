@@ -89,6 +89,27 @@ class StreamJobsSpec extends SparkSpec {
     assert(got.size <= Events.EventTypes.size * graft.ext.Sketches.HllBuckets)
   }
 
+  test("streaming minute counts replay to the batch q155 input table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-minute")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.minuteCounts(stream), "minute_test", OutputMode.Complete())
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Events.loadEvents(spark, sf001)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("minute",
+          org.apache.spark.sql.functions.col("ts")).as("minute"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"minute drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
+
   test("streaming DDSketch buckets replay to the batch bucket table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dd")
     java.nio.file.Files.copy(
