@@ -1898,6 +1898,59 @@ object Events {
       |         AS conversion_rate
       |FROM f ORDER BY stage""".stripMargin
 
+  /** q175 — Winsorized mean per event type: clamp values to the
+    * [p5, p95] envelope, then average — the robust central tendency
+    * that keeps (unlike trimming) every observation's vote while
+    * capping tail leverage; reported next to the raw mean so the gap
+    * shows exactly how much the tails were steering. Completes the
+    * robust family: q77 fences (IQR), q143 flags (MAD), q175 a
+    * usable robust ESTIMATE.
+    *
+    * The p5/p95 cuts ride the q92-pinned exact percentile pair over
+    * integer cents; the clamped sum uses each value's cents clamped
+    * BETWEEN the two cut doubles — identical comparisons both
+    * engines — and sums as 1e4-scaled integers (cut points are
+    * ¼-exact dyadic interpolations of cents, so ×1e4 is integral),
+    * keeping the cross-row sum order-independent. */
+  def winsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("c"))
+    val cuts = ev.groupBy("event_type")
+      .agg(percentile(col("c"), lit(0.05)).as("lo"),
+        percentile(col("c"), lit(0.95)).as("hi"))
+    val clamped = greatest(col("lo"), least(col("hi"), col("c").cast("double")))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("c").as("s_raw"),
+        sum(round(clamped * 1e4, 0).cast("long")).as("s_wins"))
+      .select(col("event_type"), col("n"),
+        round(col("s_raw").cast("double") / col("n").cast("double")
+          / 100.0, 6).as("raw_mean"),
+        round(col("s_wins").cast("double") / 1e4 /
+          col("n").cast("double") / 100.0, 6).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedMeanSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, floor(value * 100)::BIGINT AS c FROM events
+      |), cuts AS (
+      |  SELECT event_type, quantile_cont(c, 0.05) AS lo,
+      |         quantile_cont(c, 0.95) AS hi
+      |  FROM ev GROUP BY 1
+      |)
+      |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       round(SUM(ev.c)::DOUBLE / COUNT(*)::DOUBLE / 100.0, 6)
+      |         AS raw_mean,
+      |       round(SUM(round(greatest(cuts.lo,
+      |               least(cuts.hi, ev.c::DOUBLE)) * 1e4)::BIGINT)::DOUBLE
+      |             / 1e4 / COUNT(*)::DOUBLE / 100.0, 6)
+      |         AS winsorized_mean
+      |FROM ev JOIN cuts USING (event_type)
+      |GROUP BY 1 ORDER BY ev.event_type""".stripMargin
+
   /** q158 — session quality rollup: the product-analytics vitals over
     * q20/q140's sessionization — sessions, bounce rate (single-event
     * sessions), events per session, and the median session duration —
