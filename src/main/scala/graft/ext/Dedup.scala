@@ -1567,6 +1567,70 @@ object Dedup {
        |FROM buckets GROUP BY band ORDER BY band""".stripMargin
   }
 
+  /** q176 — dedup-method agreement matrix: for every pair of the three
+    * pair GENERATORS in this engine — MinHash band candidates (q11,
+    * set resemblance), prefix-filtered exact n-gram Jaccard (q29,
+    * τ=0.5), and 48-bit SimHash Hamming≤3 (q156, fingerprint space) —
+    * the Jaccard overlap between the PAIR SETS each emits. This is
+    * the meta-analysis a curator runs before picking a dedup tier:
+    * where the methods disagree is exactly the gray zone (partial
+    * overlaps, short docs, template families) each definition treats
+    * differently. All three inputs are the session-memoized verified
+    * lists, so the whole matrix costs three joins over pair-sized
+    * frames. */
+  def methodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Seq(
+      "minhash" -> verifiedMinhashPairs(spark, sfDir)
+        .select("doc_a", "doc_b"),
+      "ngram" -> verifiedNgramPairs(spark, sfDir)
+        .select("doc_a", "doc_b"),
+      "simhash" -> verifiedSimhashPairs(spark, sfDir)
+        .select("doc_a", "doc_b"))
+    val rows = for {
+      i <- sets.indices; j <- sets.indices if i < j
+    } yield {
+      val (na, a) = sets(i)
+      val (nb, b) = sets(j)
+      val ca = a.count(); val cb = b.count()
+      val common = a.join(b, Seq("doc_a", "doc_b")).count()
+      (na, nb, ca, cb, common,
+        BigDecimal(common.toDouble / (ca + cb - common).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("method_a", "method_b", "n_a", "n_b", "n_common",
+        "agreement")
+      .orderBy("method_a", "method_b")
+  }
+
+  val methodAgreementSql: String =
+    s"""WITH mh AS ($minhashPairsSql),
+       |ng AS ($ngramJaccardPairsSql),
+       |sh AS ($simhashPairsSql),
+       |c AS (
+       |  SELECT (SELECT COUNT(*) FROM mh) AS n_mh,
+       |         (SELECT COUNT(*) FROM ng) AS n_ng,
+       |         (SELECT COUNT(*) FROM sh) AS n_sh,
+       |         (SELECT COUNT(*) FROM mh JOIN ng USING (doc_a, doc_b))
+       |           AS mh_ng,
+       |         (SELECT COUNT(*) FROM mh JOIN sh USING (doc_a, doc_b))
+       |           AS mh_sh,
+       |         (SELECT COUNT(*) FROM ng JOIN sh USING (doc_a, doc_b))
+       |           AS ng_sh
+       |), f AS (
+       |  SELECT 'minhash' AS method_a, 'ngram' AS method_b,
+       |         n_mh AS n_a, n_ng AS n_b, mh_ng AS n_common FROM c
+       |  UNION ALL
+       |  SELECT 'minhash', 'simhash', n_mh, n_sh, mh_sh FROM c
+       |  UNION ALL
+       |  SELECT 'ngram', 'simhash', n_ng, n_sh, ng_sh FROM c
+       |)
+       |SELECT method_a, method_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       |       n_common::BIGINT AS n_common,
+       |       round(n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE, 6)
+       |         AS agreement
+       |FROM f ORDER BY method_a, method_b""".stripMargin
+
   /** q169 — the dedup cascade funnel: the two cheap tiers of a
     * production dedup stack run IN SEQUENCE — exact text-hash
     * keep-first, then SimHash Hamming≤3 near-dup (q156's pairs) over
