@@ -948,6 +948,50 @@ object Bi {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** q177 — new-vs-returning revenue mix by month: each month's order
+    * revenue split by whether the customer had ordered before — THE
+    * growth-accounting read (is revenue expansion acquisition or
+    * retention?). A customer's first order date is ONE keyed min-agg
+    * broadcast back; the repeat flag is a timestamp compare; the
+    * monthly rollup keeps revenue in exact decimal until the one
+    * share division. No window, no self-join over orders. */
+  def repeatRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+    val firsts = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(min("o_orderdate").as("first_d"))
+    val j = ord.join(broadcast(firsts), ord("o_custkey") === col("ck"))
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        (col("o_orderdate") > col("first_d")).as("repeat"),
+        Tables.money(col("o_totalprice")).as("v"))
+    j.groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("v").as("tot_dec"),
+        sum(when(col("repeat"), col("v"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("rep_dec"))
+      .select(col("month"), col("n_orders"),
+        col("tot_dec").cast("double").as("revenue"),
+        round(col("rep_dec").cast("double") /
+          col("tot_dec").cast("double"), 6).as("returning_share"))
+      .orderBy("month")
+  }
+
+  val repeatRevenueSql: String =
+    """WITH firsts AS (
+      |  SELECT o_custkey AS ck, MIN(o_orderdate) AS first_d
+      |  FROM orders GROUP BY 1
+      |), j AS (
+      |  SELECT date_trunc('month', o.o_orderdate) AS month,
+      |         o.o_orderdate > f.first_d AS repeat,
+      |         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+      |  FROM orders o JOIN firsts f ON o.o_custkey = f.ck
+      |)
+      |SELECT make_timestamp(epoch_us(month)) AS month,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(v) AS DOUBLE) AS revenue,
+      |       round(SUM(CASE WHEN repeat THEN v ELSE 0 END)::DOUBLE
+      |             / SUM(v)::DOUBLE, 6) AS returning_share
+      |FROM j GROUP BY month ORDER BY month""".stripMargin
+
   val orderGroupingSetsSql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |       COALESCE(o_orderpriority, 'ALL') AS priority,
