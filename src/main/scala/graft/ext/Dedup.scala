@@ -120,11 +120,14 @@ object Dedup {
     * Shingle identity for the EXACT verification is the 60-bit md5 hash
     * (same derivation in the DuckDB oracle, so any collision is identical
     * on both sides). That lets each doc's shingle set ship as one sorted
-    * long array: the verification becomes two broadcast joins + the
+    * long array: the verification is two equi-joins on doc id + the
     * two-pointer intersect kernel instead of re-exploding candidate ×
-    * shingle rows through two shuffles. The signature join broadcasts
-    * too (K longs per doc). At true 100 TB doc counts, swap the
-    * broadcasts for shuffle joins on doc_a/doc_b; plan shape unchanged. */
+    * shingle rows through two shuffles. The re-attach joins carry NO
+    * broadcast hint on purpose: the per-doc payload frame is
+    * corpus-proportional, so a forced hint would be a driver OOM at
+    * 100 TB — AQE broadcasts it at runtime while it is small and
+    * degrades to a shuffle join at scale (PlanSpec pins the no-hint
+    * invariant). */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     verifiedMinhashPairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
@@ -151,7 +154,7 @@ object Dedup {
     // ONE per-doc aggregation carries both the K-slot signature and the
     // sorted shingle-hash set (one shuffle keyed by doc_id, map-side
     // partial mins), then feeds band explosion AND both verification
-    // broadcasts — two broadcast builds instead of the four the split
+    // re-attach joins — one payload frame instead of the two the split
     // sig/sets frames cost.
     val mins = (0 until K).map(k =>
       min((col("h1") + lit(k.toLong) * col("h2")) % P32).as(s"s$k"))
@@ -177,8 +180,8 @@ object Dedup {
       .reduce(_ + _).cast("double") / lit(K.toDouble)
 
     val out = pairs
-      .join(broadcast(per.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(per.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(per.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(per.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared_bands"),
         estCol.as("est_jaccard"),
         graft.functions.SortedIntersectSize.sorted_intersect_size(
@@ -366,11 +369,12 @@ object Dedup {
       spark: SparkSession, sfDir: String): (DataFrame, Seq[DataFrame]) = {
     val toks = wordNgrams(Tables.load(spark, sfDir, "documents")).cache()
     // one shuffle keyed by doc_id → per-doc sorted token-set arrays; the
-    // verification join reads these via broadcast (pure map) instead of
-    // re-exploding candidate×token rows through a shuffle. At true 100 TB
-    // doc counts, swap the broadcasts below for shuffle joins on
-    // doc_a/doc_b; the plan shape is otherwise unchanged.
-    val ds = toks.join(broadcast(internVocab(toks)), Seq("ng"))
+    // verification joins re-attach these by doc id instead of
+    // re-exploding candidate×token rows through a shuffle. The vocab
+    // intern join is deliberately unhinted: the distinct-n-gram
+    // dictionary grows with the corpus (Heaps' law), so AQE picks
+    // broadcast while it is small and a shuffle join once it is not.
+    val ds = toks.join(internVocab(toks), Seq("ng"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("tids"), count(lit(1)).as("n"))
     (ds, Seq(toks))
@@ -401,11 +405,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+    // no broadcast hints: docsets is corpus-proportional — AQE
+    // broadcasts at runtime when small, shuffles on doc id at scale
     val out = candidates
-      .join(broadcast(docsets.select(col("doc_id").as("doc_a"),
-        col("tids").as("tids_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(docsets.select(col("doc_id").as("doc_b"),
-        col("tids").as("tids_b"), col("n").as("nb"))), Seq("doc_b"))
+      .join(docsets.select(col("doc_id").as("doc_a"),
+        col("tids").as("tids_a"), col("n").as("na")), Seq("doc_a"))
+      .join(docsets.select(col("doc_id").as("doc_b"),
+        col("tids").as("tids_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         // custom codegen'd two-pointer merge: array_intersect would build
         // a hash set per row — 5× slower on these sorted int sets
@@ -478,10 +484,10 @@ object Dedup {
       .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
     val nearDup = candidates
-      .join(broadcast(docsets.select(col("doc_id"),
-        col("tids").as("tb"), col("n").as("nb"))), Seq("doc_id"))
-      .join(broadcast(docsets.select(col("doc_id").as("corpus_id"),
-        col("tids").as("tc"), col("n").as("nc"))), Seq("corpus_id"))
+      .join(docsets.select(col("doc_id"),
+        col("tids").as("tb"), col("n").as("nb")), Seq("doc_id"))
+      .join(docsets.select(col("doc_id").as("corpus_id"),
+        col("tids").as("tc"), col("n").as("nc")), Seq("corpus_id"))
       .select(col("doc_id"), col("corpus_id"),
         graft.functions.SortedIntersectSize.sorted_intersect_size(
           col("tb"), col("tc")).as("shared"),
@@ -915,18 +921,19 @@ object Dedup {
     * "which sources copy from each other" (and which self-duplicate —
     * the diagonal). Pair endpoints order as (least, greatest) so the
     * matrix is upper-triangular regardless of doc_id assignment. The
-    * source decoration rides two broadcast joins over the id-only pair
-    * list (wide payloads never enter the candidate shuffle), and the
-    * final matrix is at most |sources|² rows. */
+    * source decoration rides two unhinted equi-joins over the id-only
+    * pair list (wide payloads never enter the candidate shuffle; AQE
+    * broadcasts the projection only while it is actually small), and
+    * the final matrix is at most |sources|² rows. */
   def sourceDupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = verifiedNgramPairs(spark, sfDir).select("doc_a", "doc_b")
     val src = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"))
     pairs
-      .join(broadcast(src.select(col("doc_id").as("doc_a"),
-        col("source").as("source_a"))), Seq("doc_a"))
-      .join(broadcast(src.select(col("doc_id").as("doc_b"),
-        col("source").as("source_b"))), Seq("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), Seq("doc_b"))
       .groupBy(least(col("source_a"), col("source_b")).as("source_x"),
         greatest(col("source_a"), col("source_b")).as("source_y"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -1287,9 +1294,10 @@ object Dedup {
     * tokens never enter the probe side. Verification re-checks exact
     * intersection with the codegen'd two-pointer kernel on the
     * memoized [[internedDocsets]] — shared with q29/q37, so the
-    * expensive explode+intern runs once per session. At 100 TB the
-    * docset broadcasts become shuffle joins on doc id; candidate
-    * count stays bounded by prefix×posting collisions, never n². */
+    * expensive explode+intern runs once per session. The docset
+    * re-attach joins are unhinted (AQE broadcasts while small,
+    * shuffles on doc id at 100 TB); candidate count stays bounded by
+    * prefix×posting collisions, never n². */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = internedDocsets(spark, sfDir)
     val c = ContainTau
@@ -1306,10 +1314,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
       .distinct()
     candidates
-      .join(broadcast(ds.select(col("doc_id").as("doc_small"),
-        col("tids").as("tids_a"), col("n").as("n_small"))), Seq("doc_small"))
-      .join(broadcast(ds.select(col("doc_id").as("doc_big"),
-        col("tids").as("tids_b"), col("n").as("n_big"))), Seq("doc_big"))
+      .join(ds.select(col("doc_id").as("doc_small"),
+        col("tids").as("tids_a"), col("n").as("n_small")), Seq("doc_small"))
+      .join(ds.select(col("doc_id").as("doc_big"),
+        col("tids").as("tids_b"), col("n").as("n_big")), Seq("doc_big"))
       .select(col("doc_small"), col("doc_big"), col("n_small"), col("n_big"),
         graft.functions.SortedIntersectSize.sorted_intersect_size(
           col("tids_a"), col("tids_b")).as("shared"))
@@ -1465,10 +1473,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands
-      .join(broadcast(sh.select(col("doc_id").as("doc_a"),
-        col("sh").as("sh_a"))), Seq("doc_a"))
-      .join(broadcast(sh.select(col("doc_id").as("doc_b"),
-        col("sh").as("sh_b"))), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= HamTau)

@@ -347,9 +347,10 @@ object Similarity {
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     // candidate generation shuffles BARE IDS — carrying the 64-double
     // vectors through the bucket join + dedup shuffle measured 15.1s at
-    // sf0.1; re-attaching them afterwards via broadcast (map-side, no
-    // shuffle) cut it to ~3s. At true 100 TB vector counts, swap the
-    // broadcasts for shuffle joins on vec_a/vec_b — plan shape unchanged.
+    // sf0.1; re-attaching them afterwards by id cut it to ~3s. The
+    // re-attach joins are deliberately unhinted: the vector table is
+    // corpus-proportional, so AQE broadcasts it only while it is small
+    // and shuffles on vec_a/vec_b at 100 TB (PlanSpec pins this).
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val hashed = hashedVectors(spark, sfDir)
@@ -361,9 +362,9 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     cand
-      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("v").as("va"))),
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va")),
         Seq("vec_a"))
-      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))),
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb")),
         Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cosine(col("va"), col("vb")).as("cos"))

@@ -202,6 +202,82 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned windows: ${bad.mkString("; ")}")
   }
 
+  test("no declared plan force-broadcasts a corpus-proportional frame") {
+    // THE scale invariant for the dedup/ANN re-attach joins: a forced
+    // broadcast() hint overrides Catalyst's size check, so a hint on a
+    // frame that still carries a per-row identity (doc_id / vec_id and
+    // their renames) over a documents/embeddings scan is a guaranteed
+    // driver/executor OOM at 100 TB, not a graceful degradation. Those
+    // joins must stay UNHINTED — AQE broadcasts them at runtime while
+    // they are small and shuffles on the id at scale. A hint is
+    // admissible only when the subtree is bounded BELOW it by a
+    // constant-k id cut (the `vec_id < NQueries` query-vector shape) —
+    // recognized structurally, not by query name.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.expressions.{
+      EqualTo, LessThan, LessThanOrEqual, Literal, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      BROADCAST, Filter => LFilter, ResolvedHint}
+    val perRowIds = Set("doc_id", "vec_id", "doc_a", "doc_b", "doc_small",
+      "doc_big", "corpus_id", "vec_a", "vec_b", "query_id", "neighbor_id")
+    def offenders(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }.filter { h =>
+        // corpus tables are identified by their leaf schema (a relation
+        // toString hides the parquet path): documents scans carry
+        // doc_id, embeddings scans carry vec_id
+        val scansCorpus = h.child.collectLeaves().exists(l =>
+          l.output.exists(a => a.name == "doc_id" || a.name == "vec_id"))
+        val perRowOut = h.child.output.exists(a => perRowIds(a.name.toLowerCase))
+        // type coercion wraps literals (and sometimes the id) in Casts
+        def strip(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => strip(c.child)
+          case other => other
+        }
+        def idCut(l: org.apache.spark.sql.catalyst.expressions.Expression,
+                  r: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Boolean = (strip(l), strip(r)) match {
+          case (a: AttributeReference, _: Literal) => perRowIds(a.name.toLowerCase)
+          case (_: Literal, a: AttributeReference) => perRowIds(a.name.toLowerCase)
+          case _ => false
+        }
+        val boundedBelow = h.child.collect { case f: LFilter => f }.exists { f =>
+          f.condition.exists {
+            case LessThan(l, r) => idCut(l, r)
+            case LessThanOrEqual(l, r) => idCut(l, r)
+            case EqualTo(l, r) => idCut(l, r)
+            case _ => false
+          }
+        }
+        scansCorpus && perRowOut && !boundedBelow
+      }.map(h => s"broadcast over [${h.child.output.map(_.name).mkString(", ")}]")
+    // memoized pair lists hide their builders behind a checkpoint scan,
+    // so the FRESH builders are pinned alongside every declared query
+    val fresh = Map(
+      "q11(fresh)" -> graft.ext.Dedup.minhashPairsFresh(spark, sf001),
+      "q29(fresh)" -> graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
+      "q156(fresh)" -> graft.ext.Dedup.simhashPairsFresh(spark, sf001))
+    val declared = SparkEntry.queries.keys.toSeq.sorted
+      .map(name => name -> SparkEntry.queries(name)(spark, sf001))
+    // calibrate the detector: a deliberately poisoned plan MUST flag
+    // (and the NQueries-bounded query-vector shape must NOT)
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id", "source")
+    val poisoned = docs.join(
+      broadcast(docs.withColumnRenamed("source", "s2")), Seq("doc_id"))
+    assert(offenders(poisoned).nonEmpty, "detector missed a forced broadcast")
+    val boundedOk = docs.join(
+      broadcast(docs.filter(col("doc_id") < 8).withColumnRenamed("source", "s2")),
+      Seq("doc_id"))
+    assert(offenders(boundedOk).isEmpty, "detector flagged a bounded id cut")
+    val bad = (fresh.toSeq ++ declared).flatMap { case (name, df) =>
+      offenders(df).map(o => s"$name: $o")
+    }
+    assert(bad.isEmpty, s"forced corpus broadcasts: ${bad.mkString("; ")}")
+  }
+
   test("q40: the lag window is partitioned, never a global sort") {
     val plan = finalPlan("q40_user_deltas")
     val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
