@@ -167,7 +167,11 @@ object TextAnalysis {
     * fraction" quality rule): per document, the share of word-trigram
     * OCCURRENCES that belong to a trigram appearing more than once, plus
     * the hottest trigram's count. High values flag boilerplate/spam. One
-    * explode + one (doc_id, ng) shuffle with map-side combine. */
+    * explode + one (doc_id, ng) shuffle with map-side combine. Trigrams
+    * travel as 60-bit md5 fingerprints (the q107/q74 trick — a long per
+    * gram instead of a ~25-byte string through the widest shuffle of
+    * the suite; the oracle counts by the same fingerprint, so any
+    * collision collapses identically on both engines). */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val w = split(lower(col("text")), "\\s+")
@@ -176,8 +180,9 @@ object TextAnalysis {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("w")) - 2),
-          i => concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+          i => conv(substring(md5(concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))),
+            1, 15), 16, 10).cast("long")))
         .as("ng"))
     grams.groupBy("doc_id", "ng").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
@@ -193,8 +198,9 @@ object TextAnalysis {
 
   val repetitionSql: String =
     """WITH g AS (
-      |  SELECT doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2]
-      |                 for i in generate_series(1, len(w)-2)]) AS ng
+      |  SELECT doc_id,
+      |         ('0x'||substr(md5(unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in generate_series(1, len(w)-2)])), 1, 15))::BIGINT AS ng
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)
       |  WHERE len(w) >= 3
       |), c AS (
