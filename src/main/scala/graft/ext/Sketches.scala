@@ -357,6 +357,22 @@ object Sketches {
        |ORDER BY exact_cnt DESC, p.tok""".stripMargin
   }
 
+  /** The per-(day, bucket) user-register table both calendar-HLL
+    * queries (q149 WAU, q172 new-users curve, q178 registers-only WAU)
+    * derive from — computed ONCE per (session, sfDir) off one events
+    * scan and pinned with an eager localCheckpoint (the Dedup pair-memo
+    * pattern). days·256 rows: the state a 100 TB pipeline would store
+    * instead of raw events. */
+  private val regMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def dailyUserRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    regMemo.getOrElseUpdate((spark, sfDir), {
+      val ev = Events.loadEvents(spark, sfDir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      hllRegisters(ev, "day", "user_id").localCheckpoint()
+    })
+
   /** q149 — weekly-active-users from DAILY HLL registers: sketch each
     * day once, then answer every trailing-7-day distinct-user question
     * by MAX-merging that week's register rows — sketch algebra over
@@ -364,28 +380,28 @@ object Sketches {
     * instead of re-scanning a week of raw events per WAU point (the
     * q133 merge argument, rolled along the calendar). The exact twin
     * (distinct users over the true 7-day window) rides along per day
-    * with the achieved relative error.
+    * with the achieved relative error. `n_days` marks how many calendar
+    * days actually feed each window end, so the leading partial windows
+    * (wend < d0+6) are visible to consumers instead of reading as
+    * systematically-low full weeks.
     *
     * Scale shape: ONE scan → per-(day, bucket) registers (days·256
-    * rows); each day's registers fan out to the ≤7 window ends they
-    * serve via a 7-element explode (rows stay register-sized, never
-    * event-sized); MAX-merge + estimate per window end. The exact
-    * twin's (day × user) frame is the verification column, not the
-    * production path. */
+    * rows, session-memoized via [[dailyUserRegisters]]); each day's
+    * registers fan out to the ≤7 window ends they serve via a
+    * 7-element explode (rows stay register-sized, never event-sized);
+    * MAX-merge + estimate per window end. The exact twin's (day × user)
+    * frame is the verification column, not the production path —
+    * q178 is the production-shaped registers-only form. */
   def wauHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val regs = dailyUserRegisters(spark, sfDir)
+    // calendar anchors off the register table (days·256 rows), not a
+    // second event scan
+    val dayRange = regs.agg(min("day"), max("day")).first()
+    val (d0, d1) = (dayRange.getDate(0), dayRange.getDate(1))
+    val est = hllEstimate(wauMergedRegisters(regs, d0, d1), "wend")
+    // exact twin: distinct users over the true trailing window
     val ev = Events.loadEvents(spark, sfDir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
-    val regs = hllRegisters(ev, "day", "user_id")
-    val ends = regs.select(col("bucket"), col("reg"),
-        explode(sequence(lit(0), lit(6))).as("i"),
-        date_add(col("day"), col("i")).as("wend"))
-      .drop("i")
-    val dayRange = ev.agg(min("day"), max("day")).first()
-    val (d0, d1) = (dayRange.getDate(0), dayRange.getDate(1))
-    val merged = ends.filter(col("wend") <= lit(d1) && col("wend") >= lit(d0))
-      .groupBy("wend", "bucket").agg(max("reg").as("reg"))
-    val est = hllEstimate(merged, "wend")
-    // exact twin: distinct users over the true trailing window
     val du = ev.distinct()
       .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
         date_add(col("day"), col("i")).as("wend"))
@@ -393,11 +409,78 @@ object Sketches {
       .select(col("wend"), col("user_id")).distinct()
       .groupBy("wend").agg(count(lit(1)).as("n_exact"))
     du.join(est, Seq("wend"))
-      .select(col("wend").as("week_ending"), col("n_exact"),
+      .select(col("wend").as("week_ending"),
+        least(datediff(col("wend"), lit(d0)) + 1, lit(7)).cast("long")
+          .as("n_days"),
+        col("n_exact"),
         round(col("est"), 4).as("n_hll"),
         round(abs(col("est") - col("n_exact")) / col("n_exact"), 6)
           .as("rel_err"))
       .orderBy("week_ending")
+  }
+
+  /** Trailing-7-day MAX-merge of a daily register table: each register
+    * row serves the ≤7 window ends it falls into. */
+  private def wauMergedRegisters(regs: DataFrame,
+      d0: java.sql.Date, d1: java.sql.Date): DataFrame =
+    regs.select(col("bucket"), col("reg"),
+        explode(sequence(lit(0), lit(6))).as("i"),
+        date_add(col("day"), col("i")).as("wend"))
+      .drop("i")
+      .filter(col("wend") <= lit(d1) && col("wend") >= lit(d0))
+      .groupBy("wend", "bucket").agg(max("reg").as("reg"))
+
+  /** q178 — the PRODUCTION-shaped WAU: registers only, no event-scale
+    * exact twin. This is exactly what runs at 100 TB — the sketch state
+    * is days·256 register rows, every aggregate in the plan is
+    * register-sized, and no (day × user) distinct exists anywhere
+    * (SketchesSpec pins that, plus estimate-parity with q149's n_hll
+    * column). q149 keeps the eval form that quantifies the error. */
+  def wauRegisters(spark: SparkSession, sfDir: String): DataFrame = {
+    val regs = dailyUserRegisters(spark, sfDir)
+    val dayRange = regs.agg(min("day"), max("day")).first()
+    val (d0, d1) = (dayRange.getDate(0), dayRange.getDate(1))
+    hllEstimate(wauMergedRegisters(regs, d0, d1), "wend")
+      .select(col("wend").as("week_ending"),
+        least(datediff(col("wend"), lit(d0)) + 1, lit(7)).cast("long")
+          .as("n_days"),
+        round(col("est"), 4).as("wau_hll"))
+      .orderBy("week_ending")
+  }
+
+  val wauRegistersSql: String = {
+    val m = HllBuckets
+    s"""WITH ev AS (
+       |  SELECT ts::DATE AS day, user_id FROM events
+       |), hashed AS (
+       |  SELECT day,
+       |         ('0x'||substr(md5(user_id::VARCHAR),1,2))::INT AS bucket,
+       |         ('0x'||substr(md5(user_id::VARCHAR),3,8))::BIGINT AS v
+       |  FROM ev
+       |), regs AS (
+       |  SELECT day, bucket, MAX($rhoSql) AS reg
+       |  FROM hashed GROUP BY 1, 2
+       |), rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+       |ends AS (
+       |  SELECT r.day + i::INT AS wend, r.bucket, r.reg
+       |  FROM regs r CROSS JOIN UNNEST(generate_series(0, 6)) AS t(i), rng
+       |  WHERE r.day + i::INT BETWEEN rng.d0 AND rng.d1
+       |), merged AS (
+       |  SELECT wend, bucket, MAX(reg) AS reg FROM ends GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT wend, SUM(power(2.0, -reg)) AS s, COUNT(*) AS b
+       |  FROM merged GROUP BY 1
+       |)
+       |SELECT agg.wend AS week_ending,
+       |       CAST(least(datediff('day', rng.d0, agg.wend) + 1, 7) AS BIGINT)
+       |         AS n_days,
+       |       round(CASE WHEN ${HllAlpha * m * m}::DOUBLE / (s + ($m - b))
+       |                   <= ${2.5 * m} AND b < $m
+       |              THEN $m * ln($m::DOUBLE / ($m - b))
+       |              ELSE ${HllAlpha * m * m}::DOUBLE / (s + ($m - b)) END, 4)
+       |         AS wau_hll
+       |FROM agg, rng
+       |ORDER BY week_ending""".stripMargin
   }
 
   val wauHllSql: String = {
@@ -438,10 +521,13 @@ object Sketches {
        |    WHERE d.day + i::INT BETWEEN rng.d0 AND rng.d1
        |  ) GROUP BY 1
        |)
-       |SELECT ex.wend AS week_ending, ex.n_exact,
+       |SELECT ex.wend AS week_ending,
+       |       CAST(least(datediff('day', rng.d0, ex.wend) + 1, 7) AS BIGINT)
+       |         AS n_days,
+       |       ex.n_exact,
        |       round(est.est, 4) AS n_hll,
        |       round(abs(est.est - ex.n_exact) / ex.n_exact, 6) AS rel_err
-       |FROM ex JOIN est USING (wend)
+       |FROM ex JOIN est USING (wend), rng
        |ORDER BY week_ending""".stripMargin
   }
 
@@ -562,12 +648,14 @@ object Sketches {
   def newUsersCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Events.loadEvents(spark, sfDir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
-    val regs = hllRegisters(ev, "day", "user_id")
+    // same session-memoized register table as q149/q178 — one event
+    // scan feeds the whole calendar-HLL family
+    val regs = dailyUserRegisters(spark, sfDir)
     // cumulative registers: running MAX per bucket across days; a
     // bucket absent before day d simply has no row yet
     val wb = Window.partitionBy("bucket").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val days = ev.select("day").distinct()
+    val days = regs.select("day").distinct()
     val grid = days.crossJoin(broadcast(
       spark.range(HllBuckets).select(col("id").cast("int").as("bucket"))))
     val cum = grid.join(regs, Seq("day", "bucket"), "left")

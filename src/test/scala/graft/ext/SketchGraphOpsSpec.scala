@@ -272,4 +272,40 @@ class SketchGraphOpsSpec extends SparkSpec {
     assert(got.except(plain).isEmpty && plain.except(got).isEmpty,
       "bloom pre-filter must not change the join result")
   }
+
+  test("q178 registers-only WAU matches q149's estimate column exactly") {
+    // the production path and the eval path must be the SAME estimator:
+    // identical (week_ending, n_hll/wau_hll) values, q178 just drops the
+    // event-scale exact twin
+    val eval = Sketches.wauHll(spark, sf001)
+      .select(col("week_ending"), col("n_days"), col("n_hll"))
+    val prod = Sketches.wauRegisters(spark, sf001)
+      .select(col("week_ending"), col("n_days"),
+        col("wau_hll").as("n_hll"))
+    assert(eval.except(prod).isEmpty && prod.except(eval).isEmpty,
+      "q178 estimates diverge from q149")
+  }
+
+  test("q178's plan is register-sized: no user-level distinct anywhere") {
+    // the point of the production shape: after the memoized register
+    // build, the declared plan never touches user_id — every aggregate
+    // is over (wend, bucket) register rows
+    val df = Sketches.wauRegisters(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("user_id"),
+      s"q178 must not re-derive user-level state:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"q178 must not plan a countDistinct Expand:\n$plan")
+  }
+
+  test("q149 partial windows are visible: n_days < 7 iff wend < d0+6") {
+    val rows = Sketches.wauHll(spark, sf001)
+      .orderBy("week_ending").collect()
+    val nDays = rows.map(_.getLong(1))
+    assert(nDays.take(6).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"leading partial windows must count up: ${nDays.take(6).toSeq}")
+    assert(nDays.drop(6).forall(_ == 7L),
+      "full windows must report n_days = 7")
+  }
 }
