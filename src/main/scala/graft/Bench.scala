@@ -1,6 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Time every selected query at one SF: per-query min over REPS runs —
+    * single runs at these sizes carry ±50% JVM/JIT noise, and min-of-2 is
+    * the cheapest stable estimator of the plan's actual cost. Queries
+    * whose FIRST rep already ran this long skip their repeats. The cap
+    * sits ABOVE the dedup family's first-run cost (q30 measured 13.4s
+    * cold vs 2.3s steady — whole-stage codegen compilation of the
+    * prefix-join pipeline dominates the first run), because min-of-2 is
+    * exactly what removes that compile tax from the reported number;
+    * only the genuinely-long tail (≥15s steady) skips its repeat. */
+  def runSuite(spark: SparkSession, sfDir: String,
+      selected: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame],
+      reps: Int, repCap: Double): Map[String, Double] =
+    selected.map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // toRdd.count(), not count(): Dataset.count() collapses to a
+        // count(1) agg that elides sorts and expensive projections, which
+        // would under-measure; materializing the final InternalRows runs
+        // the full physical plan without collecting to the driver.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drain scratch caches between reps: keeps the rep honest (no
+        // free ride on the previous rep's cache) and bounds storage
+        Scratch.drain(spark)
+        dt
+      }
+      val first = once()
+      val times = first +: (2 to reps)
+        .filter(_ => first < repCap).map(_ => once())
+      name -> times.min
+    }
+
+  private def jsonMap(m: Iterable[(String, Double)]): String =
+    m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,39 +73,47 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
-    // per-query min over REPS runs: single runs at these sizes carry
-    // ±50% JVM/JIT noise, and min-of-2 is the cheapest stable estimator
-    // of the plan's actual cost (reported as "reps" for transparency)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    // queries whose FIRST rep already ran this long skip their repeats.
-    // The cap sits ABOVE the dedup family's first-run cost (q30 measured
-    // 13.4s cold vs 2.3s steady — whole-stage codegen compilation of the
-    // prefix-join pipeline dominates the first run), because min-of-2 is
-    // exactly what removes that compile tax from the reported number;
-    // only the genuinely-long tail (≥15s steady) skips its repeat.
     val repCap = sys.env.getOrElse("SPARK_GRAFT_REP_CAP_SEC", "15.0").toDouble
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // toRdd.count(), not count(): Dataset.count() collapses to a
-        // count(1) agg that elides sorts and expensive projections, which
-        // would under-measure; materializing the final InternalRows runs
-        // the full physical plan without collecting to the driver.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drain scratch caches between reps: keeps the rep honest (no
-        // free ride on the previous rep's cache) and bounds storage
-        Scratch.drain(spark)
-        dt
-      }
-      val first = once()
-      val times = first +: (2 to reps)
-        .filter(_ => first < repCap).map(_ => once())
-      name -> times.min
+
+    // Optional scale-trend mode: SPARK_GRAFT_SCALING_DIRS=dirA,dirB
+    // (small first) times every query at BOTH SFs and writes
+    // SCALING.json with per-query ratios. For the standard 10× row
+    // growth (sf0.01 → sf0.1), a ratio far above 10 means the plan has
+    // a superlinear shape the plan pins can't see; constant JVM/plan
+    // overhead biases ratios DOWN, so a high ratio is a true signal.
+    // Queries faster than floorSec at the small SF are overhead-
+    // dominated on both sides — their ratio is noise, not a trend —
+    // and are reported but never flagged.
+    sys.env.get("SPARK_GRAFT_SCALING_DIRS").foreach { dirs =>
+      val Array(small, big) = dirs.split(",").map(_.trim)
+      val threshold =
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_MAX_RATIO", "15.0").toDouble
+      val floorSec =
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_FLOOR_SEC", "0.15").toDouble
+      val tSmall = runSuite(spark, small, selected, reps, repCap)
+      val tBig = runSuite(spark, big, selected, reps, repCap)
+      val ratios = selected.keys.toSeq.sorted.map { q =>
+        q -> tBig(q) / math.max(tSmall(q), 1e-9) }
+      val flagged = ratios.filter { case (q, r) =>
+        r > threshold && tSmall(q) >= floorSec }
+      val json =
+        s"""{"small":"$small","big":"$big","reps":$reps,""" +
+          s""""max_ratio":$threshold,"floor_sec":$floorSec,""" +
+          s""""t_small":${jsonMap(tSmall.toSeq.sortBy(_._1))},""" +
+          s""""t_big":${jsonMap(tBig.toSeq.sortBy(_._1))},""" +
+          s""""ratio":${jsonMap(ratios)},""" +
+          s""""flagged":${jsonMap(flagged)}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING.json"), json + "\n")
+      println(s"""{"metric":"scaling_flagged","value":${flagged.size},""" +
+        s""""queries":${jsonMap(flagged)},"file":"SCALING.json"}""")
+      spark.stop()
+      return
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val results = runSuite(spark, sfDir, selected, reps, repCap)
+    val qs = jsonMap(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout: a ~4KB 104-query
@@ -79,8 +125,7 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case _: Throwable => () }
     println(full)
-    val slowest = results.toSeq.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val slowest = jsonMap(results.toSeq.sortBy(-_._2).take(5))
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }

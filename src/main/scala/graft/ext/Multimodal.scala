@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The container ships no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub (`StubDecoder`) — but everything
-  * around it is real Spark: the asset schema, the typed Dataset stages,
-  * mapPartitions batching (one decoder instance per partition, the same
-  * shape a JNI/codec binding needs), and the binary slicing used for
-  * frame sampling. Assets are derived deterministically from the
-  * `documents` fixture (utf-8 bytes as payload) so tests are stable.
+  * IMAGE decode is REAL: q179 encodes a deterministic grayscale PNG per
+  * document (payload bytes as pixels) and decodes it with the pure-JVM
+  * `javax.imageio` codec inside mapPartitions — an actual compressed-
+  * format round trip on executors. PNG being lossless, the decoded
+  * pixel stats re-derive in DuckDB from the ASCII source text, so even
+  * the codec stage is oracle-checked end to end. Audio/video codecs
+  * don't exist in this container, so the generic `StubDecoder` stands
+  * in for those modalities — everything around it is real Spark: the
+  * asset schema, the typed Dataset stages, mapPartitions batching (one
+  * decoder instance per partition, the same shape a JNI/codec binding
+  * needs), and the binary slicing used for frame sampling. Assets are
+  * derived deterministically from the `documents` fixture (utf-8 bytes
+  * as payload) so tests are stable.
   *
   * Scale notes: binary payloads ride the scan; decode is a narrow
   * mapPartitions (no shuffle); per-partition decoder reuse amortizes
@@ -184,4 +190,90 @@ object Multimodal {
        |       ('0x'||substr(md5(substr(text, 1, $fs)),1,15))::BIGINT AS first_frame_hash
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Raster geometry for the PNG stage: fixed width, height = however
+    * many 32-byte rows the payload fills (zero-padded). */
+  val ImgWidth = 32
+
+  final case class PngAsset(doc_id: Long, png: Array[Byte])
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+      n_px: Long, nonzero_px: Long, mean_px: Double)
+
+  /** Per-document grayscale PNG, built from the utf-8 payload bytes laid
+    * out row-major into an ImgWidth-wide raster. Runs on executors (a
+    * narrow mapPartitions); the PNG bytes are a REAL compressed image
+    * column — the thing a 100 TB multimodal table stores. */
+  def pngAssets(spark: SparkSession, sfDir: String): Dataset[PngAsset] = {
+    import spark.implicits._
+    assets(spark, sfDir).select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = math.max(1, (bytes.length + ImgWidth - 1) / ImgWidth)
+          val img = new java.awt.image.BufferedImage(
+            ImgWidth, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < bytes.length) {
+            raster.setSample(i % ImgWidth, i / ImgWidth, 0, bytes(i) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngAsset(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** q179 — REAL image decode: `javax.imageio` parses the PNG column on
+    * executors and the features come off the decoded raster, not the
+    * source bytes. Lossless codec ⇒ the oracle re-derives every stat
+    * from the ASCII text (byte value == code point), which checks the
+    * whole encode→decode→feature pipeline, not just the plumbing.
+    *
+    * Scale shape: narrow mapPartitions (no shuffle), one codec context
+    * per partition, features are fixed-width columns; the wide binary
+    * never leaves the stage. */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngAssets(spark, sfDir).mapPartitions { it =>
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var nz = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            if (v != 0) nz += 1
+            x += 1
+          }
+          y += 1
+        }
+        PngFeatures(a.doc_id, w, h, w.toLong * h, nz,
+          sum.toDouble / (w.toLong * h))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        col("nonzero_px"), round(col("mean_px"), 6).as("mean_px"))
+      .orderBy("doc_id")
+  }
+
+  val imageDecodeSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS len,
+       |         greatest(CAST(ceil(length(text) / $ImgWidth.0) AS INT), 1) AS h,
+       |         COALESCE(list_aggregate([CAST(unicode(c) AS BIGINT)
+       |           for c in string_split_regex(text, '')], 'sum'), 0) AS px_sum
+       |  FROM documents
+       |)
+       |SELECT doc_id, $ImgWidth AS width, h AS height,
+       |       CAST($ImgWidth * h AS BIGINT) AS n_px,
+       |       CAST(len AS BIGINT) AS nonzero_px,
+       |       round(CAST(px_sum AS DOUBLE) / ($ImgWidth * h), 6) AS mean_px
+       |FROM t ORDER BY doc_id""".stripMargin
 }
