@@ -118,7 +118,7 @@ object Events {
     * from exact integer SUM/COUNT so the double division happens once,
     * identically in both engines. */
   def propsRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
     ev.select(col("event_type"),
         from_json(col("props"), lit("k INT")).getField("k").as("k"))
       .groupBy("event_type")
@@ -609,7 +609,7 @@ object Events {
     * fixed-schema alternative). Output: per event type, the histogram
     * of k-deciles. */
   def variantBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
     // floor division (not `div`, which truncates toward zero) and a -999
     // sentinel for missing k: pins identical semantics in both engines
     // even outside the fixture's k∈[0,99] domain (negative or absent k)
@@ -710,7 +710,7 @@ object Events {
   val OutlierWhisker = 1.5
 
   def valueOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
       .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"))
     val bounds = ev.groupBy("event_type")
@@ -901,7 +901,7 @@ object Events {
     * while `pow(x, 1.5)` is libm-dependent. Map-side partial sums,
     * one tiny combine — the distributed-moments shape. */
   def valueMoments(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
       .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("c"))
     val cd = col("c").cast("decimal(38,0)")
@@ -1204,7 +1204,7 @@ object Events {
     * IEEE sequence on both engines from integer inputs. At 100 TB the
     * plan is unchanged: no per-event state, no window, no join. */
   def abTest(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
     val users = ev.groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase",
         floor(col("value") * 100).cast("long")).otherwise(0L)).as("c"))
@@ -1379,7 +1379,7 @@ object Events {
     * documented trade; at 100 TB swap in q134's DDSketch buckets for
     * the same call shape with bounded error. */
   def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
       .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("c"))
     val med = ev.groupBy("event_type")
@@ -1438,7 +1438,7 @@ object Events {
     * so no second sort is needed; every intermediate is integer
     * cents. */
   def revenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
     val u = ev.groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase",
         floor(col("value") * 100).cast("long")).otherwise(0L)).as("rev"))
@@ -1780,7 +1780,7 @@ object Events {
     * anywhere. Ties break by user_id (row_number semantics,
     * documented — the engines agree because the order is total). */
   def spearman(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
     val u = ev.groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("freq"),
@@ -1913,7 +1913,7 @@ object Events {
     * ¼-exact dyadic interpolations of cents, so ×1e4 is integral),
     * keeping the cross-row sum order-independent. */
   def winsorizedMean(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+    val ev = loadEvents(spark, sfDir)
       .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("c"))
     val cuts = ev.groupBy("event_type")

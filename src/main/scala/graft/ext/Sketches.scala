@@ -868,7 +868,7 @@ object Sketches {
 
   def ddsketchQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val k = DdSubBuckets
-    val raw = Tables.load(spark, sfDir, "events")
+    val raw = Events.loadEvents(spark, sfDir)
     val ev = raw.select(col("event_type"),
         floor(col("value") * 100).cast("long").as("c"))
     val sketch = ddBucketCounts(raw, "event_type", "value")

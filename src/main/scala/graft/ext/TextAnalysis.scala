@@ -270,6 +270,13 @@ object TextAnalysis {
     "email" -> "[\\w.-]+@[\\w.-]+\\.\\w+",
     "digits" -> "\\d{4,}",
     "marker" -> ("(?i)" + markerRegex(englishStopwords)))
+  // SQL-twin safety: these patterns interpolate VERBATIM into
+  // single-quoted DuckDB literals (scrubSql, piiMatrixSql). A future
+  // pattern containing a quote (or a backslash-escape RE2 lacks) would
+  // produce a broken or silently-divergent oracle — reject at load.
+  require(ScrubPatterns.forall { case (_, p) => !p.contains("'") },
+    "ScrubPatterns must stay single-quote-free: they are interpolated " +
+      "into single-quoted SQL literals in the DuckDB twins")
 
   /** The scrub projection itself, reusable over any text column. */
   def scrubbedCol(c: Column): Column =

@@ -18,26 +18,33 @@ class BucketedJoinSpec extends SparkSpec {
     val docs = Tables.load(spark, sf001, "documents")
     val stats = docs.select(col("doc_id"),
       length(col("text")).as("n_chars2"))
-    docs.write.mode("overwrite")
-      .bucketBy(8, "doc_id").sortBy("doc_id")
-      .saveAsTable("bkt_documents")
-    stats.write.mode("overwrite")
-      .bucketBy(8, "doc_id").sortBy("doc_id")
-      .saveAsTable("bkt_doc_stats")
-    // force the join path (broadcast would also be exchange-free, but
-    // we are proving the BUCKETED SMJ shape that survives any size)
-    val joined = spark.sql(
-      """SELECT /*+ MERGE(a) */ a.doc_id, a.source, b.n_chars2
-        |FROM bkt_documents a JOIN bkt_doc_stats b ON a.doc_id = b.doc_id
-        |""".stripMargin)
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
-    assert(!plan.contains("Exchange"),
-      s"bucketed join must not shuffle either side:\n$plan")
-    assert(joined.count() == docs.count())
-    // and the bucket metadata actually survived the catalog round-trip
-    val desc = spark.sql("DESCRIBE EXTENDED bkt_documents")
-      .collect().map(_.mkString(" ")).mkString("\n")
-    assert(desc.contains("doc_id") && desc.toLowerCase.contains("bucket"))
+    try {
+      docs.write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("bkt_documents")
+      stats.write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("bkt_doc_stats")
+      // force the join path (broadcast would also be exchange-free, but
+      // we are proving the BUCKETED SMJ shape that survives any size)
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(a) */ a.doc_id, a.source, b.n_chars2
+          |FROM bkt_documents a JOIN bkt_doc_stats b ON a.doc_id = b.doc_id
+          |""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == docs.count())
+      // and the bucket metadata actually survived the catalog round-trip
+      val desc = spark.sql("DESCRIBE EXTENDED bkt_documents")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(desc.contains("doc_id") && desc.toLowerCase.contains("bucket"))
+    } finally {
+      // the catalog tables are persistent (spark-warehouse on disk) —
+      // drop them so repeated test runs leave no residue in the workdir
+      spark.sql("DROP TABLE IF EXISTS bkt_documents")
+      spark.sql("DROP TABLE IF EXISTS bkt_doc_stats")
+    }
   }
 }

@@ -14,8 +14,26 @@ import org.apache.spark.sql.functions._
   * partition column and return exactly that partition's rows. */
 class DynamicPruningSpec extends SparkSpec {
 
+  /** Recursive delete for the spec's temp parquet dirs — leaving them
+    * under /tmp accumulates residue across test runs. */
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("selective dim filter prunes fact partitions at runtime") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim")
+      .toString
+    try { runPruningChecks(dir, dimDir) }
+    finally { rmTree(dir); rmTree(dimDir) }
+  }
+
+  private def runPruningChecks(dir: String, dimDir: String): Unit = {
     val ord = Tables.load(spark, sf001, "orders")
     ord.write.mode("overwrite")
       .partitionBy("o_orderpriority").parquet(dir)
@@ -23,8 +41,6 @@ class DynamicPruningSpec extends SparkSpec {
     // DPP needs a FILTERED relation on the dim side (the optimizer
     // derives the pruning subquery from that filter), so the dim is a
     // real parquet table too
-    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim")
-      .toString
     ord.select(col("o_orderpriority").as("p")).distinct()
       .withColumn("dim_payload", length(col("p")).cast("long"))
       .write.mode("overwrite").parquet(dimDir)
