@@ -836,6 +836,54 @@ object Dedup {
        |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q180 — leakage-PROOF split assignment: q125 MEASURES how many
+    * near-dup pairs straddle train/val/test under the per-doc hash
+    * split; this op FIXES it by assigning whole near-dup clusters as a
+    * unit — every doc inherits its cluster minimum's hash split, so a
+    * near-dup family can never straddle an eval boundary (singleton
+    * docs hash their own id, identical to q59's assignment). The
+    * output is q125's audit matrix recomputed under the cluster-aware
+    * assignment: by construction it collapses to the diagonal and
+    * `leaks` is false everywhere — the eval-safety property, proven by
+    * the same audit that caught the hazard.
+    *
+    * Scale shape: rides the session-pinned verified pair list and the
+    * O(log n)-round CC labels; the split is a pure hash of the cluster
+    * root, attached to pair endpoints by equi-joins against the label
+    * frame (bounded by dup-graph nodes, far smaller than the corpus,
+    * and unhinted regardless). */
+  def leakproofSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedNgramPairs(spark, sfDir).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)
+    val la = labels.select(col("id").as("doc_a"), col("lbl").as("root_a"))
+    val lb = labels.select(col("id").as("doc_b"), col("lbl").as("root_b"))
+    pairs.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+      .select(
+        least(Sampling.splitOf(col("root_a")),
+          Sampling.splitOf(col("root_b"))).as("split_x"),
+        greatest(Sampling.splitOf(col("root_a")),
+          Sampling.splitOf(col("root_b"))).as("split_y"))
+      .groupBy("split_x", "split_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_x") =!= col("split_y"))
+      .orderBy("split_x", "split_y")
+  }
+
+  val leakproofSplitSql: String = {
+    val sa = Sampling.splitOfSql("ca.cluster_id")
+    val sb = Sampling.splitOfSql("cb.cluster_id")
+    s"""WITH c AS ($clustersSql),
+       |p AS ($ngramJaccardPairsSql)
+       |SELECT least($sa, $sb) AS split_x,
+       |       greatest($sa, $sb) AS split_y,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       least($sa, $sb) != greatest($sa, $sb) AS leaks
+       |FROM p
+       |JOIN c ca ON p.doc_a = ca.doc_id
+       |JOIN c cb ON p.doc_b = cb.doc_id
+       |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin
+  }
+
   /** q80 — PageRank over the near-dup similarity graph (the q11 LSH
     * candidate pairs, undirected): rank the "hub" documents whose text
     * radiates through the most duplication chains — the doc a curator
