@@ -111,6 +111,55 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q182 — cross-source score calibration (quantile normalization):
+    * raw quality scores are not comparable across sources (a web crawl
+    * and a books corpus have different stopword-ratio distributions),
+    * so mixing pipelines that threshold on a GLOBAL score over- or
+    * under-prune whole sources. The standard fix: replace each doc's
+    * score with its percentile WITHIN its source, then bucket the
+    * calibrated percentile into deciles — the per-source curriculum /
+    * filtering knob that survives distribution shift between sources.
+    *
+    * Scale shape: one scan + one window PARTITIONED BY SOURCE (state
+    * bounded per source partition, the q65 argument); ties broken by
+    * doc_id so percent_rank is engine-exact, and both engines run the
+    * identical (rank−1)/(n−1) → ×10 → floor IEEE sequence. */
+  def sourceCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(lower(col("text")), "\\s+")
+    val score = regexp_count(lower(col("text")),
+      lit(markerRegex(englishStopwords))).cast("double") /
+      size(toks).cast("double")
+    val w = Window.partitionBy("source")
+      .orderBy(col("raw_score"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), score.as("raw_score"))
+      .withColumn("pct", percent_rank().over(w))
+      .select(col("doc_id"), col("source"),
+        round(col("raw_score"), 6).as("raw_score"),
+        round(col("pct"), 6).as("src_pct"),
+        least(floor(col("pct") * 10), lit(9L)).cast("long").as("decile"))
+      .orderBy("doc_id")
+  }
+
+  val sourceCalibrationSql: String = {
+    val stopRe = markerRegex(englishStopwords)
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS raw_score
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source, raw_score,
+       |         percent_rank() OVER (PARTITION BY source
+       |           ORDER BY raw_score, doc_id) AS pct
+       |  FROM s
+       |)
+       |SELECT doc_id, source, round(raw_score, 6) AS raw_score,
+       |       round(pct, 6) AS src_pct,
+       |       CAST(least(floor(pct * 10), 9) AS BIGINT) AS decile
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** q17 — token counting: whitespace tokens vs BPE-ish subword pieces
     * (word fragments of ≤4 chars + standalone punctuation), the cheap
     * proxy for LLM token budgeting. */

@@ -392,6 +392,17 @@ class PlanSpec extends SparkSpec {
       s"set ops degenerated to a product:\n$plan")
   }
 
+  test("q181: the selectivity filter pushes into the ORC scan") {
+    // ORC stripes carry min/max stats like parquet row groups; a filter
+    // that stays above the scan reads every stripe at 100 TB
+    val plan = finalPlan("q181_orc_roundtrip")
+    val scanLine = plan.linesIterator.find(_.contains("FileScan orc"))
+      .getOrElse("")
+    assert(scanLine.nonEmpty, s"expected a native ORC scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,200)"),
+      s"n_chars filter must reach the ORC scan:\n$plan")
+  }
+
   test("column pruning: q01 scans only the columns it needs") {
     val plan = finalPlan("q01_revenue_by_category")
     // lineitem is 16 columns; the scan must read just the join key + money
