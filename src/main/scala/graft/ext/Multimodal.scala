@@ -263,6 +263,72 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q183 — perceptual image hash (dHash) off the DECODED raster: the
+    * image-modality near-dup primitive. For each document's PNG, decode
+    * with `javax.imageio`, then compare horizontally-adjacent pixels in
+    * the top-left 8×9 window (out-of-raster reads are zero, matching
+    * the encoder's padding) — 64 brightness-gradient bits, the standard
+    * difference-hash. Identical hashes = perceptually-identical
+    * thumbnails; the output also reports each doc's phash cluster size,
+    * the multimodal twin of q10's exact text dedup.
+    *
+    * Scale shape: decode + hash is one narrow mapPartitions; the
+    * cluster-size attach is a hash groupBy on the 64-bit phash (one
+    * register-width shuffle key, never pixels). Oracle: PNG is
+    * lossless and the fixture is ASCII, so every pixel re-derives from
+    * the text's code points — the 64-term comparison unrolls into the
+    * DuckDB twin from the same constants. */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = pngAssets(spark, sfDir).mapPartitions { it =>
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        def px(r: Int, c: Int): Int =
+          if (r < h && c < w) raster.getSample(c, r, 0) else 0
+        var bits = 0L
+        var k = 0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (px(r, c) < px(r, c + 1)) bits |= (1L << k)
+            k += 1
+            c += 1
+          }
+          r += 1
+        }
+        (a.doc_id, bits)
+      }
+    }.toDF("doc_id", "phash")
+    val sizes = hashes.groupBy("phash")
+      .agg(count(lit(1)).as("phash_cluster_size"))
+    hashes.join(sizes, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("phash_cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val imagePhashSql: String = {
+    def byteAt(i: Int): String =
+      s"(CASE WHEN $i < length(text) THEN unicode(substr(text, ${i + 1}, 1)) ELSE 0 END)"
+    val terms = (for { r <- 0 until 8; c <- 0 until 8 } yield {
+      val k = r * 8 + c
+      s"(CASE WHEN ${byteAt(r * ImgWidth + c)} < ${byteAt(r * ImgWidth + c + 1)} " +
+        s"THEN ${1L << k} ELSE 0 END)"
+    }).mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, CAST($terms AS BIGINT) AS phash FROM documents
+       |), s AS (
+       |  SELECT phash, CAST(COUNT(*) AS BIGINT) AS phash_cluster_size
+       |  FROM h GROUP BY 1
+       |)
+       |SELECT h.doc_id, h.phash, s.phash_cluster_size
+       |FROM h JOIN s USING (phash)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val imageDecodeSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, length(text) AS len,

@@ -1002,4 +1002,54 @@ object Bi {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
       |                        (o_orderstatus), ())
       |ORDER BY status, priority""".stripMargin
+
+  /** q184 — monthly promo revenue share (the TPC-H Q14 shape, rolled
+    * across the calendar): per ship month, the fraction of discounted
+    * revenue from PROMO-type parts — the conditional-aggregation-
+    * inside-a-join pattern (one pass computes both the conditional
+    * numerator and the total, no second scan or self-join).
+    *
+    * Scale shape: fact × part equi-join with the dim broadcast (the
+    * q01 pin), then one (month)-keyed aggregate with map-side combine;
+    * decimal money math until the output edge (the q144 discipline). */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        col("p_type"), rev.as("rev"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("p_type") === "PROMO", col("rev"))).as("promo_dec"),
+        sum(col("rev")).as("tot_dec"))
+      .select(col("month"), col("n_items"),
+        coalesce(col("promo_dec"), lit(0)).cast("double").as("promo_revenue"),
+        col("tot_dec").cast("double").as("total_revenue"),
+        round(lit(100.0) * coalesce(col("promo_dec"), lit(0)).cast("double") /
+          col("tot_dec").cast("double"), 6).as("promo_share"))
+      .orderBy("month")
+  }
+
+  val promoShareSql: String =
+    """WITH agg AS (
+      |  SELECT date_trunc('month', l_shipdate) AS m,
+      |         COUNT(*) AS n_items,
+      |         SUM(CASE WHEN p_type = 'PROMO'
+      |             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                  * CAST(1.0 - l_discount AS DECIMAL(4,2)) END) AS promo_dec,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS tot_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1
+      |)
+      |SELECT make_timestamp(epoch_us(m)) AS month,
+      |       CAST(n_items AS BIGINT) AS n_items,
+      |       CAST(COALESCE(promo_dec, 0) AS DOUBLE) AS promo_revenue,
+      |       CAST(tot_dec AS DOUBLE) AS total_revenue,
+      |       round(100.0 * CAST(COALESCE(promo_dec, 0) AS DOUBLE)
+      |             / CAST(tot_dec AS DOUBLE), 6) AS promo_share
+      |FROM agg ORDER BY month""".stripMargin
 }
