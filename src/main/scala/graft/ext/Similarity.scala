@@ -218,6 +218,24 @@ object Similarity {
   val CentroidEvery = 50
   val NProbe = 3
 
+  /** Collected literal codebook (bounded — production IVF k-means to a
+    * fixed C instead of sampling by id). */
+  private def ivfCodebook(e: DataFrame): Array[(Long, Seq[Double])] = {
+    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    require(cents.length <= 4096, s"IVF codebook too large: ${cents.length}")
+    cents
+  }
+
+  /** Struct array of (cos to each centroid, -cid); sort_array desc picks
+    * highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC,
+    * cid). */
+  private def ivfScores(cents: Array[(Long, Seq[Double])], v: Column): Column =
+    array(cents.toSeq.map { case (cid, cv) =>
+      struct(cosine(v, typedlit(cv)).as("cos"), lit(-cid).as("ncid"))
+    }: _*)
+
   /** q25 — IVF ANN. Assignment is a MAP-ONLY pass: the (small) codebook
     * is collected and inlined as literal vectors, so each row computes
     * its nearest centroid with zero shuffle — exactly how IVF ships its
@@ -226,19 +244,8 @@ object Similarity {
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents: Array[(Long, Seq[Double])] =
-      e.filter(col("vec_id") % CentroidEvery === 0)
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
-        .sortBy(_._1)
-    // the codebook ships to every task as literals — keep it bounded
-    // (production IVF k-means to a fixed C instead of sampling by id)
-    require(cents.length <= 4096, s"IVF codebook too large: ${cents.length}")
-
-    // struct array of (cos to each centroid, -cid); sort_array desc picks
-    // highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC, cid)
-    def scores(v: Column): Column = array(cents.toSeq.map { case (cid, cv) =>
-      struct(cosine(v, typedlit(cv)).as("cos"), lit(-cid).as("ncid"))
-    }: _*)
+    val cents = ivfCodebook(e)
+    def scores(v: Column): Column = ivfScores(cents, v)
 
     val assigned = e
       .withColumn("cid", -sort_array(scores(col("v")), asc = false)(0)("ncid"))
@@ -423,6 +430,118 @@ object Similarity {
        |LEFT JOIN approx_k a
        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  /** q185 — the IVF TUNING CURVE: recall@k and candidates scanned as a
+    * function of nprobe (1 / 2 / 4 probed lists) against q13's exact
+    * top-k — the measurement that picks an operating point on the
+    * recall-vs-work tradeoff before an approximate index is allowed to
+    * serve (q81's "measure, don't guess" rule, swept across the knob a
+    * production IVF actually exposes). All counts are integers (hits,
+    * candidates); recall divides by the constant NQueries·TopK — one
+    * identical IEEE division on both engines.
+    *
+    * Scale shape: one assignment pass (map-only literal codebook), one
+    * cid-keyed candidate join for the WIDEST setting, then the sweep
+    * reuses those candidates by probe rank — the narrower settings are
+    * filters, not re-scans. Candidate volume per query is bounded by
+    * the probed lists' sizes, never the corpus. */
+  val ProbeSweep: Seq[Int] = Seq(1, 2, 4)
+
+  def ivfProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = ivfCodebook(e)
+    val maxP = ProbeSweep.max
+    val assigned = e.withColumn("cid",
+      -sort_array(ivfScores(cents, col("v")), asc = false)(0)("ncid"))
+    val probes = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        posexplode(transform(
+          slice(sort_array(ivfScores(cents, col("v")), asc = false), 1, maxP),
+          s => -s("ncid"))))
+      .select(col("query_id"), col("qv"),
+        (col("pos") + 1).as("prank"), col("col").as("cid"))
+    // each vector lives in exactly ONE list, so (query, neighbor) pairs
+    // are unique and carry the probe rank of the neighbor's list
+    val cand = probes
+      .join(assigned.select(col("cid"), col("vec_id"), col("v")), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("prank"),
+        col("vec_id").as("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+    val sweep = cand
+      .select(col("query_id"), col("prank"), col("neighbor_id"), col("cos"),
+        explode(typedlit(ProbeSweep)).as("nprobe"))
+      .filter(col("prank") <= col("nprobe"))
+    val topk = sweep
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rk") <= TopK)
+    val exact = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topk.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val cands = sweep.groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"))
+    cands.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("int").as("nprobe"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit((NQueries * TopK).toDouble)).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  val ivfProbeSweepSql: String = {
+    val maxP = ProbeSweep.max
+    val sweepVals = ProbeSweep.map(p => s"($p)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e, cent c) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid, rn AS prank FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e, cent c WHERE e.vec_id < $NQueries) WHERE rn <= $maxP
+       |), cand AS (
+       |  SELECT p.query_id, p.prank, a.vec_id AS neighbor_id,
+       |         list_cosine_similarity(eq.v, a.v) AS cos
+       |  FROM probes p
+       |  JOIN asg a ON a.cid = p.cid AND a.vec_id != p.query_id
+       |  JOIN e eq ON eq.vec_id = p.query_id
+       |), sweep AS (
+       |  SELECT s.nprobe, c.query_id, c.prank, c.neighbor_id, c.cos
+       |  FROM cand c CROSS JOIN (VALUES $sweepVals) s(nprobe)
+       |  WHERE c.prank <= s.nprobe
+       |), ranked AS (
+       |  SELECT nprobe, query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY nprobe, query_id
+       |           ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM sweep
+       |), exact_k AS ($bruteForceTopKSql),
+       |hits AS (
+       |  SELECT r.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ranked r
+       |  WHERE r.rk <= $TopK AND EXISTS (
+       |    SELECT 1 FROM exact_k x
+       |    WHERE x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id)
+       |  GROUP BY 1
+       |), cands AS (
+       |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |  FROM sweep GROUP BY 1
+       |)
+       |SELECT c.nprobe, c.n_candidates,
+       |       COALESCE(h.n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${NQueries * TopK}.0
+       |         AS recall
+       |FROM cands c LEFT JOIN hits h USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
+  }
 
   /** q78 — embedding-corpus hygiene report, per label: vector counts,
     * dimensionality bounds (a ragged dim is an upstream bug), L2-norm
