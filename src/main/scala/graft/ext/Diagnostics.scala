@@ -1,0 +1,129 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-health diagnostics a 100 TB deployment runs before committing
+  * to a physical design: join-key skew audits (should this join be salted
+  * or AQE-skew-split?) and small-file compaction planning (how do ragged
+  * document sizes pack into fixed-size output files?).
+  *
+  * Scale notes:
+  *  - q191's per-key counts are partial+final hash aggregates (map-side
+  *    combine); every downstream statistic folds those counts, never the
+  *    raw rows. The top-10 share is a TakeOrderedAndProject over the
+  *    counts frame (bounded), and the squared-count HHI sum runs in
+  *    DECIMAL(38,0) so a 10⁹-row hot key cannot overflow a long.
+  *  - q193's packing is a per-source prefix sum — a window partitioned by
+  *    source (never unpartitioned), so each source packs independently;
+  *    at 100 TB sources pack in parallel and the plan is one shuffle by
+  *    source plus the window sort.
+  */
+object Diagnostics {
+
+  private case class KeySpec(table: String, keyCol: String)
+
+  private val audited = Seq(
+    KeySpec("lineitem", "l_partkey"),
+    KeySpec("lineitem", "l_suppkey"),
+    KeySpec("orders", "o_custkey"),
+    KeySpec("events", "user_id"))
+
+  /** q191 — join-key skew audit: for each frequently-joined key, the key
+    * cardinality, row count, hottest-key share, top-10 share, and the
+    * Herfindahl concentration index Σ(cᵢ/n)² — the numbers that decide
+    * between a plain shuffle join, salting, or AQE skew splitting.
+    * Shares are exact integer ratios until the final double division.
+    */
+  def skewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val perKey = audited.map { spec =>
+      val src =
+        if (spec.table == "events") Events.loadEvents(spark, sfDir)
+        else Tables.load(spark, sfDir, spec.table)
+      val counts = src.groupBy(col(spec.keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+      val totals = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("top1"),
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+          .as("sum_sq"))
+      val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
+        .agg(sum(col("c")).as("top10"))
+      totals.crossJoin(top10)
+        .select(
+          lit(s"${spec.table}.${spec.keyCol}").as("join_key"),
+          col("n_keys"), col("n_rows"),
+          round(col("top1").cast("double") / col("n_rows").cast("double"), 6)
+            .as("top1_share"),
+          round(col("top10").cast("double") / col("n_rows").cast("double"), 6)
+            .as("top10_share"),
+          round(col("sum_sq").cast("double") /
+            (col("n_rows").cast("double") * col("n_rows").cast("double")), 6)
+            .as("hhi"))
+    }
+    perKey.reduce(_.union(_)).orderBy("join_key")
+  }
+
+  val skewAuditSql: String = {
+    def one(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS join_key,
+         |       COUNT(*) AS n_keys,
+         |       SUM(c) AS n_rows,
+         |       round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         |         AS top1_share,
+         |       round((SELECT CAST(SUM(c) AS DOUBLE) FROM (
+         |                SELECT c FROM cnt_${table}_$key
+         |                ORDER BY c DESC, k LIMIT 10))
+         |             / CAST(SUM(c) AS DOUBLE), 6) AS top10_share,
+         |       round(CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+         |             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6)
+         |         AS hhi
+         |FROM cnt_${table}_$key""".stripMargin
+    val ctes = audited.map(s =>
+      s"cnt_${s.table}_${s.keyCol} AS (SELECT ${s.keyCol} AS k, COUNT(*) AS c" +
+        s" FROM ${s.table} GROUP BY 1)").mkString(",\n")
+    val parts = audited.map(s => one(s.table, s.keyCol)).mkString("\nUNION ALL\n")
+    s"WITH\n$ctes\n$parts\nORDER BY join_key"
+  }
+
+  /** q193 — compaction plan: pack each source's documents (in doc_id
+    * order) into target-sized output files by prefix sum — file index =
+    * floor(bytes-before-me / target). Greedy-by-cumsum is the
+    * deterministic, embarrassingly-parallel-by-source version of the
+    * small-files compaction every large parquet lake runs.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = 16384L
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs
+      .withColumn("before",
+        coalesce(sum(col("n_chars")).over(
+          w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("file_id", (col("before") / target).cast("long"))
+      .groupBy("source", "file_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("file_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "file_id")
+  }
+
+  val compactionPlanSql: String =
+    """WITH pre AS (
+      |  SELECT source, doc_id, n_chars,
+      |         COALESCE(SUM(n_chars) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS before
+      |  FROM documents
+      |)
+      |SELECT source, CAST(floor(before / 16384) AS BIGINT) AS file_id,
+      |       COUNT(*) AS n_docs, SUM(n_chars) AS file_bytes,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM pre GROUP BY 1, 2 ORDER BY source, file_id""".stripMargin
+}

@@ -935,4 +935,53 @@ object Sampling {
        |       round(key * 1e6, 6) AS key_micro
        |FROM ranked WHERE rk <= $ReservoirK
        |ORDER BY source, rk""".stripMargin
+
+  /** q192 — deterministic k-fold assignment with a balance audit: fold =
+    * md5(doc_id) mod K (engine-portable, independent of the q59 split
+    * hash's first-8-hex bucket — this one reads hex digits 9-16 so fold
+    * and split assignments are independent bits), then per (fold, lang)
+    * doc/token counts and the fold-internal language share. The share a
+    * consumer compares against the corpus share to detect a fold that
+    * accidentally concentrated one language — the cross-validation
+    * hygiene check. One pass, one partial+final agg, a fold-partitioned
+    * window over K·|langs| aggregated rows.
+    */
+  val KFolds = 5L
+
+  def kfold(spark: SparkSession, sfDir: String): DataFrame = {
+    val fold =
+      conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long") % KFolds
+    val docs = Tables.load(spark, sfDir, "documents")
+    val byFold = docs
+      .select(fold.as("fold"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fold")
+    byFold
+      .withColumn("fold_docs", sum(col("n_docs")).over(w))
+      .select(col("fold"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("fold_docs").cast("double"),
+          6).as("lang_share"))
+      .orderBy("fold", "lang")
+  }
+
+  val kfoldSql: String =
+    s"""WITH b AS (
+       |  SELECT ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),9,8))::BIGINT
+       |           % $KFolds AS fold,
+       |         lang,
+       |         len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM documents
+       |), g AS (
+       |  SELECT fold, lang, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY 1, 2
+       |)
+       |SELECT fold, lang, n_docs, n_tokens,
+       |       round(CAST(n_docs AS DOUBLE) /
+       |             CAST(SUM(n_docs) OVER (PARTITION BY fold) AS DOUBLE), 6)
+       |         AS lang_share
+       |FROM g ORDER BY fold, lang""".stripMargin
 }
