@@ -1753,4 +1753,99 @@ object Dedup {
        |       round((docs_in - docs_out)::DOUBLE / docs_in::DOUBLE, 6)
        |         AS removal_rate
        |FROM f ORDER BY stage""".stripMargin
+
+  /** q195 — inverse-frequency WEIGHTED Jaccard re-score of the verified
+    * q29 near-dup pairs: rare words count more than stopword-like ones,
+    * the standard fix for boilerplate-dominated docs where unweighted
+    * Jaccard over-merges. Weight per word = (10⁶ · N) div df — a pure
+    * integer inverse-frequency weight (integer DIVISION on both
+    * engines), so every per-doc and per-pair weight sum is EXACT
+    * integer arithmetic; the only doubles are the two final ratios.
+    *
+    * Scale shape: the weight dictionary is the word-df aggregate
+    * (vocab-sized, unhinted — AQE broadcasts while small); per-doc
+    * totals are one partial+final agg; the shared-weight sum touches
+    * only the verified pair list (bucket-bounded by the q29 prefix
+    * filter) joined twice on doc id, the same re-attach shape as every
+    * other pair consumer.
+    */
+  def weightedJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(lower(col("text")), "\\s+"))).as("w"))
+    val total = docs.agg(count(lit(1)).as("nd"))
+    val wgt = words.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("w"), expr("(1000000 * nd) div df").as("wt"))
+    val wdoc = words.join(wgt, Seq("w"))
+      .groupBy("doc_id").agg(sum(col("wt")).as("wtot"))
+    val pairs = verifiedNgramPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sharedW = pairs.select(col("doc_a"), col("doc_b"))
+      .join(words.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
+      .join(words.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"),
+        "left_semi")
+      .join(wgt, Seq("w"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wt")).as("ws"))
+    pairs
+      .join(wdoc.select(col("doc_id").as("doc_a"), col("wtot").as("wa")),
+        Seq("doc_a"))
+      .join(wdoc.select(col("doc_id").as("doc_b"), col("wtot").as("wb")),
+        Seq("doc_b"))
+      .join(sharedW, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
+        round(coalesce(col("ws"), lit(0L)).cast("double") /
+          (col("wa") + col("wb") - coalesce(col("ws"), lit(0L))).cast("double"),
+          6).as("weighted_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val weightedJaccardSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    WITH toks AS (
+       |      SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]
+       |                     for i in generate_series(1, len(t)-1)])) AS ng
+       |      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents)
+       |      WHERE len(t) >= $NgramWords
+       |    ), counts AS (
+       |      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+       |    ), shared AS (
+       |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS s
+       |      FROM toks a JOIN toks b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2
+       |    )
+       |    SELECT doc_a, doc_b,
+       |           CAST(s AS DOUBLE) / CAST(ca.n + cb.n - s AS DOUBLE) AS jaccard
+       |    FROM shared
+       |    JOIN counts ca ON doc_a = ca.doc_id
+       |    JOIN counts cb ON doc_b = cb.doc_id
+       |    WHERE CAST(s AS DOUBLE) / CAST(ca.n + cb.n - s AS DOUBLE) >= $Tau
+       |  )
+       |), words AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS w
+       |  FROM documents
+       |), wgt AS (
+       |  SELECT w, (1000000 * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS wt
+       |  FROM words GROUP BY w
+       |), wdoc AS (
+       |  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS wtot
+       |  FROM words JOIN wgt USING (w) GROUP BY 1
+       |), sw AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(SUM(g.wt) AS BIGINT) AS ws
+       |  FROM pairs p
+       |  JOIN words a ON a.doc_id = p.doc_a
+       |  JOIN words b ON b.doc_id = p.doc_b AND b.w = a.w
+       |  JOIN wgt g ON g.w = a.w
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.doc_a, p.doc_b, round(p.jaccard, 6) AS jaccard,
+       |       round(CAST(COALESCE(sw.ws, 0) AS DOUBLE) /
+       |             CAST(wa.wtot + wb.wtot - COALESCE(sw.ws, 0) AS DOUBLE), 6)
+       |         AS weighted_jaccard
+       |FROM pairs p
+       |JOIN wdoc wa ON wa.doc_id = p.doc_a
+       |JOIN wdoc wb ON wb.doc_id = p.doc_b
+       |LEFT JOIN sw ON sw.doc_a = p.doc_a AND sw.doc_b = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 }

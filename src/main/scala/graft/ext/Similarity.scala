@@ -1181,4 +1181,77 @@ object Similarity {
        |         AS merge_candidate
        |FROM cent a JOIN cent b ON a.label < b.label
        |ORDER BY label_a, label_b""".stripMargin
+
+  /** Ordered-fold squared euclidean distance — index-order accumulation
+    * so DuckDB's list_distance (same order) produces the identical IEEE
+    * sequence before the round-6 edge. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** q196 — simplified (centroid) silhouette per label: a = distance to
+    * the label's own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a) / max(a, b). Reported per label: n, mean s,
+    * and the share of negative-s vectors (rows geometrically closer to a
+    * foreign class — the label-noise signal a curation pass ranks by).
+    *
+    * Scale shape: centroids are the |labels|·Dim posexplode aggregate
+    * (as q122), broadcast back twice — own-centroid lookup is an equi
+    * join, nearest-other is a |labels|−1-per-row broadcast grid
+    * (constant-bounded, the q153 shape) reduced by min before anything
+    * shuffles. One corpus pass, two small apex aggs.
+    */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(col("label"), transform(col("ms"), s => s("m")).as("c"))
+    val own = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"), col("v"),
+        sqrt(sqDist(col("v"), col("c"))).as("a"))
+    val other = own.join(
+        broadcast(cent.select(col("label").as("olabel"), col("c"))),
+        col("label") =!= col("olabel"))
+      .groupBy("vec_id", "label", "a")
+      .agg(min(sqrt(sqDist(col("v"), col("c")))).as("b"))
+    other
+      .select(col("label"),
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 6).as("s"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("s")), 6).as("mean_silhouette"),
+        round(sum(when(col("s") < 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("neg_share"))
+      .orderBy("label")
+  }
+
+  val silhouetteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY i) AS c FROM (
+       |    SELECT label, i, AVG(v[i]) AS m
+       |    FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |    GROUP BY 1, 2)
+       |  GROUP BY label
+       |), own AS (
+       |  SELECT e.vec_id, e.label, e.v, list_distance(e.v, cent.c) AS a
+       |  FROM e JOIN cent USING (label)
+       |), other AS (
+       |  SELECT o.vec_id, o.label, o.a,
+       |         MIN(list_distance(o.v, c.c)) AS b
+       |  FROM own o JOIN cent c ON c.label != o.label
+       |  GROUP BY 1, 2, 3
+       |), s AS (
+       |  SELECT label, round((b - a) / greatest(a, b), 6) AS s
+       |  FROM other
+       |)
+       |SELECT label, COUNT(*) AS n,
+       |       round(AVG(s), 6) AS mean_silhouette,
+       |       round(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)::DOUBLE
+       |             / COUNT(*)::DOUBLE, 6) AS neg_share
+       |FROM s GROUP BY 1 ORDER BY label""".stripMargin
 }
