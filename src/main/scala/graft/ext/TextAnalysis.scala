@@ -2209,4 +2209,52 @@ object TextAnalysis {
       |       round(SUM(round(bits * 1e6)::BIGINT)::DOUBLE
       |             / COUNT(*)::DOUBLE / 1e6, 6) AS mean_bits
       |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
+  /** q197 — entity-resolution fuzzy match via blocking + edit distance:
+    * candidate pairs form ONLY within a block key (lang, length bucket,
+    * first token) — the standard ER blocking that turns an O(n²) corpus
+    * compare into bounded within-block compares — then classic
+    * Levenshtein over the 48-char lowercase prefix decides a match
+    * (≤ [[ErMaxDist]], half the prefix). Both engines implement the
+    * same textbook DP, so the distance is integer-exact.
+    *
+    * Scale shape: one scan to derive block keys, a self equi-join ON
+    * the block key (hash join — never a cartesian; block sizes are the
+    * tuning knob, and a hot block is an AQE skew-split candidate), and
+    * the quadratic edit-distance kernel runs only inside surviving
+    * candidate rows.
+    */
+  val ErMaxDist = 24
+
+  def erBlocking(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("long").as("lb"),
+        element_at(split(lower(col("text")), "\\s+"), 1).as("ft"),
+        substring(lower(col("text")), 1, 48).as("p"))
+    b.as("a").join(b.as("c"),
+        col("a.lang") === col("c.lang") && col("a.lb") === col("c.lb") &&
+          col("a.ft") === col("c.ft") && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        col("a.lang").as("lang"), col("a.lb").as("len_bucket"),
+        levenshtein(col("a.p"), col("c.p")).cast("long").as("dist"))
+      .filter(col("dist") <= ErMaxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val erBlockingSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, n_chars // 100 AS lb,
+       |         string_split_regex(lower(text), '\\s+')[1] AS ft,
+       |         substr(lower(text), 1, 48) AS p
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |       a.lang AS lang, a.lb AS len_bucket,
+       |       levenshtein(a.p, c.p) AS dist
+       |FROM b a JOIN b c
+       |  ON a.lang = c.lang AND a.lb = c.lb AND a.ft = c.ft
+       | AND a.doc_id < c.doc_id
+       |WHERE levenshtein(a.p, c.p) <= $ErMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
 }
