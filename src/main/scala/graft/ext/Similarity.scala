@@ -1254,4 +1254,66 @@ object Similarity {
        |       round(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)::DOUBLE
        |             / COUNT(*)::DOUBLE, 6) AS neg_share
        |FROM s GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** q198 — hard-negative mining for contrastive training: for each of
+    * the NQueries anchor vectors, the TopK highest-cosine vectors whose
+    * label DIFFERS from the anchor's — the "looks similar, is not"
+    * rows a contrastive fine-tune pairs against each anchor. Same
+    * broadcast-anchors + one-candidate-scan shape as q13, with the
+    * label-mismatch predicate applied before ranking, plus a margin
+    * column (anchor's best same-label cosine − this negative's cosine):
+    * negatives with small or negative margin are the valuable ones.
+    *
+    * Scale shape: anchors are an NQueries-bounded broadcast; one pass
+    * over the corpus scores both the negative candidates and the
+    * same-label positives (a CASE split inside the same aggregate
+    * pipeline, not two scans); per-anchor top-k is a WindowGroupLimit.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id").as("neighbor_id"),
+        col("label"), cosine(col("qv"), col("v")).as("cos"))
+    val bestPos = scored.filter(col("label") === col("qlabel"))
+      .groupBy("query_id").agg(max(col("cos")).as("best_pos"))
+    scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .join(broadcast(bestPos), Seq("query_id"))
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("label").as("neg_label"), round(col("cos"), 6).as("cosine"),
+        round(col("best_pos") - col("cos"), 6).as("margin"))
+      .orderBy("query_id", "rk")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+       |         c.vec_id AS neighbor_id, c.label,
+       |         list_cosine_similarity(q.v, c.v) AS cos
+       |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |), best_pos AS (
+       |  SELECT query_id, MAX(cos) AS best_pos
+       |  FROM scored WHERE label = qlabel GROUP BY 1
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, label, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored WHERE label != qlabel
+       |)
+       |SELECT r.query_id, r.rk, r.neighbor_id, r.label AS neg_label,
+       |       round(r.cos, 6) AS cosine,
+       |       round(b.best_pos - r.cos, 6) AS margin
+       |FROM ranked r JOIN best_pos b USING (query_id)
+       |WHERE r.rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
 }
