@@ -126,4 +126,58 @@ object Diagnostics {
       |       COUNT(*) AS n_docs, SUM(n_chars) AS file_bytes,
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM pre GROUP BY 1, 2 ORDER BY source, file_id""".stripMargin
+
+  /** q200 — the dataset card: one manifest row per source with the
+    * numbers a training-data consumer reads before mixing — volume
+    * (docs, chars, tokens), language spread, and the exact-duplicate
+    * rate (share of docs whose full-text md5 appears more than once in
+    * the WHOLE corpus, so a source copying another source's docs is
+    * charged for it). Every statistic is an exact integer until the
+    * two final round(6) ratios.
+    *
+    * Scale shape: one corpus-wide md5 group (the q10 exact-dedup
+    * aggregate) re-joined on the hash — shuffle on hash, shuffle on
+    * source, both partial+final aggs; nothing collects.
+    */
+  def datasetManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    val dupHash = docs.groupBy("h").agg(count(lit(1)).as("c"))
+    docs.join(dupHash, Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("n_langs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"),
+          6).as("dup_rate"),
+        round(col("total_tokens").cast("double") / col("n_docs").cast("double"),
+          6).as("mean_tokens"))
+      .orderBy("source")
+  }
+
+  val datasetManifestSql: String =
+    """WITH d AS (
+      |  SELECT source, lang, n_chars,
+      |         len(string_split_regex(text, '\s+')) AS n_tokens,
+      |         md5(text) AS h
+      |  FROM documents
+      |), dup AS (
+      |  SELECT h, COUNT(*) AS c FROM d GROUP BY 1
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       SUM(n_chars) AS total_chars,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |       COUNT(DISTINCT lang) AS n_langs,
+      |       round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+      |       round(CAST(SUM(n_tokens) AS DOUBLE)
+      |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+      |FROM d JOIN dup USING (h)
+      |GROUP BY 1 ORDER BY source""".stripMargin
 }

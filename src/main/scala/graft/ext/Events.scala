@@ -2023,4 +2023,63 @@ object Events {
       |         AS events_per_session,
       |       round(quantile_cont(dur_s, 0.5), 2) AS median_dur_s
       |FROM s GROUP BY 1 ORDER BY converted""".stripMargin
+
+  /** q199 — LINEAR multi-touch attribution (the q146 counterpart): each
+    * purchase's revenue splits EQUALLY across the distinct non-purchase
+    * touch types the user produced in the 7 days before it. The split
+    * stays integer-exact on both engines: cents × 10⁶ div k (identical
+    * integer division), summed as longs, divided back out only at the
+    * display edge — no FP accumulation can drift the hash.
+    *
+    * Scale shape: the purchase×touch pairing is an equi join ON user_id
+    * with the time-range predicate applied inside the joined partition
+    * (per-user history is the bounded dimension, the as-of/interval
+    * family shape), then one distinct + two hash aggs. Purchases with
+    * no in-window touch drop out (they have no attribution target).
+    */
+  def linearAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("pts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("touch"),
+        col("ts").as("tts"))
+    val pairs = purch.join(touch, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+      .select(col("event_id"), col("cents"), col("touch"))
+      .distinct()
+    val k = pairs.groupBy("event_id")
+      .agg(count(lit(1)).as("k"))
+    pairs.join(k, Seq("event_id"))
+      .select(col("touch"), col("event_id"),
+        expr("(cents * 1000000) div k").as("micro"))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("micro")).cast("double") / 1e8, 6)
+          .as("attributed_revenue"))
+      .orderBy("touch")
+  }
+
+  val linearAttributionSql: String =
+    """WITH purch AS (
+      |  SELECT user_id, event_id, ts AS pts,
+      |         CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), touch AS (
+      |  SELECT user_id, event_type AS touch, ts AS tts
+      |  FROM events WHERE event_type <> 'purchase'
+      |), pairs AS (
+      |  SELECT DISTINCT p.event_id, p.cents, t.touch
+      |  FROM purch p JOIN touch t ON p.user_id = t.user_id
+      |  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+      |), kk AS (
+      |  SELECT event_id, COUNT(*) AS k FROM pairs GROUP BY 1
+      |)
+      |SELECT touch, COUNT(*) AS n_purchases,
+      |       round(CAST(SUM((cents * 1000000) // k) AS DOUBLE) / 1e8, 6)
+      |         AS attributed_revenue
+      |FROM pairs JOIN kk USING (event_id)
+      |GROUP BY 1 ORDER BY touch""".stripMargin
 }

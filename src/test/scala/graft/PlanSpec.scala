@@ -58,7 +58,25 @@ class PlanSpec extends SparkSpec {
       "q142_ccnet_buckets", "q153_centroid_matrix",
       // q172: the calendar-day grid crosses the CONSTANT 256-bucket
       // list — days×m register rows, bounded by elapsed time
-      "q172_new_users_curve")
+      "q172_new_users_curve",
+      // q185: the q25 IVF shape swept over nprobe values — still the
+      // NQueries(=8)-bounded query broadcast crossed into candidates
+      "q185_ivf_probe_sweep",
+      // q190: the 1-row avg-balance threshold anchor crossed into the
+      // customer scan (q73's scalar shape)
+      "q190_idle_customers",
+      // q191: two 1-row aggregates (global totals × top-10 totals)
+      // crossed per audited key — constant-bounded on both sides
+      "q191_skew_audit",
+      // q195: the 1-row corpus doc-count anchor crossed into the
+      // word-df dictionary (scalar shape again)
+      "q195_weighted_jaccard",
+      // q196: the |labels|(=10) centroid list broadcast-crossed into
+      // per-vector rows on label inequality — q153's bounded grid
+      "q196_silhouette",
+      // q198: NQueries(=8) anchor vectors crossed into the candidate
+      // scan — exactly the q13 shape with a label-mismatch predicate
+      "q198_hard_negatives")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
