@@ -1417,7 +1417,7 @@ object Dedup {
     * across members, and a float sum's order would sit exactly on the
     * rounding knife edge), so both engines aggregate identically.
     * Scale shape: rides the session-memoized q29→q30 cluster pipeline
-    * (6th consumer); singleton docs never enter the cluster join —
+    * (shared with the other pair-list consumers); singleton docs never enter the cluster join —
     * one left join + a |sources|-sized agg. */
   def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val cl = clusters(spark, sfDir)
@@ -1848,4 +1848,57 @@ object Dedup {
        |JOIN wdoc wb ON wb.doc_id = p.doc_b
        |LEFT JOIN sw ON sw.doc_a = p.doc_a AND sw.doc_b = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
+  /** Jaccard thresholds the sensitivity curve sweeps (q209). Starts at
+    * the pipeline's own Tau so every row is a restriction of the
+    * already-verified pair list — no new pair generation per point. */
+  val CurveThresholds: Seq[Double] = Seq(0.5, 0.55, 0.6, 0.65, 0.7,
+    0.75, 0.8, 0.85, 0.9, 0.95)
+
+  /** q209 — dedup threshold sensitivity curve: for each candidate
+    * Jaccard cutoff, how many verified near-dup pairs survive and how
+    * many distinct documents they touch. The de-dup policy question
+    * ("what does tightening tau to 0.8 cost?") answered from the
+    * session-memoized q29 pair list (shared with the other pair-list
+    * consumers) — each pair map-side explodes the literal threshold
+    * list it satisfies (a ≤10-element array filter, no join of any
+    * kind), never a re-scan of the corpus. Jaccards are the identical
+    * exact-integer-derived doubles in both engines, so every threshold
+    * comparison lands on the same side.
+    */
+  def thresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedNgramPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val thArr = array(CurveThresholds.map(lit): _*)
+    val surviving = pairs.select(col("doc_a"), col("doc_b"),
+      explode(filter(thArr, t => col("jaccard") >= t)).as("threshold"))
+    val nPairs = surviving.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = surviving
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold"))
+      .orderBy("threshold")
+  }
+
+  val thresholdCurveSql: String = {
+    val list = CurveThresholds.mkString(", ")
+    s"""WITH p AS ($ngramJaccardPairsSql),
+       |th AS (SELECT unnest([$list]::DOUBLE[]) AS threshold),
+       |f AS (
+       |  SELECT th.threshold, p.doc_a, p.doc_b
+       |  FROM p, th WHERE p.jaccard >= th.threshold
+       |), np AS (
+       |  SELECT threshold, COUNT(*) AS n_pairs FROM f GROUP BY 1
+       |), nd AS (
+       |  SELECT threshold, COUNT(DISTINCT d) AS n_docs
+       |  FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM f)
+       |  GROUP BY 1
+       |)
+       |SELECT np.threshold, np.n_pairs, nd.n_docs
+       |FROM np JOIN nd USING (threshold)
+       |ORDER BY threshold""".stripMargin
+  }
 }

@@ -1316,4 +1316,74 @@ object Similarity {
        |FROM ranked r JOIN best_pos b USING (query_id)
        |WHERE r.rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
+
+  /** Quantization scale for the exact covariance matrix (q210). A
+    * power of two, so float → double × 1024 is EXACT (no rounding
+    * before the explicit round()) and the quantized co-moments are
+    * integer sums both engines compute identically in any order. */
+  val CovScale = 1024.0
+
+  /** q210 — embedding covariance matrix (upper triangle), the
+    * whitening/drift statistic a feature pipeline derives before PCA:
+    * per dimension pair (i ≤ j), the exact integer co-moment of the
+    * 1024-quantized components plus the double covariance derived from
+    * it with one shared IEEE op sequence. Scale shape: the per-row
+    * nested transform emits Dim² products map-side and the aggregate
+    * collapses each partition to Dim(Dim+1)/2 = 2080 groups before the
+    * one shuffle — the canonical distributed covariance job (bounded
+    * D², linear in N, no joins on the corpus). The means table is a
+    * Dim-sized second pass joined onto the 2080-row result.
+    */
+  def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+    val prods = q.select(explode(flatten(
+        transform(col("qv"), (xi: Column, i: Column) =>
+          transform(col("qv"), (xj: Column, j: Column) =>
+            struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("e"))
+      .filter(col("e.i") <= col("e.j"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sxy"), count(lit(1)).as("n"))
+    val sums = q.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy("d").agg(sum(col("x")).as("sx"))
+    prods
+      .join(sums.select(col("d").as("ia"), col("sx").as("sxa")),
+        col("i") === col("ia"))
+      .join(sums.select(col("d").as("ib"), col("sx").as("sxb")),
+        col("j") === col("ib"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("sxy"),
+        ((col("sxy").cast("double") -
+          col("sxa").cast("double") * col("sxb").cast("double") / col("n"))
+          / col("n")).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val embeddingCovarianceSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
+       |          for e in embedding] AS qv
+       |  FROM embeddings
+       |), pos AS (
+       |  SELECT vec_id, t.i - 1 AS d, qv[t.i] AS x
+       |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+       |), prod AS (
+       |  SELECT a.d AS i, b.d AS j, SUM(a.x * b.x) AS sxy,
+       |         COUNT(*) AS n
+       |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2
+       |), m AS (
+       |  SELECT d, SUM(x) AS sx FROM pos GROUP BY 1
+       |)
+       |SELECT p.i, p.j, p.sxy,
+       |       (CAST(p.sxy AS DOUBLE)
+       |        - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n) / p.n
+       |         AS cov
+       |FROM prod p
+       |JOIN m ma ON p.i = ma.d
+       |JOIN m mb ON p.j = mb.d
+       |ORDER BY i, j""".stripMargin
 }

@@ -545,7 +545,8 @@ object Sketches {
     * materialization, no per-node BFS. The exact twin's 2-hop
     * self-join is the verification column (fine on the bounded dup
     * graph; the register path is what survives a billion-edge one).
-    * Rides the session-memoized q29 edge list (7th consumer). */
+    * Rides the session-memoized q29 edge list (shared with the other
+    * pair-list consumers). */
   def hyperAnf(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Dedup.verifiedNgramPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))

@@ -262,4 +262,362 @@ object Decision {
       |    WHERE o.o_custkey = c.c_custkey
       |      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Round-4 additions: the remaining TPC-H shapes the fixture can
+  // express. Q2/Q11/Q16/Q20 need a partsupp table (supply cost /
+  // available quantity per supplier×part) that the fixture does not
+  // carry, so 18 of the 22 shapes are the complete reachable set.
+  // --------------------------------------------------------------------
+
+  /** q201 — pricing summary (the TPC-H Q1 shape): the classic full-scan
+    * report over shipped lines. One scan, map-side partial aggregation
+    * into six groups — the canonical "is the agg pipeline partial+final"
+    * probe. All money stays decimal until the output edge; averages are
+    * CAST(exact-sum AS DOUBLE)/count in BOTH engines so the one FP op
+    * (the division) is bit-identical.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val price = Tables.money(col("l_extendedprice"))
+    val discF = (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val taxF = (lit(1.0) + col("l_tax")).cast("decimal(4,2)")
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * discF).cast("double").as("sum_disc_price"),
+        sum(price * discF * taxF).cast("double").as("sum_charge"),
+        (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+          count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |         AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l_discount AS DECIMAL(4,2))
+      |                * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE)
+      |         AS sum_charge,
+      |       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*) AS avg_price,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |         / COUNT(*) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q202 — bilateral shipping volume (the TPC-H Q7 shape): revenue
+    * shipped between the nation-1..5 and nation-6..10 trade blocks
+    * (either direction) per year. Two blocks rather than the textbook
+    * two nations so the sf0.001 smoke fixture (10 suppliers) still
+    * produces rows. Scale shape: both SF-scaled dims (supplier,
+    * customer) are prefiltered to their block BEFORE their joins and
+    * left UNHINTED — AQE broadcasts them while small, shuffles on the
+    * key at scale; the 25-row nation name lookups are the only forced
+    * broadcasts. The fact joins shuffle once on l_orderkey and once on
+    * o_custkey — the two unavoidable exchanges of this shape.
+    */
+  def nationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val blockA = (1L to 5L).toSeq
+    val blockB = (6L to 10L).toSeq
+    val both = blockA ++ blockB
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_nationkey").isin(both: _*))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_nationkey").isin(both: _*))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val sn = broadcast(nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation")))
+    val cn = broadcast(nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation")))
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val crossBlock =
+      (col("s_nationkey") <= 5 && col("c_nationkey") >= 6) ||
+        (col("s_nationkey") >= 6 && col("c_nationkey") <= 5)
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(crossBlock)
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .join(cn, col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(rev).cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val nationVolumeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |       YEAR(l_shipdate) AS l_year,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |         AS volume
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      |JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      |WHERE s.s_nationkey BETWEEN 1 AND 10
+      |  AND c.c_nationkey BETWEEN 1 AND 10
+      |  AND ((s.s_nationkey <= 5 AND c.c_nationkey >= 6) OR
+      |       (s.s_nationkey >= 6 AND c.c_nationkey <= 5))
+      |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q203 — product-line profit (the TPC-H Q9 shape, adapted: the
+    * fixture has no partsupp/supplycost, so profit is discounted
+    * revenue, and the year comes from l_shipdate — no orders join
+    * needed). Parts matching '%red%' prefilter 1/8 of the part dim
+    * before its UNHINTED join; supplier rides the same pattern; nation
+    * names are the only forced broadcast.
+    */
+  def partProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"))
+    val supp = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    Tables.load(spark, sfDir, "lineitem")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(sum(rev).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val partProfitSql: String =
+    """SELECT n_name AS nation, YEAR(l_shipdate) AS o_year,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |         AS sum_profit
+      |FROM lineitem l
+      |JOIN part p     ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      |WHERE p.p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin
+
+  /** q204 — returned-item reporting (the TPC-H Q10 shape): the top 20
+    * customers by revenue lost to returned ('R') lines on 1997H2
+    * orders. The per-customer rollup happens BEFORE the customer-dim
+    * join (the aggregate is |customers|-sized, not |lineitem|-sized),
+    * and the revenue sort key is decimal-exact on both engines so the
+    * top-20 cut is deterministic (custkey tiebreak).
+    */
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(rev).as("rev"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    perCust.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |         AS revenue,
+      |       c_acctbal, n_name
+      |FROM lineitem l
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 4, 5
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q205 — customer order-count distribution (the TPC-H Q13 shape):
+    * how many customers placed exactly k orders, including k = 0 (the
+    * LEFT join is the point of the query). Two shuffles — custkey then
+    * c_count — both over frames that only ever shrink.
+    */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer").select(col("c_custkey"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val orderCountDistributionSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1
+      |)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q206 — top supplier of the quarter (the TPC-H Q15 shape): the
+    * supplier(s) whose 1997Q1 shipped revenue equals the maximum. The
+    * textbook view+scalar-subquery becomes a 1-row broadcast cross
+    * join compared in EXACT decimal (never a double equality, never an
+    * unpartitioned window over the supplier-sized rollup).
+    */
+  def quarterTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.money(col("l_extendedprice")) *
+      (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val perSupp = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(rev).as("total_rev"))
+    val top = perSupp.agg(max(col("total_rev")).as("max_rev"))
+    val supp = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    perSupp.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val quarterTopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+      |  GROUP BY 1
+      |)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q207 — small-quantity revenue (the TPC-H Q17 shape, adapted to the
+    * fixture's brands): per brand, the yearly revenue that would vanish
+    * if orders below 20% of that part's average quantity were dropped.
+    * The correlated scalar subquery becomes a per-part aggregate joined
+    * back on l_partkey (both sides hash-partitioned on the same key);
+    * the 0.2×avg comparison cross-multiplies (qty*5*cnt < sum) so no
+    * engine divides — quantities are integral doubles, exact.
+    */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(col("p_brand").isin("Brand#5", "Brand#12"))
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * lit(5.0) * col("cq") < col("sq"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(Tables.money(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH sel AS (
+      |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, p.p_brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand IN ('Brand#5', 'Brand#12')
+      |), per_part AS (
+      |  SELECT l_partkey AS pk, SUM(l_quantity) AS sq, COUNT(*) AS cq
+      |  FROM sel GROUP BY 1
+      |)
+      |SELECT p_brand, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / 7.0 AS avg_yearly
+      |FROM sel s JOIN per_part t ON s.l_partkey = t.pk
+      |WHERE s.l_quantity * 5.0 * t.cq < t.sq
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q208 — large-volume customers (the TPC-H Q18 shape): the top 20
+    * orders whose total line quantity exceeds 300 units, with their
+    * customers. The HAVING rollup runs on the fact BEFORE any dim
+    * join, so the order/customer joins see only the qualifying ~0.3%
+    * of orders. o_totalprice DESC + orderkey gives a total sort.
+    */
+  def volumeCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val volumeCustomersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |       SUM(l_quantity) AS sum_qty
+      |FROM lineitem l
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2, 3, 4, 5
+      |HAVING SUM(l_quantity) > 300.0
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 }
