@@ -1901,4 +1901,82 @@ object Dedup {
        |FROM np JOIN nd USING (threshold)
        |ORDER BY threshold""".stripMargin
   }
+
+  /** q211 — semi-supervised label propagation over the near-dup graph:
+    * docs with doc_id % 3 == 0 are the "labeled" seed (their lang is
+    * trusted); two fixed rounds of majority voting push labels to
+    * unlabeled neighbours along the verified q29 edges (count DESC,
+    * label ASC tie-break — integer-exact, engine-identical). The
+    * round-2 electorate includes round-1 winners, so a doc two hops
+    * from any seed still resolves. Scale shape: each round is one
+    * edge⋈assignment hash join + one (dst,label) aggregate + a
+    * per-dst window (partitioned by dst, never global); the edge list
+    * is the session-memoized pair list, bounded by near-dup density,
+    * and assignments are localCheckpoint-pinned per round so the plan
+    * never re-derives the previous round.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedNgramPairs(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val seed = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang").as("label"),
+        lit(0).as("src_round"))
+    def round(assigned: DataFrame, r: Int): DataFrame = {
+      val votes = edges
+        .join(assigned.select(col("doc_id").as("src"), col("label")), "src")
+        .join(assigned.select(col("doc_id").as("dst")), Seq("dst"),
+          "left_anti")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dst").orderBy(col("c").desc, col("label"))
+      val won = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("doc_id"), col("label"),
+          lit(r).as("src_round"))
+      assigned.union(won).localCheckpoint()
+    }
+    round(round(seed.localCheckpoint(), 1), 2).orderBy("doc_id")
+  }
+
+  val labelPropagationSql: String =
+    s"""WITH p AS ($ngramJaccardPairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM p
+       |), seed AS (
+       |  SELECT doc_id, lang AS label, 0 AS src_round
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), v1 AS (
+       |  SELECT e.dst, s.label, COUNT(*) AS c
+       |  FROM edges e JOIN seed s ON e.src = s.doc_id
+       |  WHERE e.dst NOT IN (SELECT doc_id FROM seed)
+       |  GROUP BY 1, 2
+       |), r1 AS (
+       |  SELECT dst AS doc_id, label, 1 AS src_round FROM (
+       |    SELECT dst, label,
+       |           row_number() OVER (PARTITION BY dst
+       |                              ORDER BY c DESC, label) AS rk
+       |    FROM v1) WHERE rk = 1
+       |), a1 AS (
+       |  SELECT * FROM seed UNION ALL SELECT * FROM r1
+       |), v2 AS (
+       |  SELECT e.dst, s.label, COUNT(*) AS c
+       |  FROM edges e JOIN a1 s ON e.src = s.doc_id
+       |  WHERE e.dst NOT IN (SELECT doc_id FROM a1)
+       |  GROUP BY 1, 2
+       |), r2 AS (
+       |  SELECT dst AS doc_id, label, 2 AS src_round FROM (
+       |    SELECT dst, label,
+       |           row_number() OVER (PARTITION BY dst
+       |                              ORDER BY c DESC, label) AS rk
+       |    FROM v2) WHERE rk = 1
+       |)
+       |SELECT doc_id, label, src_round FROM a1
+       |UNION ALL
+       |SELECT doc_id, label, src_round FROM r2
+       |ORDER BY doc_id""".stripMargin
 }

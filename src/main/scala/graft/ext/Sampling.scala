@@ -984,4 +984,44 @@ object Sampling {
        |             CAST(SUM(n_docs) OVER (PARTITION BY fold) AS DOUBLE), 6)
        |         AS lang_share
        |FROM g ORDER BY fold, lang""".stripMargin
+
+  /** q212 — target-mix reweighting: the per-(source, lang) sampling
+    * weight that flattens the corpus to a UNIFORM joint mixture (the
+    * standard "train on equal shares per domain×language cell"
+    * rebalance). weight = target_share / corpus_share
+    * = N / (G · n_cell), computed as one shared IEEE sequence from
+    * exact integer counts, so both engines emit identical doubles.
+    * `eff_chars` is what the cell contributes to a weighted token
+    * budget. Scale shape: a |cells|-sized aggregate (map-side combine
+    * collapses the corpus scan) crossed with the 1-row (N, G) anchor —
+    * the scalar-broadcast shape q73/q191 pin, constant-bounded.
+    */
+  def targetMixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.load(spark, sfDir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = cells.agg(sum(col("n_docs")).as("nn"),
+      count(lit(1)).as("gg"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        (col("nn").cast("double") / (col("gg") * col("n_docs")))
+          .as("weight"),
+        ((col("nn").cast("double") / (col("gg") * col("n_docs"))) *
+          col("n_chars")).as("eff_chars"))
+      .orderBy("source", "lang")
+  }
+
+  val targetMixWeightsSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |         SUM(n_chars) AS n_chars
+      |  FROM documents GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT SUM(n_docs) AS nn, COUNT(*) AS gg FROM cells
+      |)
+      |SELECT source, lang, n_docs, n_chars,
+      |       CAST(nn AS DOUBLE) / (gg * n_docs) AS weight,
+      |       (CAST(nn AS DOUBLE) / (gg * n_docs)) * n_chars AS eff_chars
+      |FROM cells, tot
+      |ORDER BY source, lang""".stripMargin
 }

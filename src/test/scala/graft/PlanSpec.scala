@@ -76,7 +76,10 @@ class PlanSpec extends SparkSpec {
       "q196_silhouette",
       // q198: NQueries(=8) anchor vectors crossed into the candidate
       // scan — exactly the q13 shape with a label-mismatch predicate
-      "q198_hard_negatives")
+      "q198_hard_negatives",
+      // q212: the 1-row (N, G) mixture anchor crossed into the
+      // |source×lang| cell aggregate (q73's scalar shape)
+      "q212_target_mix_weights")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
