@@ -2082,4 +2082,72 @@ object Events {
       |         AS attributed_revenue
       |FROM pairs JOIN kk USING (event_id)
       |GROUP BY 1 ORDER BY touch""".stripMargin
+
+  /** q213 — CUSUM changepoint per event type: the day where the
+    * cumulative deviation of daily volume from the type's mean peaks —
+    * the standard level-shift detector a pipeline runs over ingest
+    * volumes. All arithmetic is cleared of division: the statistic is
+    * scaled by n_days (cusum_scaled = n·S_t − t·total, exact BIGINT),
+    * so the argmax and its tie-break (|scaled| DESC, day ASC) are
+    * integer decisions both engines make identically; the double
+    * `cusum` column divides the exact int by n once at the edge.
+    * Scale shape: the daily rollup collapses the event scan map-side
+    * to |types|×|days| rows; every window after it is partitioned by
+    * event_type over that calendar-bounded frame — never over events.
+    */
+  def cusumChangepoints(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = loadEvents(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIdx = Window.partitionBy("event_type").orderBy("day")
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_days"))
+    val cusum = daily
+      .withColumn("s", sum(col("cnt")).over(wCum))
+      .withColumn("t", row_number().over(wIdx).cast("long"))
+      .join(tot, Seq("event_type"))
+      .withColumn("cusum_scaled",
+        col("n_days") * col("s") - col("t") * col("total"))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+    cusum.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("cusum_scaled"), col("n_days"),
+        (col("cusum_scaled").cast("double") / col("n_days")).as("cusum"))
+      .orderBy("event_type")
+  }
+
+  val cusumChangepointsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, SUM(cnt) AS total, COUNT(*) AS n_days
+      |  FROM daily GROUP BY 1
+      |), cs AS (
+      |  SELECT d.event_type, d.day,
+      |         SUM(d.cnt) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |                          ROWS UNBOUNDED PRECEDING) AS s,
+      |         CAST(row_number() OVER (PARTITION BY d.event_type
+      |                                 ORDER BY d.day) AS BIGINT) AS t,
+      |         t2.total, t2.n_days
+      |  FROM daily d JOIN tot t2 USING (event_type)
+      |), scaled AS (
+      |  SELECT event_type, day,
+      |         n_days * s - t * total AS cusum_scaled, n_days,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY abs(n_days * s - t * total) DESC,
+      |                                     day) AS rk
+      |  FROM cs
+      |)
+      |SELECT event_type, day AS cp_day, CAST(cusum_scaled AS BIGINT)
+      |         AS cusum_scaled,
+      |       n_days,
+      |       CAST(cusum_scaled AS DOUBLE) / n_days AS cusum
+      |FROM scaled WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
 }

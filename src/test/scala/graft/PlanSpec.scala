@@ -432,4 +432,72 @@ class PlanSpec extends SparkSpec {
     assert(!scanLine.contains("l_comment") && !scanLine.contains("l_shipmode"),
       s"unused wide columns must be pruned from the scan:\n$scanLine")
   }
+
+  test("q201: the full-scan report is a partial+final aggregate pair") {
+    // TPC-H Q1 is THE map-side-combine probe: one scan, partial
+    // HashAggregate per partition, one 6-group exchange, final agg.
+    // If the partial stage disappears, every lineitem row crosses the
+    // shuffle at 100 TB.
+    val plan = finalPlan("q201_pricing_summary")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n$plan")
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).getOrElse("")
+    assert(!scanLine.contains("l_orderkey") && !scanLine.contains("l_partkey"),
+      s"q201 must prune the join keys it never uses:\n$scanLine")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_shipdate"),
+      s"the shipdate cut must reach the scan:\n$plan")
+  }
+
+  test("q204/q208: the fact rollup happens below the customer join") {
+    // Q10/Q18 shape invariant: the per-customer / per-order aggregate
+    // collapses lineitem BEFORE any dim join, so the joins see
+    // aggregate-sized inputs. If an agg floats above the customer
+    // join, the join carries fact-scale rows at 100 TB.
+    Seq("q204_returned_items", "q208_volume_customers").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf001)
+      val plan = df.queryExecution.sparkPlan
+      import org.apache.spark.sql.execution.aggregate.{
+        HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+      import org.apache.spark.sql.execution.joins.{
+        BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      def isJoin(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+        case _: BroadcastHashJoinExec | _: ShuffledHashJoinExec |
+            _: SortMergeJoinExec => true
+        case _ => false
+      }
+      val custJoins = plan.collect {
+        case j if isJoin(j) &&
+            j.output.exists(_.name.startsWith("c_")) => j
+      }
+      assert(custJoins.nonEmpty, s"$q: expected a customer join")
+      // every join producing customer columns must already have an
+      // aggregate somewhere beneath it (the fact rollup)
+      custJoins.foreach { j =>
+        val hasAggBelow = j.children.exists(_.find {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec |
+              _: SortAggregateExec => true
+          case _ => false
+        }.isDefined)
+        assert(hasAggBelow,
+          s"$q: customer join must sit above the fact rollup:\n$plan")
+      }
+    }
+  }
+
+  test("q206: the scalar max anchor is a broadcast, never a window") {
+    // Q15's textbook form (MAX OVER ()) would be an unpartitioned
+    // window over the supplier rollup; the implementation must keep
+    // the 1-row aggregate + broadcast shape instead.
+    val df = SparkEntry.queries("q206_quarter_top_supplier")(spark, sf001)
+    val plan = df.queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "q206 must not plan any window")
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastHashJoin"),
+      s"expected the broadcast scalar anchor:\n$plan")
+  }
 }
