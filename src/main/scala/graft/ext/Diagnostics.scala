@@ -180,4 +180,42 @@ object Diagnostics {
       |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
       |FROM d JOIN dup USING (h)
       |GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Shard fan-out for the content checksums (q214). */
+  val ChecksumShards = 16
+
+  /** q214 — content-addressable shard checksums: the reproducibility
+    * manifest a dataset release ships so a consumer can prove a shard
+    * arrived intact. Docs shard by the md5-derived 60-bit hash of
+    * their id; each shard's checksum is the BIT_XOR of the content
+    * hashes — order-independent and overflow-free, so any executor
+    * layout (and any engine) produces the identical 16-row manifest.
+    * Scale shape: one scan, map-side partial XOR/count/sum into
+    * |shards| groups — the aggregate state is constant-size.
+    */
+  def shardChecksums(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.Dedup.hash60
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        pmod(hash60(col("doc_id").cast("string")), lit(ChecksumShards))
+          .as("shard"),
+        hash60(col("text")).as("h"), col("n_chars"))
+      .groupBy("shard")
+      .agg(expr("bit_xor(h)").as("checksum"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("shard")
+  }
+
+  val shardChecksumsSql: String =
+    s"""WITH d AS (
+       |  SELECT ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+       |           % $ChecksumShards AS shard,
+       |         ('0x'||substr(md5(text),1,15))::BIGINT AS h,
+       |         n_chars
+       |  FROM documents
+       |)
+       |SELECT shard, BIT_XOR(h) AS checksum, COUNT(*) AS n_docs,
+       |       SUM(n_chars) AS total_chars
+       |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
 }

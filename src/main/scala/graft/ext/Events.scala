@@ -2150,4 +2150,49 @@ object Events {
       |       CAST(cusum_scaled AS DOUBLE) / n_days AS cusum
       |FROM scaled WHERE rk = 1
       |ORDER BY event_type""".stripMargin
+
+  /** q215 — out-of-order ingest audit: per event-time day, how many
+    * events arrived LATE — event_id is the arrival sequence, so an
+    * event is out of order when its timestamp precedes the running
+    * max timestamp of the same user's earlier arrivals. This is the
+    * health metric that sizes a streaming watermark. Scale shape: one
+    * per-user window (partitioned by user_id, ordered by arrival,
+    * running MAX over the preceding frame — never global), then a
+    * |days|-sized rollup; exact timestamp comparisons, zero FP until
+    * the final rate division.
+    */
+  def outOfOrderAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_max", max(col("ts")).over(w))
+      .select(to_date(col("ts")).as("day"),
+        (col("prev_max").isNotNull && col("ts") < col("prev_max"))
+          .as("ooo"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ooo"), 1L).otherwise(0L)).as("n_out_of_order"))
+      .withColumn("ooo_rate",
+        round(col("n_out_of_order").cast("double") /
+          col("n_events").cast("double"), 6))
+      .orderBy("day")
+  }
+
+  val outOfOrderAuditSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, ts,
+      |         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND 1 PRECEDING) AS prev_max
+      |  FROM events
+      |)
+      |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |       SUM(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+      |                THEN 1 ELSE 0 END) AS n_out_of_order,
+      |       round(CAST(SUM(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+      |                           THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / CAST(COUNT(*) AS DOUBLE), 6) AS ooo_rate
+      |FROM seq GROUP BY 1 ORDER BY day""".stripMargin
 }
