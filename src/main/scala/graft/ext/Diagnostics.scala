@@ -218,4 +218,55 @@ object Diagnostics {
        |SELECT shard, BIT_XOR(h) AS checksum, COUNT(*) AS n_docs,
        |       SUM(n_chars) AS total_chars
        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** q217 — release diff: compare the q214 shard manifests of two
+    * dataset versions and report which shards changed. The "previous"
+    * release is the deterministic doc_id % 4 != 0 subset (the fixture
+    * has no real snapshots); the current release is the full corpus.
+    * One scan computes both manifests via conditional aggregation
+    * (BIT_XOR over a CASE), so the diff costs exactly one
+    * map-side-combined pass — the consumer-side integrity check that
+    * pairs with q214's producer-side manifest. A shard with no
+    * previous docs reports prev_checksum 0 (the XOR identity), the
+    * same convention both engines share.
+    */
+  def releaseDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.Dedup.hash60
+    Tables.load(spark, sfDir, "documents")
+      .select(
+        pmod(hash60(col("doc_id").cast("string")), lit(ChecksumShards))
+          .as("shard"),
+        hash60(col("text")).as("h"),
+        (col("doc_id") % 4 =!= 0).as("in_prev"))
+      .groupBy("shard")
+      .agg(
+        coalesce(expr("bit_xor(case when in_prev then h end)"), lit(0L))
+          .as("prev_checksum"),
+        expr("bit_xor(h)").as("curr_checksum"),
+        sum(when(col("in_prev"), 1L).otherwise(0L)).as("n_prev"),
+        count(lit(1)).as("n_curr"))
+      .withColumn("n_added", col("n_curr") - col("n_prev"))
+      .withColumn("changed", col("prev_checksum") =!= col("curr_checksum"))
+      .orderBy("shard")
+  }
+
+  val releaseDiffSql: String =
+    s"""WITH d AS (
+       |  SELECT ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+       |           % $ChecksumShards AS shard,
+       |         ('0x'||substr(md5(text),1,15))::BIGINT AS h,
+       |         doc_id % 4 != 0 AS in_prev
+       |  FROM documents
+       |)
+       |SELECT shard,
+       |       COALESCE(BIT_XOR(CASE WHEN in_prev THEN h END), 0)
+       |         AS prev_checksum,
+       |       BIT_XOR(h) AS curr_checksum,
+       |       SUM(CASE WHEN in_prev THEN 1 ELSE 0 END) AS n_prev,
+       |       COUNT(*) AS n_curr,
+       |       COUNT(*) - SUM(CASE WHEN in_prev THEN 1 ELSE 0 END)
+       |         AS n_added,
+       |       COALESCE(BIT_XOR(CASE WHEN in_prev THEN h END), 0)
+       |         != BIT_XOR(h) AS changed
+       |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
 }

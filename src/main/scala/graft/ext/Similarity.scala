@@ -1386,4 +1386,53 @@ object Similarity {
        |JOIN m ma ON p.i = ma.d
        |JOIN m mb ON p.j = mb.d
        |ORDER BY i, j""".stripMargin
+
+  /** q216 — cross-modal dedup consistency: do TEXT near-dups look like
+    * near-dups in EMBEDDING space? The fixture keys embeddings by the
+    * same id space as documents (vec_id ≡ doc_id), so each verified
+    * q29 pair picks up both endpoint vectors and reports, per Jaccard
+    * decile, the cosine distribution — the audit that decides whether
+    * a cheaper modality can stand in for the expensive one at a given
+    * threshold. Per-pair cosines round(6) first and sum as exact
+    * DECIMAL(18,6) so the bucket means are order-independent; the
+    * decile cut floors the identical double in both engines. Scale
+    * shape: two hash joins keyed by doc id on the bounded memoized
+    * pair list, then a ≤6-group aggregate.
+    */
+  def modalityConsistency(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.ext.Dedup.verifiedNgramPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    pairs
+      .join(emb.select(col("vec_id").as("doc_a"), col("v").as("va")),
+        Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("v").as("vb")),
+        Seq("doc_b"))
+      .select(col("jaccard"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("jbucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_cos"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .orderBy("jbucket")
+  }
+
+  val modalityConsistencySql: String =
+    s"""WITH p AS (${graft.ext.Dedup.ngramJaccardPairsSql}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (
+       |  SELECT p.jaccard,
+       |         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+       |  FROM p
+       |  JOIN e ea ON p.doc_a = ea.vec_id
+       |  JOIN e eb ON p.doc_b = eb.vec_id
+       |)
+       |SELECT CAST(floor(jaccard * 10) AS INTEGER) AS jbucket,
+       |       COUNT(*) AS n_pairs,
+       |       round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+       |             / COUNT(*), 6) AS mean_cos,
+       |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 }
