@@ -2195,4 +2195,115 @@ object Events {
       |                           THEN 1 ELSE 0 END) AS DOUBLE)
       |             / CAST(COUNT(*) AS DOUBLE), 6) AS ooo_rate
       |FROM seq GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Candidate dedup-state TTLs swept by q218, in minutes. */
+  val DedupTtlsMin: Seq[Int] = Seq(60, 360, 1440)
+
+  /** q218 — streaming-dedup state-TTL sweep: a streaming
+    * `dropDuplicates` on (user_id, event_type) keeps per-key state
+    * only for its watermark TTL; this sweep reports, per candidate
+    * TTL, how many events repeat their key WITHIN the TTL (and would
+    * be suppressed as duplicates) — the state-size-vs-suppression
+    * trade the TTL choice is about. The repeat gap is an exact
+    * integer-microsecond LAG per (user, type), ordered by event time
+    * with the arrival-id tiebreak; each event map-side explodes only
+    * the TTLs that would suppress it (literal-array filter, q209's
+    * no-join sweep shape), and the rollup is |TTLs|-sized.
+    */
+  def dedupTtlSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val ev = loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    val total = ev.count() // 1-value anchor, interpolated literally
+    val gaps = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+    val ttls = array(DedupTtlsMin.map(lit): _*)
+    gaps
+      .select(explode(filter(ttls,
+        t => col("gap_us") <= t.cast("long") * 60000000L)).as("ttl_min"))
+      .groupBy("ttl_min")
+      .agg(count(lit(1)).as("n_suppressed"))
+      .withColumn("suppress_rate",
+        round(col("n_suppressed").cast("double") / lit(total.toDouble), 6))
+      .orderBy("ttl_min")
+  }
+
+  val dedupTtlSweepSql: String = {
+    val list = DedupTtlsMin.mkString(", ")
+    s"""WITH seq AS (
+       |  SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (
+       |           PARTITION BY user_id, event_type
+       |           ORDER BY ts, event_id)) AS gap_us
+       |  FROM events
+       |), tot AS (SELECT COUNT(*) AS n FROM events),
+       |d AS (SELECT unnest([$list]) AS ttl_min),
+       |sup AS (
+       |  SELECT d.ttl_min, COUNT(*) AS n_suppressed
+       |  FROM seq, d
+       |  WHERE seq.gap_us IS NOT NULL
+       |    AND seq.gap_us <= CAST(d.ttl_min AS BIGINT) * 60000000
+       |  GROUP BY 1
+       |)
+       |SELECT ttl_min, n_suppressed,
+       |       round(CAST(n_suppressed AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+       |         AS suppress_rate
+       |FROM sup, tot ORDER BY ttl_min""".stripMargin
+  }
+
+  /** Session inactivity gaps swept by q219, in minutes. */
+  val SessionGapsMin: Seq[Int] = Seq(15, 30, 60)
+
+  /** q219 — session-gap sensitivity: how many sessions the corpus
+    * splits into at each candidate inactivity threshold — the tuning
+    * sweep behind q20's fixed 30-minute choice. Per user, a session
+    * break at threshold T is a LAG gap above T·60s (exact integer
+    * microseconds), so sessions(T) = |users| + Σ breaks(T). Each gap
+    * map-side explodes only the thresholds it breaks (literal-array
+    * filter, no join); the per-user window is partitioned and the
+    * final rollup is |thresholds|-sized.
+    */
+  def sessionGapSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val nUsers =
+      ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    val gaps = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+    val gapsArr = array(SessionGapsMin.map(lit): _*)
+    gaps
+      .select(explode(filter(gapsArr,
+        t => col("gap_us") > t.cast("long") * 60000000L)).as("gap_min"))
+      .groupBy("gap_min")
+      .agg(count(lit(1)).as("n_breaks"))
+      .select(col("gap_min"), col("n_breaks"),
+        (col("n_breaks") + lit(nUsers)).as("n_sessions"))
+      .orderBy("gap_min")
+  }
+
+  val sessionGapSweepSql: String = {
+    val list = SessionGapsMin.mkString(", ")
+    s"""WITH seq AS (
+       |  SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+       |                       ORDER BY ts, event_id)) AS gap_us
+       |  FROM events
+       |), u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+       |g AS (SELECT unnest([$list]) AS gap_min),
+       |brk AS (
+       |  SELECT g.gap_min, COUNT(*) AS n_breaks
+       |  FROM seq, g
+       |  WHERE seq.gap_us IS NOT NULL
+       |    AND seq.gap_us > CAST(g.gap_min AS BIGINT) * 60000000
+       |  GROUP BY 1
+       |)
+       |SELECT gap_min, n_breaks, n_breaks + u.nu AS n_sessions
+       |FROM brk, u ORDER BY gap_min""".stripMargin
+  }
 }
