@@ -1435,4 +1435,52 @@ object Similarity {
        |             / COUNT(*), 6) AS mean_cos,
        |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q220 — IVF list-balance audit: the per-list population of q25's
+    * inverted file. List skew is what turns an nprobe=2 ANN query into
+    * a tail-latency outlier (one hot list does all the work) — this is
+    * the audit that decides whether the codebook needs retraining.
+    * ratio_to_mean = n·K/N with one shared double sequence; everything
+    * before it is the exact integer list census. Scale shape: the
+    * assignment is the same broadcast-codebook map-side argmax q25
+    * uses (K·Dim literals, no join), then a K-group aggregate.
+    */
+  def ivfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = ivfCodebook(e)
+    val n = e.count() // 1-row anchor, interpolated literally
+    val k = cents.length
+    e.withColumn("cid",
+        -sort_array(ivfScores(cents, col("v")), asc = false)(0)("ncid"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("cid"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / lit(n.toDouble), 6)
+          .as("share"),
+        round(col("n_vecs").cast("double") * lit(k.toDouble) /
+          lit(n.toDouble), 6).as("ratio_to_mean"))
+      .orderBy("cid")
+  }
+
+  val ivfBalanceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+       |         WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+       |             AS rn
+       |    FROM e, cent c) WHERE rn = 1
+       |), tot AS (SELECT COUNT(*) AS n FROM e),
+       |kc AS (SELECT COUNT(*) AS k FROM cent)
+       |SELECT cid, COUNT(*) AS n_vecs,
+       |       round(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+       |         AS share,
+       |       round(CAST(COUNT(*) AS DOUBLE) * CAST(kc.k AS DOUBLE)
+       |             / CAST(tot.n AS DOUBLE), 6) AS ratio_to_mean
+       |FROM asg, tot, kc
+       |GROUP BY cid, tot.n, kc.k ORDER BY cid""".stripMargin
 }

@@ -1052,4 +1052,63 @@ object Bi {
       |       round(100.0 * CAST(COALESCE(promo_dec, 0) AS DOUBLE)
       |             / CAST(tot_dec AS DOUBLE), 6) AS promo_share
       |FROM agg ORDER BY month""".stripMargin
+
+  /** q221 — inter-purchase gap mix by market segment: consecutive
+    * orders per customer (orderdate, orderkey-tiebroken LAG), the gap
+    * binned into lifecycle bands (≤7d, ≤30d, ≤90d, >90d), counted per
+    * segment with each band's share of the segment. Exact integer day
+    * arithmetic end to end; the share divides once per output row.
+    * Scale shape: one per-customer partitioned window over orders,
+    * a |segments×4|-group aggregate, and a |segments|-partitioned
+    * share window over that bounded frame.
+    */
+  def interPurchaseMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val gaps = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .filter(col("gap_days").isNotNull)
+    val band = when(col("gap_days") <= 7, "a_week")
+      .when(col("gap_days") <= 30, "b_month")
+      .when(col("gap_days") <= 90, "c_quarter")
+      .otherwise("d_longer")
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = gaps.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), band.as("gap_band"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val ws = Window.partitionBy("segment")
+    agg
+      .withColumn("segment_share", round(col("n_gaps").cast("double") /
+        sum(col("n_gaps")).over(ws).cast("double"), 6))
+      .orderBy("segment", "gap_band")
+  }
+
+  val interPurchaseMixSql: String =
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', LAG(o_orderdate) OVER (
+      |             PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey), o_orderdate)
+      |           AS gap_days
+      |  FROM orders
+      |), banded AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |         CASE WHEN gap_days <= 7 THEN 'a_week'
+      |              WHEN gap_days <= 30 THEN 'b_month'
+      |              WHEN gap_days <= 90 THEN 'c_quarter'
+      |              ELSE 'd_longer' END AS gap_band
+      |  FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+      |  WHERE g.gap_days IS NOT NULL
+      |), agg AS (
+      |  SELECT segment, gap_band, COUNT(*) AS n_gaps
+      |  FROM banded GROUP BY 1, 2
+      |)
+      |SELECT segment, gap_band, n_gaps,
+      |       round(CAST(n_gaps AS DOUBLE) /
+      |             CAST(SUM(n_gaps) OVER (PARTITION BY segment)
+      |                  AS DOUBLE), 6) AS segment_share
+      |FROM agg ORDER BY segment, gap_band""".stripMargin
 }
