@@ -11,26 +11,26 @@ import org.apache.spark.sql.functions._
   * against o_orderdate, and Q22's country code becomes the nation dim).
   *
   * Scale notes (100 TB fact):
-  *  - q187/q190 are correlated-EXISTS shapes; both plan as semi/anti hash
+  *  - q186/q189 are correlated-EXISTS shapes; both plan as semi/anti hash
   *    joins on l_orderkey — ONE shuffle key shared by every branch of the
   *    self-join, so the sort/partition is reusable, never a subquery-per-row.
-  *  - q188's fact×fact join shuffles on orderkey once; the delay CASE
+  *  - q187's fact×fact join shuffles on orderkey once; the delay CASE
   *    classification is a map-side expression.
-  *  - q189's OR-of-ANDs predicate stays a single scan + broadcast part
+  *  - q188's OR-of-ANDs predicate stays a single scan + broadcast part
   *    join: the disjunction references join-side columns, so it evaluates
   *    post-join, while the p_brand IN (...) prefilter is pushed to the
   *    part scan and l_quantity bounds to the lineitem scan.
-  *  - q191's scalar threshold is a 1-row broadcast; the "no recent
+  *  - q190's scalar threshold is a 1-row broadcast; the "no recent
   *    orders" test is a broadcast anti join against the date-pruned
   *    orders scan.
   *
-  * Determinism: money stays DECIMAL(18,2) until the final cast; the q191
+  * Determinism: money stays DECIMAL(18,2) until the final cast; the q190
   * above-average test cross-multiplies (bal * n > sum) so no engine ever
   * divides; every output carries a total ORDER BY.
   */
 object Decision {
 
-  /** q187 — order-priority check (the TPC-H Q4 shape): of the orders
+  /** q186 — order-priority check (the TPC-H Q4 shape): of the orders
     * placed in 1997H1, how many per priority had at least one line item
     * shipped more than 30 days after the order date (a late-fulfilment
     * EXISTS probe).
@@ -65,7 +65,7 @@ object Decision {
       |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q188 — late-line classification (the TPC-H Q12 shape): among 1997
+  /** q187 — late-line classification (the TPC-H Q12 shape): among 1997
     * line items shipped more than 60 days after their order date, count
     * per linestatus how many belong to critical (URGENT/HIGH) vs other
     * priorities — the fact×fact join with CASE-sum classification.
@@ -101,7 +101,7 @@ object Decision {
       |  AND l.l_shipdate  >= TIMESTAMP '1997-01-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q189 — disjunctive-predicate revenue (the TPC-H Q19 shape): revenue
+  /** q188 — disjunctive-predicate revenue (the TPC-H Q19 shape): revenue
     * from three OR'd brand/size/quantity bands, reported per band. The
     * brand IN-list prefilter pushes to the part scan and the overall
     * quantity envelope to the lineitem scan; the full OR-of-ANDs
@@ -154,7 +154,7 @@ object Decision {
       |SELECT band, COUNT(*) AS n_items, CAST(SUM(rev) AS DOUBLE) AS revenue
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q190 — waiting suppliers (the TPC-H Q21 shape): suppliers who were
+  /** q189 — waiting suppliers (the TPC-H Q21 shape): suppliers who were
     * the ONLY late shipper (ship > order date + 60d) in a multi-supplier
     * order. The textbook form is a semi join (another supplier exists)
     * plus an anti join (no OTHER late supplier); that plans the fact join
@@ -218,7 +218,7 @@ object Decision {
       |                    AND q.late = 1)
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
-  /** q191 — idle high-balance customers (the TPC-H Q22 shape): customers
+  /** q190 — idle high-balance customers (the TPC-H Q22 shape): customers
     * whose balance exceeds the average positive balance and who placed no
     * order since 1999, counted per nation. The above-average test
     * cross-multiplies (bal * n > total) so neither engine divides — the
