@@ -1339,11 +1339,15 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"),
           e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+    // emit ONLY the upper triangle: the inner transform runs over the
+    // slice starting at i, so Dim(Dim+1)/2 structs materialize per row
+    // instead of Dim² filtered to half
     val prods = q.select(explode(flatten(
         transform(col("qv"), (xi: Column, i: Column) =>
-          transform(col("qv"), (xj: Column, j: Column) =>
-            struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("e"))
-      .filter(col("e.i") <= col("e.j"))
+          transform(slice(col("qv"), i + 1, lit(Dim) - i),
+            (xj: Column, j0: Column) =>
+              struct(i.as("i"), (i + j0).as("j"), (xi * xj).as("p"))))))
+        .as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.p")).as("sxy"), count(lit(1)).as("n"))
     val sums = q.select(posexplode(col("qv")).as(Seq("d", "x")))

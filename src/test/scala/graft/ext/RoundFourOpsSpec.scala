@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import graft.queries.Decision
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-4 operators that the row-hash oracle can't
+  * express: algebraic properties (XOR invariance, monotone sweeps,
+  * PSD-diagonal covariance) and graph-propagation sanity. */
+class RoundFourOpsSpec extends SparkSpec {
+
+  test("q214: shard checksums are invariant under repartitioning") {
+    // BIT_XOR is commutative/associative, so ANY executor layout must
+    // produce identical manifests — the property that makes q214 a
+    // trustworthy release checksum. Recompute with a hostile layout.
+    val base = Diagnostics.shardChecksums(spark, sf001).collect()
+    val hostile = Tables.load(spark, sf001, "documents")
+      .repartition(7, col("n_chars")) // arbitrary non-id layout
+      .select(
+        pmod(Dedup.hash60(col("doc_id").cast("string")), lit(16)).as("shard"),
+        Dedup.hash60(col("text")).as("h"))
+      .groupBy("shard")
+      .agg(expr("bit_xor(h)").as("checksum"))
+      .orderBy("shard").collect()
+    assert(base.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      hostile.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("q210: covariance diagonal is non-negative and triangle complete") {
+    val rows = Similarity.embeddingCovariance(spark, sf001).collect()
+    assert(rows.length == 64 * 65 / 2) // full upper triangle
+    rows.filter(r => r.getLong(0) == r.getLong(1)).foreach { r =>
+      assert(r.getDouble(3) >= 0.0, s"negative variance at dim ${r.getLong(0)}")
+    }
+  }
+
+  test("q218/q219: sweep counts are monotone in their threshold") {
+    val ttl = Events.dedupTtlSweep(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    ttl.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a <= b, "suppression must grow with TTL")
+    }
+    val gaps = Events.sessionGapSweep(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).sortBy(_._1)
+    gaps.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a >= b, "session count must shrink as the gap widens")
+    }
+  }
+
+  test("q211: propagation only reaches the near-dup closure of the seed") {
+    val assigned = Dedup.labelPropagation(spark, sf001).collect()
+    // seeds keep their own lang, tagged round 0
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val seedRows = assigned.filter(_.getInt(2) == 0)
+    assert(seedRows.nonEmpty)
+    seedRows.foreach(r =>
+      assert(r.getString(1) == docs(r.getLong(0)), "seed label must be its own lang"))
+    assert(seedRows.forall(r => r.getLong(0) % 3 == 0))
+    // non-seed winners sit on a verified edge to an earlier round
+    val edges = Dedup.verifiedNgramPairs(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byRound = assigned.groupBy(_.getInt(2))
+      .view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    for (r <- Seq(1, 2); id <- byRound.getOrElse(r, Set.empty)) {
+      val prior = (0 until r).flatMap(byRound.getOrElse(_, Set.empty)).toSet
+      assert(edges.getOrElse(id, Set.empty).exists(prior),
+        s"doc $id won round $r with no labeled neighbour")
+    }
+    // one assignment per doc
+    assert(assigned.map(_.getLong(0)).distinct.length == assigned.length)
+  }
+
+  test("q206 = q166's winner family: the max-revenue supplier is unique here") {
+    // the scalar-anchor implementation must return EVERY supplier tied
+    // at the max; on this fixture that's exactly one row whose revenue
+    // equals the rollup max recomputed independently
+    val rows = Decision.quarterTopSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val rev = Tables.load(spark, sf001, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(Tables.money(col("l_extendedprice")) *
+        (lit(1.0) - col("l_discount")).cast("decimal(4,2)")).as("r"))
+      .agg(max(col("r").cast("double"))).head.getDouble(0)
+    rows.foreach(r => assert(math.abs(r.getDouble(2) - rev) < 1e-6))
+  }
+}
