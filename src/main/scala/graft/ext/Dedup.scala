@@ -1979,4 +1979,130 @@ object Dedup {
        |UNION ALL
        |SELECT doc_id, label, src_round FROM r2
        |ORDER BY doc_id""".stripMargin
+
+  /** q222 — LSH s-curve calibration: per exact-Jaccard decile of the
+    * q11 candidate pairs, the MinHash estimator's mean against the true
+    * Jaccard (estimator bias) and the observed band-collision count
+    * against the model's E[bands] = b·J^r — the audit that tells an
+    * operator whether the deployed (b, r) geometry matches the theory
+    * it was sized from before they trust it on 100 TB (the q157 bucket
+    * audit checks COST; this checks RECALL calibration). Conditioned on
+    * caught pairs by construction — low-J buckets over-represent lucky
+    * collisions, which is exactly the survivorship the curve makes
+    * visible (observed ≥ predicted at the low end, converging by
+    * J ≈ the s-curve midpoint).
+    *
+    * Scale shape: one scan of the session-memoized verified pair list
+    * → a ≤10-group aggregate; J^r and (1−J^r)^b are explicit multiply
+    * chains generated from the SAME [[Bands]]/[[RowsPerBand]] constants
+    * as the pipeline (never libm pow — the q168 1-ulp argument), so the
+    * theory columns can't drift from the deployed geometry. */
+  def lshCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedMinhashPairs(spark, sfDir)
+    val j = col("jaccard")
+    val jr = Seq.fill(RowsPerBand)(j).reduce(_ * _)
+    val miss = lit(1.0) - jr
+    val pCatch = lit(1.0) - Seq.fill(Bands)(miss).reduce(_ * _)
+    pairs
+      .select(least(floor(j * 10), lit(9)).cast("int").as("j_bucket"),
+        j, col("est_jaccard"), col("shared_bands").cast("double").as("sb"),
+        (lit(Bands.toDouble) * jr).as("pred_sb"), pCatch.as("pc"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(j), 6).as("mean_jaccard"),
+        round(avg(col("est_jaccard")), 6).as("mean_est_jaccard"),
+        round(avg(col("sb")), 6).as("mean_shared_bands"),
+        round(avg(col("pred_sb")), 6).as("pred_shared_bands"),
+        round(avg(col("pc")), 6).as("pred_catch_prob"))
+      .orderBy("j_bucket")
+  }
+
+  val lshCalibrationSql: String = {
+    val jr = Seq.fill(RowsPerBand)("jaccard").mkString(" * ")
+    val miss = "(1.0 - jr)"
+    val pc = "1.0 - " + Seq.fill(Bands)(miss).mkString(" * ")
+    s"""WITH p AS ($minhashPairsSql),
+       |b AS (
+       |  SELECT LEAST(floor(jaccard * 10), 9)::INT AS j_bucket,
+       |         jaccard, est_jaccard, shared_bands::DOUBLE AS sb,
+       |         $jr AS jr
+       |  FROM p
+       |)
+       |SELECT j_bucket, COUNT(*) AS n_pairs,
+       |       round(AVG(jaccard), 6) AS mean_jaccard,
+       |       round(AVG(est_jaccard), 6) AS mean_est_jaccard,
+       |       round(AVG(sb), 6) AS mean_shared_bands,
+       |       round(AVG($Bands.0 * jr), 6) AS pred_shared_bands,
+       |       round(AVG($pc), 6) AS pred_catch_prob
+       |FROM b GROUP BY j_bucket ORDER BY j_bucket""".stripMargin
+  }
+
+  /** q225 — cluster-size distribution + transitivity audit over the
+    * q30 connected components: per cluster size, how many clusters and
+    * docs live there, the pair count the transitive closure IMPLIES
+    * (Σ s·(s−1)/2), the DIRECT verified-pair count inside those
+    * clusters, and the resulting edge density. The inferred (implied −
+    * direct) pairs are exactly the doc pairs a cluster-level dedup
+    * deletes WITHOUT ever verifying their Jaccard — the
+    * friend-of-a-friend risk every transitive-closure dedup carries
+    * (MinHash chains A~B~C where A,C share little), so density by size
+    * band is the number an operator checks before trusting
+    * survivor-only retention at 100 TB.
+    *
+    * Scale shape: clusters and pairs are both session-memoized frames;
+    * one equi-join attaches each pair to its cluster size via doc_a
+    * (both endpoints share a cluster by construction of connected
+    * components), then two small keyed aggregates and a 1-row total
+    * anchor (q73's scalar-broadcast shape) for the doc share. */
+  def clusterTransitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = clusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val base = cl.groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+    val direct = verifiedNgramPairs(spark, sfDir)
+      .select(col("doc_a"))
+      .join(cl.select(col("doc_id").as("doc_a"), col("cluster_size")),
+        Seq("doc_a"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("direct_pairs"))
+    val tot = cl.agg(count(lit(1)).as("total_docs"))
+    val implied = (col("n_clusters") *
+      (col("cluster_size") * (col("cluster_size") - 1)) / 2).cast("long")
+    base.join(direct, Seq("cluster_size"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          col("total_docs").cast("double"), 6).as("doc_share"),
+        implied.as("implied_pairs"), col("direct_pairs"),
+        (implied - col("direct_pairs")).as("inferred_pairs"),
+        round(col("direct_pairs").cast("double") /
+          implied.cast("double"), 6).as("edge_density"))
+      .orderBy("cluster_size")
+  }
+
+  val clusterTransitivitySql: String =
+    s"""WITH c AS ($clustersSql),
+       |p AS ($ngramJaccardPairsSql),
+       |base AS (
+       |  SELECT cluster_size, COUNT(DISTINCT cluster_id) AS n_clusters,
+       |         COUNT(*) AS n_docs
+       |  FROM c GROUP BY 1
+       |), direct AS (
+       |  SELECT c.cluster_size, COUNT(*) AS direct_pairs
+       |  FROM p JOIN c ON p.doc_a = c.doc_id GROUP BY 1
+       |), tot AS (SELECT COUNT(*) AS total_docs FROM c)
+       |SELECT b.cluster_size, b.n_clusters, b.n_docs,
+       |       round(b.n_docs::DOUBLE / tot.total_docs::DOUBLE, 6)
+       |         AS doc_share,
+       |       CAST(b.n_clusters * (b.cluster_size * (b.cluster_size - 1))
+       |            / 2 AS BIGINT) AS implied_pairs,
+       |       d.direct_pairs,
+       |       CAST(b.n_clusters * (b.cluster_size * (b.cluster_size - 1))
+       |            / 2 - d.direct_pairs AS BIGINT) AS inferred_pairs,
+       |       round(d.direct_pairs::DOUBLE /
+       |             (b.n_clusters * (b.cluster_size * (b.cluster_size - 1))
+       |              / 2)::DOUBLE, 6) AS edge_density
+       |FROM base b JOIN direct d USING (cluster_size)
+       |CROSS JOIN tot
+       |ORDER BY b.cluster_size""".stripMargin
 }

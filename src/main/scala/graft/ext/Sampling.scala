@@ -1024,4 +1024,82 @@ object Sampling {
       |       (CAST(nn AS DOUBLE) / (gg * n_docs)) * n_chars AS eff_chars
       |FROM cells, tot
       |ORDER BY source, lang""".stripMargin
+
+  /** q226's planning constants: the training run wants
+    * [[BudgetMultiple]]× the corpus's total tokens, split uniformly
+    * across sources, and no source may repeat more than [[EpochCap]]
+    * epochs (the data-constrained-scaling guidance of Muennighoff et
+    * al., NeurIPS'23: returns from repeated data decay fast after ~4
+    * epochs). Literals so both engines share one IEEE sequence. */
+  val BudgetMultiple = 2.0
+  val EpochCap = 4.0
+
+  /** q226 — token-budget epoch planner, the data-constrained-scaling
+    * worksheet: given a training budget of [[BudgetMultiple]]× total
+    * corpus tokens split uniformly across sources, how many epochs of
+    * each source does its share demand, how much does the
+    * [[EpochCap]]-epoch repeat limit actually serve, and what
+    * shortfall must be re-mixed elsewhere? The planner output is the
+    * artifact mixture designers iterate on before launching a 100 TB
+    * tokenization run — q212 flattens shares, this prices them in
+    * epochs against the repeat cap.
+    *
+    * Scale shape: one corpus scan collapses to an S-row (source,
+    * n_tokens) aggregate with map-side combine; everything after rides
+    * the 1-row total anchor (q73's scalar-broadcast shape,
+    * PlanSpec-exempt). All doubles derive from exact integer token
+    * counts through one shared expression sequence. */
+  def epochPlanner(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val tot = perSource.agg(sum("n_tokens").as("t"),
+      count(lit(1)).as("s"))
+    val target = lit(BudgetMultiple) * col("t").cast("double") /
+      col("s").cast("double")
+    val epochs = target / col("n_tokens").cast("double")
+    val capped = least(epochs, lit(EpochCap))
+    val served = col("n_tokens").cast("double") * capped
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(target, 4).as("target_tokens"),
+        round(epochs, 6).as("epochs_needed"),
+        round(capped, 6).as("epochs_served"),
+        round(served, 4).as("served_tokens"),
+        round(target - served, 4).as("shortfall_tokens"),
+        (epochs > lit(EpochCap)).as("capped"))
+      .orderBy("source")
+  }
+
+  val epochPlannerSql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |         CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+       |              AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM per
+       |)
+       |SELECT source, n_tokens,
+       |       round($BudgetMultiple * t::DOUBLE / s::DOUBLE, 4)
+       |         AS target_tokens,
+       |       round(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
+       |             / n_tokens::DOUBLE, 6) AS epochs_needed,
+       |       round(LEAST(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
+       |                   / n_tokens::DOUBLE, $EpochCap), 6)
+       |         AS epochs_served,
+       |       round(n_tokens::DOUBLE
+       |             * LEAST(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
+       |                     / n_tokens::DOUBLE, $EpochCap), 4)
+       |         AS served_tokens,
+       |       round($BudgetMultiple * t::DOUBLE / s::DOUBLE
+       |             - n_tokens::DOUBLE
+       |               * LEAST(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
+       |                       / n_tokens::DOUBLE, $EpochCap), 4)
+       |         AS shortfall_tokens,
+       |       (($BudgetMultiple * t::DOUBLE / s::DOUBLE)
+       |        / n_tokens::DOUBLE > $EpochCap) AS capped
+       |FROM per CROSS JOIN tot
+       |ORDER BY source""".stripMargin
 }

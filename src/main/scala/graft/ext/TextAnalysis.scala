@@ -2257,4 +2257,131 @@ object TextAnalysis {
        | AND a.doc_id < c.doc_id
        |WHERE levenshtein(a.p, c.p) <= $ErMaxDist
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q223 — cross-source LM transfer matrix: train an add-one-smoothed
+    * unigram LM on each source (over the corpus top-[[DriftVocab]]
+    * vocabulary), evaluate every OTHER source's token stream under it,
+    * and emit the S×S cross-entropy / perplexity grid — the
+    * which-sources-transfer-to-which signal behind data-mixture choices
+    * (DoReMi-style reweighting starts from exactly this matrix; q113's
+    * KL measures each source against the corpus, this measures every
+    * source against every other).
+    *
+    * Float policy: ce(b|a) = ln(n_a + V) − (Σ_w c_b(w)·ln(c_a(w)+1))/n_b
+    * — the algebra is arranged so the only floating sum is one
+    * Σ c·ln(c+1) per (a, b) cell (the q73 single-round pattern), and
+    * tokens absent from the train source contribute ln(0+1) = 0, so the
+    * overlap join can stay INNER and sparse. Perplexity exponentiates
+    * the unrounded ce and rounds once.
+    *
+    * Scale shape: tokens collapse to (source, vocab-token) counts —
+    * vocab is the CONSTANT top-V list, so state is ≤ S·V rows; the
+    * cell sums ride one equi-join on tok (≤ S²·V rows); the S×S base
+    * grid is a bounded-aggregate cross (PlanSpec-exempt, q113's bounded
+    * shape). Nothing downstream of the one corpus scan is
+    * corpus-proportional. */
+  def lmTransfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokensBySource(Tables.load(spark, sfDir, "documents"))
+    val (vocab, _, vocabN) = driftVocab(toks)
+    val sv = toks.join(broadcast(vocab.select("tok")), "tok")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val st = sv.groupBy("source").agg(sum("c").as("n"))
+    val overlap = sv
+      .select(col("source").as("eval_source"), col("tok"),
+        col("c").cast("double").as("cb"))
+      .join(sv.select(col("source").as("train_source"), col("tok"),
+        col("c").cast("double").as("ca")), Seq("tok"))
+      .groupBy("eval_source", "train_source")
+      .agg(sum(col("cb") * log(col("ca") + 1.0)).as("s"))
+    val base = st
+      .select(col("source").as("eval_source"), col("n").as("nb"))
+      .crossJoin(broadcast(
+        st.select(col("source").as("train_source"), col("n").as("na"))))
+    val ce = log(col("na").cast("double") + lit(vocabN.toDouble)) -
+      coalesce(col("s"), lit(0.0)) / col("nb").cast("double")
+    base.join(overlap, Seq("eval_source", "train_source"), "left")
+      .select(col("train_source"), col("eval_source"),
+        round(ce, 6).as("cross_entropy"),
+        round(exp(ce), 4).as("perplexity"))
+      .orderBy("train_source", "eval_source")
+  }
+
+  val lmTransferSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, tok FROM (
+       |    SELECT source,
+       |           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |    FROM documents) WHERE length(tok) > 0
+       |), vocab AS (
+       |  SELECT tok, COUNT(*) AS cg FROM toks GROUP BY 1
+       |  ORDER BY cg DESC, tok LIMIT $DriftVocab
+       |), vn AS (SELECT COUNT(*)::DOUBLE AS v FROM vocab),
+       |sv AS (
+       |  SELECT source, t.tok, COUNT(*) AS c
+       |  FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2
+       |), st AS (SELECT source, SUM(c) AS n FROM sv GROUP BY 1),
+       |ov AS (
+       |  SELECT e.source AS eval_source, t.source AS train_source,
+       |         SUM(e.c::DOUBLE * ln(t.c::DOUBLE + 1.0)) AS s
+       |  FROM sv e JOIN sv t ON e.tok = t.tok GROUP BY 1, 2
+       |), base AS (
+       |  SELECT e.source AS eval_source, e.n AS nb,
+       |         t.source AS train_source, t.n AS na
+       |  FROM st e CROSS JOIN st t
+       |)
+       |SELECT train_source, eval_source,
+       |       round(ln(na::DOUBLE + vn.v) - COALESCE(ov.s, 0.0) / nb::DOUBLE,
+       |             6) AS cross_entropy,
+       |       round(exp(ln(na::DOUBLE + vn.v)
+       |                 - COALESCE(ov.s, 0.0) / nb::DOUBLE), 4) AS perplexity
+       |FROM base CROSS JOIN vn
+       |LEFT JOIN ov USING (eval_source, train_source)
+       |ORDER BY train_source, eval_source""".stripMargin
+
+  /** q224 — classifier-vs-gate calibration: the reliability diagram of
+    * q98's logistic p_keep against the q112 Gopher rule gate's verdict,
+    * binned by predicted-probability decile — n, mean prediction,
+    * empirical gate-pass fraction, and the per-bin calibration gap.
+    * This is the audit a curation pipeline runs before replacing an
+    * expensive rule gate with a cheap learned classifier at 100 TB: a
+    * well-calibrated head lets you pick the score threshold that
+    * reproduces the gate's acceptance rate; a badly calibrated one
+    * (big gaps) means the threshold must be re-fit per corpus.
+    *
+    * Scale shape: both inputs are row-local single-scan projections
+    * (q98 and q112 are codegen'd scans); one equi-join on doc_id and a
+    * ≤10-group aggregate. The join is doc-keyed — at 100 TB both sides
+    * partition identically and this is one co-partitioned shuffle. */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = logitQuality(spark, sfDir).select(col("doc_id"), col("p_keep"))
+    val gold = gopherRules(spark, sfDir)
+      .select(col("doc_id"), col("keep").cast("int").as("gold"))
+    scores.join(gold, Seq("doc_id"))
+      .select(least(floor(col("p_keep") * 10), lit(9)).cast("int").as("bin"),
+        col("p_keep"), col("gold"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("p_keep")), 6).as("mean_p_keep"),
+        round(avg(col("gold").cast("double")), 6).as("gate_keep_frac"))
+      .withColumn("abs_gap",
+        round(abs(col("mean_p_keep") - col("gate_keep_frac")), 6))
+      .orderBy("bin")
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH s AS (SELECT doc_id, p_keep FROM ($logitQualitySql)),
+       |g AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS gold
+       |      FROM ($gopherRulesSql)),
+       |b AS (
+       |  SELECT LEAST(floor(p_keep * 10), 9)::INT AS bin, p_keep, gold
+       |  FROM s JOIN g USING (doc_id)
+       |), agg AS (
+       |  SELECT bin, COUNT(*) AS n_docs,
+       |         round(AVG(p_keep), 6) AS mean_p_keep,
+       |         round(AVG(gold), 6) AS gate_keep_frac
+       |  FROM b GROUP BY bin
+       |)
+       |SELECT bin, n_docs, mean_p_keep, gate_keep_frac,
+       |       round(abs(mean_p_keep - gate_keep_frac), 6) AS abs_gap
+       |FROM agg ORDER BY bin""".stripMargin
 }

@@ -79,7 +79,17 @@ class PlanSpec extends SparkSpec {
       "q198_hard_negatives",
       // q212: the 1-row (N, G) mixture anchor crossed into the
       // |source×lang| cell aggregate (q73's scalar shape)
-      "q212_target_mix_weights")
+      "q212_target_mix_weights",
+      // q223: the |sources|×|sources| transfer grid crosses two S-row
+      // per-source total aggregates — both sides bounded by the source
+      // count, the q113 bounded-grid shape
+      "q223_lm_transfer",
+      // q225: the 1-row clustered-doc total anchor crossed into the
+      // per-cluster-size aggregate (q73's scalar shape)
+      "q225_cluster_transitivity",
+      // q226: the 1-row (total tokens, source count) anchor crossed
+      // into the S-row per-source aggregate (q212's scalar shape)
+      "q226_epoch_planner")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

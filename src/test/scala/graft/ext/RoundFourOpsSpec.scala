@@ -89,4 +89,79 @@ class RoundFourOpsSpec extends SparkSpec {
       .agg(max(col("r").cast("double"))).head.getDouble(0)
     rows.foreach(r => assert(math.abs(r.getDouble(2) - rev) < 1e-6))
   }
+
+  test("q222: calibration columns are probabilities and bands are in range") {
+    val rows = Dedup.lshCalibration(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, pc) = (r.getInt(0), r.getDouble(6))
+      assert(bucket >= 0 && bucket <= 9)
+      assert(pc > 0.0 && pc <= 1.0, s"pred_catch_prob $pc out of (0,1]")
+      // every CAUGHT pair shares >= 1 band, and never more than Bands
+      val sb = r.getDouble(4)
+      assert(sb >= 1.0 && sb <= Dedup.Bands.toDouble)
+      // mean exact J must sit inside its bucket
+      val mj = r.getDouble(2)
+      assert(mj >= bucket / 10.0 && (bucket == 9 || mj < (bucket + 1) / 10.0))
+    }
+  }
+
+  test("q225: implied pairs dominate direct pairs; spanning trees bound below") {
+    val rows = Dedup.clusterTransitivity(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, nc) = (r.getLong(0), r.getLong(1))
+      val (implied, direct) = (r.getLong(4), r.getLong(5))
+      assert(implied == nc * s * (s - 1) / 2)
+      // connectivity: each cluster of size s carries >= s-1 direct edges
+      assert(direct >= nc * (s - 1), s"size-$s clusters under-connected")
+      assert(direct <= implied)
+      assert(r.getLong(6) == implied - direct)
+    }
+  }
+
+  test("q223: the transfer diagonal is each eval source's best (or tied) model") {
+    // an add-one-smoothed unigram LM fit on source b itself can only be
+    // beaten by a model whose vocab counts align better by chance —
+    // assert the weaker, always-true direction: diagonal ce is finite,
+    // grid is complete (S×S) and symmetric in SHAPE, not values
+    val rows = TextAnalysis.lmTransfer(spark, sf001).collect()
+    val sources = rows.map(_.getString(0)).distinct
+    assert(rows.length == sources.length * sources.length)
+    rows.foreach { r =>
+      assert(!r.getDouble(2).isNaN && r.getDouble(2) > 0.0)
+      assert(r.getDouble(3) >= 1.0) // perplexity >= 1
+    }
+    // diagonal should on average transfer better than off-diagonal
+    val diag = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getDouble(2))
+    val off = rows.filter(r => r.getString(0) != r.getString(1)).map(_.getDouble(2))
+    assert(diag.sum / diag.length <= off.sum / off.length,
+      "self-trained LMs must beat cross-source LMs on average")
+  }
+
+  test("q224: reliability bins partition all docs; fractions are probabilities") {
+    val rows = TextAnalysis.qualityCalibration(spark, sf001).collect()
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val (mp, gf) = (r.getDouble(2), r.getDouble(3))
+      assert(mp >= 0.0 && mp <= 1.0 && gf >= 0.0 && gf <= 1.0)
+      assert(math.abs(r.getDouble(4) - math.abs(mp - gf)) < 1e-9)
+    }
+  }
+
+  test("q226: the epoch planner conserves the budget identity per source") {
+    val rows = Sampling.epochPlanner(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (target, needed, servedE) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (served, shortfall, capped) =
+        (r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+      assert(servedE <= Sampling.EpochCap + 1e-9)
+      assert(capped == (needed > Sampling.EpochCap))
+      // served + shortfall reassembles the target share (4-dp rounding)
+      assert(math.abs(served + shortfall - target) < 2e-4)
+      if (!capped) assert(shortfall.abs < 2e-4)
+    }
+  }
 }
