@@ -2105,4 +2105,63 @@ object Dedup {
        |FROM base b JOIN direct d USING (cluster_size)
        |CROSS JOIN tot
        |ORDER BY b.cluster_size""".stripMargin
+
+  /** q227 — dedup information-loss audit: per language, how many
+    * distinct word bigrams exist only in documents the q62 survivor
+    * policy REMOVES — i.e. content the dedup throws away that no kept
+    * document still carries. Near-dup clusters are near, not equal, so
+    * survivor-only retention always loses some long-tail n-grams; this
+    * measures that loss, the number a curator weighs against the
+    * dedup's training-loss benefit before running it over 100 TB
+    * (the Lee et al. "Deduplicating Training Data" trade-off made
+    * auditable).
+    *
+    * Scale shape: grams travel as 60-bit md5 fingerprints (the q107
+    * trick — identical derivation in the oracle, so any collision is
+    * shared), one (lang, gram) shuffle with map-side combine computes
+    * each gram's kept/removed exposure, then a per-lang rollup. The
+    * survivor flags ride the session-memoized pair list; docs outside
+    * any cluster are kept by definition (left join + coalesce). */
+  def dedupInfoLoss(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val removed = dedupSurvivors(spark, sfDir)
+      .filter(!col("survivor")).select(col("doc_id"), lit(1).as("rm"))
+    val grams = wordNgrams(docs)
+      .select(col("doc_id"), hash60(col("ng")).as("g"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("lang"), col("g"),
+        (coalesce(col("rm"), lit(0)) === 0).cast("int").as("kept"))
+    grams.groupBy("lang", "g").agg(max(col("kept")).as("in_kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(lit(1) - col("in_kept")).cast("long").as("n_lost"),
+        round(avg(lit(1.0) - col("in_kept").cast("double")), 6)
+          .as("lost_frac"))
+      .orderBy("lang")
+  }
+
+  val dedupInfoLossSql: String =
+    s"""WITH sv AS ($dedupSurvivorsSql),
+       |removed AS (SELECT doc_id FROM sv WHERE NOT survivor),
+       |grams AS (
+       |  SELECT d.lang, ${hash60Sql("t.ng")} AS g,
+       |         CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]
+       |                   for i in generate_series(1, len(t)-1)])) AS ng
+       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |          FROM documents)
+       |    WHERE len(t) >= $NgramWords
+       |  ) t
+       |  JOIN documents d USING (doc_id)
+       |  LEFT JOIN removed r USING (doc_id)
+       |), per AS (
+       |  SELECT lang, g, MAX(kept) AS in_kept FROM grams GROUP BY 1, 2
+       |)
+       |SELECT lang, COUNT(*) AS n_grams,
+       |       CAST(SUM(1 - in_kept) AS BIGINT) AS n_lost,
+       |       round(AVG(1.0 - in_kept::DOUBLE), 6) AS lost_frac
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
 }

@@ -269,4 +269,57 @@ object Diagnostics {
        |       COALESCE(BIT_XOR(CASE WHEN in_prev THEN h END), 0)
        |         != BIT_XOR(h) AS changed
        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** The k-anonymity privacy floor q228 audits against: an equivalence
+    * class smaller than this re-identifies its members too easily and
+    * must be suppressed or generalized before release. */
+  val KAnonThreshold = 5L
+
+  /** q228 — k-anonymity / l-diversity audit over the customer
+    * dimension: group by the quasi-identifier tuple (nation, account-
+    * balance band) and report each equivalence class's size k and its
+    * l-diversity (distinct market segments — the stand-in sensitive
+    * attribute), flagging classes below [[KAnonThreshold]]. This is
+    * the release gate a pipeline runs before shipping user-derived
+    * training data or metadata: small classes leak identity even with
+    * names stripped (Sweeney's k-anonymity), and l = 1 leaks the
+    * sensitive value OUTRIGHT for everyone in the class regardless of
+    * k (the homogeneity attack l-diversity exists to catch).
+    *
+    * Scale shape: one scan → a |nations × bands|-bounded hash
+    * aggregate (map-side combine; both k and l fold per class —
+    * countDistinct over 5 segment values stays tiny under Expand),
+    * then a broadcast decorate with the nation name. The balance band
+    * is a fixed-width floor, not a quantile, so no global sort/window
+    * exists anywhere. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val band = floor(col("c_acctbal") / 1000).cast("int")
+    cust.select(col("c_nationkey"), band.as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("bal_band"), col("k"),
+        col("l"), (col("k") < KAnonThreshold).as("below_k"),
+        (col("l") === 1).as("homogeneous"))
+      .orderBy("nation", "bal_band")
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+       |         COUNT(*) AS k,
+       |         COUNT(DISTINCT c_mktsegment) AS l
+       |  FROM customer GROUP BY 1, 2
+       |)
+       |SELECT n.n_name AS nation, c.bal_band, c.k, c.l,
+       |       c.k < $KAnonThreshold AS below_k,
+       |       c.l = 1 AS homogeneous
+       |FROM cls c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |ORDER BY nation, bal_band""".stripMargin
 }

@@ -150,6 +150,37 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("q227: loss fractions are bounded and removed-free langs lose nothing") {
+    val rows = Dedup.dedupInfoLoss(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lost, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(lost >= 0 && lost <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(frac - lost.toDouble / n) < 1e-6)
+    }
+    // langs with NO removed docs must report zero loss
+    val removedLangs = Dedup.dedupSurvivors(spark, sf001)
+      .filter(!col("survivor"))
+      .join(Tables.load(spark, sf001, "documents"), Seq("doc_id"))
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    rows.filterNot(r => removedLangs(r.getString(0)))
+      .foreach(r => assert(r.getLong(2) == 0L,
+        s"lang ${r.getString(0)} lost grams without removing docs"))
+  }
+
+  test("q228: classes partition the customers and flags match their definitions") {
+    val rows = Diagnostics.kAnonymity(spark, sf001).collect()
+    val nCust = Tables.load(spark, sf001, "customer").count()
+    assert(rows.map(_.getLong(2)).sum == nCust)
+    rows.foreach { r =>
+      val (k, l) = (r.getLong(2), r.getLong(3))
+      assert(l >= 1 && l <= math.min(k, 5))
+      assert(r.getBoolean(4) == (k < Diagnostics.KAnonThreshold))
+      assert(r.getBoolean(5) == (l == 1))
+    }
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
