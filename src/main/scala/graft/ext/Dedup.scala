@@ -2164,4 +2164,56 @@ object Dedup {
        |       round(AVG(1.0 - in_kept::DOUBLE), 6) AS lost_frac
        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q229 — survivor-quality audit: for each near-dup cluster, does
+    * the q62 keep-the-longest survivor policy actually retain the
+    * member the q98 quality classifier scores highest? Per cluster
+    * size: how many clusters keep the best-scoring member, and the
+    * mean score sacrificed when they don't. Length and quality
+    * correlate but are not the same ranking — this is the audit that
+    * decides whether a 100 TB dedup should re-rank survivors by
+    * classifier score (a one-line policy change whose corpus-quality
+    * effect this query prices BEFORE the run).
+    *
+    * Scale shape: the survivor frame is cluster-bounded (near-dup
+    * density, never corpus-sized); one doc-keyed equi-join attaches
+    * the row-local q98 score, then two bounded hash aggregates
+    * (per-cluster, then per-size). Score comparisons happen on the
+    * 6-dp-rounded p_keep both engines already share, so best/kept
+    * verdicts are engine-exact. */
+  def survivorQualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sv = dedupSurvivors(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("survivor"))
+    val scores = TextAnalysis.logitQuality(spark, sfDir)
+      .select(col("doc_id"), col("p_keep"))
+    val per = sv.join(scores, Seq("doc_id"))
+      .groupBy("cluster_id", "cluster_size")
+      .agg(max(col("p_keep")).as("best_p"),
+        max(when(col("survivor"), col("p_keep"))).as("surv_p"))
+    per.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum((col("surv_p") >= col("best_p")).cast("long")).as("n_best_kept"),
+        round(avg((col("surv_p") >= col("best_p")).cast("double")), 6)
+          .as("best_kept_frac"),
+        round(avg(col("best_p") - col("surv_p")), 6).as("mean_quality_gap"))
+      .orderBy("cluster_size")
+  }
+
+  val survivorQualityAuditSql: String =
+    s"""WITH sv AS ($dedupSurvivorsSql),
+       |q AS (SELECT doc_id, p_keep FROM (${TextAnalysis.logitQualitySql})),
+       |per AS (
+       |  SELECT sv.cluster_id, sv.cluster_size,
+       |         MAX(q.p_keep) AS best_p,
+       |         MAX(CASE WHEN sv.survivor THEN q.p_keep END) AS surv_p
+       |  FROM sv JOIN q USING (doc_id)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |       CAST(SUM(CASE WHEN surv_p >= best_p THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_best_kept,
+       |       round(AVG(CASE WHEN surv_p >= best_p THEN 1.0 ELSE 0.0 END),
+       |             6) AS best_kept_frac,
+       |       round(AVG(best_p - surv_p), 6) AS mean_quality_gap
+       |FROM per GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 }

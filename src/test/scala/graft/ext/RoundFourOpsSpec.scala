@@ -181,6 +181,19 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("q229: the quality gap is zero exactly when the best member is kept") {
+    val rows = Dedup.survivorQualityAudit(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, best, frac, gap) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(best <= n)
+      assert(math.abs(frac - best.toDouble / n) < 1e-6)
+      assert(gap >= 0.0)
+      if (best == n) assert(gap == 0.0, "all-best sizes cannot sacrifice score")
+    }
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
