@@ -2126,9 +2126,17 @@ object Dedup {
     val docs = Tables.load(spark, sfDir, "documents")
     val removed = dedupSurvivors(spark, sfDir)
       .filter(!col("survivor")).select(col("doc_id"), lit(1).as("rm"))
-    val grams = wordNgrams(docs)
-      .select(col("doc_id"), hash60(col("ng")).as("g"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // lang rides the explode itself (one corpus scan), so the only join
+    // on the gram side is the tiny removed-doc list
+    val t = split(lower(col("text")), "\\s+")
+    val grams = docs
+      .select(col("doc_id"), col("lang"), t.as("t"))
+      .filter(size(col("t")) >= NgramWords)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - (NgramWords - 1)),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1))))).as("ng"))
+      .select(col("doc_id"), col("lang"), hash60(col("ng")).as("g"))
       .join(removed, Seq("doc_id"), "left")
       .select(col("lang"), col("g"),
         (coalesce(col("rm"), lit(0)) === 0).cast("int").as("kept"))

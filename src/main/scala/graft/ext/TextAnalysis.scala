@@ -2283,8 +2283,13 @@ object TextAnalysis {
   def lmTransfer(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokensBySource(Tables.load(spark, sfDir, "documents"))
     val (vocab, _, vocabN) = driftVocab(toks)
+    // sv is the whole query's state — ≤ S·V rows. Pin it eagerly so the
+    // self-join, the per-source totals, and the grid all read the pinned
+    // copy: the corpus is scanned exactly twice (vocab pass + count
+    // pass) instead of once per consumer.
     val sv = toks.join(broadcast(vocab.select("tok")), "tok")
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val st = sv.groupBy("source").agg(sum("c").as("n"))
     val overlap = sv
       .select(col("source").as("eval_source"), col("tok"),
