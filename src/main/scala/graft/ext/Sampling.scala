@@ -1102,4 +1102,87 @@ object Sampling {
        |        / n_tokens::DOUBLE > $EpochCap) AS capped
        |FROM per CROSS JOIN tot
        |ORDER BY source""".stripMargin
+
+  /** Candidate context lengths q230 sweeps — the training-config choice
+    * the fragmentation curve prices. Includes q72's own [[SeqLen]] so
+    * the sweep contains the deployed configuration. */
+  val ContextLens: Seq[Long] = Seq(256L, 512L, 1024L, 2048L)
+
+  /** q230 — context-length fragmentation sweep: under q72's
+    * concat-and-slice packing, how many documents get SPLIT across a
+    * sequence boundary at each candidate context length, how many
+    * fragments the average document shatters into, and the tail
+    * padding the last sequence carries. Longer contexts fragment fewer
+    * documents (better attention locality, fewer truncated
+    * dependencies) but cost quadratic attention — this emits the data
+    * side of that trade-off for the actual corpus, per candidate L,
+    * before anyone pays for a tokenization run.
+    *
+    * Scale shape: ONE two-phase prefix sum gives every document its
+    * stream offset (L-independent, shared kernel with q72/q33 — no
+    * unpartitioned window); each doc then map-side explodes the
+    * 4-element literal length array (the q209/q218 no-join sweep
+    * shape) and everything reduces to a |lengths|-row aggregate plus
+    * the 1-row token total (bounded-broadcast cross, PlanSpec-exempt).
+    * All columns are exact integers except the two 6-dp means. */
+  def contextSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val off = packOffsets(docs)
+    val lens = array(ContextLens.map(lit): _*)
+    val e = off.select(col("n_tokens"), col("start_off"),
+        explode(lens).as("ctx_len"))
+      .withColumn("frags",
+        expr("(start_off + n_tokens - 1) div ctx_len") -
+          expr("start_off div ctx_len") + 1)
+    val per = e.groupBy("ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("frags") > 1).cast("long")).as("n_split"),
+        round(avg((col("frags") > 1).cast("double")), 6).as("split_frac"),
+        round(avg(col("frags").cast("double")), 6).as("mean_fragments"))
+    val tot = docs.agg(sum("n_tokens").as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_seqs",
+        expr("(total_tokens + ctx_len - 1) div ctx_len"))
+      .withColumn("tail_pad_tokens",
+        col("n_seqs") * col("ctx_len") - col("total_tokens"))
+      .drop("total_tokens")
+      .orderBy("ctx_len")
+  }
+
+  val contextSweepSql: String = {
+    val lens = ContextLens.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT doc_id, n_tokens,
+       |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS start_off
+       |  FROM t
+       |), l AS (SELECT unnest([$lens]::BIGINT[]) AS ctx_len),
+       |e AS (
+       |  SELECT ctx_len, n_tokens,
+       |         (start_off + n_tokens - 1) // ctx_len
+       |           - start_off // ctx_len + 1 AS frags
+       |  FROM o CROSS JOIN l
+       |), per AS (
+       |  SELECT ctx_len, COUNT(*) AS n_docs,
+       |         CAST(SUM(CASE WHEN frags > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_split,
+       |         round(AVG(CASE WHEN frags > 1 THEN 1.0 ELSE 0.0 END), 6)
+       |           AS split_frac,
+       |         round(AVG(frags::DOUBLE), 6) AS mean_fragments
+       |  FROM e GROUP BY 1
+       |), tot AS (SELECT SUM(n_tokens) AS total_tokens FROM t)
+       |SELECT ctx_len, n_docs, n_split, split_frac, mean_fragments,
+       |       CAST((total_tokens + ctx_len - 1) // ctx_len AS BIGINT)
+       |         AS n_seqs,
+       |       CAST(((total_tokens + ctx_len - 1) // ctx_len) * ctx_len
+       |            - total_tokens AS BIGINT) AS tail_pad_tokens
+       |FROM per CROSS JOIN tot
+       |ORDER BY ctx_len""".stripMargin
+  }
 }

@@ -89,7 +89,10 @@ class PlanSpec extends SparkSpec {
       "q225_cluster_transitivity",
       // q226: the 1-row (total tokens, source count) anchor crossed
       // into the S-row per-source aggregate (q212's scalar shape)
-      "q226_epoch_planner")
+      "q226_epoch_planner",
+      // q230: the 1-row token-total anchor crossed into the
+      // |ContextLens|-row sweep aggregate (q73's scalar shape)
+      "q230_context_sweep")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -194,6 +194,23 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("q230: fragmentation is monotone non-increasing in context length") {
+    val rows = Sampling.contextSweep(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Sampling.ContextLens)
+    // doubling L can only merge boundaries a doc crosses, never add:
+    // every 2L boundary is also an L boundary
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2), "n_split must fall as L doubles")
+      assert(b.getDouble(4) <= a.getDouble(4) + 1e-9,
+        "mean fragments must fall as L doubles")
+      assert(b.getLong(5) <= a.getLong(5), "n_seqs must fall as L doubles")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(6) >= 0 && r.getLong(6) < r.getLong(0),
+        "tail pad must be in [0, L)")
+    }
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
