@@ -1724,7 +1724,7 @@ object TextAnalysis {
   /** The gate projection itself — stateless, so the SAME Column graph
     * runs batch (q112) and on a document stream (StreamJobs.gopherGate);
     * StreamJobsSpec pins the replay equal to the batch result. */
-  def gopherRulesOn(docs: DataFrame): DataFrame = {
+  def gopherRulesOn(docs: DataFrame, keepText: Boolean = false): DataFrame = {
     val toks = split(col("text"), "\\s+")
     val nWords = size(toks).cast("long")
     val nw = nWords.cast("double")
@@ -1736,11 +1736,12 @@ object TextAnalysis {
       size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nw
     val symRatio =
       regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double") / nw
-    docs.select(col("doc_id"), nWords.as("n_words"),
-        round(meanLen, 6).as("mean_word_len"),
-        nStop.cast("long").as("n_stop_distinct"),
-        round(alphaFrac, 6).as("alpha_frac"),
-        round(symRatio, 6).as("sym_ratio"))
+    val base = Seq(col("doc_id"), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      nStop.cast("long").as("n_stop_distinct"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      round(symRatio, 6).as("sym_ratio"))
+    docs.select((if (keepText) base :+ col("text") else base): _*)
       .withColumn("words_ok",
         col("n_words").between(GopherMinWords, GopherMaxWords))
       .withColumn("mean_len_ok",
@@ -2357,33 +2358,62 @@ object TextAnalysis {
     * (q98 and q112 are codegen'd scans); one equi-join on doc_id and a
     * ≤10-group aggregate. The join is doc-keyed — at 100 TB both sides
     * partition identically and this is one co-partitioned shuffle. */
-  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
-    val scores = logitQuality(spark, sfDir).select(col("doc_id"), col("p_keep"))
-    val gold = gopherRules(spark, sfDir)
-      .select(col("doc_id"), col("keep").cast("int").as("gold"))
-    scores.join(gold, Seq("doc_id"))
-      .select(least(floor(col("p_keep") * 10), lit(9)).cast("int").as("bin"),
-        col("p_keep"), col("gold"))
+  /** The calibration-bin kernel under q224: ONE stateless row-local
+    * projection computes BOTH the classifier score and the gate
+    * verdict (no join — both are functions of the text column), then a
+    * 10-group aggregate. Stateless + bounded, so the SAME Column graph
+    * runs batch (q224) and as a streaming monitor
+    * (StreamJobs.calibrationBins, state fixed at 10 rows);
+    * StreamJobsSpec pins the replay equal to the batch bins. */
+  def calibrationBinsOn(docs: DataFrame): DataFrame = {
+    val g = gopherRulesOn(docs, keepText = true)
+    val toks = split(lower(col("text")), "\\s+")
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nStop = regexp_count(lower(col("text")),
+      lit(markerRegex(englishStopwords))).cast("long")
+    val z = lit(LogitW0) +
+      lit(LogitWLogTokens) * log(nTokens.cast("double")) +
+      lit(LogitWAvgLen) * (nChars.cast("double") / nTokens.cast("double")) +
+      lit(LogitWStopword) * (nStop.cast("double") / nTokens.cast("double"))
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    // state is ALL-INTEGER (p_keep is 6-dp, so micro-units are exact
+    // longs): sums are order-independent, which is what lets the
+    // streaming replay equal the batch bins bit-for-bit
+    g.select(least(floor(p * 10), lit(9)).cast("int").as("bin"),
+        round(p * 1e6, 0).cast("long").as("p_micro"),
+        col("keep").cast("int").as("gold"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("p_keep")), 6).as("mean_p_keep"),
-        round(avg(col("gold").cast("double")), 6).as("gate_keep_frac"))
+        sum(col("p_micro")).as("sum_p_micro"),
+        sum(col("gold")).cast("long").as("n_gate"))
+  }
+
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    calibrationBinsOn(Tables.load(spark, sfDir, "documents"))
+      .select(col("bin"), col("n_docs"),
+        round(col("sum_p_micro").cast("double") / 1e6 /
+          col("n_docs").cast("double"), 6).as("mean_p_keep"),
+        round(col("n_gate").cast("double") / col("n_docs").cast("double"),
+          6).as("gate_keep_frac"))
       .withColumn("abs_gap",
         round(abs(col("mean_p_keep") - col("gate_keep_frac")), 6))
       .orderBy("bin")
-  }
 
   val qualityCalibrationSql: String =
     s"""WITH s AS (SELECT doc_id, p_keep FROM ($logitQualitySql)),
-       |g AS (SELECT doc_id, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS gold
+       |g AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS gold
        |      FROM ($gopherRulesSql)),
        |b AS (
-       |  SELECT LEAST(floor(p_keep * 10), 9)::INT AS bin, p_keep, gold
+       |  SELECT LEAST(floor(p_keep * 10), 9)::INT AS bin,
+       |         CAST(round(p_keep * 1e6) AS BIGINT) AS p_micro, gold
        |  FROM s JOIN g USING (doc_id)
        |), agg AS (
        |  SELECT bin, COUNT(*) AS n_docs,
-       |         round(AVG(p_keep), 6) AS mean_p_keep,
-       |         round(AVG(gold), 6) AS gate_keep_frac
+       |         round(SUM(p_micro)::DOUBLE / 1e6 / COUNT(*)::DOUBLE, 6)
+       |           AS mean_p_keep,
+       |         round(SUM(gold)::DOUBLE / COUNT(*)::DOUBLE, 6)
+       |           AS gate_keep_frac
        |  FROM b GROUP BY bin
        |)
        |SELECT bin, n_docs, mean_p_keep, gate_keep_frac,

@@ -220,6 +220,17 @@ object StreamJobs {
   def cmsTypeCounters(events: DataFrame): DataFrame =
     graft.ext.Sketches.cmsCounters(events, "event_type")
 
+  /** Live classifier-vs-gate calibration monitor (q224's streaming
+    * face): both scores are row-local functions of the text column, so
+    * the whole monitor is one stateless projection plus a streaming
+    * groupBy whose state is FIXED at 10 decile-bin rows no matter how
+    * many documents flow through — the drift alarm a curation pipeline
+    * keeps running after it swaps the rule gate for the cheap
+    * classifier. Replayed to completion the bins equal the batch
+    * kernel bit-for-bit. */
+  def calibrationBins(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.calibrationBinsOn(docs)
+
   /** Live value-quantile sketch: the q134 DDSketch bucket table as a
     * streaming groupBy-SUM — |types|·(64·octaves) rows of state for
     * bounded-relative-error quantiles over an unbounded stream (the

@@ -47,6 +47,25 @@ class StreamJobsSpec extends SparkSpec {
       s"gate drift: ${(got diff want).take(2)} vs ${(want diff got).take(2)}")
   }
 
+  test("streaming calibration bins replay to the batch q224 kernel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = StreamJobs.readDocuments(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.calibrationBins(stream), "calib_test",
+      OutputMode.Complete())
+      .collect().map(r => r.toSeq).toSet
+    val want = graft.ext.TextAnalysis.calibrationBinsOn(
+      graft.Tables.load(spark, sf001, "documents"))
+      .collect().map(r => r.toSeq).toSet
+    assert(got == want,
+      s"bin drift: ${(got diff want).take(2)} vs ${(want diff got).take(2)}")
+    // fixed state: never more than the 10 decile bins
+    assert(got.size <= 10)
+  }
+
   test("streaming drift monitor replays to the batch q113 rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-drift")
     java.nio.file.Files.copy(
