@@ -2224,4 +2224,105 @@ object Dedup {
        |             6) AS best_kept_frac,
        |       round(AVG(best_p - surv_p), 6) AS mean_quality_gap
        |FROM per GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** q231 — incremental cluster maintenance by CONTRACTION: fold a new
+    * document batch (doc_id % 10 == 0, q37's increment convention)
+    * into the STANDING dup clusters without re-clustering the corpus.
+    * Standing components contract to single super-nodes (their min-id
+    * label), so the connected-components pass runs on a graph whose
+    * size is BATCH-proportional — new doc ids plus the handful of
+    * standing labels their edges touch — never corpus-proportional.
+    * Because every standing label is already the min id of its old
+    * component and min is associative, the contracted labels equal a
+    * full-graph recompute EXACTLY; the DuckDB oracle proves that by
+    * doing the full recompute (both closures) and comparing.
+    *
+    * Output per batch doc in the near-dup graph: its final cluster id,
+    * how many pre-existing components (counting corpus singletons) its
+    * component absorbed, how many batch docs share it, and whether the
+    * batch BRIDGED formerly-separate clusters (n_old_merged >= 2) —
+    * the event an incremental 100 TB dedup must detect, because a
+    * bridge changes survivor choices for documents it never read
+    * today.
+    *
+    * Scale shape: edge filters ride the session-memoized pair list;
+    * the standing-label attach is two doc-keyed equi-joins; the CC
+    * pass sees only contracted batch edges. At 100 TB the batch edges
+    * would come from q37's asymmetric batch×corpus prefix join; here
+    * the memoized full pair list supplies them. */
+  def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    def isBatch(c: Column): Column = c % 10 === 0
+    val pairs = verifiedNgramPairs(spark, sfDir).select("doc_a", "doc_b")
+    val corpusPairs = pairs
+      .filter(!isBatch(col("doc_a")) && !isBatch(col("doc_b")))
+    val standing = connectedComponents(corpusPairs) // (id, lbl)
+    val batchPairs = pairs
+      .filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+    val contracted = batchPairs
+      .join(standing.select(col("id").as("doc_a"), col("lbl").as("la")),
+        Seq("doc_a"), "left")
+      .join(standing.select(col("id").as("doc_b"), col("lbl").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("na"),
+        coalesce(col("lb"), col("doc_b")).as("nb"))
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
+    val merged = connectedComponents(contracted) // (id, lbl) contracted nodes
+    val stats = merged.groupBy("lbl")
+      .agg(sum(when(isBatch(col("id")), 0).otherwise(1)).as("n_old_merged"),
+        sum(when(isBatch(col("id")), 1).otherwise(0))
+          .as("n_batch_in_cluster"))
+    merged.filter(isBatch(col("id")))
+      .join(stats, Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("n_old_merged"), col("n_batch_in_cluster"),
+        (col("n_old_merged") >= 2).as("merged_old"))
+      .orderBy("doc_id")
+  }
+
+  /** Full-recompute oracle: both closures (whole graph + corpus-only
+    * subgraph), then per full component count the distinct old
+    * component ids its non-batch members carried. Agreement proves the
+    * contraction exact. */
+  val incrementalClustersSql: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT doc_a, doc_b FROM ($ngramJaccardPairsSql)
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM p
+       |), reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS node, MIN(dst) AS full_lbl FROM reach GROUP BY src
+       |), cedges AS (
+       |  SELECT src, dst FROM edges WHERE src % 10 != 0 AND dst % 10 != 0
+       |), creach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM cedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM creach r JOIN cedges e ON r.dst = e.src
+       |), ccomp AS (
+       |  SELECT src AS node, MIN(dst) AS old_lbl FROM creach GROUP BY src
+       |), decorated AS (
+       |  SELECT c.node, c.full_lbl,
+       |         CASE WHEN c.node % 10 = 0 THEN NULL
+       |              ELSE COALESCE(cc.old_lbl, c.node) END AS old_id
+       |  FROM comp c LEFT JOIN ccomp cc ON c.node = cc.node
+       |), stats AS (
+       |  SELECT full_lbl,
+       |         CAST(COUNT(DISTINCT old_id) AS BIGINT) AS n_old_merged,
+       |         CAST(SUM(CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_batch_in_cluster
+       |  FROM decorated GROUP BY 1
+       |)
+       |SELECT d.node AS doc_id, d.full_lbl AS cluster_id,
+       |       s.n_old_merged, s.n_batch_in_cluster,
+       |       s.n_old_merged >= 2 AS merged_old
+       |FROM decorated d JOIN stats s USING (full_lbl)
+       |WHERE d.node % 10 = 0
+       |ORDER BY doc_id""".stripMargin
 }

@@ -211,6 +211,23 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("q231: contracted incremental labels equal the full recompute") {
+    // the exactness claim itself: folding the batch into contracted
+    // standing components must land every batch doc on the SAME label a
+    // from-scratch clustering of the whole graph assigns
+    val inc = Dedup.incrementalClusters(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.clusters(spark, sf001).collect()
+      .filter(_.getLong(0) % 10 == 0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full,
+      s"contraction drift: ${(inc.toSet diff full.toSet).take(3)} vs " +
+        s"${(full.toSet diff inc.toSet).take(3)}")
+    // a bridge means >= 2 old components; singleton-absorbing batches not
+    val flags = Dedup.incrementalClusters(spark, sf001).collect()
+    flags.foreach(r => assert(r.getBoolean(4) == (r.getLong(2) >= 2)))
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
