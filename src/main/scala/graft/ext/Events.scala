@@ -2306,4 +2306,119 @@ object Events {
        |SELECT gap_min, n_breaks, n_breaks + u.nu AS n_sessions
        |FROM brk, u ORDER BY gap_min""".stripMargin
   }
+
+  /** q232 — Kaplan–Meier signup→purchase survival with right
+    * censoring: each signed-up user contributes a duration — days from
+    * first signup to first subsequent purchase (an EVENT), or to the
+    * end of the observation window (CENSORED, the users q50's binary
+    * funnel throws away). Per exit day t: the at-risk count, events,
+    * censored exits, the discrete hazard d_t/n_t, and the KM survival
+    * curve S(t) = Π_{s≤t}(1 − d_s/n_s) — time-to-conversion analysis
+    * that stays honest about users who simply haven't converted YET,
+    * the standard estimator (Kaplan & Meier 1958) none of the funnel/
+    * cohort queries (q50/q53/q173) covers.
+    *
+    * Scale shape: two pushed-down type filters → a per-user min
+    * aggregate and a conditional-min join (user-keyed, co-partitioned);
+    * everything after lives on the exit-DAY table — bounded by
+    * elapsed calendar, never by user count — so its ordered windows
+    * are q58's calendar-bounded shape (PlanSpec-exempt by that
+    * argument). Survival exponentiates an ordered cumulative sum of
+    * identical doubles (the q90 ordered-fold determinism), with an
+    * h = 1 guard so neither engine ever takes ln(0). */
+  def kmSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val per = su.join(pu, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(when(col("p_ts") >= col("s_ts"), col("p_ts"))).as("fp_ts"))
+    val censor = ev.agg(max(to_date(col("ts"))).as("c_day"))
+    val dur = per.crossJoin(broadcast(censor))
+      .select(
+        when(col("fp_ts").isNotNull,
+          datediff(to_date(col("fp_ts")), to_date(col("s_ts"))))
+          .otherwise(datediff(col("c_day"), to_date(col("s_ts"))))
+          .cast("long").as("t_days"),
+        col("fp_ts").isNotNull.cast("long").as("ev"))
+    val byT = dur.groupBy("t_days")
+      .agg(sum(col("ev")).as("n_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"))
+    val n = dur.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t_days")
+    val before = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val upto = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exits = col("n_events") + col("n_censored")
+    byT.crossJoin(broadcast(n))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(exits).over(before), lit(0L)))
+      .withColumn("h",
+        col("n_events").cast("double") / col("n_risk").cast("double"))
+      .withColumn("logsum",
+        sum(when(col("h") < 1.0, log(lit(1.0) - col("h")))
+          .otherwise(lit(0.0))).over(upto))
+      .withColumn("dead", max((col("h") >= 1.0).cast("int")).over(upto))
+      .select(col("t_days"), col("n_risk"), col("n_events"),
+        col("n_censored"), round(col("h"), 6).as("hazard"),
+        round(when(col("dead") === 1, lit(0.0))
+          .otherwise(exp(col("logsum"))), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
+  val kmSurvivalSql: String =
+    """WITH su AS (
+      |  SELECT user_id, make_timestamp(epoch_us(MIN(ts))) AS s_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), pu AS (
+      |  SELECT user_id, make_timestamp(epoch_us(ts)) AS p_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |), per AS (
+      |  SELECT su.user_id, su.s_ts,
+      |         MIN(CASE WHEN pu.p_ts >= su.s_ts THEN pu.p_ts END) AS fp_ts
+      |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+      |  GROUP BY 1, 2
+      |), censor AS (
+      |  SELECT CAST(MAX(make_timestamp(epoch_us(ts))) AS DATE) AS c_day
+      |  FROM events
+      |), dur AS (
+      |  SELECT CASE WHEN fp_ts IS NOT NULL
+      |           THEN date_diff('day', CAST(s_ts AS DATE), CAST(fp_ts AS DATE))
+      |           ELSE date_diff('day', CAST(s_ts AS DATE), c_day)
+      |         END AS t_days,
+      |         CASE WHEN fp_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM per CROSS JOIN censor
+      |), byt AS (
+      |  SELECT t_days, CAST(SUM(ev) AS BIGINT) AS n_events,
+      |         CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      |  FROM dur GROUP BY 1
+      |), n AS (SELECT COUNT(*) AS n_total FROM dur),
+      |risk AS (
+      |  SELECT t_days, n_events, n_censored,
+      |         n_total - COALESCE(SUM(n_events + n_censored) OVER (
+      |           ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND 1 PRECEDING), 0) AS n_risk
+      |  FROM byt CROSS JOIN n
+      |), haz AS (
+      |  SELECT t_days, n_risk, n_events, n_censored,
+      |         n_events::DOUBLE / n_risk::DOUBLE AS h
+      |  FROM risk
+      |), acc AS (
+      |  SELECT t_days, n_risk, n_events, n_censored, h,
+      |         SUM(CASE WHEN h < 1.0 THEN ln(1.0 - h) ELSE 0.0 END)
+      |           OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+      |                 AND CURRENT ROW) AS logsum,
+      |         MAX(CASE WHEN h >= 1.0 THEN 1 ELSE 0 END)
+      |           OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+      |                 AND CURRENT ROW) AS dead
+      |  FROM haz
+      |)
+      |SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+      |       n_censored, round(h, 6) AS hazard,
+      |       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(logsum) END, 6)
+      |         AS survival
+      |FROM acc ORDER BY t_days""".stripMargin
 }

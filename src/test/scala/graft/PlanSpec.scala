@@ -92,7 +92,10 @@ class PlanSpec extends SparkSpec {
       "q226_epoch_planner",
       // q230: the 1-row token-total anchor crossed into the
       // |ContextLens|-row sweep aggregate (q73's scalar shape)
-      "q230_context_sweep")
+      "q230_context_sweep",
+      // q232: two 1-row anchors (censor day, cohort size) crossed into
+      // the per-user and per-exit-day aggregates (q73's scalar shape)
+      "q232_km_survival")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
@@ -220,8 +223,11 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
     // q167 windows over one row per calendar MONTH, q172 over one row
     // per calendar DAY (after the register cumulation) — same argument
+    // q232 windows over one row per exit DAY (after the day-level
+    // aggregation) — the same elapsed-calendar bound
     val calendarBoundedOk =
-      Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve")
+      Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve",
+        "q232_km_survival")
     val bad = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(calendarBoundedOk).flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.sparkPlan

@@ -228,6 +228,28 @@ class RoundFourOpsSpec extends SparkSpec {
     flags.foreach(r => assert(r.getBoolean(4) == (r.getLong(2) >= 2)))
   }
 
+  test("q232: KM invariants — risk conservation, monotone survival, q50 tie-out") {
+    val rows = Events.kmSurvival(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // exits partition the cohort: risk at t+1 = risk at t - exits at t
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) == a.getLong(1) - a.getLong(2) - a.getLong(3))
+      assert(b.getDouble(5) <= a.getDouble(5) + 1e-9,
+        "survival must be non-increasing")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // cohort size == signed-up users; total events == users with a
+    // purchase at/after their first signup (the funnel numerator,
+    // unwindowed)
+    val ev = Events.loadEvents(spark, sf001)
+    val nSignup = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == nSignup)
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
