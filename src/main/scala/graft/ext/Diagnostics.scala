@@ -322,4 +322,139 @@ object Diagnostics {
        |       c.l = 1 AS homogeneous
        |FROM cls c JOIN nation n ON c.c_nationkey = n.n_nationkey
        |ORDER BY nation, bal_band""".stripMargin
+
+  /** Deletion-list membership for q233 — a deterministic stand-in for a
+    * GDPR/right-to-be-forgotten request batch. */
+  private def isDeleted(c: Column): Column = c % 17 === 0
+
+  /** q233 — deletion-propagation audit: given a deletion request list
+    * (doc_id % 17 == 0), how far does each derived artifact still
+    * reference the deleted documents? Per artifact: rows affected and
+    * distinct deleted docs involved.
+    *
+    *  - `documents` — the request list itself;
+    *  - `neardup_pairs` — verified pairs with a deleted endpoint
+    *    (must be re-derived or tombstoned);
+    *  - `clusters` — EVERY member row of a cluster containing a
+    *    deleted doc (the blast radius: survivor choices there may
+    *    change);
+    *  - `cluster_labels` — rows whose cluster_id IS a deleted doc id:
+    *    min-id labels outlive the row they were named after, the
+    *    classic lineage trap;
+    *  - `token_shards` — SURVIVING docs whose q33 offset-derived shard
+    *    id changes once deleted tokens vanish from the stream. This is
+    *    the quantified argument for content/hash-addressed sharding
+    *    (q131 rendezvous, q214 checksums) over offset-derived shards:
+    *    deletion shifts every downstream offset.
+    *
+    * Scale shape: each artifact row is one bounded aggregate over an
+    * already-memoized frame (pairs, clusters) or over the two-phase
+    * prefix-sum kernel run twice in the SAME md5 order (total tokens,
+    * deleted-only tokens) — the shard-shift check is one doc-keyed
+    * join of those two offset frames, no new shuffle shapes. */
+  def deletionSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    val nDeleted = docs.filter(isDeleted(col("doc_id"))).count()
+
+    val pairs = Dedup.verifiedNgramPairs(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val pairRows = pairs
+      .filter(isDeleted(col("doc_a")) || isDeleted(col("doc_b")))
+    val pairStats = pairRows.select(
+      explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .filter(isDeleted(col("d")))
+      .agg(countDistinct(col("d")).as("nd")).first()
+    val nPairRows = pairRows.count()
+
+    val cl = Dedup.clusters(spark, sfDir)
+    val hitClusters = cl.filter(isDeleted(col("doc_id")))
+      .select(col("cluster_id")).distinct()
+    val clusterRows = cl.join(hitClusters, Seq("cluster_id"), "left_semi")
+    val nClusterRows = clusterRows.count()
+    val nClusterDel = cl.filter(isDeleted(col("doc_id"))).count()
+    val nStaleLabels = cl.filter(isDeleted(col("cluster_id"))).count()
+    val nStaleDistinct = cl.filter(isDeleted(col("cluster_id")))
+      .select("cluster_id").distinct().count()
+
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      isDeleted(col("doc_id")).as("deleted"))
+    val keys = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val off = Sampling.packOffsetsBy(base, keys)
+      .select(col("doc_id"), col("deleted"), col("start_off"))
+    val delOff = Sampling.packOffsetsBy(
+      base.withColumn("n_tokens",
+        when(col("deleted"), col("n_tokens")).otherwise(lit(0L))), keys)
+      .select(col("doc_id"), col("start_off").as("del_before"))
+    val nShardShift = off.join(delOff, Seq("doc_id"))
+      .filter(!col("deleted") &&
+        expr(s"start_off div ${Sampling.TokensPerShard}") =!=
+          expr(s"(start_off - del_before) div ${Sampling.TokensPerShard}"))
+      .count()
+
+    Seq(
+      ("cluster_labels", nStaleLabels, nStaleDistinct),
+      ("clusters", nClusterRows, nClusterDel),
+      ("documents", nDeleted, nDeleted),
+      ("neardup_pairs", nPairRows, pairStats.getLong(0)),
+      ("token_shards", nShardShift, nDeleted))
+      .toDF("artifact", "n_rows_affected", "n_deleted_involved")
+      .orderBy("artifact")
+  }
+
+  val deletionSweepSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.ngramJaccardPairsSql})
+       |), c AS (${Dedup.clustersSql}),
+       |t AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens,
+       |         doc_id % 17 = 0 AS deleted
+       |  FROM documents
+       |), off AS (
+       |  SELECT doc_id, deleted,
+       |         COALESCE(SUM(n_tokens) OVER (
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS start_off,
+       |         COALESCE(SUM(CASE WHEN deleted THEN n_tokens ELSE 0 END)
+       |           OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS del_before
+       |  FROM t
+       |), hitc AS (
+       |  SELECT DISTINCT cluster_id FROM c WHERE doc_id % 17 = 0
+       |)
+       |SELECT 'cluster_labels' AS artifact,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rows_affected,
+       |       CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+       |         AS n_deleted_involved
+       |FROM c WHERE cluster_id % 17 = 0
+       |UNION ALL
+       |SELECT 'clusters',
+       |       (SELECT COUNT(*) FROM c WHERE cluster_id IN
+       |          (SELECT cluster_id FROM hitc)),
+       |       (SELECT COUNT(*) FROM c WHERE doc_id % 17 = 0)
+       |UNION ALL
+       |SELECT 'documents',
+       |       (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0),
+       |       (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0)
+       |UNION ALL
+       |SELECT 'neardup_pairs',
+       |       (SELECT COUNT(*) FROM p
+       |        WHERE doc_a % 17 = 0 OR doc_b % 17 = 0),
+       |       (SELECT COUNT(DISTINCT d) FROM (
+       |          SELECT unnest([doc_a, doc_b]) AS d FROM p
+       |          WHERE doc_a % 17 = 0 OR doc_b % 17 = 0)
+       |        WHERE d % 17 = 0)
+       |UNION ALL
+       |SELECT 'token_shards',
+       |       (SELECT COUNT(*) FROM off
+       |        WHERE NOT deleted
+       |          AND start_off // ${Sampling.TokensPerShard}
+       |              != (start_off - del_before)
+       |                 // ${Sampling.TokensPerShard}),
+       |       (SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0)
+       |ORDER BY artifact""".stripMargin
 }

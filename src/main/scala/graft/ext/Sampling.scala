@@ -885,6 +885,44 @@ object Sampling {
        |FROM pd JOIN lr USING (b)
        |GROUP BY 1, 2 ORDER BY pd.doc_id""".stripMargin
 
+  /** q234 — effective sample size of the DSIR importance weights, per
+    * source: ESS = (Σw)²/Σw² with w = exp(q135's avg log-ratio) — the
+    * Kish/Owen diagnostic every importance-weighted selection run
+    * reports before trusting its weights. efficiency = ESS/n says what
+    * fraction of the source's documents the weighted sample is
+    * actually worth; max_w_share warns when a single document
+    * dominates the mixture (the failure mode temperature-flattening
+    * exists to fix). DSIR itself (Xie et al. 2023) reports exactly
+    * this number; q135 derives the weights, this prices them.
+    *
+    * Scale shape: rides the q135 pipeline (hashed-bucket features, a
+    * ≤1024-row broadcast log-ratio table), then ONE |sources|-row
+    * aggregate carrying three float sums per group; the 4/6-dp rounds
+    * at the edge absorb summation-order ulps (the q70 rule). */
+  def dsirEss(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = dsirWeights(spark, sfDir)
+      .select(col("source"), exp(col("avg_log_ratio")).as("w"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sw2"), max(col("w")).as("mw"))
+      .select(col("source"), col("n_docs"),
+        round(col("sw") * col("sw") / col("sw2"), 4).as("ess"),
+        round(col("sw") * col("sw") / col("sw2") /
+          col("n_docs").cast("double"), 6).as("efficiency"),
+        round(col("mw") / col("sw"), 6).as("max_w_share"))
+      .orderBy("source")
+  }
+
+  val dsirEssSql: String =
+    s"""WITH dw AS ($dsirWeightsSql),
+       |w AS (SELECT source, exp(avg_log_ratio) AS w FROM dw)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       round(SUM(w) * SUM(w) / SUM(w * w), 4) AS ess,
+       |       round(SUM(w) * SUM(w) / SUM(w * w) / COUNT(*)::DOUBLE, 6)
+       |         AS efficiency,
+       |       round(MAX(w) / SUM(w), 6) AS max_w_share
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   /** Weighted-reservoir draw size per source. */
   val ReservoirK = 3
 

@@ -250,6 +250,34 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == nSignup)
   }
 
+  test("q233: deletion sweep rows are internally consistent") {
+    val rows = Diagnostics.deletionSweep(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("cluster_labels", "clusters", "documents",
+      "neardup_pairs", "token_shards"))
+    val nDel = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 17 === 0).count()
+    assert(rows("documents") == (nDel, nDel))
+    // blast radius dominates the deleted members inside clusters
+    assert(rows("clusters")._1 >= rows("clusters")._2)
+    // stale labels: each distinct deleted label names >= 1 member row
+    assert(rows("cluster_labels")._1 >= rows("cluster_labels")._2)
+    assert(rows("token_shards")._2 == nDel)
+  }
+
+  test("q234: ESS is bounded by the sample size and matches efficiency") {
+    val rows = Sampling.dsirEss(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ess, eff, mws) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-6,
+        s"ESS $ess outside [1, $n]")
+      assert(math.abs(eff - ess / n) < 1e-4)
+      assert(mws > 0.0 && mws <= 1.0)
+    }
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
