@@ -2421,4 +2421,188 @@ object Events {
       |       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(logsum) END, 6)
       |         AS survival
       |FROM acc ORDER BY t_days""".stripMargin
+
+  /** q235 — CUPED variance-reduced A/B readout (Deng et al., WSDM'13):
+    * the experiment metric is post-period purchase revenue per user;
+    * the pre-period revenue of the SAME user is the control covariate.
+    * θ = cov(X,Y)/var(X) (pooled), each user's adjusted metric is
+    * Y − θ·(X − X̄), and the z-test runs on the adjusted means — same
+    * comparison as q138's plain Welch, but with the between-user
+    * variance that the pre-period explains removed. Reports θ, the
+    * achieved variance reduction (= ρ² when θ is optimal), and both
+    * the plain and CUPED z so the reader sees what the adjustment
+    * bought. The observation window splits at the midpoint of the
+    * observed calendar (a data-derived integer anchor, no wall clock).
+    *
+    * Float policy: ALL sums are exact integer-cents moments in
+    * DECIMAL(38,0) (q138's discipline, extended to cross-moments);
+    * every decimal casts to double at the same point and flows through
+    * one shared IEEE expression sequence; rounds at the edge.
+    *
+    * Scale shape: one scan → per-user conditional-sum aggregate (the
+    * variant is md5 parity, map-side) → ONE 12-column moment
+    * aggregate; everything after is scalar arithmetic on a 1-row
+    * frame. */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val anchor = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1")).first()
+    val (d0, d1) = (anchor.getDate(0), anchor.getDate(1))
+    val splitDays = ((d1.toLocalDate.toEpochDay -
+      d0.toLocalDate.toEpochDay) / 2).toInt
+    val splitDay = java.sql.Date.valueOf(
+      d0.toLocalDate.plusDays(splitDays.toLong))
+    val cents = floor(col("value") * 100).cast("long")
+    val isP = col("event_type") === "purchase"
+    val users = ev.groupBy("user_id")
+      .agg(sum(when(isP && to_date(col("ts")) < lit(splitDay), cents)
+        .otherwise(0L)).as("x"),
+        sum(when(isP && to_date(col("ts")) >= lit(splitDay), cents)
+          .otherwise(0L)).as("y"))
+      .select(col("x"), col("y"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).as("variant"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def side(v: Int, nm: String): Seq[Column] = Seq(
+      sum(when(col("variant") === v, 1L).otherwise(0L)).as(s"n_$nm"),
+      sum(when(col("variant") === v, dec(col("x")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sx_$nm"),
+      sum(when(col("variant") === v, dec(col("y")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sy_$nm"),
+      sum(when(col("variant") === v, dec(col("x")) * dec(col("x")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sxx_$nm"),
+      sum(when(col("variant") === v, dec(col("x")) * dec(col("y")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sxy_$nm"),
+      sum(when(col("variant") === v, dec(col("y")) * dec(col("y")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"syy_$nm"))
+    val m = users.agg((side(0, "a") ++ side(1, "b")).head,
+      (side(0, "a") ++ side(1, "b")).tail: _*)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = na + nb
+    val sx = (col("sx_a") + col("sx_b")).cast("double")
+    val sy = (col("sy_a") + col("sy_b")).cast("double")
+    val sxx = (col("sxx_a") + col("sxx_b")).cast("double")
+    val sxy = (col("sxy_a") + col("sxy_b")).cast("double")
+    val syy = (col("syy_a") + col("syy_b")).cast("double")
+    val varX = sxx - sx * sx / n
+    val covXY = sxy - sx * sy / n
+    val varY = syy - sy * sy / n
+    val theta = covXY / varX
+    // per-variant adjusted metric z = y - theta*x (the +theta*X̄ shift
+    // is a global constant: it cancels in the A-B difference)
+    def zStats(nm: String, nv: Column) = {
+      val szv = col(s"sy_$nm").cast("double") -
+        theta * col(s"sx_$nm").cast("double")
+      val szzv = col(s"syy_$nm").cast("double") -
+        lit(2.0) * theta * col(s"sxy_$nm").cast("double") +
+        theta * theta * col(s"sxx_$nm").cast("double")
+      (szv / nv, (szzv - szv * szv / nv) / (nv - lit(1.0)))
+    }
+    val (mza, vza) = zStats("a", na)
+    val (mzb, vzb) = zStats("b", nb)
+    val mya = col("sy_a").cast("double") / na
+    val myb = col("sy_b").cast("double") / nb
+    val vya = (col("syy_a").cast("double") -
+      col("sy_a").cast("double") * col("sy_a").cast("double") / na) /
+      (na - lit(1.0))
+    val vyb = (col("syy_b").cast("double") -
+      col("sy_b").cast("double") * col("sy_b").cast("double") / nb) /
+      (nb - lit(1.0))
+    val zPlain = (mya - myb) / sqrt(vya / na + vyb / nb)
+    val zCuped = (mza - mzb) / sqrt(vza / na + vzb / nb)
+    val varRed = lit(1.0) - (varY - theta * covXY) / varY
+    m.select(col("n_a"), col("n_b"),
+        round(mya / 100.0, 6).as("mean_post_a"),
+        round(myb / 100.0, 6).as("mean_post_b"),
+        round(theta, 6).as("theta"),
+        round(varRed, 6).as("var_reduction"),
+        round(zPlain, 6).as("z_plain"),
+        round(zCuped, 6).as("z_cuped"),
+        (abs(zCuped) > 1.96).as("significant_cuped"))
+      .orderBy("n_a")
+  }
+
+  val cupedSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |         CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day
+      |  FROM events
+      |), split AS (
+      |  SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INT)
+      |           AS split_day
+      |  FROM e
+      |), users AS (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN event_type = 'purchase' AND day < split_day
+      |             THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS x,
+      |         SUM(CASE WHEN event_type = 'purchase' AND day >= split_day
+      |             THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS y
+      |  FROM e CROSS JOIN split GROUP BY user_id
+      |), v AS (
+      |  SELECT x, y,
+      |         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 2
+      |           AS variant
+      |  FROM users
+      |), m AS (
+      |  SELECT
+      |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN variant = 0 THEN x::HUGEINT ELSE 0 END) AS sx_a,
+      |    SUM(CASE WHEN variant = 0 THEN y::HUGEINT ELSE 0 END) AS sy_a,
+      |    SUM(CASE WHEN variant = 0 THEN x::HUGEINT * x::HUGEINT ELSE 0 END) AS sxx_a,
+      |    SUM(CASE WHEN variant = 0 THEN x::HUGEINT * y::HUGEINT ELSE 0 END) AS sxy_a,
+      |    SUM(CASE WHEN variant = 0 THEN y::HUGEINT * y::HUGEINT ELSE 0 END) AS syy_a,
+      |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+      |    SUM(CASE WHEN variant = 1 THEN x::HUGEINT ELSE 0 END) AS sx_b,
+      |    SUM(CASE WHEN variant = 1 THEN y::HUGEINT ELSE 0 END) AS sy_b,
+      |    SUM(CASE WHEN variant = 1 THEN x::HUGEINT * x::HUGEINT ELSE 0 END) AS sxx_b,
+      |    SUM(CASE WHEN variant = 1 THEN x::HUGEINT * y::HUGEINT ELSE 0 END) AS sxy_b,
+      |    SUM(CASE WHEN variant = 1 THEN y::HUGEINT * y::HUGEINT ELSE 0 END) AS syy_b
+      |  FROM v
+      |), d AS (
+      |  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |         n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+      |         (n_a + n_b)::DOUBLE AS n,
+      |         (sx_a + sx_b)::DOUBLE AS sx, (sy_a + sy_b)::DOUBLE AS sy,
+      |         (sxx_a + sxx_b)::DOUBLE AS sxx,
+      |         (sxy_a + sxy_b)::DOUBLE AS sxy,
+      |         (syy_a + syy_b)::DOUBLE AS syy,
+      |         sx_a::DOUBLE AS dsx_a, sy_a::DOUBLE AS dsy_a,
+      |         sxx_a::DOUBLE AS dsxx_a, sxy_a::DOUBLE AS dsxy_a,
+      |         syy_a::DOUBLE AS dsyy_a,
+      |         sx_b::DOUBLE AS dsx_b, sy_b::DOUBLE AS dsy_b,
+      |         sxx_b::DOUBLE AS dsxx_b, sxy_b::DOUBLE AS dsxy_b,
+      |         syy_b::DOUBLE AS dsyy_b
+      |  FROM m
+      |), c AS (
+      |  SELECT *,
+      |         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+      |         syy - sy * sy / n AS vary,
+      |         sxy - sx * sy / n AS covxy
+      |  FROM d
+      |), f AS (
+      |  SELECT *,
+      |         dsy_a / na AS mya, dsy_b / nb AS myb,
+      |         (dsyy_a - dsy_a * dsy_a / na) / (na - 1.0) AS vya,
+      |         (dsyy_b - dsy_b * dsy_b / nb) / (nb - 1.0) AS vyb,
+      |         (dsy_a - theta * dsx_a) / na AS mza,
+      |         (dsy_b - theta * dsx_b) / nb AS mzb,
+      |         ((dsyy_a - 2.0 * theta * dsxy_a + theta * theta * dsxx_a)
+      |          - (dsy_a - theta * dsx_a) * (dsy_a - theta * dsx_a) / na)
+      |           / (na - 1.0) AS vza,
+      |         ((dsyy_b - 2.0 * theta * dsxy_b + theta * theta * dsxx_b)
+      |          - (dsy_b - theta * dsx_b) * (dsy_b - theta * dsx_b) / nb)
+      |           / (nb - 1.0) AS vzb
+      |  FROM c
+      |)
+      |SELECT n_a, n_b,
+      |       round(mya / 100.0, 6) AS mean_post_a,
+      |       round(myb / 100.0, 6) AS mean_post_b,
+      |       round(theta, 6) AS theta,
+      |       round(1.0 - (vary - theta * covxy) / vary, 6)
+      |         AS var_reduction,
+      |       round((mya - myb) / sqrt(vya / na + vyb / nb), 6) AS z_plain,
+      |       round((mza - mzb) / sqrt(vza / na + vzb / nb), 6) AS z_cuped,
+      |       abs((mza - mzb) / sqrt(vza / na + vzb / nb)) > 1.96
+      |         AS significant_cuped
+      |FROM f ORDER BY n_a""".stripMargin
 }

@@ -278,6 +278,16 @@ class RoundFourOpsSpec extends SparkSpec {
     }
   }
 
+  test("q235: CUPED covers the cohort and never hurts variance") {
+    val r = Events.cuped(spark, sf001).collect().head
+    val nUsers = Events.loadEvents(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == nUsers)
+    // with theta = cov/var the adjustment removes rho^2 >= 0 variance
+    assert(r.getDouble(5) >= -1e-9, "optimal theta cannot add variance")
+    assert(!r.getDouble(6).isNaN && !r.getDouble(7).isNaN)
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
