@@ -2422,6 +2422,174 @@ object Events {
       |         AS survival
       |FROM acc ORDER BY t_days""".stripMargin
 
+  /** q236 — two-sample log-rank test between experiment arms (the
+    * inference companion to q232's KM curve and the time-to-event
+    * face of the q138/q235 A/B family): users split by the md5
+    * variant hash, compared on time-to-first-purchase with right
+    * censoring. At every event day the test accumulates observed vs
+    * expected events under the null (events split by the at-risk
+    * proportions) and the hypergeometric variance; χ² = (O−E)²/ΣV,
+    * df = 1 (Mantel 1966 — the standard "are these two survival
+    * curves the same" test). Unlike comparing conversion RATES at a
+    * fixed horizon, censoring keeps every not-yet-converted user in
+    * the estimate on both sides.
+    *
+    * Scale shape: per-user reduction as q232, then EVERYTHING lives on
+    * the exit-day table (calendar-bounded; its ordered cumulations are
+    * the q58 shape, PlanSpec-exempt) and one scalar aggregate. The
+    * n > 1 guard keeps the variance term defined on the final exit
+    * day. */
+  def logRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val d1 = ev.agg(max(to_date(col("ts")))).first().getDate(0)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val per = su.join(pu, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("s_ts"))
+      .agg(min(when(col("p_ts") >= col("s_ts"), col("p_ts"))).as("fp_ts"))
+      .select(
+        when(col("fp_ts").isNotNull,
+          datediff(to_date(col("fp_ts")), to_date(col("s_ts"))))
+          .otherwise(datediff(lit(d1), to_date(col("s_ts"))))
+          .cast("long").as("t_days"),
+        col("fp_ts").isNotNull.cast("long").as("ev"),
+        ((conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2) === 0).as("early"))
+    val byT = per.groupBy("t_days").agg(
+      sum(when(col("early"), col("ev")).otherwise(0L)).as("d_a"),
+      sum(when(col("early"), lit(1L) - col("ev")).otherwise(0L)).as("c_a"),
+      sum(when(!col("early"), col("ev")).otherwise(0L)).as("d_b"),
+      sum(when(!col("early"), lit(1L) - col("ev")).otherwise(0L)).as("c_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t_days")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = per.agg(
+      sum(when(col("early"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("early"), 1L).otherwise(0L)).as("nb")).first()
+    val (na0, nb0) = (tot.getLong(0), tot.getLong(1))
+    val risks = byT
+      .withColumn("n_a", lit(na0) -
+        coalesce(sum(col("d_a") + col("c_a")).over(w), lit(0L)))
+      .withColumn("n_b", lit(nb0) -
+        coalesce(sum(col("d_b") + col("c_b")).over(w), lit(0L)))
+    val d = (col("d_a") + col("d_b")).cast("double")
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val e = d * nA / n
+    val v = when(n > 1.0,
+      d * (nA / n) * (lit(1.0) - nA / n) * (n - d) / (n - lit(1.0)))
+      .otherwise(lit(0.0))
+    val s = risks.filter(col("d_a") + col("d_b") > 0)
+      .agg(sum(col("d_a").cast("double")).as("o_a"), sum(e).as("e_a"),
+        sum(col("d_b").cast("double")).as("o_b"),
+        sum(d - e).as("e_b_comp"), sum(v).as("vv")).first()
+    val (oa, ea, ob, vv) =
+      (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(4))
+    val eb = s.getDouble(3) // Σd − Σe_a = expected for late cohort
+    // degenerate design (every event day one-sided → V = 0) carries no
+    // evidence: report chi2 = 0 rather than 0/0 (same guard in SQL)
+    val chi2 = if (vv > 0.0) (oa - ea) * (oa - ea) / vv else 0.0
+    import spark.implicits._
+    Seq(
+      ("arm_a", na0, oa, ea, BigDecimal(chi2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        chi2 > 3.841),
+      ("arm_b", nb0, ob, eb, BigDecimal(chi2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        chi2 > 3.841))
+      .toDF("cohort", "n_users", "observed", "expected_raw", "chi2",
+        "different")
+      .select(col("cohort"), col("n_users"), col("observed").cast("long"),
+        round(col("expected_raw"), 4).as("expected"), col("chi2"),
+        col("different"))
+      .orderBy("cohort")
+  }
+
+  val logRankSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         make_timestamp(epoch_us(ts)) AS tts
+      |  FROM events
+      |), bounds AS (
+      |  SELECT MAX(CAST(tts AS DATE)) AS d1 FROM e
+      |), su AS (
+      |  SELECT user_id, MIN(tts) AS s_ts FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), pu AS (
+      |  SELECT user_id, tts AS p_ts FROM e WHERE event_type = 'purchase'
+      |), per AS (
+      |  SELECT su.user_id, su.s_ts,
+      |         MIN(CASE WHEN pu.p_ts >= su.s_ts THEN pu.p_ts END) AS fp_ts
+      |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+      |  GROUP BY 1, 2
+      |), dur AS (
+      |  SELECT CASE WHEN fp_ts IS NOT NULL
+      |           THEN date_diff('day', CAST(s_ts AS DATE), CAST(fp_ts AS DATE))
+      |           ELSE date_diff('day', CAST(s_ts AS DATE), b.d1)
+      |         END AS t_days,
+      |         CASE WHEN fp_ts IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT
+      |           % 2 = 0 AS early
+      |  FROM per CROSS JOIN bounds b
+      |), byt AS (
+      |  SELECT t_days,
+      |         SUM(CASE WHEN early THEN ev ELSE 0 END) AS d_a,
+      |         SUM(CASE WHEN early THEN 1 - ev ELSE 0 END) AS c_a,
+      |         SUM(CASE WHEN NOT early THEN ev ELSE 0 END) AS d_b,
+      |         SUM(CASE WHEN NOT early THEN 1 - ev ELSE 0 END) AS c_b
+      |  FROM dur GROUP BY 1
+      |), tot AS (
+      |  SELECT SUM(CASE WHEN early THEN 1 ELSE 0 END) AS na0,
+      |         SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS nb0
+      |  FROM dur
+      |), risk AS (
+      |  SELECT t_days, d_a, d_b,
+      |         na0 - COALESCE(SUM(d_a + c_a) OVER (ORDER BY t_days
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS n_a,
+      |         nb0 - COALESCE(SUM(d_b + c_b) OVER (ORDER BY t_days
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS n_b
+      |  FROM byt CROSS JOIN tot
+      |), terms AS (
+      |  SELECT d_a::DOUBLE AS da, d_b::DOUBLE AS db,
+      |         (d_a + d_b)::DOUBLE AS d,
+      |         n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+      |         (n_a + n_b)::DOUBLE AS n
+      |  FROM risk WHERE d_a + d_b > 0
+      |), s AS (
+      |  SELECT SUM(da) AS o_a, SUM(d * na / n) AS e_a,
+      |         SUM(db) AS o_b, SUM(d - d * na / n) AS e_b,
+      |         SUM(CASE WHEN n > 1.0 THEN
+      |               d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0)
+      |             ELSE 0.0 END) AS vv
+      |  FROM terms
+      |)
+      |SELECT * FROM (
+      |  SELECT 'arm_a' AS cohort, CAST(tot.na0 AS BIGINT) AS n_users,
+      |         CAST(s.o_a AS BIGINT) AS observed,
+      |         round(s.e_a, 4) AS expected,
+      |         round(CASE WHEN s.vv > 0
+      |           THEN (s.o_a - s.e_a) * (s.o_a - s.e_a) / s.vv
+      |           ELSE 0.0 END, 4) AS chi2,
+      |         CASE WHEN s.vv > 0
+      |           THEN (s.o_a - s.e_a) * (s.o_a - s.e_a) / s.vv
+      |           ELSE 0.0 END > 3.841 AS different
+      |  FROM s CROSS JOIN tot
+      |  UNION ALL
+      |  SELECT 'arm_b', CAST(tot.nb0 AS BIGINT),
+      |         CAST(s.o_b AS BIGINT), round(s.e_b, 4),
+      |         round(CASE WHEN s.vv > 0
+      |           THEN (s.o_a - s.e_a) * (s.o_a - s.e_a) / s.vv
+      |           ELSE 0.0 END, 4),
+      |         CASE WHEN s.vv > 0
+      |           THEN (s.o_a - s.e_a) * (s.o_a - s.e_a) / s.vv
+      |           ELSE 0.0 END > 3.841
+      |  FROM s CROSS JOIN tot
+      |) ORDER BY cohort""".stripMargin
+
   /** q235 — CUPED variance-reduced A/B readout (Deng et al., WSDM'13):
     * the experiment metric is post-period purchase revenue per user;
     * the pre-period revenue of the SAME user is the control covariate.

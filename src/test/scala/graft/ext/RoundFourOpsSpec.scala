@@ -288,6 +288,22 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(!r.getDouble(6).isNaN && !r.getDouble(7).isNaN)
   }
 
+  test("q236: log-rank expectations conserve the observed events") {
+    val rows = Events.logRank(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("arm_a", "arm_b"))
+    val (oSum, eSum) = (rows.map(_.getLong(2)).sum,
+      rows.map(_.getDouble(3)).sum)
+    assert(math.abs(oSum - eSum) < 1e-3,
+      "expected events must redistribute, not invent, the observed total")
+    val chi2s = rows.map(_.getDouble(4)).distinct
+    assert(chi2s.length == 1 && chi2s.head >= 0.0)
+    // arms partition the signup cohort
+    val nSignup = Events.loadEvents(spark, sf001)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nSignup)
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
