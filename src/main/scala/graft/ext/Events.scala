@@ -2590,6 +2590,78 @@ object Events {
       |  FROM s CROSS JOIN tot
       |) ORDER BY cohort""".stripMargin
 
+  /** q237 — forecast backtest: score the two standard zero-parameter
+    * baselines every revenue forecast must beat — naive (yesterday's
+    * value) and seasonal-naive (same weekday last week) — against the
+    * actual daily purchase revenue, on exactly the days where both
+    * have history. Emits per method the MAE, sMAPE, and signed bias.
+    * This is the eval harness side of forecasting (a model that can't
+    * beat seasonal-naive isn't a model); the M-competition protocol in
+    * one query.
+    *
+    * Scale shape: the corpus scan collapses to the daily revenue
+    * table; lags and errors live entirely on that calendar-bounded
+    * frame (the q58 window argument, PlanSpec-exempt), in exact
+    * integer cents until the final rounded means. */
+  def forecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val lagged = daily
+      .withColumn("f_naive", lag(col("cents"), 1).over(w))
+      .withColumn("f_snaive", lag(col("cents"), 7).over(w))
+      .filter(col("f_naive").isNotNull && col("f_snaive").isNotNull)
+    def score(f: Column, nm: String): DataFrame = {
+      val a = col("cents").cast("double")
+      val fd = f.cast("double")
+      lagged.agg(count(lit(1)).as("n_days"),
+          round(avg(abs(fd - a)) / 100.0, 4).as("mae"),
+          round(avg(lit(2.0) * abs(fd - a) / (abs(fd) + abs(a))), 6)
+            .as("smape"),
+          round(avg(fd - a) / 100.0, 4).as("bias"))
+        .select(lit(nm).as("method"), col("n_days"), col("mae"),
+          col("smape"), col("bias"))
+    }
+    score(col("f_naive"), "naive")
+      .union(score(col("f_snaive"), "seasonal_naive"))
+      .orderBy("method")
+  }
+
+  val forecastBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
+      |         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), lagged AS (
+      |  SELECT cents,
+      |         LAG(cents, 1) OVER (ORDER BY day) AS f_naive,
+      |         LAG(cents, 7) OVER (ORDER BY day) AS f_snaive
+      |  FROM daily
+      |), b AS (
+      |  SELECT * FROM lagged
+      |  WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+      |)
+      |SELECT * FROM (
+      |  SELECT 'naive' AS method, COUNT(*) AS n_days,
+      |         round(AVG(abs(f_naive::DOUBLE - cents::DOUBLE)) / 100.0, 4)
+      |           AS mae,
+      |         round(AVG(2.0 * abs(f_naive::DOUBLE - cents::DOUBLE)
+      |               / (abs(f_naive::DOUBLE) + abs(cents::DOUBLE))), 6)
+      |           AS smape,
+      |         round(AVG(f_naive::DOUBLE - cents::DOUBLE) / 100.0, 4)
+      |           AS bias
+      |  FROM b
+      |  UNION ALL
+      |  SELECT 'seasonal_naive', COUNT(*),
+      |         round(AVG(abs(f_snaive::DOUBLE - cents::DOUBLE)) / 100.0, 4),
+      |         round(AVG(2.0 * abs(f_snaive::DOUBLE - cents::DOUBLE)
+      |               / (abs(f_snaive::DOUBLE) + abs(cents::DOUBLE))), 6),
+      |         round(AVG(f_snaive::DOUBLE - cents::DOUBLE) / 100.0, 4)
+      |  FROM b
+      |) ORDER BY method""".stripMargin
+
   /** q235 — CUPED variance-reduced A/B readout (Deng et al., WSDM'13):
     * the experiment metric is post-period purchase revenue per user;
     * the pre-period revenue of the SAME user is the control covariate.

@@ -227,7 +227,7 @@ class PlanSpec extends SparkSpec {
     // aggregation) — the same elapsed-calendar bound
     val calendarBoundedOk =
       Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve",
-        "q232_km_survival", "q236_log_rank")
+        "q232_km_survival", "q236_log_rank", "q237_forecast_backtest")
     val bad = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(calendarBoundedOk).flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.sparkPlan

@@ -304,6 +304,18 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == nSignup)
   }
 
+  test("q237: both baselines score the same backtest days; sMAPE bounded") {
+    val rows = Events.forecastBacktest(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("naive", "seasonal_naive"))
+    assert(rows.map(_.getLong(1)).distinct.length == 1,
+      "methods must backtest the identical day set")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)                       // MAE
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0) // sMAPE
+    }
+  }
+
   test("q226: the epoch planner conserves the budget identity per source") {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
