@@ -816,7 +816,20 @@ object Sampling {
     * features at 100 TB (the vocabulary table DSIR replaces would be
     * corpus-sized). The totals anchor is a 1-row aggregate (q118's t
     * precedent). */
-  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Session memo for the DSIR per-doc weight frame: BOTH q135 (the
+    * weights themselves) and q234 (their ESS diagnostics) consume it,
+    * so the double-explode feature pass runs once per (session, sfDir)
+    * and the pinned result — one row per doc — serves both (the
+    * Dedup.memoized pattern). */
+  private val dsirMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirMemo.getOrElseUpdate((spark, sfDir),
+      dsirWeightsFresh(spark, sfDir).localCheckpoint())
+
+  /** Uncached single-pass build (plan-shape tests pin THIS). */
+  def dsirWeightsFresh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val w = split(lower(col("text")), "\\s+")
     val grams = docs.select(col("doc_id"), col("source"), w.as("w"))
