@@ -70,7 +70,7 @@ object Diagnostics {
     def one(table: String, key: String): String =
       s"""SELECT '$table.$key' AS join_key,
          |       COUNT(*) AS n_keys,
-         |       SUM(c) AS n_rows,
+         |       CAST(SUM(c) AS BIGINT) AS n_rows,
          |       round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
          |         AS top1_share,
          |       round((SELECT CAST(SUM(c) AS DOUBLE) FROM (
@@ -123,7 +123,7 @@ object Diagnostics {
       |  FROM documents
       |)
       |SELECT source, CAST(floor(before / 16384) AS BIGINT) AS file_id,
-      |       COUNT(*) AS n_docs, SUM(n_chars) AS file_bytes,
+      |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS file_bytes,
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM pre GROUP BY 1, 2 ORDER BY source, file_id""".stripMargin
 
@@ -171,7 +171,7 @@ object Diagnostics {
       |  SELECT h, COUNT(*) AS c FROM d GROUP BY 1
       |)
       |SELECT source, COUNT(*) AS n_docs,
-      |       SUM(n_chars) AS total_chars,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |       COUNT(DISTINCT lang) AS n_langs,
       |       round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -216,7 +216,7 @@ object Diagnostics {
        |  FROM documents
        |)
        |SELECT shard, BIT_XOR(h) AS checksum, COUNT(*) AS n_docs,
-       |       SUM(n_chars) AS total_chars
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
 
   /** q217 — release diff: compare the q214 shard manifests of two
@@ -262,10 +262,11 @@ object Diagnostics {
        |       COALESCE(BIT_XOR(CASE WHEN in_prev THEN h END), 0)
        |         AS prev_checksum,
        |       BIT_XOR(h) AS curr_checksum,
-       |       SUM(CASE WHEN in_prev THEN 1 ELSE 0 END) AS n_prev,
+       |       CAST(SUM(CASE WHEN in_prev THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_prev,
        |       COUNT(*) AS n_curr,
-       |       COUNT(*) - SUM(CASE WHEN in_prev THEN 1 ELSE 0 END)
-       |         AS n_added,
+       |       CAST(COUNT(*) - SUM(CASE WHEN in_prev THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_added,
        |       COALESCE(BIT_XOR(CASE WHEN in_prev THEN h END), 0)
        |         != BIT_XOR(h) AS changed
        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
@@ -347,36 +348,46 @@ object Diagnostics {
     *    (q131 rendezvous, q214 checksums) over offset-derived shards:
     *    deletion shifts every downstream offset.
     *
-    * Scale shape: each artifact row is one bounded aggregate over an
-    * already-memoized frame (pairs, clusters) or over the two-phase
-    * prefix-sum kernel run twice in the SAME md5 order (total tokens,
-    * deleted-only tokens) — the shard-shift check is one doc-keyed
-    * join of those two offset frames, no new shuffle shapes. */
+    * Scale shape: one declared action — a union of five bounded
+    * aggregates over the already-memoized frames (pairs, clusters) and
+    * the two-phase prefix-sum kernel run twice in the SAME md5 order
+    * (total tokens, deleted-only tokens; the shard-shift check is one
+    * doc-keyed join of those two offset frames). The round-4 verdict's
+    * six sequential driver-side count() actions are gone; the only
+    * remaining internal actions are packOffsetsBy's partition-count
+    * prefix collects, which are bounded by cluster size, not data. */
   def deletionSweep(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
+    def row(nm: String, n: Column, nd: Column): Seq[Column] = Seq(
+      lit(nm).as("artifact"),
+      coalesce(n, lit(0L)).as("n_rows_affected"),
+      coalesce(nd, lit(0L)).as("n_deleted_involved"))
 
-    val nDeleted = docs.filter(isDeleted(col("doc_id"))).count()
-
-    val pairs = Dedup.verifiedNgramPairs(spark, sfDir)
+    // neardup_pairs: each affected pair explodes to 2 endpoint rows, so
+    // the pair count is count/2 (exact — always even) and the distinct
+    // deleted endpoints come from the same exploded frame in one agg
+    val pairRow = Dedup.verifiedNgramPairs(spark, sfDir)
       .select("doc_a", "doc_b")
-    val pairRows = pairs
       .filter(isDeleted(col("doc_a")) || isDeleted(col("doc_b")))
-    val pairStats = pairRows.select(
-      explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .filter(isDeleted(col("d")))
-      .agg(countDistinct(col("d")).as("nd")).first()
-    val nPairRows = pairRows.count()
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .agg(expr("count(1) div 2").as("n"),
+        countDistinct(when(isDeleted(col("d")), col("d"))).as("nd"))
+      .select(row("neardup_pairs", col("n"), col("nd")): _*)
 
+    // clusters: per-cluster (size, #deleted members) rollup, then one
+    // global agg — blast radius = sum of sizes of hit clusters
     val cl = Dedup.clusters(spark, sfDir)
-    val hitClusters = cl.filter(isDeleted(col("doc_id")))
-      .select(col("cluster_id")).distinct()
-    val clusterRows = cl.join(hitClusters, Seq("cluster_id"), "left_semi")
-    val nClusterRows = clusterRows.count()
-    val nClusterDel = cl.filter(isDeleted(col("doc_id"))).count()
-    val nStaleLabels = cl.filter(isDeleted(col("cluster_id"))).count()
-    val nStaleDistinct = cl.filter(isDeleted(col("cluster_id")))
-      .select("cluster_id").distinct().count()
+    val clusterRow = cl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"),
+        sum(when(isDeleted(col("doc_id")), 1L).otherwise(0L)).as("ndel"))
+      .agg(sum(when(col("ndel") > 0, col("sz")).otherwise(0L)).as("n"),
+        sum(col("ndel")).as("nd"))
+      .select(row("clusters", col("n"), col("nd")): _*)
+
+    val staleRow = cl.filter(isDeleted(col("cluster_id")))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("cluster_id")).as("nd"))
+      .select(row("cluster_labels", col("n"), col("nd")): _*)
 
     val base = docs.select(col("doc_id"),
       size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
@@ -388,19 +399,21 @@ object Diagnostics {
       base.withColumn("n_tokens",
         when(col("deleted"), col("n_tokens")).otherwise(lit(0L))), keys)
       .select(col("doc_id"), col("start_off").as("del_before"))
-    val nShardShift = off.join(delOff, Seq("doc_id"))
-      .filter(!col("deleted") &&
-        expr(s"start_off div ${Sampling.TokensPerShard}") =!=
-          expr(s"(start_off - del_before) div ${Sampling.TokensPerShard}"))
-      .count()
+    // one agg over the offsets join yields BOTH the shard-shift count
+    // and the deleted-doc count (which the documents row reuses)
+    val shardAgg = off.join(delOff, Seq("doc_id"))
+      .agg(
+        sum(when(!col("deleted") &&
+          expr(s"start_off div ${Sampling.TokensPerShard}") =!=
+            expr(s"(start_off - del_before) div ${Sampling.TokensPerShard}"),
+          1L).otherwise(0L)).as("n_shift"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("n_del"))
+    val docRow = shardAgg
+      .select(row("documents", col("n_del"), col("n_del")): _*)
+    val shardRow = shardAgg
+      .select(row("token_shards", col("n_shift"), col("n_del")): _*)
 
-    Seq(
-      ("cluster_labels", nStaleLabels, nStaleDistinct),
-      ("clusters", nClusterRows, nClusterDel),
-      ("documents", nDeleted, nDeleted),
-      ("neardup_pairs", nPairRows, pairStats.getLong(0)),
-      ("token_shards", nShardShift, nDeleted))
-      .toDF("artifact", "n_rows_affected", "n_deleted_involved")
+    staleRow.union(clusterRow).union(docRow).union(pairRow).union(shardRow)
       .orderBy("artifact")
   }
 

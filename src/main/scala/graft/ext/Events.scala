@@ -2189,8 +2189,8 @@ object Events {
       |  FROM events
       |)
       |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-      |       SUM(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
-      |                THEN 1 ELSE 0 END) AS n_out_of_order,
+      |       CAST(SUM(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
       |       round(CAST(SUM(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
       |                           THEN 1 ELSE 0 END) AS DOUBLE)
       |             / CAST(COUNT(*) AS DOUBLE), 6) AS ooo_rate
@@ -2600,16 +2600,25 @@ object Events {
     * one query.
     *
     * Scale shape: the corpus scan collapses to the daily revenue
-    * table; lags and errors live entirely on that calendar-bounded
-    * frame (the q58 window argument, PlanSpec-exempt), in exact
-    * integer cents until the final rounded means. */
+    * table; the day axis is DENSIFIED (1-row min/max anchor →
+    * sequence-explode → left join, zero-revenue fill) so lag(7) is
+    * truly "same weekday last week" even across zero-purchase days;
+    * lags and errors live entirely on that calendar-bounded frame
+    * (the q58 window argument, PlanSpec-exempt), in exact integer
+    * cents until the final rounded means. sMAPE guards the 0/0 day
+    * (forecast = actual = 0 counts as a perfect hit, term 0). */
   def forecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = loadEvents(spark, sfDir)
     val daily = ev.filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val axis = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val dense = axis.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-    val lagged = daily
+    val lagged = dense
       .withColumn("f_naive", lag(col("cents"), 1).over(w))
       .withColumn("f_snaive", lag(col("cents"), 7).over(w))
       .filter(col("f_naive").isNotNull && col("f_snaive").isNotNull)
@@ -2618,8 +2627,9 @@ object Events {
       val fd = f.cast("double")
       lagged.agg(count(lit(1)).as("n_days"),
           round(avg(abs(fd - a)) / 100.0, 4).as("mae"),
-          round(avg(lit(2.0) * abs(fd - a) / (abs(fd) + abs(a))), 6)
-            .as("smape"),
+          round(avg(when(abs(fd) + abs(a) > 0.0,
+              lit(2.0) * abs(fd - a) / (abs(fd) + abs(a)))
+            .otherwise(0.0)), 6).as("smape"),
           round(avg(fd - a) / 100.0, 4).as("bias"))
         .select(lit(nm).as("method"), col("n_days"), col("mae"),
           col("smape"), col("bias"))
@@ -2634,11 +2644,20 @@ object Events {
       |  SELECT CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day,
       |         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), span AS (
+      |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      |), axis AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |), dense AS (
+      |  SELECT a.day, COALESCE(d.cents, 0) AS cents
+      |  FROM axis a LEFT JOIN daily d USING (day)
       |), lagged AS (
       |  SELECT cents,
       |         LAG(cents, 1) OVER (ORDER BY day) AS f_naive,
       |         LAG(cents, 7) OVER (ORDER BY day) AS f_snaive
-      |  FROM daily
+      |  FROM dense
       |), b AS (
       |  SELECT * FROM lagged
       |  WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
@@ -2647,8 +2666,11 @@ object Events {
       |  SELECT 'naive' AS method, COUNT(*) AS n_days,
       |         round(AVG(abs(f_naive::DOUBLE - cents::DOUBLE)) / 100.0, 4)
       |           AS mae,
-      |         round(AVG(2.0 * abs(f_naive::DOUBLE - cents::DOUBLE)
-      |               / (abs(f_naive::DOUBLE) + abs(cents::DOUBLE))), 6)
+      |         round(AVG(CASE WHEN abs(f_naive::DOUBLE)
+      |                           + abs(cents::DOUBLE) > 0.0
+      |               THEN 2.0 * abs(f_naive::DOUBLE - cents::DOUBLE)
+      |                    / (abs(f_naive::DOUBLE) + abs(cents::DOUBLE))
+      |               ELSE 0.0 END), 6)
       |           AS smape,
       |         round(AVG(f_naive::DOUBLE - cents::DOUBLE) / 100.0, 4)
       |           AS bias
@@ -2656,8 +2678,11 @@ object Events {
       |  UNION ALL
       |  SELECT 'seasonal_naive', COUNT(*),
       |         round(AVG(abs(f_snaive::DOUBLE - cents::DOUBLE)) / 100.0, 4),
-      |         round(AVG(2.0 * abs(f_snaive::DOUBLE - cents::DOUBLE)
-      |               / (abs(f_snaive::DOUBLE) + abs(cents::DOUBLE))), 6),
+      |         round(AVG(CASE WHEN abs(f_snaive::DOUBLE)
+      |                           + abs(cents::DOUBLE) > 0.0
+      |               THEN 2.0 * abs(f_snaive::DOUBLE - cents::DOUBLE)
+      |                    / (abs(f_snaive::DOUBLE) + abs(cents::DOUBLE))
+      |               ELSE 0.0 END), 6),
       |         round(AVG(f_snaive::DOUBLE - cents::DOUBLE) / 100.0, 4)
       |  FROM b
       |) ORDER BY method""".stripMargin

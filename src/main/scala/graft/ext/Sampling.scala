@@ -1065,7 +1065,7 @@ object Sampling {
   val targetMixWeightsSql: String =
     """WITH cells AS (
       |  SELECT source, lang, COUNT(*) AS n_docs,
-      |         SUM(n_chars) AS n_chars
+      |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |  FROM documents GROUP BY 1, 2
       |), tot AS (
       |  SELECT SUM(n_docs) AS nn, COUNT(*) AS gg FROM cells
@@ -1081,9 +1081,10 @@ object Sampling {
     * across sources, and no source may repeat more than [[EpochCap]]
     * epochs (the data-constrained-scaling guidance of Muennighoff et
     * al., NeurIPS'23: returns from repeated data decay fast after ~4
-    * epochs). Literals so both engines share one IEEE sequence. */
-  val BudgetMultiple = 2.0
-  val EpochCap = 4.0
+    * epochs). Exact integers — the whole planner stays in integer
+    * arithmetic end-to-end. */
+  val BudgetMultiple = 2L
+  val EpochCap = 4L
 
   /** q226 — token-budget epoch planner, the data-constrained-scaling
     * worksheet: given a training budget of [[BudgetMultiple]]× total
@@ -1095,11 +1096,18 @@ object Sampling {
     * tokenization run — q212 flattens shares, this prices them in
     * epochs against the repeat cap.
     *
+    * Determinism: every output is an exact BIGINT — token columns are
+    * scaled ×10⁴ and epoch columns ×10⁶, computed by integer floor
+    * division from exact integer token counts in BOTH engines, so no
+    * IEEE rounding (and no engine's float formatting) can ever touch
+    * the hash. `served_e4 + shortfall_e4 == target_e4` holds as an
+    * exact integer identity, and `capped` is the exact comparison
+    * t > [[EpochCap]]/[[BudgetMultiple]]·s·n (integers only).
+    *
     * Scale shape: one corpus scan collapses to an S-row (source,
     * n_tokens) aggregate with map-side combine; everything after rides
     * the 1-row total anchor (q73's scalar-broadcast shape,
-    * PlanSpec-exempt). All doubles derive from exact integer token
-    * counts through one shared expression sequence. */
+    * PlanSpec-exempt). */
   def epochPlanner(spark: SparkSession, sfDir: String): DataFrame = {
     val perSource = Tables.load(spark, sfDir, "documents")
       .select(col("source"),
@@ -1107,19 +1115,20 @@ object Sampling {
       .groupBy("source").agg(sum("nt").as("n_tokens"))
     val tot = perSource.agg(sum("n_tokens").as("t"),
       count(lit(1)).as("s"))
-    val target = lit(BudgetMultiple) * col("t").cast("double") /
-      col("s").cast("double")
-    val epochs = target / col("n_tokens").cast("double")
-    val capped = least(epochs, lit(EpochCap))
-    val served = col("n_tokens").cast("double") * capped
+    // all operands positive, so Spark `div` (truncating) ≡ DuckDB `//`
+    val targetE4 = expr(s"($BudgetMultiple * t * 10000) div s")
+    val neededE6 =
+      expr(s"($BudgetMultiple * t * 1000000) div (s * n_tokens)")
+    val capTokE4 = col("n_tokens") * lit(EpochCap * 10000L)
     perSource.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"),
-        round(target, 4).as("target_tokens"),
-        round(epochs, 6).as("epochs_needed"),
-        round(capped, 6).as("epochs_served"),
-        round(served, 4).as("served_tokens"),
-        round(target - served, 4).as("shortfall_tokens"),
-        (epochs > lit(EpochCap)).as("capped"))
+        targetE4.as("target_tokens_e4"),
+        neededE6.as("epochs_needed_e6"),
+        least(neededE6, lit(EpochCap * 1000000L)).as("epochs_served_e6"),
+        least(targetE4, capTokE4).as("served_tokens_e4"),
+        greatest(targetE4 - capTokE4, lit(0L)).as("shortfall_tokens_e4"),
+        (lit(BudgetMultiple) * col("t") >
+          lit(EpochCap) * col("s") * col("n_tokens")).as("capped"))
       .orderBy("source")
   }
 
@@ -1130,27 +1139,23 @@ object Sampling {
        |              AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY 1
        |), tot AS (
-       |  SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM per
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS s FROM per
        |)
        |SELECT source, n_tokens,
-       |       round($BudgetMultiple * t::DOUBLE / s::DOUBLE, 4)
-       |         AS target_tokens,
-       |       round(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
-       |             / n_tokens::DOUBLE, 6) AS epochs_needed,
-       |       round(LEAST(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
-       |                   / n_tokens::DOUBLE, $EpochCap), 6)
-       |         AS epochs_served,
-       |       round(n_tokens::DOUBLE
-       |             * LEAST(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
-       |                     / n_tokens::DOUBLE, $EpochCap), 4)
-       |         AS served_tokens,
-       |       round($BudgetMultiple * t::DOUBLE / s::DOUBLE
-       |             - n_tokens::DOUBLE
-       |               * LEAST(($BudgetMultiple * t::DOUBLE / s::DOUBLE)
-       |                       / n_tokens::DOUBLE, $EpochCap), 4)
-       |         AS shortfall_tokens,
-       |       (($BudgetMultiple * t::DOUBLE / s::DOUBLE)
-       |        / n_tokens::DOUBLE > $EpochCap) AS capped
+       |       CAST(($BudgetMultiple * t * 10000) // s AS BIGINT)
+       |         AS target_tokens_e4,
+       |       CAST(($BudgetMultiple * t * 1000000) // (s * n_tokens)
+       |            AS BIGINT) AS epochs_needed_e6,
+       |       CAST(LEAST(($BudgetMultiple * t * 1000000) // (s * n_tokens),
+       |                  ${EpochCap * 1000000L}) AS BIGINT)
+       |         AS epochs_served_e6,
+       |       CAST(LEAST(($BudgetMultiple * t * 10000) // s,
+       |                  n_tokens * ${EpochCap * 10000L}) AS BIGINT)
+       |         AS served_tokens_e4,
+       |       CAST(GREATEST(($BudgetMultiple * t * 10000) // s
+       |                     - n_tokens * ${EpochCap * 10000L}, 0) AS BIGINT)
+       |         AS shortfall_tokens_e4,
+       |       ($BudgetMultiple * t > $EpochCap * s * n_tokens) AS capped
        |FROM per CROSS JOIN tot
        |ORDER BY source""".stripMargin
 

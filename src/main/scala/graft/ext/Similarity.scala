@@ -1375,7 +1375,7 @@ object Similarity {
        |  SELECT vec_id, t.i - 1 AS d, qv[t.i] AS x
        |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
        |), prod AS (
-       |  SELECT a.d AS i, b.d AS j, SUM(a.x * b.x) AS sxy,
+       |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
        |         COUNT(*) AS n
        |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
        |  GROUP BY 1, 2

@@ -2213,11 +2213,20 @@ object TextAnalysis {
 
   /** q197 — entity-resolution fuzzy match via blocking + edit distance:
     * candidate pairs form ONLY within a block key (lang, length bucket,
-    * first token) — the standard ER blocking that turns an O(n²) corpus
-    * compare into bounded within-block compares — then classic
+    * first TWO tokens) — the standard ER blocking that turns an O(n²)
+    * corpus compare into bounded within-block compares — then classic
     * Levenshtein over the 48-char lowercase prefix decides a match
     * (≤ [[ErMaxDist]], half the prefix). Both engines implement the
     * same textbook DP, so the distance is integer-exact.
+    *
+    * The second token joined the key in round 5: with only the first
+    * token, within-block candidate growth was quadratic in block size
+    * and q197 carried the suite's worst dual-SF ratio (8.5× time for
+    * 10× rows). A two-token key is the textbook refinement — near-dup
+    * prefixes still collide (Levenshtein ≤ 24 over a 48-char prefix
+    * implies a shared prefix vocabulary), but block cardinality drops
+    * by roughly the per-position vocabulary factor, so candidate
+    * growth stays near-linear in corpus size.
     *
     * Scale shape: one scan to derive block keys, a self equi-join ON
     * the block key (hash join — never a cartesian; block sizes are the
@@ -2228,14 +2237,17 @@ object TextAnalysis {
   val ErMaxDist = 24
 
   def erBlocking(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
     val b = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("long").as("lb"),
-        element_at(split(lower(col("text")), "\\s+"), 1).as("ft"),
+        element_at(toks, 1).as("ft"),
+        coalesce(element_at(toks, 2), lit("")).as("ft2"),
         substring(lower(col("text")), 1, 48).as("p"))
     b.as("a").join(b.as("c"),
         col("a.lang") === col("c.lang") && col("a.lb") === col("c.lb") &&
-          col("a.ft") === col("c.ft") && col("a.doc_id") < col("c.doc_id"))
+          col("a.ft") === col("c.ft") && col("a.ft2") === col("c.ft2") &&
+          col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
         col("a.lang").as("lang"), col("a.lb").as("len_bucket"),
         levenshtein(col("a.p"), col("c.p")).cast("long").as("dist"))
@@ -2247,6 +2259,8 @@ object TextAnalysis {
     s"""WITH b AS (
        |  SELECT doc_id, lang, n_chars // 100 AS lb,
        |         string_split_regex(lower(text), '\\s+')[1] AS ft,
+       |         COALESCE(string_split_regex(lower(text), '\\s+')[2], '')
+       |           AS ft2,
        |         substr(lower(text), 1, 48) AS p
        |  FROM documents
        |)
@@ -2255,6 +2269,7 @@ object TextAnalysis {
        |       levenshtein(a.p, c.p) AS dist
        |FROM b a JOIN b c
        |  ON a.lang = c.lang AND a.lb = c.lb AND a.ft = c.ft
+       | AND a.ft2 = c.ft2
        | AND a.doc_id < c.doc_id
        |WHERE levenshtein(a.p, c.p) <= $ErMaxDist
        |ORDER BY doc_a, doc_b""".stripMargin

@@ -90,10 +90,10 @@ object Decision {
 
   val lateLinesSql: String =
     """SELECT l_linestatus,
-      |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |                THEN 1 ELSE 0 END) AS high_line_count,
-      |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |                THEN 0 ELSE 1 END) AS low_line_count
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
       |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'

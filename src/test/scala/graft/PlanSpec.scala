@@ -183,7 +183,9 @@ class PlanSpec extends SparkSpec {
       "q11_minhash_lsh_pairs(fresh)" ->
         graft.ext.Dedup.minhashPairsFresh(spark, sf001),
       "q156_simhash_pairs(fresh)" ->
-        graft.ext.Dedup.simhashPairsFresh(spark, sf001))
+        graft.ext.Dedup.simhashPairsFresh(spark, sf001),
+      "q135_dsir_weights(fresh)" ->
+        graft.ext.Sampling.dsirWeightsFresh(spark, sf001))
     val declared = Seq("q14_ann_lsh", "q27_embedding_neardup")
       .map(q => q -> SparkEntry.queries(q)(spark, sf001))
     (fresh.toSeq ++ declared).foreach { case (q, df) =>
@@ -228,9 +230,19 @@ class PlanSpec extends SparkSpec {
     val calendarBoundedOk =
       Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve",
         "q232_km_survival", "q236_log_rank", "q237_forecast_backtest")
-    val bad = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(calendarBoundedOk).flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.sparkPlan
+    // memoized builders hide behind a checkpoint scan in declared plans —
+    // pin their fresh plans alongside (the ADVICE r4 dsir gap)
+    val freshBuilders: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q11(fresh)" -> graft.ext.Dedup.minhashPairsFresh(spark, sf001),
+      "q29(fresh)" -> graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
+      "q156(fresh)" -> graft.ext.Dedup.simhashPairsFresh(spark, sf001),
+      "q135(fresh)" -> graft.ext.Sampling.dsirWeightsFresh(spark, sf001))
+    val all = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(calendarBoundedOk)
+      .map(name => name -> SparkEntry.queries(name)(spark, sf001)) ++
+      freshBuilders
+    val bad = all.flatMap { case (name, df) =>
+      val plan = df.queryExecution.sparkPlan
       plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
             w.find(n => n.isInstanceOf[WindowGroupLimitExec] ||
@@ -298,7 +310,8 @@ class PlanSpec extends SparkSpec {
     val fresh = Map(
       "q11(fresh)" -> graft.ext.Dedup.minhashPairsFresh(spark, sf001),
       "q29(fresh)" -> graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
-      "q156(fresh)" -> graft.ext.Dedup.simhashPairsFresh(spark, sf001))
+      "q156(fresh)" -> graft.ext.Dedup.simhashPairsFresh(spark, sf001),
+      "q135(fresh)" -> graft.ext.Sampling.dsirWeightsFresh(spark, sf001))
     val declared = SparkEntry.queries.keys.toSeq.sorted
       .map(name => name -> SparkEntry.queries(name)(spark, sf001))
     // calibrate the detector: a deliberately poisoned plan MUST flag

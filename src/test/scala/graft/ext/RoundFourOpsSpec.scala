@@ -320,14 +320,15 @@ class RoundFourOpsSpec extends SparkSpec {
     val rows = Sampling.epochPlanner(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (target, needed, servedE) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (target, needed, servedE) = (r.getLong(2), r.getLong(3), r.getLong(4))
       val (served, shortfall, capped) =
-        (r.getDouble(5), r.getDouble(6), r.getBoolean(7))
-      assert(servedE <= Sampling.EpochCap + 1e-9)
-      assert(capped == (needed > Sampling.EpochCap))
-      // served + shortfall reassembles the target share (4-dp rounding)
-      assert(math.abs(served + shortfall - target) < 2e-4)
-      if (!capped) assert(shortfall.abs < 2e-4)
+        (r.getLong(5), r.getLong(6), r.getBoolean(7))
+      assert(servedE <= Sampling.EpochCap * 1000000L)
+      assert(servedE == math.min(needed, Sampling.EpochCap * 1000000L))
+      // served + shortfall reassembles the target share — EXACT integers
+      assert(served + shortfall == target)
+      if (!capped) assert(shortfall == 0L)
+      if (capped) assert(needed >= Sampling.EpochCap * 1000000L)
     }
   }
 }

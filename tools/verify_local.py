@@ -37,6 +37,43 @@ for name, sql in sorted(oracle.items()):
     scols, ocols = sorted(sdf.column_names), sorted(odf.column_names)
     if scols != ocols:
         print(f"FAIL {name}: columns spark={scols} oracle={ocols}"); fails += 1; continue
+
+    # --- oracle-type gate -------------------------------------------------
+    # The driver's hash is type-sensitive: a DuckDB output type with no
+    # exact Spark-parquet twin (HUGEINT from an un-cast SUM(BIGINT) is the
+    # classic) hash-mismatches even when every value is equal.  Fail fast on
+    # any such type so the class can never ship again (round-4 verdict #2).
+    BANNED = ("HUGEINT", "UHUGEINT", "INT128", "UTINYINT", "USMALLINT",
+              "UINTEGER", "UBIGINT")
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad_types = [(c, t) for (c, t, *_) in desc
+                 if any(b in t.upper() for b in BANNED)]
+    if bad_types:
+        print(f"FAIL {name}: oracle emits non-Spark-representable types "
+              f"{bad_types} — CAST them (e.g. AS BIGINT) in the oracle SQL")
+        fails += 1; continue
+    # Arrow-level type agreement (sorted by column name, like the hash).
+    # The driver hashes PYTHON values, so widths inside one family are
+    # interchangeable (int32 == int64 as Python ints); what matters is a
+    # FAMILY change (int vs float/decimal/string), which survives to the
+    # hash even when every value is numerically equal.
+    def family(t):
+        s = str(t)
+        if s.startswith(("int", "uint")): return "int"
+        if s.startswith(("float", "halffloat", "double")): return "float"
+        if s.startswith("decimal"): return s       # exact: scale matters
+        if s.startswith(("string", "large_string")): return "string"
+        if s.startswith("date"): return "date"
+        if s.startswith("timestamp"): return "timestamp"
+        return s
+    stypes = {f.name: str(f.type) for f in sdf.schema}
+    otypes = {f.name: str(f.type) for f in odf.schema}
+    tdiff = [(c, stypes[c], otypes[c]) for c in scols
+             if family(stypes[c]) != family(otypes[c])]
+    if tdiff:
+        print(f"FAIL {name}: column type families differ spark-vs-oracle: "
+              f"{tdiff}")
+        fails += 1; continue
     if sdf.num_rows != odf.num_rows:
         print(f"FAIL {name}: rows spark={sdf.num_rows} oracle={odf.num_rows}"); fails += 1; continue
 
