@@ -2870,4 +2870,171 @@ object Events {
       |       abs((mza - mzb) / sqrt(vza / na + vzb / nb)) > 1.96
       |         AS significant_cuped
       |FROM f ORDER BY n_a""".stripMargin
+
+  /** Two-sided α = 0.05 and 80%-power normal quantiles, fixed as
+    * literals so both engines share one IEEE sequence (no engine
+    * inverse-CDF is ever called). */
+  val ZAlpha = 1.959964
+  val ZBeta = 0.841621
+
+  /** q240 — experiment power / minimum-detectable-effect worksheet:
+    * the pre-launch sizing sheet every A/B test starts from. Reuses
+    * q138's md5 arm split and exact integer-cents moments (n, Σc, Σc²
+    * per arm in DECIMAL(38,0)), then prices the design: pooled sd, the
+    * standard error of the mean difference at the CURRENT sample
+    * sizes, the absolute and relative MDE at α=0.05 / 80% power
+    * ((z_α + z_β)·se — Lehr's formula with exact quantiles), and the
+    * observed pooled z for reference. A reader compares mde_rel to
+    * the effect they hope to ship: if it's larger, the test is
+    * underpowered before it starts.
+    *
+    * Float policy: all doubles derive from the six exact integer
+    * moments through one shared expression sequence; `sqrt` only
+    * (IEEE-exact), rounds at the edge.
+    *
+    * Scale shape: identical to q138 — one user-keyed aggregation with
+    * map-side combine into a single 6-column moment row; no window,
+    * no join, unchanged at 100 TB. */
+  def powerMde(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val users = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("c"))
+      .select(col("c"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2).as("variant"))
+    val cd = col("c").cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val s = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, cd).otherwise(zero)).as("s_a"),
+      sum(when(col("variant") === 0, cd * cd).otherwise(zero)).as("s2_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, cd).otherwise(zero)).as("s_b"),
+      sum(when(col("variant") === 1, cd * cd).otherwise(zero)).as("s2_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (col("s_a").cast("double"), col("s_b").cast("double"))
+    val (sa2, sb2) = (col("s2_a").cast("double"), col("s2_b").cast("double"))
+    val (ma, mb) = (sa / na, sb / nb)
+    val va = (sa2 - sa * sa / na) / (na - lit(1.0))
+    val vb = (sb2 - sb * sb / nb) / (nb - lit(1.0))
+    val vp = ((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) /
+      (na + nb - lit(2.0))
+    val se = sqrt(vp * (lit(1.0) / na + lit(1.0) / nb))
+    val mde = lit(ZAlpha + ZBeta) * se
+    s.select(col("n_a"), col("n_b"),
+        round(sqrt(vp) / 100.0, 6).as("pooled_sd"),
+        round(se / 100.0, 6).as("se_diff"),
+        round(mde / 100.0, 6).as("mde_abs"),
+        round(mde / ma, 6).as("mde_rel"),
+        round((ma - mb) / se, 6).as("z_observed"))
+      .orderBy("n_a")
+  }
+
+  val powerMdeSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         SUM(CASE WHEN event_type = 'purchase'
+       |                  THEN floor(value * 100)::BIGINT ELSE 0 END) AS c,
+       |         ('0x'||substr(md5(user_id::VARCHAR),1,8))::BIGINT % 2
+       |           AS variant
+       |  FROM events GROUP BY user_id
+       |), s AS (
+       |  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+       |         SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS s_a,
+       |         SUM(CASE WHEN variant = 0 THEN c * c ELSE 0 END) AS s2_a,
+       |         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+       |         SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS s_b,
+       |         SUM(CASE WHEN variant = 1 THEN c * c ELSE 0 END) AS s2_b
+       |  FROM u
+       |), d AS (
+       |  SELECT n_a, n_b,
+       |         n_a::DOUBLE AS na, s_a::DOUBLE AS sa, s2_a::DOUBLE AS sa2,
+       |         n_b::DOUBLE AS nb, s_b::DOUBLE AS sb, s2_b::DOUBLE AS sb2
+       |  FROM s
+       |), w AS (
+       |  SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+       |         (sa2 - sa * sa / na) / (na - 1.0) AS va,
+       |         (sb2 - sb * sb / nb) / (nb - 1.0) AS vb
+       |  FROM d
+       |), p AS (
+       |  SELECT n_a, n_b, na, nb, ma, mb,
+       |         ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0) AS vp
+       |  FROM w
+       |), q AS (
+       |  SELECT n_a, n_b, ma, mb, vp,
+       |         sqrt(vp * (1.0 / na + 1.0 / nb)) AS se
+       |  FROM p
+       |)
+       |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       |       round(sqrt(vp) / 100.0, 6) AS pooled_sd,
+       |       round(se / 100.0, 6) AS se_diff,
+       |       round(${ZAlpha + ZBeta} * se / 100.0, 6) AS mde_abs,
+       |       round(${ZAlpha + ZBeta} * se / ma, 6) AS mde_rel,
+       |       round((ma - mb) / se, 6) AS z_observed
+       |FROM q ORDER BY n_a""".stripMargin
+
+  /** q241 — daily conversion with Wilson 95% intervals: per event-time
+    * day, the share of active users who purchased, with the Wilson
+    * score interval (the binomial interval that behaves at small n and
+    * extreme p̂, unlike the Wald ±z√(p̂q̂/n) taught first and wrong at
+    * the edges) — the daily health strip an experimentation dashboard
+    * draws. Both counts are exact distinct-user integers; the interval
+    * is one shared sqrt-only IEEE sequence, rounded at the edge.
+    *
+    * Scale shape: one scan → (day, user) dedup → day-keyed aggregate
+    * (two conditional distinct counts ride the same shuffle); |days|
+    * output rows. At 100 TB the only growth axis is elapsed calendar
+    * time. */
+  def wilsonDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = loadEvents(spark, sfDir)
+    val perDay = ev.select(to_date(col("ts")).as("day"), col("user_id"),
+        (col("event_type") === "purchase").as("isp"))
+      .groupBy("day", "user_id")
+      .agg(max(col("isp")).as("purchased"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("purchased"), 1L).otherwise(0L)).as("n_purchasers"))
+    val (n, k) = (col("n_active").cast("double"),
+      col("n_purchasers").cast("double"))
+    val z2 = lit(ZAlpha * ZAlpha)
+    val p = k / n
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val half = lit(ZAlpha) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    perDay.select(col("day"), col("n_active"), col("n_purchasers"),
+        round(p, 6).as("conv_rate"),
+        round((center - half) / denom, 6).as("wilson_lo"),
+        round((center + half) / denom, 6).as("wilson_hi"))
+      .orderBy("day")
+  }
+
+  val wilsonDailySql: String =
+    s"""WITH du AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id,
+       |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |           AS purchased
+       |  FROM events GROUP BY 1, 2
+       |), d AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+       |         CAST(SUM(purchased) AS BIGINT) AS n_purchasers
+       |  FROM du GROUP BY 1
+       |), f AS (
+       |  SELECT day, n_active, n_purchasers,
+       |         n_active::DOUBLE AS n, n_purchasers::DOUBLE AS k
+       |  FROM d
+       |), g AS (
+       |  SELECT day, n_active, n_purchasers, n, k / n AS p,
+       |         1.0 + ${ZAlpha * ZAlpha} / n AS denom,
+       |         k / n + ${ZAlpha * ZAlpha} / (2.0 * n) AS center,
+       |         $ZAlpha * sqrt((k / n) * (1.0 - k / n) / n
+       |           + ${ZAlpha * ZAlpha} / (4.0 * n * n)) AS half
+       |  FROM f
+       |)
+       |SELECT day, n_active, n_purchasers,
+       |       round(p, 6) AS conv_rate,
+       |       round((center - half) / denom, 6) AS wilson_lo,
+       |       round((center + half) / denom, 6) AS wilson_hi
+       |FROM g ORDER BY day""".stripMargin
 }

@@ -342,4 +342,114 @@ object Multimodal {
        |       CAST(len AS BIGINT) AS nonzero_px,
        |       round(CAST(px_sum AS DOUBLE) / ($ImgWidth * h), 6) AS mean_px
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** PCM geometry for the WAV stage: mono 16-bit little-endian at
+    * [[SampleRate]] Hz; sample i = (payload byte i − [[SampleBias]])
+    * × 256, so ASCII payloads (codes 32-126) swing both signs and the
+    * decoded stats are closed-form from the text's code points. */
+  val SampleRate = 8000
+  val SampleBias = 64
+
+  final case class WavAsset(doc_id: Long, wav: Array[Byte])
+  final case class WavFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, sum_amp: Long, peak: Long, n_zero_cross: Long,
+      mean_amp: Double)
+
+  /** Per-document RIFF/WAVE file (real header + PCM16LE data chunk)
+    * built from the utf-8 payload on executors — the audio twin of
+    * [[pngAssets]]: a genuine container-format binary column, not a
+    * stub. */
+  def wavAssets(spark: SparkSession, sfDir: String): Dataset[WavAsset] = {
+    import spark.implicits._
+    assets(spark, sfDir).select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)                    // PCM, mono
+            .putInt(SampleRate).putInt(SampleRate * 2)  // byte rate
+            .putShort(2).putShort(16)                   // block, bits
+            .put("data".getBytes("US-ASCII")).putInt(n * 2)
+          var i = 0
+          while (i < n) {
+            buf.putShort((((bytes(i) & 0xff) - SampleBias) * 256).toShort)
+            i += 1
+          }
+          WavAsset(id, buf.array())
+        }
+      }
+  }
+
+  /** q238 — REAL audio decode: `javax.sound.sampled.AudioSystem`
+    * parses the WAV column on executors (container + format
+    * negotiation, the actual pure-JVM audio path) and the features
+    * come off the DECODED frame stream — exact integer sample sums,
+    * peak amplitude, and zero-crossing count (the classic cheap
+    * voiced/unvoiced signal feature), plus the 6-dp mean. PCM being
+    * lossless, every stat re-derives in DuckDB from the ASCII code
+    * points, so the synth→container→decode→feature pipeline is
+    * oracle-checked end to end — the audio twin of q179.
+    *
+    * Scale shape: narrow mapPartitions (no shuffle), one decoder
+    * context per partition, fixed-width feature columns; the wide
+    * binary never leaves the stage. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavAssets(spark, sfDir).mapPartitions { it =>
+      it.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.wav))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength.toInt
+        val data = ais.readAllBytes()
+        ais.close()
+        var (sum, peak, zc) = (0L, 0L, 0L)
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val lo = data(i * 2) & 0xff
+          val hi = data(i * 2 + 1).toInt
+          val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
+                  else (hi << 8) | lo
+          sum += s
+          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+          if (i > 0 && s.toLong * prev < 0) zc += 1
+          prev = s
+          i += 1
+        }
+        WavFeatures(a.doc_id, fmt.getSampleRate.toInt, n.toLong, sum, peak,
+          zc, if (n == 0) 0.0 else sum.toDouble / n)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("sum_amp"), col("peak"), col("n_zero_cross"),
+        round(col("mean_amp"), 6).as("mean_amp"))
+      .orderBy("doc_id")
+  }
+
+  val audioDecodeSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         [(unicode(c) - $SampleBias) * 256
+       |          for c in string_split_regex(text, '')] AS s
+       |  FROM documents
+       |)
+       |SELECT doc_id, $SampleRate AS sample_rate,
+       |       CAST(len(s) AS BIGINT) AS n_samples,
+       |       CAST(COALESCE(list_aggregate(s, 'sum'), 0) AS BIGINT)
+       |         AS sum_amp,
+       |       CAST(COALESCE(list_aggregate([abs(x) for x in s], 'max'), 0)
+       |            AS BIGINT) AS peak,
+       |       CAST(COALESCE(list_aggregate(
+       |              [CASE WHEN s[i] * s[i + 1] < 0 THEN 1 ELSE 0 END
+       |               for i in generate_series(1, len(s) - 1)], 'sum'), 0)
+       |            AS BIGINT) AS n_zero_cross,
+       |       round(CASE WHEN len(s) > 0
+       |             THEN CAST(list_aggregate(s, 'sum') AS DOUBLE) / len(s)
+       |             ELSE 0.0 END, 6) AS mean_amp
+       |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -1241,4 +1241,84 @@ object Sampling {
        |FROM per CROSS JOIN tot
        |ORDER BY ctx_len""".stripMargin
   }
+
+  /** q239's batching constants: documents bucket by token length in
+    * [[LenBucketWidth]]-token bands and batch [[PadBatchDocs]] at a time
+    * within a bucket (pad-to-longest-in-batch, the standard
+    * length-bucketed alternative to q72's packing). */
+  val PadBatchDocs = 32L
+  val LenBucketWidth = 64L
+
+  /** q239 — padding-waste audit of length-bucketed batching: if
+    * training DIDN'T pack sequences (q72) but instead bucketed
+    * documents by length and padded each [[PadBatchDocs]]-doc batch to
+    * its longest member, how many pad tokens would every length band
+    * burn? Reports, per band: docs, batches, real tokens, padded
+    * slots, waste, waste rate — the measured side of the
+    * pack-vs-pad decision (and the empirical case for packing: waste
+    * concentrates in the wide bands). Complements q121, which ASSIGNS
+    * docs to log₂-bucketed batches (per-doc output, shuffle-ranked);
+    * this PRICES the padding a pad-to-longest collate would cost per
+    * linear band — the aggregate audit a mixture designer reads, not
+    * an assignment.
+    *
+    * Scale shape: the in-bucket batch index comes from the SAME
+    * two-phase prefix-sum kernel as q33/q72 (count-prefix over
+    * (bucket, doc_id) order minus a per-bucket base — never an
+    * unpartitioned window); the per-bucket base join broadcasts a
+    * |buckets|-row aggregate (bounded by max document length, not
+    * corpus size). Everything else is two keyed aggregates with
+    * map-side combine. All columns exact integers except the final
+    * 6-dp rate. */
+  def paddingWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .withColumn("bucket", expr(s"nt div $LenBucketWidth"))
+    val base = docs.select(col("doc_id"), col("bucket"), col("nt"),
+      lit(1L).as("n_tokens"))
+    val off = packOffsetsBy(base, Seq(col("bucket"), col("doc_id")))
+    val bucketBase = off.groupBy("bucket").agg(min("start_off").as("b0"))
+    off.join(broadcast(bucketBase), Seq("bucket"))
+      .withColumn("batch_id", expr(s"(start_off - b0) div $PadBatchDocs"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("nb"), max("nt").as("mx"), sum("nt").as("sl"))
+      .groupBy("bucket")
+      .agg(sum("nb").as("n_docs"), count(lit(1)).as("n_batches"),
+        sum("sl").as("n_tokens"),
+        sum(col("nb") * col("mx")).as("padded_tokens"))
+      .select(col("bucket").as("len_bucket"), col("n_docs"),
+        col("n_batches"), col("n_tokens"), col("padded_tokens"),
+        (col("padded_tokens") - col("n_tokens")).as("waste_tokens"),
+        round((col("padded_tokens") - col("n_tokens")).cast("double") /
+          col("padded_tokens").cast("double"), 6).as("waste_rate"))
+      .orderBy("len_bucket")
+  }
+
+  val paddingWasteSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(string_split_regex(text, '\\s+')) AS nt,
+       |         len(string_split_regex(text, '\\s+')) // $LenBucketWidth
+       |           AS bucket
+       |  FROM documents
+       |), i AS (
+       |  SELECT bucket, nt,
+       |         (row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+       |          - 1) // $PadBatchDocs AS batch_id
+       |  FROM t
+       |), b AS (
+       |  SELECT bucket, batch_id, COUNT(*) AS nb, MAX(nt) AS mx,
+       |         SUM(nt) AS sl
+       |  FROM i GROUP BY 1, 2
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS len_bucket,
+       |       CAST(SUM(nb) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       |       CAST(SUM(sl) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens,
+       |       CAST(SUM(nb * mx) - SUM(sl) AS BIGINT) AS waste_tokens,
+       |       round((SUM(nb * mx) - SUM(sl))::DOUBLE
+       |             / SUM(nb * mx)::DOUBLE, 6) AS waste_rate
+       |FROM b GROUP BY 1 ORDER BY len_bucket""".stripMargin
 }

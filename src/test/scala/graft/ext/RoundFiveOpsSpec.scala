@@ -49,6 +49,78 @@ class RoundFiveOpsSpec extends SparkSpec {
       s"refined key must not enlarge the candidate set ($fine > $coarse)")
   }
 
+  test("q238: WAV decode round-trips the synthesized PCM exactly") {
+    // the REAL-codec guarantee: javax.sound's decoded frame stream must
+    // reproduce the closed-form stats of the synthesized samples
+    val expected = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val s = r.getString(1).getBytes("UTF-8")
+          .map(b => ((b & 0xff) - Multimodal.SampleBias) * 256)
+        val zc = s.sliding(2).count(p =>
+          p.length == 2 && p(0).toLong * p(1) < 0)
+        r.getLong(0) -> (s.length.toLong, s.map(_.toLong).sum,
+          if (s.isEmpty) 0L else s.map(x => math.abs(x.toLong)).max,
+          zc.toLong)
+      }.toMap
+    val rows = Multimodal.audioDecode(spark, sf001).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, sum, peak, zc) = expected(r.getLong(0))
+      assert(r.getInt(1) == Multimodal.SampleRate)
+      assert(r.getLong(2) == n, s"doc ${r.getLong(0)}: n_samples")
+      assert(r.getLong(3) == sum, s"doc ${r.getLong(0)}: sum_amp")
+      assert(r.getLong(4) == peak, s"doc ${r.getLong(0)}: peak")
+      assert(r.getLong(5) == zc, s"doc ${r.getLong(0)}: zero crossings")
+    }
+  }
+
+  test("q239: padding identity holds and batches respect the doc cap") {
+    val rows = Sampling.paddingWaste(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.load(spark, sf001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == totalDocs, "every doc batched once")
+    rows.foreach { r =>
+      val (docs, batches) = (r.getLong(1), r.getLong(2))
+      val (toks, padded, waste) =
+        (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(padded == toks + waste, "padded = real + waste, exactly")
+      assert(batches == (docs + Sampling.PadBatchDocs - 1) / Sampling.PadBatchDocs,
+        "batch count must be ceil(docs / batch size)")
+      // max length inside band b is (b+1)*width - 1
+      val bandMax = (r.getLong(0) + 1) * Sampling.LenBucketWidth - 1
+      assert(padded <= docs * bandMax, "padding bounded by the band ceiling")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0)
+    }
+  }
+
+  test("q240: the MDE worksheet agrees with q138's arms and scales as 1/sqrt(n)") {
+    val mde = Events.powerMde(spark, sf001).collect()(0)
+    val ab = Events.abTest(spark, sf001).collect()(0)
+    assert(mde.getLong(0) == ab.getLong(0) && mde.getLong(1) == ab.getLong(1),
+      "power worksheet must see the identical md5 arm split")
+    val (sd, se, mdeAbs) =
+      (mde.getDouble(2), mde.getDouble(3), mde.getDouble(4))
+    assert(sd > 0 && se > 0 && mdeAbs > 0)
+    assert(mdeAbs > se, "MDE = (z_a+z_b)·se must exceed one se")
+    // pooled se must sit between the two single-arm extremes
+    val nMin = math.min(mde.getLong(0), mde.getLong(1)).toDouble
+    assert(se <= sd * math.sqrt(2.0 / nMin) + 1e-9)
+  }
+
+  test("q241: Wilson intervals bracket the estimate inside [0, 1]") {
+    val rows = Events.wilsonDaily(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(k <= n)
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= hi)
+      assert(p >= lo - 1e-9 && p <= hi + 1e-9,
+        s"day ${r.getDate(0)}: p=$p outside [$lo, $hi]")
+    }
+  }
+
   test("q237: backtest scores a dense day axis and sMAPE never NaNs") {
     val rows = Events.forecastBacktest(spark, sf001).collect()
     assert(rows.length == 2)
