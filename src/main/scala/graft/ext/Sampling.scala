@@ -1265,11 +1265,13 @@ object Sampling {
     * Scale shape: the in-bucket batch index comes from the SAME
     * two-phase prefix-sum kernel as q33/q72 (count-prefix over
     * (bucket, doc_id) order minus a per-bucket base — never an
-    * unpartitioned window); the per-bucket base join broadcasts a
-    * |buckets|-row aggregate (bounded by max document length, not
-    * corpus size). Everything else is two keyed aggregates with
-    * map-side combine. All columns exact integers except the final
-    * 6-dp rate. */
+    * unpartitioned window over per-doc rows); the base is a cumsum
+    * over the |bands|-row bucket-count aggregate (bounded by max
+    * document length / band width, NOT corpus size — the q58 bounded-
+    * input window argument, PlanSpec-exempt) broadcast back onto the
+    * offsets. Everything else is two keyed aggregates with map-side
+    * combine. All columns exact integers except the final 6-dp
+    * rate. */
   def paddingWaste(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
@@ -1278,7 +1280,15 @@ object Sampling {
     val base = docs.select(col("doc_id"), col("bucket"), col("nt"),
       lit(1L).as("n_tokens"))
     val off = packOffsetsBy(base, Seq(col("bucket"), col("doc_id")))
-    val bucketBase = off.groupBy("bucket").agg(min("start_off").as("b0"))
+    // the per-bucket start index = total docs in EARLIER buckets: a
+    // cumsum over the tiny bucket-count aggregate, not a second pass
+    // of the corpus-sized window
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketBase = docs.groupBy("bucket")
+      .agg(count(lit(1)).as("cb"))
+      .withColumn("b0", coalesce(sum("cb").over(wB), lit(0L)))
+      .select("bucket", "b0")
     off.join(broadcast(bucketBase), Seq("bucket"))
       .withColumn("batch_id", expr(s"(start_off - b0) div $PadBatchDocs"))
       .groupBy("bucket", "batch_id")

@@ -227,9 +227,13 @@ class PlanSpec extends SparkSpec {
     // per calendar DAY (after the register cumulation) — same argument
     // q232 windows over one row per exit DAY (after the day-level
     // aggregation) — the same elapsed-calendar bound
+    // q239 windows over one row per LENGTH BAND after the bucket-count
+    // aggregation — input bounded by max doc length / band width, the
+    // same bounded-input argument on a non-calendar axis
     val calendarBoundedOk =
       Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve",
-        "q232_km_survival", "q236_log_rank", "q237_forecast_backtest")
+        "q232_km_survival", "q236_log_rank", "q237_forecast_backtest",
+        "q239_padding_waste")
     // memoized builders hide behind a checkpoint scan in declared plans —
     // pin their fresh plans alongside (the ADVICE r4 dsir gap)
     val freshBuilders: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
