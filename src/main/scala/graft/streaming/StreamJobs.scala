@@ -231,6 +231,30 @@ object StreamJobs {
   def calibrationBins(docs: DataFrame): DataFrame =
     graft.ext.TextAnalysis.calibrationBinsOn(docs)
 
+  /** Live daily-conversion registers (q241's streaming face): exact
+    * per-(day, user) distinct state is unbounded on a stream, so the
+    * monitor keeps the portable HLL register table instead, keyed by
+    * (day | population) — every event feeds the ACTIVE population,
+    * purchases also feed PURCH (a row-local explode, no second scan).
+    * State is FIXED at 2 · days · 256 register rows — bounded by
+    * elapsed calendar, never by user or event volume — and the
+    * registers are monotone MAX, so Update mode emits only risers.
+    * Replayed to completion the table equals the identical batch
+    * kernel bit-for-bit; the Wilson read-side (q241's formula over
+    * the two estimates) runs on whatever snapshot the dashboard
+    * pulls. Works on a batch frame too — the spec pins replay ≡
+    * batch through this one definition. */
+  def conversionRegisters(events: DataFrame): DataFrame = {
+    val tagged = events
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        explode(when(col("event_type") === "purchase",
+            array(lit("active"), lit("purch")))
+          .otherwise(array(lit("active")))).as("pop"))
+      .select(concat(col("day").cast("string"), lit("|"), col("pop"))
+        .as("day_pop"), col("user_id"))
+    graft.ext.Sketches.hllRegisters(tagged, "day_pop", "user_id")
+  }
+
   /** Live value-quantile sketch: the q134 DDSketch bucket table as a
     * streaming groupBy-SUM — |types|·(64·octaves) rows of state for
     * bounded-relative-error quantiles over an unbounded stream (the

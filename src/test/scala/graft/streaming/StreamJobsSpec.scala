@@ -108,6 +108,28 @@ class StreamJobsSpec extends SparkSpec {
     assert(got.size <= Events.EventTypes.size * graft.ext.Sketches.HllBuckets)
   }
 
+  test("streaming conversion registers replay to the batch kernel (q241 face)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-conv")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamJobs.readEvents(spark, dir.toString)
+    val got = StreamJobs.runToMemory(
+      StreamJobs.conversionRegisters(stream), "conv_test",
+      OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val want = StreamJobs.conversionRegisters(Events.loadEvents(spark, sf001))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"register drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    // fixed state: 2 populations x days x 256 registers, bounded by calendar
+    val nDays = got.map(_._1.split('|')(0)).size
+    assert(got.size <= 2 * nDays * graft.ext.Sketches.HllBuckets)
+    // the purch population can never register more buckets than active
+    val byPop = got.groupBy(_._1.split('|')(1)).view.mapValues(_.size).toMap
+    assert(byPop("purch") <= byPop("active"))
+  }
+
   test("streaming minute counts replay to the batch q155 input table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-minute")
     java.nio.file.Files.copy(
