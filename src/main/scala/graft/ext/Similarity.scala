@@ -431,6 +431,97 @@ object Similarity {
        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** q242's nDCG discount weights, ×10⁶ as exact BIGINT literals:
+    * w(i) = round(10⁶ / log₂(i+1)) for ranks 1..[[TopK]]. Computed
+    * ONCE in Scala and interpolated into both engines, so no runtime
+    * `log` is ever called and the DCG sum is exact integer
+    * arithmetic — the round-5 scaled-integer float policy. */
+  val NdcgWeightsE6: Seq[Long] =
+    (1 to TopK).map(i => math.round(1e6 * math.log(2.0) / math.log(i + 1.0)))
+
+  /** Ideal DCG ×10⁶ — all [[TopK]] slots relevant, the constant
+    * denominator nDCG normalizes by. */
+  val IdcgE6: Long = NdcgWeightsE6.sum
+
+  /** q242 — ANN ranking quality beyond recall: MRR and nDCG@k of the
+    * SRP-LSH index (q14's ranked list) against q13's exact top-k.
+    * Recall (q81) only counts set overlap; a serving index also has to
+    * put the right neighbors EARLY, which is what the reciprocal first-
+    * hit rank and the log-discounted gain measure — the ranking-quality
+    * half of an ANN acceptance gate.
+    *
+    * Determinism: relevance is binary (approx neighbor ∈ exact top-k),
+    * the discount weights are pre-scaled integer literals
+    * ([[NdcgWeightsE6]]), so per-query DCG is an EXACT integer sum in
+    * both engines (order-free); mrr and ndcg are each one float
+    * division from exact integers, rounded at the edge.
+    *
+    * Scale shape: two NQueries-bounded ranked lists (the q13/q14
+    * shapes, PlanSpec-exempt), one equi-join on (query, neighbor),
+    * one |queries|-row aggregate. Nothing corpus-proportional past
+    * the candidate stage. */
+  def annRankQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val wArr = array(NdcgWeightsE6.map(lit): _*)
+    val exact = bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annLsh(spark, sfDir)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+    val per = approx
+      .join(exact.withColumn("rel", lit(1L)), Seq("query_id", "neighbor_id"),
+        "left")
+      .select(col("query_id"), col("rk"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+      .groupBy("query_id")
+      .agg(sum("rel").as("n_hits"),
+        min(when(col("rel") === 1L, col("rk"))).as("fh"),
+        sum(when(col("rel") === 1L,
+            element_at(wArr, col("rk").cast("int"))).otherwise(0L))
+          .as("dcg_e6"))
+    exact.select("query_id").distinct()
+      .join(per, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("fh"), lit(0L)).as("first_hit"),
+        round(when(col("fh").isNotNull,
+            lit(1.0) / col("fh").cast("double")).otherwise(0.0), 6)
+          .as("mrr"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        round(coalesce(col("dcg_e6"), lit(0L)).cast("double") /
+          lit(IdcgE6.toDouble), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  val annRankQualitySql: String = {
+    val wList = NdcgWeightsE6.mkString(", ")
+    s"""WITH exact_k AS ($bruteForceTopKSql),
+       |approx_k AS ($annLshSql),
+       |rel AS (
+       |  SELECT a.query_id, a.rk,
+       |         CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+       |           AS rel
+       |  FROM approx_k a LEFT JOIN exact_k e
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |), per AS (
+       |  SELECT query_id,
+       |         CAST(SUM(rel) AS BIGINT) AS n_hits,
+       |         MIN(CASE WHEN rel = 1 THEN rk END) AS fh,
+       |         CAST(COALESCE(SUM(CASE WHEN rel = 1
+       |             THEN [$wList][rk] ELSE 0 END), 0) AS BIGINT) AS dcg_e6
+       |  FROM rel GROUP BY 1
+       |), q AS (SELECT DISTINCT query_id FROM exact_k)
+       |SELECT q.query_id,
+       |       COALESCE(p.n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(p.fh, 0) AS BIGINT) AS first_hit,
+       |       round(CASE WHEN p.fh IS NOT NULL
+       |             THEN CAST(1.0 AS DOUBLE) / CAST(p.fh AS DOUBLE)
+       |             ELSE 0.0 END, 6) AS mrr,
+       |       COALESCE(p.dcg_e6, 0) AS dcg_e6,
+       |       round(COALESCE(p.dcg_e6, 0)::DOUBLE
+       |             / CAST($IdcgE6 AS DOUBLE), 6) AS ndcg
+       |FROM q LEFT JOIN per p USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** q185 — the IVF TUNING CURVE: recall@k and candidates scanned as a
     * function of nprobe (1 / 2 / 4 probed lists) against q13's exact
     * top-k — the measurement that picks an operating point on the

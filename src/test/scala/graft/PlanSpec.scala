@@ -95,7 +95,10 @@ class PlanSpec extends SparkSpec {
       "q230_context_sweep",
       // q232: two 1-row anchors (censor day, cohort size) crossed into
       // the per-user and per-exit-day aggregates (q73's scalar shape)
-      "q232_km_survival")
+      "q232_km_survival",
+      // q242: embeds q13's exact-eval subplan — the NQueries(=8)-bounded
+      // query broadcast theta-crossed into the corpus scan
+      "q242_ann_rank_quality")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -121,6 +121,24 @@ class RoundFiveOpsSpec extends SparkSpec {
     }
   }
 
+  test("q242: ranking metrics agree with q81's hit counts and stay in [0,1]") {
+    val rank = Similarity.annRankQuality(spark, sf001).collect()
+    val recall = Similarity.annRecall(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rank.length == recall.size, "one row per exact-eval query")
+    rank.foreach { r =>
+      val (q, hits, fh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(hits == recall(q),
+        s"query $q: intersection size must match q81 ($hits vs ${recall(q)})")
+      val (mrr, dcg, ndcg) = (r.getDouble(3), r.getLong(4), r.getDouble(5))
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0)
+      assert(dcg <= Similarity.IdcgE6)
+      if (hits == 0) assert(fh == 0L && mrr == 0.0 && dcg == 0L)
+      else assert(fh >= 1L && fh <= Similarity.TopK)
+      if (fh == 1L) assert(mrr == 1.0)
+    }
+  }
+
   test("q237: backtest scores a dense day axis and sMAPE never NaNs") {
     val rows = Events.forecastBacktest(spark, sf001).collect()
     assert(rows.length == 2)
