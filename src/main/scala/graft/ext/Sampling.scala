@@ -604,6 +604,82 @@ object Sampling {
        |       CAST(rk % $EpochShardDocs AS BIGINT) AS shard_pos
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q244 — shuffle-decorrelation audit of the q114 epoch permutation:
+    * if the keyed-md5 shuffle is doing its job, adjacent documents in
+    * the training order should collide on source no more often than a
+    * uniform random permutation predicts — observed same-source
+    * adjacent pairs vs the exact expectation n_s(n_s−1)/N per source
+    * (N−1 adjacent slots × probability both ends are s). A ratio well
+    * above 1 means the trainer will see source-correlated batches (the
+    * gradient-noise pathology shuffling exists to prevent); this is
+    * the audit that catches a broken or biased permutation BEFORE a
+    * run trains on it.
+    *
+    * Scale shape: adjacency never uses a global window — shuffle_rank
+    * is dense, so "rank r next to rank r+1" is a self EQUI-join on the
+    * rank (embarrassingly parallel, shuffle on an integer key); counts
+    * and the 1-row corpus total ride broadcast anchors (q73's scalar
+    * shape). Expected counts are exact integer products over one final
+    * double division, rounded at the edge.
+    */
+  def shuffleAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val sh = epochShuffle(spark, sfDir)
+      .select(col("doc_id"), col("shuffle_rank"))
+      .join(src, Seq("doc_id"))
+    val a = sh.select(col("shuffle_rank").as("r"), col("source").as("sa"))
+    val b = sh.select((col("shuffle_rank") - 1).as("r"),
+      col("source").as("sb"))
+    val per = a.join(b, Seq("r"))
+      .filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source"))
+      .agg(count(lit(1)).as("n_adj_same"))
+    val counts = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("nn"))
+    val expected = (col("n_docs") * (col("n_docs") - 1)).cast("double") /
+      col("nn").cast("double")
+    counts.join(per, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_adj_same"), lit(0L)).as("n_adj_same"),
+        round(expected, 6).as("expected_same"),
+        round(when(col("n_docs") > 1,
+            coalesce(col("n_adj_same"), lit(0L)).cast("double") / expected)
+          .otherwise(0.0), 6).as("ratio"))
+      .orderBy("source")
+  }
+
+  val shuffleAuditSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (
+       |           ORDER BY md5('$EpochSeed:' || CAST(doc_id AS VARCHAR)),
+       |                    doc_id) - 1 AS r
+       |  FROM documents
+       |), j AS (
+       |  SELECT sh.r, d.source
+       |  FROM sh JOIN documents d USING (doc_id)
+       |), per AS (
+       |  SELECT a.source, COUNT(*) AS n_adj_same
+       |  FROM j a JOIN j b ON b.r = a.r + 1
+       |  WHERE a.source = b.source
+       |  GROUP BY 1
+       |), c AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM c)
+       |SELECT c.source, c.n_docs,
+       |       CAST(COALESCE(per.n_adj_same, 0) AS BIGINT) AS n_adj_same,
+       |       round((c.n_docs * (c.n_docs - 1))::DOUBLE / nn::DOUBLE, 6)
+       |         AS expected_same,
+       |       round(CASE WHEN c.n_docs > 1
+       |             THEN COALESCE(per.n_adj_same, 0)::DOUBLE
+       |                  / ((c.n_docs * (c.n_docs - 1))::DOUBLE / nn::DOUBLE)
+       |             ELSE 0.0 END, 6) AS ratio
+       |FROM c LEFT JOIN per USING (source), t
+       |ORDER BY source""".stripMargin
+
   /** q127 fixture constants: epoch cap C and training budget
     * B = (37/10) × corpus tokens — 3.7 epochs' worth, between C×min and
     * C×max of the fixture's per-source caps, so the allocation splits

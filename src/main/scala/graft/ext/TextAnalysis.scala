@@ -2434,4 +2434,109 @@ object TextAnalysis {
        |SELECT bin, n_docs, mean_p_keep, gate_keep_frac,
        |       round(abs(mean_p_keep - gate_keep_frac), 6) AS abs_gap
        |FROM agg ORDER BY bin""".stripMargin
+
+  /** q243's split-conformal level: 1 − α = [[ConformalNum]]/
+    * [[ConformalDen]] (90%), kept as an integer pair so the
+    * calibration rank ⌈(n+1)·(1−α)⌉ is exact integer arithmetic in
+    * both engines — no 0.9 float ever multiplies a count. */
+  val ConformalNum = 9L
+  val ConformalDen = 10L
+
+  /** q243 — split-conformal coverage audit of the q98 quality
+    * classifier against the q112 Gopher gate (Vovk's inductive
+    * conformal recipe): the md5-even half of the corpus calibrates —
+    * nonconformity = |gold − p̂| in exact micro units — q̂ is the
+    * ⌈(n+1)·0.9⌉-th smallest calibration score (a pure order
+    * statistic, no interpolation), and the held-out half reports, per
+    * source, how often the true gate label fell inside the ±q̂ band.
+    * Marginal coverage ≥ 90% is guaranteed by exchangeability; the
+    * PER-SOURCE breakdown is the diagnostic — a source whose coverage
+    * sags below the line is where the classifier can't be trusted at
+    * its stated confidence, the modern acceptance check before a
+    * classifier replaces a rule gate at 100 TB.
+    *
+    * Determinism: scores live on the 10⁻⁶ grid as exact longs; the
+    * order statistic is rank selection over that grid; the only
+    * doubles are the final per-source coverage divisions, rounded at
+    * the edge.
+    *
+    * Scale shape: two row-local scoring passes join on doc_id; the
+    * calibration histogram groups by nonconformity VALUE (≤ 10⁶+1
+    * rows — bounded by the score grid, never the corpus), its cumsum
+    * window rides that bounded frame (the q239 bounded-axis argument,
+    * PlanSpec-exempt), and q̂/n_cal ride 1-row broadcast anchors
+    * (q73's scalar shape). */
+  def conformalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.Dedup.hash60
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = logitQuality(spark, sfDir).select(col("doc_id"),
+      round(col("p_keep") * 1e6, 0).cast("long").as("p_micro"))
+    val gold = gopherRulesOn(docs).select(col("doc_id"),
+      col("keep").cast("long").as("gold"))
+    val j = p.join(gold, Seq("doc_id"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"),
+        abs(col("gold") * lit(1000000L) - col("p_micro")).as("nc"),
+        (pmod(hash60(col("doc_id").cast("string")), lit(2)) === 0)
+          .as("cal"))
+    val calSet = j.filter(col("cal"))
+    val nCal = calSet.agg(count(lit(1)).as("n_cal"))
+    val wNc = Window.orderBy("nc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = calSet.groupBy("nc").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wNc))
+    val rank = expr(s"($ConformalNum * (n_cal + 1) + $ConformalDen - 1)" +
+      s" div $ConformalDen")
+    val qhat = hist.crossJoin(broadcast(nCal))
+      .filter(col("cum") >= rank)
+      .agg(min(col("nc")).as("qraw"))
+      .select(coalesce(col("qraw"), lit(1000000L)).as("qhat_micro"))
+    val anchor = nCal.crossJoin(broadcast(qhat))
+    j.filter(!col("cal"))
+      .crossJoin(broadcast(anchor))
+      .groupBy("source", "qhat_micro", "n_cal")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nc") <= col("qhat_micro"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("source"), col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") /
+          col("n_test").cast("double"), 6).as("coverage"),
+        col("qhat_micro"), col("n_cal"))
+      .orderBy("source")
+  }
+
+  val conformalCoverageSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, CAST(round(p_keep * 1e6) AS BIGINT) AS p_micro
+       |  FROM ($logitQualitySql)
+       |), g AS (
+       |  SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS gold
+       |  FROM ($gopherRulesSql)
+       |), j AS (
+       |  SELECT d.source,
+       |         abs(g.gold * 1000000 - s.p_micro) AS nc,
+       |         ('0x'||substr(md5(CAST(s.doc_id AS VARCHAR)),1,15))::BIGINT
+       |           % 2 = 0 AS cal
+       |  FROM s JOIN g USING (doc_id)
+       |  JOIN documents d ON d.doc_id = s.doc_id
+       |), n AS (SELECT COUNT(*) AS n_cal FROM j WHERE cal),
+       |r AS (
+       |  SELECT nc, row_number() OVER (ORDER BY nc) AS rk
+       |  FROM j WHERE cal
+       |), q AS (
+       |  SELECT COALESCE(MIN(nc), 1000000) AS qhat_micro
+       |  FROM r, n
+       |  WHERE rk >= ($ConformalNum * (n_cal + 1) + $ConformalDen - 1)
+       |              // $ConformalDen
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test,
+       |       CAST(SUM(CASE WHEN nc <= qhat_micro THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_covered,
+       |       round(SUM(CASE WHEN nc <= qhat_micro THEN 1 ELSE 0 END)::DOUBLE
+       |             / COUNT(*)::DOUBLE, 6) AS coverage,
+       |       qhat_micro, CAST(n_cal AS BIGINT) AS n_cal
+       |FROM j, q, n WHERE NOT cal
+       |GROUP BY source, qhat_micro, n_cal
+       |ORDER BY source""".stripMargin
 }

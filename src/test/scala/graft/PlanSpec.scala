@@ -98,7 +98,13 @@ class PlanSpec extends SparkSpec {
       "q232_km_survival",
       // q242: embeds q13's exact-eval subplan — the NQueries(=8)-bounded
       // query broadcast theta-crossed into the corpus scan
-      "q242_ann_rank_quality")
+      "q242_ann_rank_quality",
+      // q243: the 1-row q̂ / n_cal conformal anchors crossed into the
+      // histogram and the test half (q73's scalar shape)
+      "q243_conformal_coverage",
+      // q244: the 1-row corpus total crossed into the |sources| counts
+      // (q73's scalar shape)
+      "q244_shuffle_audit")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
@@ -233,10 +239,13 @@ class PlanSpec extends SparkSpec {
     // q239 windows over one row per LENGTH BAND after the bucket-count
     // aggregation — input bounded by max doc length / band width, the
     // same bounded-input argument on a non-calendar axis
+    // q243 windows over the calibration nonconformity HISTOGRAM — one
+    // row per micro-unit score value, ≤ 1e6+1 rows bounded by the score
+    // grid, never corpus size (the same bounded-input argument)
     val calendarBoundedOk =
       Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve",
         "q232_km_survival", "q236_log_rank", "q237_forecast_backtest",
-        "q239_padding_waste")
+        "q239_padding_waste", "q243_conformal_coverage")
     // memoized builders hide behind a checkpoint scan in declared plans —
     // pin their fresh plans alongside (the ADVICE r4 dsir gap)
     val freshBuilders: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(

@@ -139,6 +139,65 @@ class RoundFiveOpsSpec extends SparkSpec {
     }
   }
 
+  test("q243: q-hat is the exact calibration order statistic; coverage holds") {
+    // recompute the conformal quantile from first principles driver-side
+    val p = TextAnalysis.logitQuality(spark, sf001)
+      .select(col("doc_id"), round(col("p_keep") * 1e6, 0).cast("long").as("pm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gold = TextAnalysis.gopherRulesOn(
+      Tables.load(spark, sf001, "documents"))
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1000000L else 0L)).toMap
+    def isCal(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val nc = p.keys.toSeq.map(id => (id, math.abs(gold(id) - p(id))))
+    val cal = nc.filter(t => isCal(t._1)).map(_._2).sorted
+    val rank = ((TextAnalysis.ConformalNum * (cal.size + 1) +
+      TextAnalysis.ConformalDen - 1) / TextAnalysis.ConformalDen).toInt
+    val wantQ = if (rank <= cal.size) cal(rank - 1) else 1000000L
+    val rows = TextAnalysis.conformalCoverage(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == wantQ, "q-hat must be the exact order statistic")
+      assert(r.getLong(5) == cal.size.toLong)
+      assert(r.getLong(2) <= r.getLong(1), "covered <= tested")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // marginal (all-source) coverage should sit near the 90% target
+    val (cov, tot) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(1)).sum)
+    assert(cov.toDouble / tot >= 0.85,
+      s"marginal conformal coverage ${cov.toDouble / tot} collapsed below target")
+  }
+
+  test("q244: observed adjacencies match a direct replay of the q114 order") {
+    val order = Sampling.epochShuffle(spark, sf001)
+      .select("doc_id", "shuffle_rank").collect()
+      .sortBy(_.getLong(1)).map(_.getLong(0))
+    val src = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = order.sliding(2).collect {
+      case Array(x, y) if src(x) == src(y) => src(x)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Sampling.shuffleAudit(spark, sf001).collect()
+    assert(rows.map(_.getLong(1)).sum == order.length.toLong)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(2) == direct.getOrElse(s, 0L),
+        s"source $s: adjacency count must match the replayed order")
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // a healthy keyed-md5 permutation stays near the uniform expectation
+    val obs = rows.map(_.getLong(2)).sum.toDouble
+    val exp = rows.map(_.getDouble(3)).sum
+    assert(exp > 0 && obs / exp < 2.0,
+      s"shuffle looks source-correlated: observed $obs vs expected $exp")
+  }
+
   test("q237: backtest scores a dense day axis and sMAPE never NaNs") {
     val rows = Events.forecastBacktest(spark, sf001).collect()
     assert(rows.length == 2)
