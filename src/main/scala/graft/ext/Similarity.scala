@@ -477,7 +477,11 @@ object Similarity {
         sum(when(col("rel") === 1L,
             element_at(wArr, col("rk").cast("int"))).otherwise(0L))
           .as("dcg_e6"))
-    exact.select("query_id").distinct()
+    // the query-id axis comes from the slim embeddings scan, NOT a
+    // second evaluation of the exact-topk subplan (one corpus pass)
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("query_id"))
+      .filter(col("query_id") < NQueries)
       .join(per, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -508,7 +512,8 @@ object Similarity {
        |         CAST(COALESCE(SUM(CASE WHEN rel = 1
        |             THEN [$wList][rk] ELSE 0 END), 0) AS BIGINT) AS dcg_e6
        |  FROM rel GROUP BY 1
-       |), q AS (SELECT DISTINCT query_id FROM exact_k)
+       |), q AS (SELECT vec_id AS query_id FROM embeddings
+       |         WHERE vec_id < $NQueries)
        |SELECT q.query_id,
        |       COALESCE(p.n_hits, 0) AS n_hits,
        |       CAST(COALESCE(p.fh, 0) AS BIGINT) AS first_hit,
