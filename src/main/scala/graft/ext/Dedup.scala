@@ -1346,7 +1346,15 @@ object Dedup {
     * re-attach joins are unhinted (AQE broadcasts while small,
     * shuffles on doc id at 100 TB); candidate count stays bounded by
     * prefix×posting collisions, never n². */
-  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    containmentVerify(internedDocsets(spark, sfDir),
+      containmentCandidatesExact(spark, sfDir))
+      .orderBy("doc_small", "doc_big")
+
+  /** Exact (complete-by-pigeonhole) candidate generation: the smaller
+    * side's containment prefix probes the full posting lists. */
+  private def containmentCandidatesExact(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val ds = internedDocsets(spark, sfDir)
     val c = ContainTau
     val prefix = ds.select(col("doc_id"), col("n"),
@@ -1354,13 +1362,22 @@ object Dedup {
           (col("n") - ceil(col("n") * c).cast("long") + 1).cast("int")))
           .as("tid"))
     val full = ds.select(col("doc_id"), col("n"), explode(col("tids")).as("tid"))
-    val candidates = prefix.as("a")
+    prefix.as("a")
       .join(full.as("b"),
         col("a.tid") === col("b.tid") &&
           (col("a.n") < col("b.n") ||
             (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
       .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
       .distinct()
+  }
+
+  /** Shared exact-verification tail (q137 + q245): re-attach the
+    * memoized docsets to (doc_small, doc_big) candidates, count the
+    * exact intersection with the codegen'd two-pointer kernel, and
+    * keep pairs at containment ≥ [[ContainTau]]. Unordered — callers
+    * sort (or aggregate) as needed. */
+  private def containmentVerify(ds: DataFrame, candidates: DataFrame): DataFrame = {
+    val c = ContainTau
     candidates
       .join(ds.select(col("doc_id").as("doc_small"),
         col("tids").as("tids_a"), col("n").as("n_small")), Seq("doc_small"))
@@ -1377,7 +1394,6 @@ object Dedup {
         round(col("shared").cast("double") /
           (col("n_small") + col("n_big") - col("shared")).cast("double"), 6)
           .as("jaccard"))
-      .orderBy("doc_small", "doc_big")
   }
 
   val containmentPairsSql: String =
@@ -1404,6 +1420,215 @@ object Dedup {
        |WHERE (ca.n < cb.n OR (ca.n = cb.n AND da < db))
        |  AND s::DOUBLE >= $ContainTau * ca.n
        |ORDER BY doc_small, doc_big""".stripMargin
+
+  /** Banded-containment geometry (q245): a band is a [[BandR]]-subset
+    * of a document's globally-rarest tokens, hashed as one 60-bit key.
+    * AND-amplification is what makes this scale where q137's exact
+    * single-token probe cannot: on a topically homogeneous corpus even
+    * each doc's RAREST single bigram is hot (median df ≈ 250 at sf0.1
+    * — measured, PLANS.md round 6), so any single-token posting join
+    * grows quadratically; the co-occurrence count of a specific
+    * 4-token COMBINATION stays near-constant, so band-match rows grow
+    * ~linearly (measured 4.6k → 65k for 10× docs vs 59k → 7.2M for
+    * the exact probe). */
+  val BandR = 4
+
+  /** Probe side: all 4-subsets of the smaller doc's containment-prefix
+    * slice, extended by BandR−1 and capped at [[BandProbeCap]] rarest
+    * tokens (C(10,4)=210 bands/doc max). */
+  val BandProbeCap = 10
+
+  /** Posting side: all 4-subsets of each doc's rarest [[BandPostCap]]
+    * tokens (C(14,4)=1001 bands/doc — a CONSTANT per-doc cost, which
+    * is the whole point: the index is linear in the corpus). */
+  val BandPostCap = 14
+
+  /** The C(maxIdx, 4) index 4-subsets as a literal array of structs —
+    * a CONSTANT the Generate operator unrolls per doc, keeping band
+    * generation inside whole-stage codegen (the first formulation
+    * nested four `transform`s and paid the interpreted
+    * higher-order-function path on every band — measured ~9× slower
+    * at sf0.1). */
+  private def comboLit(maxIdx: Int): Column = typedlit(
+    for {
+      i <- 1 to maxIdx; j <- i + 1 to maxIdx
+      k <- j + 1 to maxIdx; l <- k + 1 to maxIdx
+    } yield (i, j, k, l))
+
+  /** (doc_id, n, t1..t4) rows: every [[BandR]]-subset of the first
+    * min(cap, maxIdx) entries of the rarest-first token array. The
+    * array is sliced BEFORE the explode so Generate copies ≤ maxIdx
+    * ints per output row, not the whole docset. The band key is the
+    * raw ascending id 4-tuple itself — four int equi-join columns
+    * instead of a hash: nothing to compute per band, nothing that can
+    * collide, and trivially byte-identical in DuckDB. Docs with fewer
+    * than BandR tokens in the slice emit no bands (no combo's largest
+    * index fits). */
+  private def bandRows(ds: DataFrame, cap: Column, maxIdx: Int): DataFrame =
+    ds.select(col("doc_id"), col("n"),
+        slice(col("tids"), lit(1), least(cap, lit(maxIdx))).as("ts"))
+      .select(col("doc_id"), col("n"), col("ts"),
+        explode(comboLit(maxIdx)).as("c"))
+      .filter(col("c._4") <= size(col("ts")))
+      .select(col("doc_id"), col("n"),
+        element_at(col("ts"), col("c._1")).as("t1"),
+        element_at(col("ts"), col("c._2")).as("t2"),
+        element_at(col("ts"), col("c._3")).as("t3"),
+        element_at(col("ts"), col("c._4")).as("t4"))
+
+  private def bandedContainmentCandidates(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = internedDocsets(spark, sfDir)
+    val c = ContainTau
+    val probeCap =
+      (col("n") - ceil(col("n") * c).cast("long") + BandR).cast("int")
+    val probe = bandRows(ds, probeCap, BandProbeCap)
+    val post = bandRows(ds, lit(BandPostCap), BandPostCap)
+    probe.as("a")
+      .join(post.as("b"),
+        col("a.t1") === col("b.t1") && col("a.t2") === col("b.t2") &&
+          col("a.t3") === col("b.t3") && col("a.t4") === col("b.t4") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
+      .distinct()
+  }
+
+  /** q245 — BANDED approximate containment: q137's semantics on a
+    * candidate set generated by deterministic rarest-token bands
+    * instead of the exact (complete but quadratically-growing)
+    * single-token prefix probe. Verification is identical — exact
+    * intersection on the memoized docsets at the same τ — so every
+    * emitted pair is a TRUE containment pair (banded ⊆ exact, no false
+    * positives); only recall is approximate, and q246 measures it
+    * against the exact pair set (100% at both fixture SFs, minimum 5
+    * of 210 possible matching bands per true pair — measured).
+    *
+    * Scale shape: probe ≤ C(10,4)=210 and posting ≤ C(14,4)=1001 rows
+    * per doc — both CONSTANT, so the exploded band frames are linear
+    * in the corpus; the band equi-join shuffles on the id 4-tuple
+    * and its match-row count grew 14× for 10× docs (vs 122× for
+    * q137's probe — measured, PLANS.md round 6). This is the 100 TB
+    * containment path; q137 stays as the declared small-SF exact
+    * reference. */
+  def bandedContainmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    containmentVerify(internedDocsets(spark, sfDir),
+      bandedContainmentCandidates(spark, sfDir))
+      .orderBy("doc_small", "doc_big")
+
+  /** q246 — recall audit of q245's banded candidates against q137's
+    * exact pair set (the q81-style quality row this approximation owes
+    * its users): exact pairs left-joined to banded pairs, one output
+    * row — pair counts, misses, and recall in integer ppm (floor
+    * division; banded ⊆ exact by construction so recall ≤ 1e6). */
+  def containmentRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = internedDocsets(spark, sfDir)
+    val exact = containmentVerify(ds,
+      containmentCandidatesExact(spark, sfDir))
+      .select(col("doc_small"), col("doc_big"))
+    val banded = containmentVerify(ds,
+      bandedContainmentCandidates(spark, sfDir))
+      .select(col("doc_small"), col("doc_big"), lit(1L).as("hit"))
+    exact.join(banded, Seq("doc_small", "doc_big"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_banded"))
+      .selectExpr("n_exact", "n_banded",
+        "n_exact - n_banded AS n_missed",
+        "CASE WHEN n_exact = 0 THEN 0L ELSE n_banded * 1000000L div n_exact END" +
+          " AS recall_ppm")
+  }
+
+  /** Shared DuckDB CTE chain computing the banded candidate set — the
+    * oracle replicates the interning (row_number over (df, ng) ≡ the
+    * distributed zipWithIndex order), the rarity ranks, and the
+    * 4-subset band tuples exactly (the band key is the raw ascending
+    * id 4-tuple, so there is no hash to keep in sync). */
+  private val bandedCandidateCtes: String = {
+    val probeLimit =
+      s"least(a.n - ceil($ContainTau * a.n)::BIGINT + $BandR, $BandProbeCap)"
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct([t[i]||' '||t[i+1]
+       |                 for i in generate_series(1, len(t)-1)])) AS ng
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= $NgramWords
+       |), dfreq AS (
+       |  SELECT ng, COUNT(*) AS df FROM toks GROUP BY 1
+       |), vocab AS (
+       |  SELECT ng, row_number() OVER (ORDER BY df, ng) AS tid FROM dfreq
+       |), ranked AS (
+       |  SELECT t.doc_id, v.tid,
+       |         row_number() OVER (PARTITION BY t.doc_id ORDER BY v.tid) AS rk,
+       |         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+       |  FROM toks t JOIN vocab v USING (ng)
+       |), probe AS (
+       |  SELECT a.doc_id, a.n, a.tid AS t1, b.tid AS t2, c.tid AS t3,
+       |         d.tid AS t4
+       |  FROM ranked a
+       |  JOIN ranked b ON a.doc_id = b.doc_id AND a.rk < b.rk
+       |  JOIN ranked c ON b.doc_id = c.doc_id AND b.rk < c.rk
+       |  JOIN ranked d ON c.doc_id = d.doc_id AND c.rk < d.rk
+       |  WHERE d.rk <= $probeLimit
+       |), post AS (
+       |  SELECT a.doc_id, a.n, a.tid AS t1, b.tid AS t2, c.tid AS t3,
+       |         d.tid AS t4
+       |  FROM ranked a
+       |  JOIN ranked b ON a.doc_id = b.doc_id AND a.rk < b.rk
+       |  JOIN ranked c ON b.doc_id = c.doc_id AND b.rk < c.rk
+       |  JOIN ranked d ON c.doc_id = d.doc_id AND c.rk < d.rk
+       |  WHERE d.rk <= $BandPostCap
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM probe a JOIN post b
+       |    ON a.t1 = b.t1 AND a.t2 = b.t2 AND a.t3 = b.t3 AND a.t4 = b.t4
+       |  WHERE a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)
+       |), counts AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+       |), bshared AS (
+       |  SELECT c.da, c.db, COUNT(*) AS s
+       |  FROM cand c
+       |  JOIN toks x ON x.doc_id = c.da
+       |  JOIN toks y ON y.doc_id = c.db AND y.ng = x.ng
+       |  GROUP BY 1, 2
+       |), banded AS (
+       |  SELECT da, db, s, ca.n AS n_small, cb.n AS n_big
+       |  FROM bshared
+       |  JOIN counts ca ON da = ca.doc_id
+       |  JOIN counts cb ON db = cb.doc_id
+       |  WHERE s::DOUBLE >= $ContainTau * ca.n
+       |)""".stripMargin
+  }
+
+  val bandedContainmentPairsSql: String =
+    s"""WITH $bandedCandidateCtes
+       |SELECT da AS doc_small, db AS doc_big, CAST(s AS BIGINT) AS shared,
+       |       CAST(n_small AS BIGINT) AS n_small,
+       |       CAST(n_big AS BIGINT) AS n_big,
+       |       round(s::DOUBLE / n_small::DOUBLE, 6) AS containment,
+       |       round(s::DOUBLE / (n_small + n_big - s)::DOUBLE, 6) AS jaccard
+       |FROM banded
+       |ORDER BY doc_small, doc_big""".stripMargin
+
+  val containmentRecallAuditSql: String =
+    s"""WITH $bandedCandidateCtes, eshared AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS s
+       |  FROM toks a JOIN toks b ON a.ng = b.ng AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT da, db FROM eshared
+       |  JOIN counts ca ON da = ca.doc_id
+       |  JOIN counts cb ON db = cb.doc_id
+       |  WHERE (ca.n < cb.n OR (ca.n = cb.n AND da < db))
+       |    AND s::DOUBLE >= $ContainTau * ca.n
+       |), sizes AS (
+       |  SELECT (SELECT COUNT(*) FROM exact) AS ne,
+       |         (SELECT COUNT(*) FROM banded) AS nb
+       |)
+       |SELECT CAST(ne AS BIGINT) AS n_exact, CAST(nb AS BIGINT) AS n_banded,
+       |       CAST(ne - nb AS BIGINT) AS n_missed,
+       |       CAST(CASE WHEN ne = 0 THEN 0 ELSE nb * 1000000 // ne END
+       |            AS BIGINT) AS recall_ppm
+       |FROM sizes""".stripMargin
 
   /** q148 — SOFT dedup: instead of q62's hard drop, weight every
     * document by 1/|its near-dup cluster| so each duplicate family

@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Invariants for the round-6 additions the row-hash oracle can't
+  * express: q245's banded containment must be a sound approximation of
+  * q137 (no false positives — every emitted pair is exactly verified),
+  * and q246's audit row must be arithmetically consistent with the two
+  * pair sets it summarizes. */
+class RoundSixOpsSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_small", "doc_big").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q245: banded pairs are a subset of q137's exact pairs") {
+    val exact = pairSet(Dedup.containmentPairs(spark, sf001))
+    val banded = pairSet(Dedup.bandedContainmentPairs(spark, sf001))
+    assert(exact.nonEmpty, "fixture must produce exact containment pairs")
+    assert(banded.subsetOf(exact),
+      s"banded emitted non-pairs: ${(banded -- exact).take(5)}")
+  }
+
+  test("q245: recall is 100% on the fixture corpus") {
+    // not a structural guarantee (banding is an approximation by
+    // design) but a measured property of the fixture the audit row
+    // documents; if a fixture change breaks it, q246's n_missed is
+    // the first place to look
+    val exact = pairSet(Dedup.containmentPairs(spark, sf001))
+    val banded = pairSet(Dedup.bandedContainmentPairs(spark, sf001))
+    assert(banded == exact,
+      s"missed ${(exact -- banded).size} of ${exact.size} exact pairs")
+  }
+
+  test("q245: verified stats match q137's for the pairs both emit") {
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val exact = Dedup.containmentPairs(spark, sf001).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    Dedup.bandedContainmentPairs(spark, sf001).collect().foreach { r =>
+      assert(exact(key(r)) == r.toSeq,
+        s"verification stats diverge for ${key(r)}")
+    }
+  }
+
+  test("q246: audit row is consistent with the two pair sets") {
+    val exact = pairSet(Dedup.containmentPairs(spark, sf001))
+    val banded = pairSet(Dedup.bandedContainmentPairs(spark, sf001))
+    val row = Dedup.containmentRecallAudit(spark, sf001).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(0) == exact.size, "n_exact")
+    assert(r.getLong(1) == (exact & banded).size, "n_banded")
+    assert(r.getLong(2) == (exact -- banded).size, "n_missed")
+    assert(r.getLong(3) == r.getLong(1) * 1000000L / r.getLong(0),
+      "recall_ppm must be the integer floor division")
+  }
+}
