@@ -620,4 +620,260 @@ object Decision {
       |GROUP BY 1, 2, 3, 4, 5
       |HAVING SUM(l_quantity) > 300.0
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Derived partsupp (q247-q250): the fixture ships no partsupp table,
+  // so the four TPC-H shapes that need one (Q2/Q11/Q16/Q20) derive it
+  // deterministically from part × supplier — ~4 suppliers per part
+  // chosen by an md5 hash of (partkey, slot), availqty/supplycost as
+  // md5-derived integers (cost kept in integer CENTS so every
+  // aggregate over it is exact). Both engines compute the identical
+  // expressions, so the derived table is byte-identical and fully
+  // oracle-checkable with zero new fixture bytes.
+  // --------------------------------------------------------------------
+
+  /** Deterministic partsupp: for each part, slots 0..3 hash to a
+    * supplier key (duplicate hits collapse via DISTINCT, so a part has
+    * 3-4 distinct suppliers), then availqty ∈ [1, 9999] and
+    * supplycost_cents ∈ [100, 100000] hash off the surviving
+    * (partkey, suppkey) pair. The supplier COUNT rides a 1-row
+    * broadcast anchor (the accepted scalar shape) — the derivation
+    * itself is a map-side expression over the part scan, no
+    * part × supplier cross ever materializes. */
+  def partsupp(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSup = Tables.load(spark, sfDir, "supplier")
+      .agg(count(lit(1)).as("n_sup"))
+    val h = (c: org.apache.spark.sql.Column) => graft.ext.Dedup.hash60(c)
+    Tables.load(spark, sfDir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(nSup))
+      .select(col("p_partkey"),
+        explode(typedlit(Seq(0, 1, 2, 3))).as("k"), col("n_sup"))
+      .select(col("p_partkey").as("ps_partkey"),
+        (h(concat_ws("|", col("p_partkey"), col("k"))) % col("n_sup") + 1)
+          .as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (h(concat_ws("|", col("ps_partkey"), col("ps_suppkey"), lit("a")))
+          % 9999 + 1).as("ps_availqty"),
+        (h(concat_ws("|", col("ps_partkey"), col("ps_suppkey"), lit("c")))
+          % 99901 + 100).as("ps_supplycost_cents"))
+  }
+
+  /** The same derivation as DuckDB CTEs (prefix for the four oracles). */
+  val partsuppCte: String =
+    """pscand AS (
+      |  SELECT DISTINCT p.p_partkey AS ps_partkey,
+      |         1 + ('0x'||substr(md5(p.p_partkey::VARCHAR||'|'||k.k::VARCHAR),
+      |                           1,15))::BIGINT
+      |             % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
+      |  FROM part p, (SELECT unnest([0,1,2,3]) AS k) k
+      |), partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |         1 + ('0x'||substr(md5(ps_partkey::VARCHAR||'|'||
+      |               ps_suppkey::VARCHAR||'|a'),1,15))::BIGINT % 9999
+      |           AS ps_availqty,
+      |         100 + ('0x'||substr(md5(ps_partkey::VARCHAR||'|'||
+      |               ps_suppkey::VARCHAR||'|c'),1,15))::BIGINT % 99901
+      |           AS ps_supplycost_cents
+      |  FROM pscand
+      |)""".stripMargin
+
+  /** q247 — min-cost supplier (the TPC-H Q2 shape): for STANDARD
+    * size-15 parts, the EUROPE supplier(s) whose supply cost equals
+    * the part's regional minimum. The correlated MIN subquery becomes
+    * a per-part aggregate equi-joined back on (partkey, cost) — one
+    * shuffle on partkey shared by both branches, never a
+    * subquery-per-row; dims (supplier/nation/region) broadcast. */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val eligible = partsupp(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal")),
+        col("s_suppkey") === col("ps_suppkey"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.load(spark, sfDir, "region")
+        .filter(col("r_name") === "EUROPE"),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        col("ps_supplycost_cents"), col("s_acctbal"), col("s_name"),
+        col("n_name"))
+    val minCost = eligible.groupBy(col("ps_partkey").as("mk"))
+      .agg(min("ps_supplycost_cents").as("mc"))
+    eligible
+      .join(minCost, col("ps_partkey") === col("mk") &&
+        col("ps_supplycost_cents") === col("mc"))
+      .join(Tables.load(spark, sfDir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_brand")),
+        col("p_partkey") === col("ps_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("ps_suppkey"),
+        col("ps_supplycost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("ps_suppkey"))
+      .limit(100)
+  }
+
+  val minCostSupplierSql: String =
+    s"""WITH $partsuppCte, eligible AS (
+       |  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+       |         s.s_acctbal, s.s_name, n.n_name
+       |  FROM partsupp ps
+       |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+       |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |  JOIN region r ON r.r_regionkey = n.n_regionkey
+       |  WHERE r.r_name = 'EUROPE'
+       |), mincost AS (
+       |  SELECT ps_partkey, MIN(ps_supplycost_cents) AS mc
+       |  FROM eligible GROUP BY 1
+       |)
+       |SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+       |       e.ps_suppkey, e.ps_supplycost_cents
+       |FROM eligible e
+       |JOIN mincost m ON e.ps_partkey = m.ps_partkey
+       |              AND e.ps_supplycost_cents = m.mc
+       |JOIN part p ON p.p_partkey = e.ps_partkey
+       |WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+       |LIMIT 100""".stripMargin
+
+  /** q248 — important stock (the TPC-H Q11 shape): per-part inventory
+    * value held by NATION_3 suppliers, keeping parts above 2× the
+    * average share. The textbook HAVING-over-scalar-subquery becomes a
+    * 1-row (total, group-count) broadcast anchor compared in exact
+    * integer cents (value·groups > 2·total ⟺ share > 2/groups) — a
+    * scale-invariant threshold where TPC-H's 0.0001/SF fraction would
+    * empty out or saturate at fixture sizes. */
+  def importantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val grp = partsupp(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("s_suppkey") === col("ps_suppkey"))
+      .join(Tables.load(spark, sfDir, "nation")
+        .filter(col("n_name") === "NATION_3"),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty"))
+        .as("value_cents"))
+    val tot = grp.agg(sum("value_cents").as("t"), count(lit(1)).as("g"))
+    grp.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("g") > col("t") * 2)
+      .select(col("ps_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  val importantStockSql: String =
+    s"""WITH $partsuppCte, natps AS (
+       |  SELECT ps.ps_partkey,
+       |         ps.ps_supplycost_cents * ps.ps_availqty AS v
+       |  FROM partsupp ps
+       |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+       |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |  WHERE n.n_name = 'NATION_3'
+       |), grp AS (
+       |  SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+       |  FROM natps GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(value_cents) AS BIGINT) AS t, COUNT(*) AS g
+       |  FROM grp
+       |)
+       |SELECT ps_partkey, value_cents
+       |FROM grp, tot
+       |WHERE value_cents * g > t * 2
+       |ORDER BY value_cents DESC, ps_partkey""".stripMargin
+
+  /** q249 — supplier counts by part attribute (the TPC-H Q16 shape):
+    * distinct suppliers per (brand, type, size) over the filtered
+    * catalog, excluding flagged suppliers (negative account balance —
+    * the fixture's stand-in for Q16's complaint-comment filter) via a
+    * null-safe anti-join. One shuffle on partkey for the part join,
+    * one on the group key for the distinct count; the tiny flagged
+    * list broadcasts. */
+  def supplierPartTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 15, 22, 28, 35, 42, 49)
+    val flagged = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    partsupp(spark, sfDir)
+      .join(flagged, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.load(spark, sfDir, "part")
+        .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(sizes: _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")),
+        col("p_partkey") === col("ps_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val supplierPartTypesSql: String =
+    s"""WITH $partsuppCte
+       |SELECT p.p_brand, p.p_type, p.p_size,
+       |       CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp ps
+       |JOIN part p ON p.p_partkey = ps.ps_partkey
+       |WHERE p.p_brand <> 'Brand#11' AND p.p_type <> 'PROMO'
+       |  AND p.p_size IN (1,5,9,15,22,28,35,42,49)
+       |  AND ps.ps_suppkey NOT IN
+       |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q250 — promotable suppliers (the TPC-H Q20 shape): NATION_8
+    * suppliers holding surplus stock (availqty > half the part's 1997
+    * shipped quantity) of 'small%' parts — the nested-semi-join
+    * pattern. Adapted: the correlated half-sum is per PART (the
+    * derived partsupp's (part, supplier) pairs are synthetic, so the
+    * TPC-H pair-level correlation would never bind); quantities sum as
+    * exact BIGINT so the threshold compare is integer on both engines.
+    * Shape: one shuffle on partkey (shipped agg + partsupp probe),
+    * then a distinct-suppkey semi-join into the supplier dim. */
+  def promotableSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val shipped = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val promo = partsupp(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "part")
+        .filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey")),
+        col("p_partkey") === col("ps_partkey"))
+      .join(shipped, col("l_partkey") === col("ps_partkey"))
+      .filter(col("ps_availqty") * 2 > col("qty"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(Tables.load(spark, sfDir, "nation")
+        .filter(col("n_name") === "NATION_8"),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(promo, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_name", "s_suppkey")
+  }
+
+  val promotableSuppliersSql: String =
+    s"""WITH $partsuppCte, shipped AS (
+       |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+       |           AS qty
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+       |  GROUP BY 1
+       |), promo AS (
+       |  SELECT DISTINCT ps.ps_suppkey
+       |  FROM partsupp ps
+       |  JOIN part p ON p.p_partkey = ps.ps_partkey
+       |             AND p.p_name LIKE 'small%'
+       |  JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+       |  WHERE ps.ps_availqty * 2 > sh.qty
+       |)
+       |SELECT s.s_suppkey, s.s_name
+       |FROM supplier s
+       |JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |WHERE n.n_name = 'NATION_8'
+       |  AND s.s_suppkey IN (SELECT ps_suppkey FROM promo)
+       |ORDER BY s_name, s_suppkey""".stripMargin
 }

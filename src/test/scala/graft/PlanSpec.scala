@@ -104,7 +104,13 @@ class PlanSpec extends SparkSpec {
       "q243_conformal_coverage",
       // q244: the 1-row corpus total crossed into the |sources| counts
       // (q73's scalar shape)
-      "q244_shuffle_audit")
+      "q244_shuffle_audit",
+      // q247-q250: the derived partsupp crosses the 1-row supplier
+      // COUNT anchor into the part scan (q73's scalar shape — the
+      // suppkey derivation itself is a map-side expression); q248 adds
+      // the 1-row (total, groups) threshold anchor on top
+      "q247_min_cost_supplier", "q248_important_stock",
+      "q249_supplier_part_types", "q250_promotable_suppliers")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -42,6 +42,41 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  test("q247-q250: derived partsupp respects its documented domains") {
+    import org.apache.spark.sql.functions._
+    val ps = graft.queries.Decision.partsupp(spark, sf001).collect()
+    val nSup = graft.Tables.load(spark, sf001, "supplier").count()
+    val nPart = graft.Tables.load(spark, sf001, "part").count()
+    assert(ps.nonEmpty && ps.length <= 4 * nPart,
+      "at most 4 slots per part")
+    assert(ps.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      ps.length, "(partkey, suppkey) must be a key")
+    ps.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= nSup, "suppkey in 1..S")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 9999, "availqty domain")
+      assert(r.getLong(3) >= 100 && r.getLong(3) <= 100000, "cost domain")
+    }
+    val again = graft.queries.Decision.partsupp(spark, sf001).collect()
+    assert(ps.map(_.toSeq).toSet == again.map(_.toSeq).toSet,
+      "derivation must be deterministic")
+  }
+
+  test("q247: emitted cost equals the regional minimum for its part") {
+    val rows = graft.queries.Decision.minCostSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty, "fixture must produce min-cost rows")
+    val byPart = rows.groupBy(_.getLong(3))
+    byPart.values.foreach { rs =>
+      assert(rs.map(_.getLong(6)).distinct.length == 1,
+        "all emitted suppliers of a part share the min cost")
+    }
+  }
+
+  test("q248/q249/q250: TPC-H shapes are non-empty at the spec SF") {
+    assert(graft.queries.Decision.importantStock(spark, sf001).count() > 0)
+    assert(graft.queries.Decision.supplierPartTypes(spark, sf001).count() > 0)
+    assert(graft.queries.Decision.promotableSuppliers(spark, sf001).count() > 0)
+  }
+
   test("q246: audit row is consistent with the two pair sets") {
     val exact = pairSet(Dedup.containmentPairs(spark, sf001))
     val banded = pairSet(Dedup.bandedContainmentPairs(spark, sf001))
