@@ -1,0 +1,59 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-lifetime memoization of heavy shared frames (near-dup pair
+  * lists, interned docsets, HLL registers, DSIR weights) — plus the
+  * registry that keeps the plan tests honest about them.
+  *
+  * A memoized artifact's DECLARED plan is just a checkpoint scan, so
+  * plan-shape pins must inspect its FRESH (uncached, single-pass)
+  * builder instead. Round 4's audit found exactly one memoized builder
+  * whose fresh twin had silently skipped the pinned lists; this object
+  * kills that gap structurally:
+  *
+  *  - [[memoized]] REFUSES an undeclared kind, so a builder cannot be
+  *    memoized without naming its fresh twin (the refusal surfaces in
+  *    every test that executes the query);
+  *  - PlanSpec derives its fresh-pin lists from [[freshBuilders]]
+  *    instead of hand-maintained literals, so a newly declared kind is
+  *    plan-checked automatically;
+  *  - a PlanSpec lint rejects any other `TrieMap` in main source, so
+  *    new memo caches cannot route around this registry.
+  */
+object Memo {
+  private val fresh =
+    TrieMap.empty[String, (SparkSession, String) => DataFrame]
+  private val memo = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Declare `kind`'s fresh builder (idempotent; owners declare in
+    * their object initializer, which runs before any use). */
+  def declare(kind: String)(
+      build: (SparkSession, String) => DataFrame): Unit =
+    fresh.putIfAbsent(kind, build)
+
+  /** Every declared (kind → fresh builder) — PlanSpec's pin source.
+    * Only kinds whose OWNING object has initialized appear; the plan
+    * suite executes every declared query first, which initializes
+    * every owner with a memoized query in the surface. */
+  def freshBuilders: Map[String, (SparkSession, String) => DataFrame] =
+    fresh.toMap
+
+  /** getOrElseUpdate with an eager localCheckpoint pin. `build` also
+    * returns the scratch frames it cached during construction; they
+    * are unpersisted once the checkpoint has materialized. Throws if
+    * `kind` was never [[declare]]d with a fresh twin. */
+  def memoized(spark: SparkSession, sfDir: String, kind: String)(
+      build: => (DataFrame, Seq[DataFrame])): DataFrame = {
+    require(fresh.contains(kind),
+      s"memoized kind '$kind' has no declared fresh twin " +
+        "(Memo.declare it so the plan tests can pin its build)")
+    memo.getOrElseUpdate((spark, sfDir, kind), {
+      val (df, scratch) = build
+      val pinned = df.localCheckpoint() // eager: runs the pipeline now
+      scratch.foreach(_.unpersist(false))
+      pinned
+    })
+  }
+}

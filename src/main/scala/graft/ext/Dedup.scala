@@ -37,17 +37,16 @@ object Dedup {
     * materializes. Plan-shape tests pin the FRESH builders
     * ([[ngramJaccardPairsFresh]], [[minhashPairsFresh]]), which stay the
     * single source of the pipeline's physical plan. */
-  private val pairMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  // session memoization + the fresh-twin registry the plan tests pin
+  // (graft.Memo). Declarations run at object init, before any use.
+  graft.Memo.declare("minhash")(minhashPairsFresh)
+  graft.Memo.declare("ngram")(ngramJaccardPairsFresh)
+  graft.Memo.declare("docsets")(docsetsFresh)
+  graft.Memo.declare("simhash")(simhashPairsFresh)
 
   private def memoized(spark: SparkSession, sfDir: String, kind: String)(
       build: => (DataFrame, Seq[DataFrame])): DataFrame =
-    pairMemo.getOrElseUpdate((spark, sfDir, kind), {
-      val (df, scratch) = build
-      val pinned = df.localCheckpoint() // eager: runs the pipeline now
-      scratch.foreach(_.unpersist(false))
-      pinned
-    })
+    graft.Memo.memoized(spark, sfDir, kind)(build)
 
   /** Minhash geometry: K = Bands × RowsPerBand. */
   val K = 16
@@ -364,6 +363,10 @@ object Dedup {
     * frame: one explode+intern+collect instead of two. */
   def internedDocsets(spark: SparkSession, sfDir: String): DataFrame =
     memoized(spark, sfDir, "docsets")(docsetsPlan(spark, sfDir))
+
+  /** Uncached single-pass docsets build (plan-shape tests pin THIS). */
+  def docsetsFresh(spark: SparkSession, sfDir: String): DataFrame =
+    docsetsPlan(spark, sfDir)._1
 
   private def docsetsPlan(
       spark: SparkSession, sfDir: String): (DataFrame, Seq[DataFrame]) = {

@@ -897,12 +897,11 @@ object Sampling {
     * so the double-explode feature pass runs once per (session, sfDir)
     * and the pinned result — one row per doc — serves both (the
     * Dedup.memoized pattern). */
-  private val dsirMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  graft.Memo.declare("dsir")(dsirWeightsFresh)
 
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
-    dsirMemo.getOrElseUpdate((spark, sfDir),
-      dsirWeightsFresh(spark, sfDir).localCheckpoint())
+    graft.Memo.memoized(spark, sfDir, "dsir")(
+      (dsirWeightsFresh(spark, sfDir), Nil))
 
   /** Uncached single-pass build (plan-shape tests pin THIS). */
   def dsirWeightsFresh(spark: SparkSession, sfDir: String): DataFrame = {

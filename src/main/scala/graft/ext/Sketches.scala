@@ -363,15 +363,18 @@ object Sketches {
     * scan and pinned with an eager localCheckpoint (the Dedup pair-memo
     * pattern). days·256 rows: the state a 100 TB pipeline would store
     * instead of raw events. */
-  private val regMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  graft.Memo.declare("registers")(dailyUserRegistersFresh)
 
   def dailyUserRegisters(spark: SparkSession, sfDir: String): DataFrame =
-    regMemo.getOrElseUpdate((spark, sfDir), {
-      val ev = Events.loadEvents(spark, sfDir)
-        .select(to_date(col("ts")).as("day"), col("user_id"))
-      hllRegisters(ev, "day", "user_id").localCheckpoint()
-    })
+    graft.Memo.memoized(spark, sfDir, "registers")(
+      (dailyUserRegistersFresh(spark, sfDir), Nil))
+
+  /** Uncached single-pass register build (plan-shape tests pin THIS). */
+  def dailyUserRegistersFresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Events.loadEvents(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    hllRegisters(ev, "day", "user_id")
+  }
 
   /** q149 — weekly-active-users from DAILY HLL registers: sketch each
     * day once, then answer every trailing-7-day distinct-user question

@@ -16,6 +16,42 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Fresh twins of every Memo-registered builder — the self-
+    * maintaining replacement for the hand-kept pin lists (a memoized
+    * builder whose kind isn't declared throws at first use, and every
+    * declared kind lands here automatically). Touching the owner
+    * objects runs their declarations even if no query executed yet. */
+  private def memoFresh: Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    Seq(graft.ext.Dedup, graft.ext.Sampling, graft.ext.Sketches)
+      .foreach(_.toString) // force object init → declarations run
+    Memo.freshBuilders.toSeq.sortBy(_._1)
+      .map { case (kind, build) => s"memo:$kind(fresh)" -> build(spark, sf001) }
+  }
+
+  test("memoized-builder registry is complete and cannot be bypassed") {
+    // (a) every historically-pinned kind is still declared — catches a
+    // refactor that silently drops a fresh twin from the registry
+    val kinds = { memoFresh; Memo.freshBuilders.keySet }
+    val known = Set("minhash", "ngram", "docsets", "simhash", "dsir",
+      "registers")
+    assert(known.subsetOf(kinds),
+      s"missing fresh declarations: ${known -- kinds}")
+    // (b) no main-source memo cache outside the registry: Scratch (the
+    // per-query scratch pool) and Memo itself are the only files
+    // allowed to hold a TrieMap, so a new session cache MUST route
+    // through Memo.memoized and therefore declare a fresh twin
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => java.nio.file.Files.readString(p).contains("TrieMap"))
+      .map(_.getFileName.toString).toSet
+    assert(offenders.subsetOf(Set("Memo.scala", "Scratch.scala")),
+      s"memo caches outside the Memo registry: " +
+        s"${offenders -- Set("Memo.scala", "Scratch.scala")}")
+  }
+
   test("no declared query plans a cartesian product or unbounded BNLJ") {
     // A BroadcastNestedLoopJoin is fine ONLY when its build side is a
     // CONSTANT-bounded broadcast — cost stays O(scan) at any scale:
@@ -189,21 +225,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH/prefix candidate joins stay hash-based (no nested loop)") {
-    // q29/q11 are session-memoized behind a checkpoint, so their
-    // declared plans are scans; the FRESH builders are the pipeline's
-    // single plan source and are pinned here instead.
-    val fresh = Map(
-      "q29_ngram_jaccard(fresh)" ->
-        graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
-      "q11_minhash_lsh_pairs(fresh)" ->
-        graft.ext.Dedup.minhashPairsFresh(spark, sf001),
-      "q156_simhash_pairs(fresh)" ->
-        graft.ext.Dedup.simhashPairsFresh(spark, sf001),
-      "q135_dsir_weights(fresh)" ->
-        graft.ext.Sampling.dsirWeightsFresh(spark, sf001))
+    // memoized artifacts are session-pinned behind a checkpoint, so
+    // their declared plans are scans; the FRESH builders (from the
+    // Memo registry — self-maintaining, see memoFresh) are the
+    // pipeline's single plan source and are pinned here instead.
     val declared = Seq("q14_ann_lsh", "q27_embedding_neardup")
       .map(q => q -> SparkEntry.queries(q)(spark, sf001))
-    (fresh.toSeq ++ declared).foreach { case (q, df) =>
+    (memoFresh ++ declared).foreach { case (q, df) =>
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
@@ -253,16 +281,12 @@ class PlanSpec extends SparkSpec {
         "q232_km_survival", "q236_log_rank", "q237_forecast_backtest",
         "q239_padding_waste", "q243_conformal_coverage")
     // memoized builders hide behind a checkpoint scan in declared plans —
-    // pin their fresh plans alongside (the ADVICE r4 dsir gap)
-    val freshBuilders: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-      "q11(fresh)" -> graft.ext.Dedup.minhashPairsFresh(spark, sf001),
-      "q29(fresh)" -> graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
-      "q156(fresh)" -> graft.ext.Dedup.simhashPairsFresh(spark, sf001),
-      "q135(fresh)" -> graft.ext.Sampling.dsirWeightsFresh(spark, sf001))
+    // pin their fresh plans alongside (the ADVICE r4 dsir gap, now
+    // sourced from the Memo registry so no builder can skip the list)
     val all = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(calendarBoundedOk)
       .map(name => name -> SparkEntry.queries(name)(spark, sf001)) ++
-      freshBuilders
+      memoFresh
     val bad = all.flatMap { case (name, df) =>
       val plan = df.queryExecution.sparkPlan
       plan.collect {
@@ -328,12 +352,9 @@ class PlanSpec extends SparkSpec {
         scansCorpus && perRowOut && !boundedBelow
       }.map(h => s"broadcast over [${h.child.output.map(_.name).mkString(", ")}]")
     // memoized pair lists hide their builders behind a checkpoint scan,
-    // so the FRESH builders are pinned alongside every declared query
-    val fresh = Map(
-      "q11(fresh)" -> graft.ext.Dedup.minhashPairsFresh(spark, sf001),
-      "q29(fresh)" -> graft.ext.Dedup.ngramJaccardPairsFresh(spark, sf001),
-      "q156(fresh)" -> graft.ext.Dedup.simhashPairsFresh(spark, sf001),
-      "q135(fresh)" -> graft.ext.Sampling.dsirWeightsFresh(spark, sf001))
+    // so the FRESH builders (Memo registry) are pinned alongside every
+    // declared query
+    val fresh = memoFresh
     val declared = SparkEntry.queries.keys.toSeq.sorted
       .map(name => name -> SparkEntry.queries(name)(spark, sf001))
     // calibrate the detector: a deliberately poisoned plan MUST flag
