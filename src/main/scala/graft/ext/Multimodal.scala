@@ -397,6 +397,30 @@ object Multimodal {
     * Scale shape: narrow mapPartitions (no shuffle), one decoder
     * context per partition, fixed-width feature columns; the wide
     * binary never leaves the stage. */
+  /** Feature pass over a decoded 16-bit PCM buffer: exact integer
+    * sample sum, peak |amplitude|, and zero-crossing count. b0/b1 are
+    * each frame's two raw bytes in stream order; `bigEndian` decides
+    * which carries the sign — that byte is sign-EXTENDED (plain
+    * toInt), the other zero-extended. */
+  private[ext] def pcm16Features(
+      data: Array[Byte], n: Int, bigEndian: Boolean): (Long, Long, Long) = {
+    var (sum, peak, zc) = (0L, 0L, 0L)
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val b0 = data(i * 2).toInt
+      val b1 = data(i * 2 + 1).toInt
+      val s = if (bigEndian) (b0 << 8) | (b1 & 0xff)
+              else (b1 << 8) | (b0 & 0xff)
+      sum += s
+      if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+      if (i > 0 && s.toLong * prev < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    (sum, peak, zc)
+  }
+
   def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     wavAssets(spark, sfDir).mapPartitions { it =>
@@ -407,20 +431,7 @@ object Multimodal {
         val n = ais.getFrameLength.toInt
         val data = ais.readAllBytes()
         ais.close()
-        var (sum, peak, zc) = (0L, 0L, 0L)
-        var prev = 0
-        var i = 0
-        while (i < n) {
-          val lo = data(i * 2) & 0xff
-          val hi = data(i * 2 + 1).toInt
-          val s = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff)
-                  else (hi << 8) | lo
-          sum += s
-          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
-          if (i > 0 && s.toLong * prev < 0) zc += 1
-          prev = s
-          i += 1
-        }
+        val (sum, peak, zc) = pcm16Features(data, n, fmt.isBigEndian)
         WavFeatures(a.doc_id, fmt.getSampleRate.toInt, n.toLong, sum, peak,
           zc, if (n == 0) 0.0 else sum.toDouble / n)
       }
@@ -434,8 +445,10 @@ object Multimodal {
   val audioDecodeSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |         [(unicode(c) - $SampleBias) * 256
-       |          for c in string_split_regex(text, '')] AS s
+       |         CASE WHEN length(text) = 0 THEN []
+       |              ELSE [(unicode(c) - $SampleBias) * 256
+       |                    for c in string_split_regex(text, '')]
+       |         END AS s
        |  FROM documents
        |)
        |SELECT doc_id, $SampleRate AS sample_rate,

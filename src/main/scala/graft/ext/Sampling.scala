@@ -1190,10 +1190,16 @@ object Sampling {
       .groupBy("source").agg(sum("nt").as("n_tokens"))
     val tot = perSource.agg(sum("n_tokens").as("t"),
       count(lit(1)).as("s"))
-    // all operands positive, so Spark `div` (truncating) ≡ DuckDB `//`
-    val targetE4 = expr(s"($BudgetMultiple * t * 10000) div s")
-    val neededE6 =
-      expr(s"($BudgetMultiple * t * 1000000) div (s * n_tokens)")
+    // all operands positive, so Spark `div` (truncating) ≡ DuckDB `//`.
+    // The ×10⁴/×10⁶ products run in DECIMAL(38,0) (HUGEINT in the
+    // oracle): in BIGINT they would wrap past ~4.6e12 total tokens —
+    // INSIDE the 100 TB design point (~2.5e13 tokens). After widening,
+    // the first saturation is the e4-scaled OUTPUT column itself at
+    // ~9.2e14 target tokens, comfortably beyond it.
+    val tD = s"CAST(t AS DECIMAL(38,0))"
+    val targetE4 = expr(s"($BudgetMultiple * $tD * 10000) div s")
+    val neededE6 = expr(
+      s"($BudgetMultiple * $tD * 1000000) div (CAST(s AS DECIMAL(38,0)) * n_tokens)")
     val capTokE4 = col("n_tokens") * lit(EpochCap * 10000L)
     perSource.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"),
@@ -1202,8 +1208,8 @@ object Sampling {
         least(neededE6, lit(EpochCap * 1000000L)).as("epochs_served_e6"),
         least(targetE4, capTokE4).as("served_tokens_e4"),
         greatest(targetE4 - capTokE4, lit(0L)).as("shortfall_tokens_e4"),
-        (lit(BudgetMultiple) * col("t") >
-          lit(EpochCap) * col("s") * col("n_tokens")).as("capped"))
+        expr(s"CAST($BudgetMultiple AS DECIMAL(38,0)) * t > " +
+          s"CAST($EpochCap AS DECIMAL(38,0)) * s * n_tokens").as("capped"))
       .orderBy("source")
   }
 
@@ -1217,20 +1223,23 @@ object Sampling {
        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS s FROM per
        |)
        |SELECT source, n_tokens,
-       |       CAST(($BudgetMultiple * t * 10000) // s AS BIGINT)
+       |       CAST(($BudgetMultiple * t::HUGEINT * 10000) // s AS BIGINT)
        |         AS target_tokens_e4,
-       |       CAST(($BudgetMultiple * t * 1000000) // (s * n_tokens)
+       |       CAST(($BudgetMultiple * t::HUGEINT * 1000000)
+       |            // (s::HUGEINT * n_tokens)
        |            AS BIGINT) AS epochs_needed_e6,
-       |       CAST(LEAST(($BudgetMultiple * t * 1000000) // (s * n_tokens),
+       |       CAST(LEAST(($BudgetMultiple * t::HUGEINT * 1000000)
+       |                  // (s::HUGEINT * n_tokens),
        |                  ${EpochCap * 1000000L}) AS BIGINT)
        |         AS epochs_served_e6,
-       |       CAST(LEAST(($BudgetMultiple * t * 10000) // s,
+       |       CAST(LEAST(($BudgetMultiple * t::HUGEINT * 10000) // s,
        |                  n_tokens * ${EpochCap * 10000L}) AS BIGINT)
        |         AS served_tokens_e4,
-       |       CAST(GREATEST(($BudgetMultiple * t * 10000) // s
+       |       CAST(GREATEST(($BudgetMultiple * t::HUGEINT * 10000) // s
        |                     - n_tokens * ${EpochCap * 10000L}, 0) AS BIGINT)
        |         AS shortfall_tokens_e4,
-       |       ($BudgetMultiple * t > $EpochCap * s * n_tokens) AS capped
+       |       ($BudgetMultiple * t::HUGEINT >
+       |        $EpochCap * s::HUGEINT * n_tokens) AS capped
        |FROM per CROSS JOIN tot
        |ORDER BY source""".stripMargin
 

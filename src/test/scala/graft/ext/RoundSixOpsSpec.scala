@@ -77,6 +77,25 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(graft.queries.Decision.promotableSuppliers(spark, sf001).count() > 0)
   }
 
+  test("q238: PCM16 features agree across endianness, negatives intact") {
+    // the same samples serialized LE and BE must decode identically —
+    // the BE branch previously zero-extended the sign byte, turning
+    // negative samples into large positives (dead code on the LE
+    // fixture, but wrong the day a decoder reports big-endian)
+    val samples = Array[Short](-32768, -256, -1, 0, 1, 255, 256, 32767)
+    def bytes(be: Boolean): Array[Byte] = samples.flatMap { s =>
+      val (hi, lo) = (((s >> 8) & 0xff).toByte, (s & 0xff).toByte)
+      if (be) Seq(hi, lo) else Seq(lo, hi)
+    }
+    val le = Multimodal.pcm16Features(bytes(be = false), samples.length,
+      bigEndian = false)
+    val be = Multimodal.pcm16Features(bytes(be = true), samples.length,
+      bigEndian = true)
+    assert(le == be, s"LE/BE decode diverged: $le vs $be")
+    assert(le._1 == samples.map(_.toLong).sum, "exact signed sum")
+    assert(le._2 == 32768L, "peak must see |−32768|")
+  }
+
   test("q246: audit row is consistent with the two pair sets") {
     val exact = pairSet(Dedup.containmentPairs(spark, sf001))
     val banded = pairSet(Dedup.bandedContainmentPairs(spark, sf001))
