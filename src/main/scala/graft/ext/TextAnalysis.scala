@@ -536,11 +536,13 @@ object TextAnalysis {
 
   def bpeMergeCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
+    // char_pairs is a compiled one-pass kernel (space-filtering
+    // in-kernel); the transform+substr HOF formulation it replaced
+    // paid the interpreted lambda path per CHARACTER — measured 2.0s
+    // → 0.7s at sf0.1 (PLANS.md round 6)
     docs
-      .select(explode(transform(
-        sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))).as("pair"))
-      .filter(!col("pair").contains(" "))
+      .select(explode(
+        graft.functions.CharPairs.char_pairs(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(BpeTopK)

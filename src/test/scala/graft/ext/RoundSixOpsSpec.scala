@@ -77,6 +77,25 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(graft.queries.Decision.promotableSuppliers(spark, sf001).count() > 0)
   }
 
+  test("q54: char_pairs kernel matches substr semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq("", "a", "ab", "abc", "a b", "ab cd", "  ",
+      "naïve café", "aéb")
+    val got = cases.toDF("text")
+      .select(col("text"),
+        graft.functions.CharPairs.char_pairs(col("text")).as("pairs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def expected(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray.map(Character.toString)
+      cps.zip(cps.drop(1)).map { case (a, b) => a + b }
+        .filter(p => !p.contains(" ")).toSeq
+    }
+    cases.foreach { s =>
+      assert(got(s) == expected(s), s"mismatch for '$s'")
+    }
+  }
+
   test("q238: PCM16 features agree across endianness, negatives intact") {
     // the same samples serialized LE and BE must decode identically —
     // the BE branch previously zero-extended the sign byte, turning
