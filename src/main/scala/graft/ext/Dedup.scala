@@ -1425,8 +1425,8 @@ object Dedup {
        |ORDER BY doc_small, doc_big""".stripMargin
 
   /** Banded-containment geometry (q245): a band is a [[BandR]]-subset
-    * of a document's globally-rarest tokens, hashed as one 60-bit key.
-    * AND-amplification is what makes this scale where q137's exact
+    * of a document's globally-rarest tokens, keyed by the raw id
+    * 4-tuple. AND-amplification is what makes this scale where q137's exact
     * single-token probe cannot: on a topically homogeneous corpus even
     * each doc's RAREST single bigram is hot (median df ≈ 250 at sf0.1
     * — measured, PLANS.md round 6), so any single-token posting join

@@ -988,27 +988,46 @@ object Sampling {
     * aggregate carrying three float sums per group; the 4/6-dp rounds
     * at the edge absorb summation-order ulps (the q70 rule). */
   def dsirEss(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = dsirWeights(spark, sfDir)
-      .select(col("source"), exp(col("avg_log_ratio")).as("w"))
-    d.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
-        sum(col("w") * col("w")).as("sw2"), max(col("w")).as("mw"))
+    // The per-doc weight is quantized to integer NANO-units before the
+    // per-source reduction: exp() runs on the memoized frame's already
+    // 6-dp-rounded log-ratio (cross-engine-stable bits), and the
+    // round(·×1e9) scalar absorbs any libm exp() ulp. The Σw / Σw²
+    // folds then run EXACT (DECIMAL(38,0); HUGEINT in the twin) — this
+    // was the float-policy audit's one genuine fold-over-a-fold chain
+    // (an unordered double Σ over values that were themselves fold
+    // outputs, the q226 flake class); nano-scaling cancels exactly in
+    // (Σw)²/Σw², so only the final divisions are floating.
+    val wn = round(exp(col("avg_log_ratio")) * 1e9, 0).cast("long")
+    val wnDec = col("wn").cast("decimal(38,0)")
+    dsirWeights(spark, sfDir)
+      .select(col("source"), wn.as("wn"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(wnDec).as("sw"),
+        sum(wnDec * wnDec).as("sw2"), max(col("wn")).as("mw"))
       .select(col("source"), col("n_docs"),
-        round(col("sw") * col("sw") / col("sw2"), 4).as("ess"),
-        round(col("sw") * col("sw") / col("sw2") /
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double"), 4).as("ess"),
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double") /
           col("n_docs").cast("double"), 6).as("efficiency"),
-        round(col("mw") / col("sw"), 6).as("max_w_share"))
+        round(col("mw").cast("double") /
+          col("sw").cast("double"), 6).as("max_w_share"))
       .orderBy("source")
   }
 
   val dsirEssSql: String =
     s"""WITH dw AS ($dsirWeightsSql),
-       |w AS (SELECT source, exp(avg_log_ratio) AS w FROM dw)
+       |w AS (SELECT source,
+       |             CAST(round(exp(avg_log_ratio) * 1e9) AS BIGINT) AS wn
+       |      FROM dw)
        |SELECT source, COUNT(*) AS n_docs,
-       |       round(SUM(w) * SUM(w) / SUM(w * w), 4) AS ess,
-       |       round(SUM(w) * SUM(w) / SUM(w * w) / COUNT(*)::DOUBLE, 6)
-       |         AS efficiency,
-       |       round(MAX(w) / SUM(w), 6) AS max_w_share
+       |       round(SUM(wn::HUGEINT)::DOUBLE * SUM(wn::HUGEINT)::DOUBLE
+       |             / SUM(wn::HUGEINT * wn)::DOUBLE, 4) AS ess,
+       |       round(SUM(wn::HUGEINT)::DOUBLE * SUM(wn::HUGEINT)::DOUBLE
+       |             / SUM(wn::HUGEINT * wn)::DOUBLE
+       |             / COUNT(*)::DOUBLE, 6) AS efficiency,
+       |       round(MAX(wn)::DOUBLE / SUM(wn::HUGEINT)::DOUBLE, 6)
+       |         AS max_w_share
        |FROM w GROUP BY source ORDER BY source""".stripMargin
 
   /** Weighted-reservoir draw size per source. */
