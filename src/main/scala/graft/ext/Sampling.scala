@@ -1434,4 +1434,118 @@ object Sampling {
        |       round((SUM(nb * mx) - SUM(sl))::DOUBLE
        |             / SUM(nb * mx)::DOUBLE, 6) AS waste_rate
        |FROM b GROUP BY 1 ORDER BY len_bucket""".stripMargin
+
+  /** q253 — deterministic bootstrap confidence intervals: the
+    * percentile-bootstrap CI for each source's mean document length,
+    * with B Poisson(1) resample replicates — the standard way to put
+    * honest error bars on any per-slice corpus statistic before acting
+    * on it (is source A really longer-form than source B, or is that
+    * noise?). The Poisson bootstrap IS the distributed formulation:
+    * per-row independent weights need no global resample index, so the
+    * whole thing is one corpus scan fanned B ways.
+    *
+    * Determinism: the replicate weight is the Poisson(1) inverse CDF
+    * applied to an md5-derived uniform (per (doc, b), identical in both
+    * engines; the CDF thresholds are precomputed ppm integer literals,
+    * so w is an exact integer in 0..7). Per-replicate sums fold as
+    * BIGINTs; each replicate mean is ONE division of exact integers
+    * (identical bits both engines), and the CI bounds are order
+    * statistics over those B values — selection, not arithmetic, with
+    * the replicate id as a total tiebreak.
+    *
+    * Scale: the explode is corpus × B rows but stays linear (B is a
+    * constant 128) and never materializes — it feeds one partial+final
+    * hash aggregate keyed by (source, b), i.e. |sources|·B groups; the
+    * rank window partitions by source over exactly B rows (bounded),
+    * and the point-estimate branch is a second |sources|-group
+    * aggregate off the same slim scan. */
+  val BootstrapB = 128
+
+  /** P(Poisson(1) ≤ k) · 1e6, floored, k = 0..6: weight = #{t : u ≥ t}
+    * caps at 7 (P(X > 6) ≈ 8e-5 — the truncation is part of the
+    * declared semantics, identical in both engines). */
+  val PoissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val u = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("b").cast("string"))), 1, 12), 16, 10).cast("long"),
+      lit(1000000L))
+    val w = PoissonCdfPpm
+      .map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perRep = docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .select(col("source"), col("b"),
+        w.as("w"), (w * col("n_chars")).as("wx"))
+      .groupBy("source", "b")
+      .agg(sum("w").as("sw"), sum("wx").as("swx"))
+      .filter(col("sw") > 0)
+      .select(col("source"), col("b"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("mean_b"))
+    val byMean = Window.partitionBy("source").orderBy(col("mean_b"), col("b"))
+    val perSrc = Window.partitionBy("source")
+    val ci = perRep
+      .withColumn("rk", row_number().over(byMean))
+      .withColumn("nb", count(lit(1)).over(perSrc))
+      .withColumn("lo_rk", expr("(nb * 25) div 1000 + 1"))
+      .groupBy("source").agg(
+        max(when(col("rk") === col("lo_rk"), col("mean_b"))).as("ci_lo"),
+        max(when(col("rk") === col("nb") - col("lo_rk") + 1,
+          col("mean_b"))).as("ci_hi"))
+    val point = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_chars").as("sc"))
+    point.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        round(col("sc").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_chars"),
+        round(col("ci_lo"), 6).as("ci_lo_chars"),
+        round(col("ci_hi"), 6).as("ci_hi_chars"))
+      .orderBy("source")
+  }
+
+  val bootstrapCiSql: String = {
+    val wTerms = PoissonCdfPpm
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT source, doc_id, n_chars, r.range AS b,
+       |         ('0x'||substr(md5(doc_id::VARCHAR||':'||r.range::VARCHAR),
+       |                       1, 12))::BIGINT % 1000000 AS u
+       |  FROM documents CROSS JOIN range($BootstrapB) r
+       |), wts AS (
+       |  SELECT source, b, ($wTerms)::BIGINT AS w, n_chars FROM g
+       |), rep AS (
+       |  SELECT source, b,
+       |         SUM(w * n_chars)::DOUBLE / SUM(w)::DOUBLE AS mean_b
+       |  FROM wts GROUP BY source, b HAVING SUM(w) > 0
+       |), ranked AS (
+       |  SELECT source, b, mean_b,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY mean_b, b) AS rk,
+       |         COUNT(*) OVER (PARTITION BY source) AS nb
+       |  FROM rep
+       |), ci AS (
+       |  SELECT source,
+       |         MAX(CASE WHEN rk = (nb * 25) // 1000 + 1
+       |                  THEN mean_b END) AS ci_lo,
+       |         MAX(CASE WHEN rk = nb - ((nb * 25) // 1000 + 1) + 1
+       |                  THEN mean_b END) AS ci_hi
+       |  FROM ranked GROUP BY source
+       |), pt AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         SUM(n_chars) AS sc
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT pt.source, n_docs,
+       |       round(sc::DOUBLE / n_docs::DOUBLE, 6) AS mean_chars,
+       |       round(ci_lo, 6) AS ci_lo_chars,
+       |       round(ci_hi, 6) AS ci_hi_chars
+       |FROM pt JOIN ci ON pt.source = ci.source
+       |ORDER BY pt.source""".stripMargin
+  }
 }

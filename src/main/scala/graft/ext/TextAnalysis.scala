@@ -1111,17 +1111,33 @@ object TextAnalysis {
     * whole thing is one scan, codegen'd end to end; the only shuffle
     * is the output sort. Weights are plan literals here; a real model
     * would broadcast them identically. */
-  def logitQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  /** The q98 head's linear score over the `text` column — shared by
+    * q98 (scores) and q252 (rater agreement) so both raters are the
+    * SAME IEEE scalar sequence, not a re-derivation that could drift. */
+  private[ext] def logitZ: Column = {
     val toks = split(lower(col("text")), "\\s+")
     val nTokens = size(toks).cast("long")
     val nChars = length(col("text")).cast("long")
     val nStop = regexp_count(lower(col("text")),
       lit(markerRegex(englishStopwords))).cast("long")
-    val z = lit(LogitW0) +
+    lit(LogitW0) +
       lit(LogitWLogTokens) * log(nTokens.cast("double")) +
       lit(LogitWAvgLen) * (nChars.cast("double") / nTokens.cast("double")) +
       lit(LogitWStopword) * (nStop.cast("double") / nTokens.cast("double"))
+  }
+
+  /** DuckDB twin of [[logitZ]], interpolated into q98/q252 oracles. */
+  private[ext] val logitZSql: String = {
+    val stopRe = markerRegex(englishStopwords)
+    s"""$LogitW0 + $LogitWLogTokens * ln(len(string_split_regex(lower(text), '\\s+'))::DOUBLE)
+       |    + $LogitWAvgLen * (length(text)::DOUBLE / len(string_split_regex(lower(text), '\\s+'))::DOUBLE)
+       |    + $LogitWStopword * (len(regexp_extract_all(lower(text), '$stopRe'))::DOUBLE
+       |                         / len(string_split_regex(lower(text), '\\s+'))::DOUBLE)""".stripMargin
+  }
+
+  def logitQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val z = logitZ
     docs.select(col("doc_id"), round(z, 6).as("logit"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_keep"),
         (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
@@ -1129,11 +1145,7 @@ object TextAnalysis {
   }
 
   val logitQualitySql: String = {
-    val stopRe = markerRegex(englishStopwords)
-    val z = s"""$LogitW0 + $LogitWLogTokens * ln(len(string_split_regex(lower(text), '\\s+'))::DOUBLE)
-       |    + $LogitWAvgLen * (length(text)::DOUBLE / len(string_split_regex(lower(text), '\\s+'))::DOUBLE)
-       |    + $LogitWStopword * (len(regexp_extract_all(lower(text), '$stopRe'))::DOUBLE
-       |                         / len(string_split_regex(lower(text), '\\s+'))::DOUBLE)""".stripMargin
+    val z = logitZSql
     s"""SELECT doc_id,
        |  round($z, 6) AS logit,
        |  round(1.0 / (1.0 + exp(-($z))), 6) AS p_keep,
@@ -1726,7 +1738,8 @@ object TextAnalysis {
   /** The gate projection itself — stateless, so the SAME Column graph
     * runs batch (q112) and on a document stream (StreamJobs.gopherGate);
     * StreamJobsSpec pins the replay equal to the batch result. */
-  def gopherRulesOn(docs: DataFrame, keepText: Boolean = false): DataFrame = {
+  def gopherRulesOn(docs: DataFrame, keepText: Boolean = false,
+      extra: Seq[Column] = Nil): DataFrame = {
     val toks = split(col("text"), "\\s+")
     val nWords = size(toks).cast("long")
     val nw = nWords.cast("double")
@@ -1743,7 +1756,8 @@ object TextAnalysis {
       nStop.cast("long").as("n_stop_distinct"),
       round(alphaFrac, 6).as("alpha_frac"),
       round(symRatio, 6).as("sym_ratio"))
-    docs.select((if (keepText) base :+ col("text") else base): _*)
+    docs.select((base ++ (if (keepText) Seq(col("text")) else Nil)
+        ++ extra): _*)
       .withColumn("words_ok",
         col("n_words").between(GopherMinWords, GopherMaxWords))
       .withColumn("mean_len_ok",
@@ -2541,4 +2555,104 @@ object TextAnalysis {
        |FROM j, q, n WHERE NOT cal
        |GROUP BY source, qhat_micro, n_cal
        |ORDER BY source""".stripMargin
+
+  /** q252 — quality-filter inter-rater agreement: treat the Gopher
+    * rule gate (q112) and the logistic quality head (q98) as two
+    * independent "raters" labeling every document keep/drop and report,
+    * per language and pooled, the 2×2 contingency table, raw agreement,
+    * and chance-corrected Cohen's κ — the audit a curation team runs
+    * before trusting any single filter at 100 TB (do the cheap
+    * heuristic and the learned model even agree on what to discard?).
+    *
+    * Determinism: both keeps are per-row scalar booleans over exact
+    * inputs, computed by the SAME shared expressions as the green
+    * q112/q98 queries ([[gopherRulesOn]], [[logitZ]]); the contingency
+    * counts fold as BIGINTs under one ROLLUP, agreement is integer-ppm
+    * floor division, and κ's single division from exact integer
+    * cross-products is the only floating op (edge-div class). κ's
+    * N-scale products run in DECIMAL(38,0)/HUGEINT so a 10⁹-document
+    * language cannot overflow. Degenerate cells (a rater constant
+    * within a language ⇒ pe = 1) emit NULL κ in both engines rather
+    * than a 0/0 whose NaN semantics could differ.
+    *
+    * Scale: ONE documents scan computes both raters row-locally (zero
+    * joins); the rollup is a partial+final hash aggregate keyed by
+    * lang ⊕ ALL carrying five counters per group. */
+  def raterKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = gopherRulesOn(docs, keepText = true, extra = Seq(col("lang")))
+      .select(col("lang"), col("keep").as("keep_a"),
+        (lit(1.0) / (lit(1.0) + exp(-logitZ)) >= 0.5).as("keep_b"))
+    def cell(a: Boolean, b: Boolean) =
+      sum(when(col("keep_a") === a && col("keep_b") === b, 1L)
+        .otherwise(0L))
+    val ct = scored.rollup("lang").agg(
+      count(lit(1)).as("n_docs"),
+      cell(true, true).as("n_both_keep"),
+      cell(true, false).as("n_gopher_only"),
+      cell(false, true).as("n_logit_only"),
+      cell(false, false).as("n_both_drop"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val agree = col("n_both_keep") + col("n_both_drop")
+    val pe = (dec(col("n_both_keep")) + dec(col("n_gopher_only"))) *
+        (dec(col("n_both_keep")) + dec(col("n_logit_only"))) +
+      (dec(col("n_logit_only")) + dec(col("n_both_drop"))) *
+        (dec(col("n_gopher_only")) + dec(col("n_both_drop")))
+    val num = dec(col("n_docs")) * dec(agree) - pe
+    val den = dec(col("n_docs")) * dec(col("n_docs")) - pe
+    ct.select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_docs"),
+        col("n_both_keep"), col("n_gopher_only"), col("n_logit_only"),
+        col("n_both_drop"),
+        expr("(1000000 * (n_both_keep + n_both_drop)) div n_docs")
+          .as("agree_ppm"),
+        when(den === dec(lit(0)), lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("kappa"))
+      .orderBy("lang")
+  }
+
+  val raterKappaSql: String =
+    s"""WITH scored AS (
+       |  SELECT d.lang, g.keep AS keep_a,
+       |         (1.0 / (1.0 + exp(-($logitZSql))) >= 0.5) AS keep_b
+       |  FROM ($gopherRulesSql) g JOIN documents d USING (doc_id)
+       |), ct AS (
+       |  SELECT COALESCE(lang, 'ALL') AS lang,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_both_keep,
+       |         CAST(SUM(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_gopher_only,
+       |         CAST(SUM(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_logit_only,
+       |         CAST(SUM(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_both_drop
+       |  FROM scored GROUP BY ROLLUP(lang)
+       |  -- ROLLUP emits the pooled row with lang NULL -> 'ALL'; drop
+       |  -- nothing: scored has no NULL langs (fixture invariant)
+       |)
+       |SELECT lang, n_docs, n_both_keep, n_gopher_only, n_logit_only,
+       |       n_both_drop,
+       |       (1000000 * (n_both_keep + n_both_drop)) // n_docs
+       |         AS agree_ppm,
+       |       CASE WHEN n_docs::HUGEINT * n_docs
+       |                 - ((n_both_keep::HUGEINT + n_gopher_only)
+       |                    * (n_both_keep::HUGEINT + n_logit_only)
+       |                    + (n_logit_only::HUGEINT + n_both_drop)
+       |                    * (n_gopher_only::HUGEINT + n_both_drop)) = 0
+       |            THEN NULL
+       |            ELSE round(
+       |              (n_docs::HUGEINT * (n_both_keep + n_both_drop)
+       |               - ((n_both_keep::HUGEINT + n_gopher_only)
+       |                  * (n_both_keep::HUGEINT + n_logit_only)
+       |                  + (n_logit_only::HUGEINT + n_both_drop)
+       |                  * (n_gopher_only::HUGEINT + n_both_drop)))::DOUBLE
+       |              / (n_docs::HUGEINT * n_docs
+       |                 - ((n_both_keep::HUGEINT + n_gopher_only)
+       |                    * (n_both_keep::HUGEINT + n_logit_only)
+       |                    + (n_logit_only::HUGEINT + n_both_drop)
+       |                    * (n_gopher_only::HUGEINT + n_both_drop)))::DOUBLE,
+       |              6)
+       |       END AS kappa
+       |FROM ct ORDER BY lang""".stripMargin
 }
