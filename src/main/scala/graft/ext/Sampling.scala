@@ -1435,7 +1435,7 @@ object Sampling {
        |             / SUM(nb * mx)::DOUBLE, 6) AS waste_rate
        |FROM b GROUP BY 1 ORDER BY len_bucket""".stripMargin
 
-  /** q253 — deterministic bootstrap confidence intervals: the
+  /** q252 — deterministic bootstrap confidence intervals: the
     * percentile-bootstrap CI for each source's mean document length,
     * with B Poisson(1) resample replicates — the standard way to put
     * honest error bars on any per-slice corpus statistic before acting

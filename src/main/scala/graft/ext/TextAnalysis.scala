@@ -2556,7 +2556,7 @@ object TextAnalysis {
        |GROUP BY source, qhat_micro, n_cal
        |ORDER BY source""".stripMargin
 
-  /** q252 — quality-filter inter-rater agreement: treat the Gopher
+  /** q251 — quality-filter inter-rater agreement: treat the Gopher
     * rule gate (q112) and the logistic quality head (q98) as two
     * independent "raters" labeling every document keep/drop and report,
     * per language and pooled, the 2×2 contingency table, raw agreement,

@@ -649,7 +649,11 @@ object Decision {
       .select(col("p_partkey"),
         explode(typedlit(Seq(0, 1, 2, 3))).as("k"), col("n_sup"))
       .select(col("p_partkey").as("ps_partkey"),
-        (h(concat_ws("|", col("p_partkey"), col("k"))) % col("n_sup") + 1)
+        // 0-based: the fixture's s_suppkey runs 0..S-1 (verified in the
+        // parquet), so the modulus maps straight onto real suppliers —
+        // a `% n + 1` here would orphan supplier 0 and fabricate a
+        // phantom key S that silently drops out of every supplier join
+        (h(concat_ws("|", col("p_partkey"), col("k"))) % col("n_sup"))
           .as("ps_suppkey"))
       .distinct()
       .select(col("ps_partkey"), col("ps_suppkey"),
@@ -663,8 +667,8 @@ object Decision {
   val partsuppCte: String =
     """pscand AS (
       |  SELECT DISTINCT p.p_partkey AS ps_partkey,
-      |         1 + ('0x'||substr(md5(p.p_partkey::VARCHAR||'|'||k.k::VARCHAR),
-      |                           1,15))::BIGINT
+      |         ('0x'||substr(md5(p.p_partkey::VARCHAR||'|'||k.k::VARCHAR),
+      |                       1,15))::BIGINT
       |             % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
       |  FROM part p, (SELECT unnest([0,1,2,3]) AS k) k
       |), partsupp AS (
@@ -746,6 +750,11 @@ object Decision {
     * scale-invariant threshold where TPC-H's 0.0001/SF fraction would
     * empty out or saturate at fixture sizes. */
   def importantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    // per-pair value tops out near 1e9 cents, so the corpus total `t`
+    // passes Long.MaxValue around 1e10 pairs — exactly the 100 TB
+    // design point. DECIMAL(38,0) folds (HUGEINT in the twin) keep the
+    // total and the cross-multiplied threshold compare exact where a
+    // BIGINT sum would wrap silently under Spark's non-ANSI mode.
     val grp = partsupp(spark, sfDir)
       .join(Tables.load(spark, sfDir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey")),
@@ -754,9 +763,10 @@ object Decision {
         .filter(col("n_name") === "NATION_3"),
         col("n_nationkey") === col("s_nationkey"))
       .groupBy("ps_partkey")
-      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty"))
-        .as("value_cents"))
-    val tot = grp.agg(sum("value_cents").as("t"), count(lit(1)).as("g"))
+      .agg(sum((col("ps_supplycost_cents") * col("ps_availqty"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("value_cents"))
+    val tot = grp.agg(sum("value_cents").cast("decimal(38,0)").as("t"),
+      count(lit(1)).as("g"))
     grp.crossJoin(broadcast(tot))
       .filter(col("value_cents") * col("g") > col("t") * 2)
       .select(col("ps_partkey"), col("value_cents"))
@@ -772,10 +782,11 @@ object Decision {
        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
        |  WHERE n.n_name = 'NATION_3'
        |), grp AS (
-       |  SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+       |  SELECT ps_partkey,
+       |         CAST(SUM(v::HUGEINT) AS DECIMAL(38,0)) AS value_cents
        |  FROM natps GROUP BY 1
        |), tot AS (
-       |  SELECT CAST(SUM(value_cents) AS BIGINT) AS t, COUNT(*) AS g
+       |  SELECT CAST(SUM(value_cents) AS DECIMAL(38,0)) AS t, COUNT(*) AS g
        |  FROM grp
        |)
        |SELECT ps_partkey, value_cents

@@ -45,17 +45,26 @@ class RoundSixOpsSpec extends SparkSpec {
   test("q247-q250: derived partsupp respects its documented domains") {
     import org.apache.spark.sql.functions._
     val ps = graft.queries.Decision.partsupp(spark, sf001).collect()
-    val nSup = graft.Tables.load(spark, sf001, "supplier").count()
+    // join-check against the REAL key set, not a 1..S range assert: the
+    // fixture's s_suppkey is 0-based, and a range check would have let
+    // an off-by-one derivation (orphaning supplier 0, fabricating a
+    // phantom key S) pass while ~1% of pairs silently dropped out of
+    // every supplier join
+    val supKeys = graft.Tables.load(spark, sf001, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
     val nPart = graft.Tables.load(spark, sf001, "part").count()
     assert(ps.nonEmpty && ps.length <= 4 * nPart,
       "at most 4 slots per part")
     assert(ps.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
       ps.length, "(partkey, suppkey) must be a key")
     ps.foreach { r =>
-      assert(r.getLong(1) >= 1 && r.getLong(1) <= nSup, "suppkey in 1..S")
+      assert(supKeys.contains(r.getLong(1)),
+        s"ps_suppkey ${r.getLong(1)} must be a real supplier key")
       assert(r.getLong(2) >= 1 && r.getLong(2) <= 9999, "availqty domain")
       assert(r.getLong(3) >= 100 && r.getLong(3) <= 100000, "cost domain")
     }
+    assert(ps.map(_.getLong(1)).toSet == supKeys,
+      "every supplier should hold stock at fixture sizes (4·P slots ≫ S)")
     val again = graft.queries.Decision.partsupp(spark, sf001).collect()
     assert(ps.map(_.toSeq).toSet == again.map(_.toSeq).toSet,
       "derivation must be deterministic")
