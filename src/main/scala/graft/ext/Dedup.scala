@@ -1355,12 +1355,19 @@ object Dedup {
       .orderBy("doc_small", "doc_big")
 
   /** Exact (complete-by-pigeonhole) candidate generation: the smaller
-    * side's containment prefix probes the full posting lists. */
+    * side's containment prefix probes the full posting lists. The
+    * probe filter restricts which docs may appear as the SMALL side —
+    * `lit(true)` (q137/q246) probes everything; q253 passes the
+    * deterministic sample so the quadratic branch only ever runs over
+    * a corpus fraction. */
   private def containmentCandidatesExact(
-      spark: SparkSession, sfDir: String): DataFrame = {
+      spark: SparkSession, sfDir: String,
+      probeFilter: Column = lit(true)): DataFrame = {
     val ds = internedDocsets(spark, sfDir)
     val c = ContainTau
-    val prefix = ds.select(col("doc_id"), col("n"),
+    // only the PROBE (small) side samples; the posting side must stay
+    // complete or sampled smalls would lose their big-side partners
+    val prefix = ds.filter(probeFilter).select(col("doc_id"), col("n"),
         explode(slice(col("tids"), lit(1),
           (col("n") - ceil(col("n") * c).cast("long") + 1).cast("int")))
           .as("tid"))
@@ -1480,12 +1487,16 @@ object Dedup {
         element_at(col("ts"), col("c._4")).as("t4"))
 
   private def bandedContainmentCandidates(
-      spark: SparkSession, sfDir: String): DataFrame = {
+      spark: SparkSession, sfDir: String,
+      probeFilter: Column = lit(true)): DataFrame = {
     val ds = internedDocsets(spark, sfDir)
     val c = ContainTau
     val probeCap =
       (col("n") - ceil(col("n") * c).cast("long") + BandR).cast("int")
-    val probe = bandRows(ds, probeCap, BandProbeCap)
+    // probe = the small side of the band join, so filtering it is
+    // exactly "pairs whose doc_small is sampled" (q253); the posting
+    // index stays complete
+    val probe = bandRows(ds.filter(probeFilter), probeCap, BandProbeCap)
     val post = bandRows(ds, lit(BandPostCap), BandPostCap)
     probe.as("a")
       .join(post.as("b"),
@@ -1531,6 +1542,57 @@ object Dedup {
       .select(col("doc_small"), col("doc_big"))
     val banded = containmentVerify(ds,
       bandedContainmentCandidates(spark, sfDir))
+      .select(col("doc_small"), col("doc_big"), lit(1L).as("hit"))
+    exact.join(banded, Seq("doc_small", "doc_big"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_banded"))
+      .selectExpr("n_exact", "n_banded",
+        "n_exact - n_banded AS n_missed",
+        "CASE WHEN n_exact = 0 THEN 0L ELSE n_banded * 1000000L div n_exact END" +
+          " AS recall_ppm")
+  }
+
+  /** Deterministic audit-sample rate for q253, per mille: a doc joins
+    * the recall sample when its md5-derived uniform lands below this.
+    * 25% keeps the fixture audit populated (3/7 sampled exact pairs at
+    * sf0.001/sf0.01) while cutting the exact branch's probe side 4× —
+    * at 100 TB the same constant dials down and the estimate stays
+    * unbiased (each exact pair enters the sample through its small doc
+    * with exactly this probability). */
+  val RecallSamplePerMille = 250
+
+  /** The sample predicate over a doc id — identical md5 arithmetic in
+    * both engines (12 hex chars = 48 bits, positive, so plain `%`
+    * agrees with DuckDB's). */
+  private def inRecallSample(id: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":recall"))), 1, 12),
+      16, 10).cast("long") % 1000L < RecallSamplePerMille
+
+  private val inRecallSampleSql: String => String = e =>
+    s"('0x'||substr(md5($e||':recall'),1,12))::BIGINT % 1000" +
+      s" < $RecallSamplePerMille"
+
+  /** q253 — SAMPLED recall audit: q246's banded-vs-exact recall
+    * measured over the deterministic [[RecallSamplePerMille]] doc
+    * sample instead of the full corpus. This is the 100 TB form of the
+    * audit: q246's ground truth runs q137's exact probe over ALL docs
+    * — quadratic by intent, fine at fixture SFs, fatal at scale — while
+    * here only sampled docs enter the probe (small) side of both
+    * branches, so the exact branch costs a constant fraction of q137
+    * and the estimate is unbiased over pairs (a pair is sampled iff
+    * its small doc is, with probability exactly p). The posting sides
+    * stay complete, so a sampled small doc never loses a big-side
+    * partner. q246 stays declared as the full-exact reference the
+    * sampled number is validated against at fixture SFs (agreement
+    * recorded in PLANS.md round 7). */
+  def sampledContainmentRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = internedDocsets(spark, sfDir)
+    val sampled = inRecallSample(col("doc_id"))
+    val exact = containmentVerify(ds,
+      containmentCandidatesExact(spark, sfDir, sampled))
+      .select(col("doc_small"), col("doc_big"))
+    val banded = containmentVerify(ds,
+      bandedContainmentCandidates(spark, sfDir, sampled))
       .select(col("doc_small"), col("doc_big"), lit(1L).as("hit"))
     exact.join(banded, Seq("doc_small", "doc_big"), "left")
       .agg(count(lit(1)).as("n_exact"),
@@ -1626,6 +1688,42 @@ object Dedup {
        |), sizes AS (
        |  SELECT (SELECT COUNT(*) FROM exact) AS ne,
        |         (SELECT COUNT(*) FROM banded) AS nb
+       |)
+       |SELECT CAST(ne AS BIGINT) AS n_exact, CAST(nb AS BIGINT) AS n_banded,
+       |       CAST(ne - nb AS BIGINT) AS n_missed,
+       |       CAST(CASE WHEN ne = 0 THEN 0 ELSE nb * 1000000 // ne END
+       |            AS BIGINT) AS recall_ppm
+       |FROM sizes""".stripMargin
+
+  /** q253's twin: the full exact / banded pair sets restricted to
+    * sampled SMALL docs — set-identical to the Spark side's
+    * probe-side filter (a pair's small doc decides membership), the
+    * oracle just filters after the fact since its cost is not the
+    * point. */
+  val sampledContainmentRecallSql: String =
+    s"""WITH $bandedCandidateCtes, eshared AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS s
+       |  FROM toks a JOIN toks b ON a.ng = b.ng AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |), exact_s AS (
+       |  SELECT da, db FROM eshared
+       |  JOIN counts ca ON da = ca.doc_id
+       |  JOIN counts cb ON db = cb.doc_id
+       |  WHERE (ca.n < cb.n OR (ca.n = cb.n AND da < db))
+       |    AND s::DOUBLE >= $ContainTau * ca.n
+       |    AND ${inRecallSampleSql("da::VARCHAR")}
+       |-- MATERIALIZED is load-bearing: without the barrier DuckDB
+       |-- pushes the md5 sample predicate down into the four-way band
+       |-- self-join and the plan degenerates (measured: >240s vs 6s at
+       |-- sf0.001); the barrier pins "compute banded once, then filter"
+       |), banded_m AS MATERIALIZED (
+       |  SELECT da, db FROM banded
+       |), banded_s AS (
+       |  SELECT da, db FROM banded_m
+       |  WHERE ${inRecallSampleSql("da::VARCHAR")}
+       |), sizes AS (
+       |  SELECT (SELECT COUNT(*) FROM exact_s) AS ne,
+       |         (SELECT COUNT(*) FROM banded_s) AS nb
        |)
        |SELECT CAST(ne AS BIGINT) AS n_exact, CAST(nb AS BIGINT) AS n_banded,
        |       CAST(ne - nb AS BIGINT) AS n_missed,

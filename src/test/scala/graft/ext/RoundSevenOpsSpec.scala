@@ -80,6 +80,26 @@ class RoundSevenOpsSpec extends SparkSpec {
       "both raters constant on one label must degenerate to NULL")
   }
 
+  test("q253: sampled audit row is consistent with the full pair sets") {
+    import org.apache.spark.sql.functions._
+    val row = Dedup.sampledContainmentRecall(spark, sf001).collect().head
+    val (ne, nb, miss, ppm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(ne > 0, "the 25% sample must keep the fixture audit populated")
+    assert(nb >= 0 && nb <= ne && miss == ne - nb,
+      s"banded_s ⊆ exact_s and miss arithmetic must hold: $row")
+    assert(ppm == (if (ne == 0) 0L else nb * 1000000L / ne))
+    // the sampled exact count must equal the FULL exact pair set
+    // restricted to sampled small docs — the estimate's unbiasedness
+    // argument rests on exactly this identity
+    val md5u = conv(substring(md5(concat(col("doc_small").cast("string"),
+      lit(":recall"))), 1, 12), 16, 10).cast("long") % 1000L
+    val fullSampled = Dedup.containmentPairs(spark, sf001)
+      .filter(md5u < Dedup.RecallSamplePerMille).count()
+    assert(ne == fullSampled,
+      s"sampled exact ($ne) must equal full-exact-restricted ($fullSampled)")
+  }
+
   test("q252: CI is ordered, brackets the point estimate, inside support") {
     import org.apache.spark.sql.functions._
     val rows = Sampling.bootstrapCi(spark, sf001).collect()
