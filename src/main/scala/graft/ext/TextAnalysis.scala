@@ -2655,4 +2655,271 @@ object TextAnalysis {
        |              6)
        |       END AS kappa
        |FROM ct ORDER BY lang""".stripMargin
+
+  /** q254's repetition gate: flag when repeated trigram STARTS exceed
+    * this percent of all trigram starts (integer compare — no float). */
+  val AblationRepPctMax = 5
+
+  /** q254 — filter-ablation attribution: run the four standing curation
+    * filters (exact-dup non-survivor, Gopher rule gate, logistic
+    * quality head, repeated-trigram gate) over one corpus scan and
+    * report, per filter and pooled, what each drops, what it drops
+    * UNIQUELY (no other filter agrees — the marginal contribution a
+    * team weighs before paying that filter's cost at 100 TB), and the
+    * token mass lost. The `any` row's unique count is "docs dropped by
+    * exactly one filter" — the corpus share whose fate hangs on a
+    * single gate.
+    *
+    * Determinism: every flag is either exact integer/string arithmetic
+    * (dup = md5-group min, repeat = distinct-count compare ×100) or the
+    * SAME shared IEEE scalar sequence as its green parent query
+    * ([[gopherRulesOn]]'s rounded thresholds, [[logitZ]]'s σ ≥ 0.5 —
+    * the q98/q251 compare); counts fold as BIGINTs and ppm shares are
+    * floor divisions.
+    *
+    * Scale shape: one documents scan computes gopher/logit/repeat
+    * row-locally (the trigram distinct-count is per-row array work,
+    * never a shuffle); the dup flag is one md5-keyed window (partition
+    * = text hash — the q10 shuffle); the 5-arm explode carries 3 tiny
+    * columns per doc into a 5-group aggregate. */
+  def filterAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tris = transform(sequence(lit(1), size(col("w")) - 2),
+      i => concat_ws(" ", element_at(col("w"), i),
+        element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+    val flags = gopherRulesOn(docs, keepText = true)
+      .select(col("doc_id"), col("n_words"), col("keep"), col("text"))
+      .withColumn("w", split(lower(col("text")), "\\s+"))
+      .withColumn("n_tri",
+        when(size(col("w")) >= 3, (size(col("w")) - 2).cast("long"))
+          .otherwise(0L))
+      .withColumn("n_tri_d",
+        when(size(col("w")) >= 3, size(array_distinct(tris)).cast("long"))
+          .otherwise(0L))
+      .withColumn("f_gopher", !col("keep"))
+      .withColumn("f_logit", lit(1.0) / (lit(1.0) + exp(-logitZ)) < 0.5)
+      .withColumn("f_rep",
+        (col("n_tri") - col("n_tri_d")) * 100 >
+          col("n_tri") * AblationRepPctMax)
+      .withColumn("f_dup", col("doc_id") =!=
+        min("doc_id").over(Window.partitionBy(md5(col("text")))))
+    val (fd, fg, fl, fr) =
+      (col("f_dup"), col("f_gopher"), col("f_logit"), col("f_rep"))
+    def uniq(self: Column, others: Seq[Column]) =
+      others.foldLeft(self)((acc, o) => acc && !o)
+    val exactlyOne =
+      (fd.cast("int") + fg.cast("int") + fl.cast("int") + fr.cast("int")) === 1
+    val arms = array(
+      struct(lit("any").as("f"), (fd || fg || fl || fr).as("d"),
+        exactlyOne.as("u")),
+      struct(lit("dup").as("f"), fd.as("d"), uniq(fd, Seq(fg, fl, fr)).as("u")),
+      struct(lit("gopher").as("f"), fg.as("d"),
+        uniq(fg, Seq(fd, fl, fr)).as("u")),
+      struct(lit("logit").as("f"), fl.as("d"),
+        uniq(fl, Seq(fd, fg, fr)).as("u")),
+      struct(lit("repeat").as("f"), fr.as("d"),
+        uniq(fr, Seq(fd, fg, fl)).as("u")))
+    flags.select(col("n_words"), explode(arms).as("a"))
+      .groupBy(col("a.f").as("filter"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a.d"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("a.u"), 1L).otherwise(0L)).as("n_unique_dropped"),
+        sum(when(col("a.d"), col("n_words")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("filter"), col("n_docs"), col("n_dropped"),
+        col("n_unique_dropped"), col("tokens_dropped"),
+        expr("n_dropped * 1000000 div n_docs").as("drop_ppm"),
+        expr("n_unique_dropped * 1000000 div n_docs").as("unique_ppm"))
+      .orderBy("filter")
+  }
+
+  val filterAblationSql: String =
+    s"""WITH g AS ($gopherRulesSql),
+       |base AS (
+       |  SELECT doc_id, text,
+       |         string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents
+       |), f AS (
+       |  SELECT b.doc_id, g.n_words,
+       |         (b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY md5(b.text)))
+       |           AS f_dup,
+       |         NOT g.keep AS f_gopher,
+       |         (1.0 / (1.0 + exp(-($logitZSql))) < 0.5) AS f_logit,
+       |         CASE WHEN len(b.w) >= 3 THEN
+       |           (len(b.w) - 2
+       |            - len(list_distinct([b.w[i]||' '||b.w[i+1]||' '||b.w[i+2]
+       |                  for i in generate_series(1, len(b.w)-2)]))) * 100
+       |             > (len(b.w) - 2) * $AblationRepPctMax
+       |         ELSE FALSE END AS f_rep
+       |  FROM base b JOIN g USING (doc_id)
+       |), arms AS (
+       |  SELECT 'any' AS filter, (f_dup OR f_gopher OR f_logit OR f_rep) AS d,
+       |         (f_dup::INT + f_gopher::INT + f_logit::INT + f_rep::INT) = 1
+       |           AS u, n_words FROM f
+       |  UNION ALL
+       |  SELECT 'dup', f_dup, f_dup AND NOT f_gopher AND NOT f_logit
+       |         AND NOT f_rep, n_words FROM f
+       |  UNION ALL
+       |  SELECT 'gopher', f_gopher, f_gopher AND NOT f_dup AND NOT f_logit
+       |         AND NOT f_rep, n_words FROM f
+       |  UNION ALL
+       |  SELECT 'logit', f_logit, f_logit AND NOT f_dup AND NOT f_gopher
+       |         AND NOT f_rep, n_words FROM f
+       |  UNION ALL
+       |  SELECT 'repeat', f_rep, f_rep AND NOT f_dup AND NOT f_gopher
+       |         AND NOT f_logit, n_words FROM f
+       |)
+       |SELECT filter, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dropped,
+       |       CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_unique_dropped,
+       |       CAST(SUM(CASE WHEN d THEN n_words ELSE 0 END) AS BIGINT)
+       |         AS tokens_dropped,
+       |       CAST(SUM(CASE WHEN d THEN 1 ELSE 0 END) * 1000000
+       |            // COUNT(*) AS BIGINT) AS drop_ppm,
+       |       CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) * 1000000
+       |            // COUNT(*) AS BIGINT) AS unique_ppm
+       |FROM arms GROUP BY filter ORDER BY filter""".stripMargin
+
+  /** q255 — marginal source novelty: scan sources in their (name-
+    * ordered, standing in for crawl-priority) order and report, per
+    * source, how many of its distinct bigrams are FIRST SEEN there —
+    * the submodular-coverage read a curator uses to decide whether the
+    * next crawl is worth ingesting (a source whose novelty_ppm rounds
+    * to zero adds storage, dedup load, and no new text). Grams travel
+    * as 60-bit md5 fingerprints (the q34/q107 trick).
+    *
+    * Scale shape: one corpus explode to distinct (source, gram), then
+    * ONE gram-keyed window (min source) feeding a |sources|-group
+    * aggregate — linear, one shuffle on the gram fingerprint, no
+    * joins. Counts are exact BIGINTs; novelty is floor-divided ppm. */
+  def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bigrams = transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i),
+        element_at(col("w"), i + 1)))
+    val g = docs.select(col("source"),
+        split(lower(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(bigrams).as("ng"))
+      .select(col("source"),
+        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("gh"))
+      .distinct()
+    g.withColumn("first_src", min("source").over(Window.partitionBy("gh")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_src") === col("source"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+      .orderBy("source")
+  }
+
+  val sourceNoveltySql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT source, gh FROM (
+      |    SELECT source,
+      |           ('0x'||substr(md5(unnest([w[i]||' '||w[i+1]
+      |                 for i in generate_series(1, len(w)-1)])), 1, 15))::BIGINT
+      |             AS gh
+      |    FROM (SELECT source, string_split_regex(lower(text), '\s+') AS w
+      |          FROM documents)
+      |    WHERE len(w) >= 2)
+      |), o AS (
+      |  SELECT source, MIN(source) OVER (PARTITION BY gh) AS first_src
+      |  FROM g
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |       CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_novel,
+      |       CAST(SUM(CASE WHEN first_src = source THEN 1 ELSE 0 END)
+      |            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM o GROUP BY source ORDER BY source""".stripMargin
+
+  /** q256's deterministic "gold label" sample rate, per mille. */
+  val PpiSamplePerMille = 250
+
+  /** q256 — prediction-powered keep-rate estimation (PPI): estimate
+    * each source's TRUE keep rate under the expensive gold labeler
+    * (the logistic head, standing in for an LLM judge) by running the
+    * CHEAP rule gate over the whole corpus and the gold labeler over a
+    * deterministic 25% sample only — the estimator is
+    * gold_on_sample + (cheap_on_full − cheap_on_sample), which stays
+    * unbiased for the gold rate regardless of how wrong the cheap
+    * gate is, while the full-corpus cheap term soaks up most of the
+    * sampling variance. This is THE shape of modern corpus audits:
+    * nobody runs the judge model over 100 TB; everybody runs regexes.
+    *
+    * Determinism: both raters are the shared q112/q98 kernels; the
+    * sample is the md5-derived `:ppi` uniform; all five counts fold as
+    * BIGINTs and every reported rate is a ppm floor division of exact
+    * integers (the PPI sum/difference happens on already-floored ppm
+    * terms, identically in both engines). A source with an empty
+    * sample reports NULL rather than a 0/0.
+    *
+    * Scale shape: ONE documents scan, both raters row-local, one
+    * |sources|-group aggregate — no joins, no windows. */
+  def ppiKeepRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val inS = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":ppi"))), 1, 12), 16, 10).cast("long") % 1000L <
+      PpiSamplePerMille
+    val gold = lit(1.0) / (lit(1.0) + exp(-logitZ)) >= 0.5
+    gopherRulesOn(docs, keepText = true, extra = Seq(col("source")))
+      .select(col("source"), col("keep").as("cheap"), gold.as("gold"),
+        inS.as("s"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("cheap"), 1L).otherwise(0L)).as("cheap_keep_full"),
+        sum(when(col("s") && col("cheap"), 1L).otherwise(0L))
+          .as("cheap_keep_sampled"),
+        sum(when(col("s") && col("gold"), 1L).otherwise(0L))
+          .as("gold_keep_sampled"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("gold_keep_sampled"), col("cheap_keep_full"),
+        col("cheap_keep_sampled"),
+        expr("CASE WHEN n_sampled = 0 THEN NULL" +
+          " ELSE gold_keep_sampled * 1000000 div n_sampled END")
+          .as("naive_ppm"),
+        expr("CASE WHEN n_sampled = 0 THEN NULL" +
+          " ELSE cheap_keep_full * 1000000 div n_docs" +
+          " + gold_keep_sampled * 1000000 div n_sampled" +
+          " - cheap_keep_sampled * 1000000 div n_sampled END")
+          .as("ppi_ppm"))
+      .orderBy("source")
+  }
+
+  val ppiKeepRateSql: String =
+    s"""WITH g AS ($gopherRulesSql),
+       |f AS (
+       |  SELECT d.source, g.keep AS cheap,
+       |         (1.0 / (1.0 + exp(-($logitZSql))) >= 0.5) AS gold,
+       |         ('0x'||substr(md5(d.doc_id::VARCHAR||':ppi'),1,12))::BIGINT
+       |           % 1000 < $PpiSamplePerMille AS s
+       |  FROM documents d JOIN g USING (doc_id)
+       |), c AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_sampled,
+       |         CAST(SUM(CASE WHEN cheap THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS cheap_keep_full,
+       |         CAST(SUM(CASE WHEN s AND cheap THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS cheap_keep_sampled,
+       |         CAST(SUM(CASE WHEN s AND gold THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS gold_keep_sampled
+       |  FROM f GROUP BY source
+       |)
+       |SELECT source, n_docs, n_sampled, gold_keep_sampled, cheap_keep_full,
+       |       cheap_keep_sampled,
+       |       CASE WHEN n_sampled = 0 THEN NULL
+       |            ELSE CAST(gold_keep_sampled * 1000000 // n_sampled
+       |                      AS BIGINT) END AS naive_ppm,
+       |       CASE WHEN n_sampled = 0 THEN NULL
+       |            ELSE CAST(cheap_keep_full * 1000000 // n_docs
+       |                      + gold_keep_sampled * 1000000 // n_sampled
+       |                      - cheap_keep_sampled * 1000000 // n_sampled
+       |                      AS BIGINT) END AS ppi_ppm
+       |FROM c ORDER BY source""".stripMargin
 }

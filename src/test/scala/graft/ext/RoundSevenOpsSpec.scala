@@ -100,6 +100,67 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"sampled exact ($ne) must equal full-exact-restricted ($fullSampled)")
   }
 
+  test("q254: ablation arms are arithmetically consistent") {
+    val rows = TextAnalysis.filterAblation(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("any", "dup", "gopher", "logit", "repeat"))
+    val n = rows("any").getLong(1)
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == n, "every arm sees the whole corpus")
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= n,
+        s"unique <= dropped <= n_docs: $r")
+    }
+    val filters = Seq("dup", "gopher", "logit", "repeat").map(rows)
+    // any.dropped = |union| <= sum of the parts; any.unique counts docs
+    // dropped by EXACTLY one filter = sum of per-filter unique counts
+    assert(rows("any").getLong(2) <= filters.map(_.getLong(2)).sum)
+    assert(rows("any").getLong(3) == filters.map(_.getLong(3)).sum,
+      "exactly-one = sum of per-filter uniques")
+    assert(filters.forall(r => rows("any").getLong(2) >= r.getLong(2)),
+      "the union drops at least what any single filter drops")
+  }
+
+  test("q255: novelty partitions the corpus gram inventory") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.sourceNovelty(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // every distinct gram is first-seen exactly once, so per-source
+    // novel counts partition the corpus-wide distinct gram count
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val distinctGrams = docs
+      .select(split(lower(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+        .as("ng"))
+      .select(countDistinct(col("ng"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == distinctGrams,
+      "sum of novel grams = corpus distinct grams")
+    // the priority-first source owns every gram it contains
+    val first = rows.minBy(_.getString(0))
+    assert(first.getLong(1) == first.getLong(2) &&
+      first.getLong(3) == 1000000L,
+      s"the first source in scan order is 100% novel: $first")
+  }
+
+  test("q256: PPI estimate decomposes into its three ppm terms") {
+    val rows = TextAnalysis.ppiKeepRate(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ns) = (r.getLong(1), r.getLong(2))
+      val (gs, cf, cs) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ns <= n && gs <= ns && cs <= ns && cf <= n, s"count bounds: $r")
+      if (ns == 0) assert(r.isNullAt(6) && r.isNullAt(7))
+      else {
+        assert(r.getLong(6) == gs * 1000000L / ns, s"naive term: $r")
+        assert(r.getLong(7) ==
+          cf * 1000000L / n + gs * 1000000L / ns - cs * 1000000L / ns,
+          s"ppi = cheap_full + gold_sample - cheap_sample: $r")
+      }
+    }
+  }
+
   test("q252: CI is ordered, brackets the point estimate, inside support") {
     import org.apache.spark.sql.functions._
     val rows = Sampling.bootstrapCi(spark, sf001).collect()
