@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.functions.WordNgrams.word_ngrams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,11 +82,9 @@ object Dedup {
     docs
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= ShingleWords)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("t")) - (ShingleWords - 1)),
-          i => concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
-        .as("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(word_ngrams(col("t"), ShingleWords)))
+          .as("sh"))
   }
 
   /** Largest 32-bit prime, the modulus of the double-hash family. */
@@ -316,10 +315,9 @@ object Dedup {
     docs
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= NgramWords)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("t")) - (NgramWords - 1)),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))))
-        .as("ng"))
+      .select(col("doc_id"),
+        explode(array_distinct(word_ngrams(col("t"), NgramWords)))
+          .as("ng"))
   }
 
   /** Intern tokens as dense ints ordered by ASCENDING document frequency
@@ -1193,9 +1191,7 @@ object Dedup {
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), (size(col("w")) - k + 1).cast("long").as("n_grams"),
-        posexplode(transform(sequence(lit(0), size(col("w")) - k),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(k)))))
-          .as(Seq("pos", "g")))
+        posexplode(word_ngrams(col("w"), k)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("n_grams"), col("pos").cast("long").as("pos"),
         conv(substring(md5(col("g")), 1, 9), 16, 10).cast("long").as("h"))
       .select(col("doc_id"), col("n_grams"), col("pos"), col("h"),
@@ -2458,10 +2454,9 @@ object Dedup {
     val grams = docs
       .select(col("doc_id"), col("lang"), t.as("t"))
       .filter(size(col("t")) >= NgramWords)
-      .select(col("doc_id"), col("lang"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("t")) - (NgramWords - 1)),
-          i => concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1))))).as("ng"))
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(word_ngrams(col("t"), NgramWords)))
+          .as("ng"))
       .select(col("doc_id"), col("lang"), hash60(col("ng")).as("g"))
       .join(removed, Seq("doc_id"), "left")
       .select(col("lang"), col("g"),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.functions.WordNgrams.word_ngrams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -909,12 +910,9 @@ object Sampling {
     val w = split(lower(col("text")), "\\s+")
     val grams = docs.select(col("doc_id"), col("source"), w.as("w"))
       .select(col("doc_id"), col("source"),
-        explode(concat(col("w"),
-          when(size(col("w")) >= 2,
-            transform(sequence(lit(1), size(col("w")) - 1),
-              i => concat(element_at(col("w"), i), lit(" "),
-                element_at(col("w"), i.cast("int") + 1))))
-            .otherwise(array().cast("array<string>")))).as("g"))
+        // unigrams ++ bigrams in one explode; the kernel yields an
+        // empty array below 2 words, so no size guard is needed
+        explode(concat(col("w"), word_ngrams(col("w"), 2))).as("g"))
     val feat = grams.select(col("doc_id"), col("source"),
       (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
         % DsirBuckets).as("b"))

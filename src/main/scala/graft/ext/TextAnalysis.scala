@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.functions.WordNgrams.word_ngrams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -227,12 +228,11 @@ object TextAnalysis {
     val grams = docs
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("w")) - 2),
-          i => conv(substring(md5(concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2))),
-            1, 15), 16, 10).cast("long")))
-        .as("ng"))
+      .select(col("doc_id"),
+        explode(word_ngrams(col("w"), 3)).as("ngs"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("ngs")), 1, 15), 16, 10).cast("long")
+          .as("ng"))
     grams.groupBy("doc_id", "ng").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(sum(col("n")).as("n_ngrams"),
@@ -275,10 +275,8 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= ContamN)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("w")) - (ContamN - 1)),
-          i => concat_ws(" ", (0 until ContamN).map(o =>
-            element_at(col("w"), i + o)): _*))))
+      .select(col("doc_id"),
+        explode(array_distinct(word_ngrams(col("w"), ContamN)))
         .as("ng"))
   }
 
@@ -1441,11 +1439,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
     val grams = base.filter(col("n") >= k)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
-          i => struct(i.cast("long").as("s"),
-            concat_ws(" ", slice(col("w"), i, lit(k))).as("ng")))).as("g"))
-      .select(col("doc_id"), col("g.s").as("s"),
-        conv(substring(md5(col("g.ng")), 1, 15), 16, 10).cast("long")
+        posexplode(word_ngrams(col("w"), k)).as(Seq("p", "ng")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("s"),
+        conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
           .as("gh"))
       // both consumers (doc-frequency, coverage semi-join) read the
       // exploded+fingerprinted grams; pin them once — 3 bare longs per
@@ -2684,9 +2680,6 @@ object TextAnalysis {
     * columns per doc into a 5-group aggregate. */
   def filterAblation(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val tris = transform(sequence(lit(1), size(col("w")) - 2),
-      i => concat_ws(" ", element_at(col("w"), i),
-        element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
     val flags = gopherRulesOn(docs, keepText = true)
       .select(col("doc_id"), col("n_words"), col("keep"), col("text"))
       .withColumn("w", split(lower(col("text")), "\\s+"))
@@ -2694,8 +2687,7 @@ object TextAnalysis {
         when(size(col("w")) >= 3, (size(col("w")) - 2).cast("long"))
           .otherwise(0L))
       .withColumn("n_tri_d",
-        when(size(col("w")) >= 3, size(array_distinct(tris)).cast("long"))
-          .otherwise(0L))
+        size(array_distinct(word_ngrams(col("w"), 3))).cast("long"))
       .withColumn("f_gopher", !col("keep"))
       .withColumn("f_logit", lit(1.0) / (lit(1.0) + exp(-logitZ)) < 0.5)
       .withColumn("f_rep",
@@ -2796,13 +2788,10 @@ object TextAnalysis {
     * joins. Counts are exact BIGINTs; novelty is floor-divided ppm. */
   def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val bigrams = transform(sequence(lit(1), size(col("w")) - 1),
-      i => concat_ws(" ", element_at(col("w"), i),
-        element_at(col("w"), i + 1)))
     val g = docs.select(col("source"),
         split(lower(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("source"), explode(bigrams).as("ng"))
+      .select(col("source"), explode(word_ngrams(col("w"), 2)).as("ng"))
       .select(col("source"),
         conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long").as("gh"))
       .distinct()
