@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, DotProduct, RollingFingerprint, SortedIntersectSize}
+import graft.functions.{CharPairs, CosineSimilarity, DotProduct, RollingFingerprint, SortedIntersectSize, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so SQL-text users get them too:
@@ -39,5 +39,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectSize].getName,
         "sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("char_pairs"),
+      new ExpressionInfo(classOf[CharPairs].getName, "char_pairs"),
+      (exprs: Seq[Expression]) => CharPairs(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs.lift(1) match {
+          case Some(Literal(v: Int, _)) => v
+          case None => 2
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams(arr[, n]): n must be an int literal, got $other")
+        }
+        WordNgrams(exprs.head, n)
+      }))
   }
 }

@@ -48,6 +48,16 @@ class WordNgramsSpec extends SparkSpec {
     assert(n.forall(_.isNullAt(0)))
   }
 
+  test("word_ngrams and char_pairs are SQL-registered via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT word_ngrams(array('a','b','c'), 2) AS g," +
+        " word_ngrams(array('a','b','c')) AS g2," +
+        " char_pairs('abc') AS p").collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1) == Seq("a b", "b c"), "n defaults to 2")
+    assert(r.getSeq[String](2) == Seq("ab", "bc"))
+  }
+
   test("word_ngrams stays inside whole-stage codegen") {
     val docs = graft.Tables.load(spark, sf001, "documents")
       .select(explode(WordNgrams.word_ngrams(
