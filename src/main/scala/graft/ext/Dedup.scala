@@ -63,6 +63,19 @@ object Dedup {
   private val hash60Sql: String => String =
     e => s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** THE deterministic per-mille sampling predicate over an id: the
+    * md5-derived uniform from 12 hex chars (48 bits, positive, so plain
+    * `%` agrees with DuckDB's), salted per use. Every sampled query
+    * (q253's `:recall`, q256's `:ppi`) must route through this pair —
+    * four hand-kept copies of the arithmetic is how one engine drifts. */
+  def sampleHit(id: Column, salt: String, perMille: Int): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 12),
+      16, 10).cast("long") % 1000L < perMille
+
+  /** DuckDB twin of [[sampleHit]]; `e` is the id expression text. */
+  def sampleHitSql(e: String, salt: String, perMille: Int): String =
+    s"('0x'||substr(md5($e||'$salt'),1,12))::BIGINT % 1000 < $perMille"
+
   /** q10 — exact dedup: one survivor (min doc_id) per identical text. */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
@@ -1557,16 +1570,13 @@ object Dedup {
     * with exactly this probability). */
   val RecallSamplePerMille = 250
 
-  /** The sample predicate over a doc id — identical md5 arithmetic in
-    * both engines (12 hex chars = 48 bits, positive, so plain `%`
-    * agrees with DuckDB's). */
+  /** The q253 sample predicate — the shared [[sampleHit]] contract
+    * with the `:recall` salt. */
   private def inRecallSample(id: Column): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":recall"))), 1, 12),
-      16, 10).cast("long") % 1000L < RecallSamplePerMille
+    sampleHit(id, ":recall", RecallSamplePerMille)
 
   private val inRecallSampleSql: String => String = e =>
-    s"('0x'||substr(md5($e||':recall'),1,12))::BIGINT % 1000" +
-      s" < $RecallSamplePerMille"
+    sampleHitSql(e, ":recall", RecallSamplePerMille)
 
   /** q253 — SAMPLED recall audit: q246's banded-vs-exact recall
     * measured over the deterministic [[RecallSamplePerMille]] doc

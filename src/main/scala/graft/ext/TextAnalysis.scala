@@ -2851,9 +2851,7 @@ object TextAnalysis {
     * |sources|-group aggregate — no joins, no windows. */
   def ppiKeepRate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val inS = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":ppi"))), 1, 12), 16, 10).cast("long") % 1000L <
-      PpiSamplePerMille
+    val inS = Dedup.sampleHit(col("doc_id"), ":ppi", PpiSamplePerMille)
     val gold = lit(1.0) / (lit(1.0) + exp(-logitZ)) >= 0.5
     gopherRulesOn(docs, keepText = true, extra = Seq(col("source")))
       .select(col("source"), col("keep").as("cheap"), gold.as("gold"),
@@ -2885,8 +2883,8 @@ object TextAnalysis {
        |f AS (
        |  SELECT d.source, g.keep AS cheap,
        |         (1.0 / (1.0 + exp(-($logitZSql))) >= 0.5) AS gold,
-       |         ('0x'||substr(md5(d.doc_id::VARCHAR||':ppi'),1,12))::BIGINT
-       |           % 1000 < $PpiSamplePerMille AS s
+       |         ${Dedup.sampleHitSql("d.doc_id::VARCHAR", ":ppi",
+                    PpiSamplePerMille)} AS s
        |  FROM documents d JOIN g USING (doc_id)
        |), c AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

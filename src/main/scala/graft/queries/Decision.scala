@@ -764,9 +764,8 @@ object Decision {
         col("n_nationkey") === col("s_nationkey"))
       .groupBy("ps_partkey")
       .agg(sum((col("ps_supplycost_cents") * col("ps_availqty"))
-        .cast("decimal(38,0)")).cast("decimal(38,0)").as("value_cents"))
-    val tot = grp.agg(sum("value_cents").cast("decimal(38,0)").as("t"),
-      count(lit(1)).as("g"))
+        .cast("decimal(38,0)")).as("value_cents"))
+    val tot = grp.agg(sum("value_cents").as("t"), count(lit(1)).as("g"))
     grp.crossJoin(broadcast(tot))
       .filter(col("value_cents") * col("g") > col("t") * 2)
       .select(col("ps_partkey"), col("value_cents"))

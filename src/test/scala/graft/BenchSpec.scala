@@ -68,17 +68,19 @@ class BenchSpec extends SparkSpec {
 
   test("retryOutliers sweeps again when the retry itself came back hot") {
     // first retry is still stalled (sleeps past 3x steady), second is
-    // instant — the bounded second sweep must pick up the clean run
+    // instant — the bounded second sweep must pick up the clean run.
+    // steady=2.0 puts the 3x bar at 6s, far above any realistic
+    // range(1) job overhead, so the assertion can't flake under load
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val flaky = (s: org.apache.spark.sql.SparkSession, _: String) => {
-      if (calls.getAndIncrement() == 0) Thread.sleep(1200)
+      if (calls.getAndIncrement() == 0) Thread.sleep(7000)
       s.range(1).toDF()
     }
     val (fixed, flagged) = Bench.retryOutliers(spark, sf001,
       Map("q" -> flaky), Map("q" -> 30.0), repCap = 60.0,
-      steady = Map("q" -> 0.35))
+      steady = Map("q" -> 2.0))
     assert(flagged == Map("q" -> 30.0))
-    assert(fixed("q") < 1.05,
+    assert(fixed("q") < 6.0,
       s"second sweep must capture the clean run, got ${fixed("q")}")
     assert(calls.get() == 2, "exactly two retry sweeps")
   }

@@ -24,24 +24,31 @@ class PlanSpec extends SparkSpec {
     * fails loudly instead of silently dropping out of the pin surface. */
   private def memoOwnerClasses: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
-      .iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .filter(_.getFileName.toString != "Memo.scala")
-      .flatMap { p =>
-        val src = java.nio.file.Files.readString(p)
-        if (!src.contains("Memo.declare(")) None
-        else {
-          val pkg = "(?m)^package\\s+([\\w.]+)".r
-            .findFirstMatchIn(src).map(_.group(1))
-            .getOrElse(fail(s"$p declares a memo kind but has no package"))
-          val obj = "(?m)^object\\s+(\\w+)".r
-            .findFirstMatchIn(src).map(_.group(1))
-            .getOrElse(fail(s"$p calls Memo.declare outside a " +
-              "top-level object — the forced-init path can't reach it"))
-          Some(s"$pkg.$obj$$")
-        }
-      }.toSeq.sorted
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+    try {
+      walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filter(_.getFileName.toString != "Memo.scala")
+        .flatMap { p =>
+          val src = java.nio.file.Files.readString(p)
+          if (!src.contains("Memo.declare(")) Nil
+          else {
+            val pkg = "(?m)^package\\s+([\\w.]+)".r
+              .findFirstMatchIn(src).map(_.group(1))
+              .getOrElse(fail(s"$p declares a memo kind but has no package"))
+            // EVERY top-level object in the file, not just the first:
+            // a helper object declared above the owner would otherwise
+            // absorb the forced init and the owner's declarations would
+            // silently miss the pin surface (extra inits are harmless)
+            val objs = "(?m)^object\\s+(\\w+)".r
+              .findAllMatchIn(src).map(_.group(1)).toSeq
+            if (objs.isEmpty)
+              fail(s"$p calls Memo.declare outside a top-level object — " +
+                "the forced-init path can't reach it")
+            objs.map(o => s"$pkg.$o$$")
+          }
+        }.toSeq.sorted
+    } finally walk.close()
   }
 
   /** Fresh twins of every Memo-registered builder — the self-
