@@ -1423,40 +1423,43 @@ object Similarity {
     * whitening/drift statistic a feature pipeline derives before PCA:
     * per dimension pair (i ≤ j), the exact integer co-moment of the
     * 1024-quantized components plus the double covariance derived from
-    * it with one shared IEEE op sequence. Scale shape: the per-row
-    * nested transform emits Dim² products map-side and the aggregate
-    * collapses each partition to Dim(Dim+1)/2 = 2080 groups before the
-    * one shuffle — the canonical distributed covariance job (bounded
-    * D², linear in N, no joins on the corpus). The means table is a
-    * Dim-sized second pass joined onto the 2080-row result.
-    */
+    * it with one shared IEEE op sequence.
+    *
+    * Scale shape: ONE pass through the [[graft.functions.GramMatrix]]
+    * typed aggregator — each partition folds its vectors into a single
+    * packed buffer (2080 triangle cells + 64 sums + count, all exact
+    * longs), partials merge element-wise, and only ~2 KB per partition
+    * ever crosses the wire. The previous formulation exploded the
+    * 2080-struct triangle PER VECTOR through an (i, j)-keyed shuffle —
+    * N × D²/2 shuffle rows vs. this one's constant; A/B at sf0.1 in
+    * PLANS.md round 7. The (k → i, j) index map is a 2080-row local
+    * table broadcast onto the unpacked result. */
   def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tri = Dim * (Dim + 1) / 2
     val q = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
-    // emit ONLY the upper triangle: the inner transform runs over the
-    // slice starting at i, so Dim(Dim+1)/2 structs materialize per row
-    // instead of Dim² filtered to half
-    val prods = q.select(explode(flatten(
-        transform(col("qv"), (xi: Column, i: Column) =>
-          transform(slice(col("qv"), i + 1, lit(Dim) - i),
-            (xj: Column, j0: Column) =>
-              struct(i.as("i"), (i + j0).as("j"), (xi * xj).as("p"))))))
-        .as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("sxy"), count(lit(1)).as("n"))
-    val sums = q.select(posexplode(col("qv")).as(Seq("d", "x")))
-      .groupBy("d").agg(sum(col("x")).as("sx"))
-    prods
-      .join(sums.select(col("d").as("ia"), col("sx").as("sxa")),
-        col("i") === col("ia"))
-      .join(sums.select(col("d").as("ib"), col("sx").as("sxb")),
-        col("j") === col("ib"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("sxy"),
+      .select(transform(col("embedding"),
+        e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+    val packed = q.as[Seq[Long]]
+      .select(new graft.functions.GramMatrix(Dim).toColumn)
+      .toDF("g")
+      .select(slice(col("g"), 1, tri).as("prods"),
+        slice(col("g"), tri + 1, Dim).as("sx"),
+        element_at(col("g"), tri + Dim + 1).as("n"))
+      .filter(col("n") > 0)
+    // k enumerates (i, j >= i) in the same ascending order the kernel
+    // packs, so the index map is positional
+    val idx = (for { i <- 0 until Dim; j <- i until Dim }
+      yield (i.toLong, j.toLong)).zipWithIndex
+      .map { case ((i, j), k) => (k, i, j) }.toDF("k", "i", "j")
+    packed
+      .select(col("sx"), col("n"), posexplode(col("prods")).as(Seq("k", "sxy")))
+      .join(broadcast(idx), Seq("k"))
+      .select(col("i"), col("j"), col("sxy"),
         ((col("sxy").cast("double") -
-          col("sxa").cast("double") * col("sxb").cast("double") / col("n"))
+          element_at(col("sx"), (col("i") + 1).cast("int")).cast("double") *
+            element_at(col("sx"), (col("j") + 1).cast("int")).cast("double") /
+            col("n"))
           / col("n")).as("cov"))
       .orderBy("i", "j")
   }
