@@ -207,6 +207,11 @@ object Multimodal {
     import spark.implicits._
     assets(spark, sfDir).select("doc_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // memory-only codec: ImageIO defaults to a DISK-backed stream
+        // cache — a temp file created and deleted per image — which
+        // degrades ~4x in a long suite with heavy tmp churn (measured:
+        // q179 2.4s standalone vs 9.9s in-suite before this)
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           val h = math.max(1, (bytes.length + ImgWidth - 1) / ImgWidth)
           val img = new java.awt.image.BufferedImage(
@@ -236,6 +241,7 @@ object Multimodal {
   def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     pngAssets(spark, sfDir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no per-image temp file
       it.map { a =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.png))
@@ -281,6 +287,7 @@ object Multimodal {
   def imagePhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val hashes = pngAssets(spark, sfDir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no per-image temp file
       it.map { a =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.png))
