@@ -107,4 +107,38 @@ class PropertySpec extends AnyFunSuite {
       k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == whole, "bucket-count SUM-merge must equal one pass")
   }
+
+  test("wordNgrams kernel equals the naive sliding join on random arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val arr = Gen.listOf(word)
+    check(forAll(arr, Gen.chooseNum(1, 6)) { (ws, n) =>
+      val in = new GenericArrayData(
+        ws.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.TextOps.wordNgrams(in, n)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val want = if (ws.size < n) Nil
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      got == want
+    })
+  }
+
+  test("GramMatrix partials merge to the single-pass fold (random splits)") {
+    // the property that lets 1000 executors each fold their partition
+    // and merge exact partials — associativity over random vector sets
+    val dim = 4
+    val vec = Gen.listOfN(dim, Gen.chooseNum(-1024L, 1024L))
+    val corpus = Gen.nonEmptyListOf(vec)
+    check(forAll(corpus, Gen.chooseNum(0, 100)) { (vs, cutPct) =>
+      val agg = new graft.functions.GramMatrix(dim)
+      val whole = vs.foldLeft(agg.zero)(agg.reduce).toSeq
+      val cut = vs.size * cutPct / 100
+      val (l, r) = vs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)).toSeq
+      merged == whole
+    })
+  }
 }
