@@ -1021,6 +1021,110 @@ object Similarity {
        |FROM af x LEFT JOIN d ON x.vec_id = d.vec_id
        |ORDER BY x.vec_id""".stripMargin
 
+  /** Cluster-size cap for q257: any cluster larger than this is
+    * deterministically sub-sharded before the pairwise pass. Sized so
+    * BOTH branches fire under the oracle: sf0.01's k-means sizes run
+    * 53–71, so clusters ≤ 64 take the single-shard (uncapped) path
+    * and the 66–71 tail shards in two; at sf0.1 every cluster
+    * (224–259 members) is capped into 4–5 shards. */
+  val SemDedupCap = 64L
+
+  /** q257 — capped SemDeDup with a per-cluster pruning audit: the
+    * production guard q132 deliberately omits. q132's within-cluster
+    * pairwise pass is quadratic in the HOT cluster — one runaway
+    * cluster (the empty-string/boilerplate attractor every real
+    * corpus has) turns "bucketed, never all-pairs" back into
+    * all-pairs. The guard: clusters larger than [[SemDedupCap]] are
+    * split into ceil(n/cap) deterministic sub-shards (md5 of vec_id —
+    * engine-portable, no RNG) and pairs are compared only WITHIN a
+    * (cluster, shard) cell, so per-cell work is ≤ C(≈cap, 2)
+    * regardless of cluster size. Cross-shard duplicate pairs are the
+    * deliberately-traded recall (SemDeDup's own K-vs-recall dial,
+    * arXiv:2303.09540 §3 — at 100 TB you raise K so E[size] ≈ cap
+    * and the shards rarely engage; here they MUST engage so the
+    * branch is tested). Output is the q220-style audit the operator
+    * watches: per cluster, members / shards / capped flag / pairs
+    * actually examined / dups flagged / survivors — all exact
+    * integers, so the only float in the query is the rounded cosine
+    * inside the threshold (the q122 discipline).
+    *
+    * Scale shape: assignment is map-only (codebook literals); the
+    * size/shard decoration joins an 8-row broadcast back to the scan;
+    * the pairwise join is equi on (cid, shard) — a bucketed
+    * shuffle whose largest cell is cap-bounded, so the plan survives
+    * any cluster-size distribution; audits are one groupBy each. */
+  def semDedupCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val cap = SemDedupCap
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val code = kmeansCodebook(e, KmeansK, KmeansRounds)
+    val a = e.select(col("vec_id"),
+      nearest(col("v"), code)._1.as("cid"), col("v"))
+    val sizes = a.groupBy("cid").agg(count(lit(1)).as("n"))
+    val ws = a.join(broadcast(sizes), Seq("cid"))
+      .withColumn("n_shards", expr(s"(n + ${cap - 1}) div $cap"))
+      .withColumn("shard",
+        graft.ext.Dedup.hash60(concat_ws("|", col("vec_id"), lit("shard")))
+          % col("n_shards"))
+    val cells = ws.groupBy(col("cid"), col("shard"))
+      .agg(count(lit(1)).as("m"))
+    val pairs = cells.groupBy("cid")
+      .agg(sum(expr("m * (m - 1) div 2")).as("pairs_examined"))
+    val dups = ws.as("x")
+      .join(ws.as("y"),
+        col("x.cid") === col("y.cid") && col("x.shard") === col("y.shard") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .filter(round(cosine(col("x.v"), col("y.v")), 6) >= SemDedupTau)
+      .select(col("x.cid").as("cid"), col("x.vec_id").as("vec_id"))
+      .distinct()
+      .groupBy("cid").agg(count(lit(1)).as("n_dups"))
+    sizes
+      .join(pairs, Seq("cid"), "left")
+      .join(dups, Seq("cid"), "left")
+      .select(col("cid"), col("n").as("n_members"),
+        expr(s"(n + ${cap - 1}) div $cap").as("n_shards"),
+        (col("n") > cap).as("capped"),
+        coalesce(col("pairs_examined"), lit(0L)).as("pairs_examined"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col("n") - coalesce(col("n_dups"), lit(0L))).as("n_kept"))
+      .orderBy("cid")
+  }
+
+  val semDedupCappedSql: String = {
+    val cap = SemDedupCap
+    s"""${kmeansAfCteSql(keepFinalV = true)},
+       |sz AS (SELECT cid, COUNT(*) AS n FROM af GROUP BY 1),
+       |ws AS MATERIALIZED (
+       |  SELECT af.vec_id, af.cid, af.v,
+       |         (sz.n + ${cap - 1}) // $cap AS n_shards,
+       |         ('0x'||substr(md5(af.vec_id::VARCHAR||'|shard'),1,15))
+       |           ::BIGINT % ((sz.n + ${cap - 1}) // $cap) AS shard
+       |  FROM af JOIN sz USING (cid)
+       |), cells AS (
+       |  SELECT cid, shard, COUNT(*) AS m FROM ws GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT cid, CAST(SUM(m * (m - 1) // 2) AS BIGINT)
+       |           AS pairs_examined
+       |  FROM cells GROUP BY 1
+       |), d AS (
+       |  SELECT a.cid, a.vec_id
+       |  FROM ws a JOIN ws b ON a.cid = b.cid AND a.shard = b.shard
+       |                     AND b.vec_id < a.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemDedupTau
+       |  GROUP BY 1, 2
+       |), dc AS (
+       |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dups FROM d GROUP BY 1
+       |)
+       |SELECT sz.cid, sz.n AS n_members,
+       |       (sz.n + ${cap - 1}) // $cap AS n_shards,
+       |       sz.n > $cap AS capped,
+       |       COALESCE(p.pairs_examined, 0) AS pairs_examined,
+       |       COALESCE(dc.n_dups, 0) AS n_dups,
+       |       sz.n - COALESCE(dc.n_dups, 0) AS n_kept
+       |FROM sz LEFT JOIN pairs p USING (cid) LEFT JOIN dc USING (cid)
+       |ORDER BY cid""".stripMargin
+  }
+
   /** z-score threshold for q122 — flag a vector when its cohesion with
     * its own label's centroid sits ≥ 2σ below the label mean. */
   val OutlierZ = 2.0

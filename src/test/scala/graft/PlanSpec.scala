@@ -442,6 +442,19 @@ class PlanSpec extends SparkSpec {
       s"salted join degenerated to a product:\n$plan")
   }
 
+  test("q257: the SemDeDup pair join is bucketed on (cid, shard)") {
+    val plan = finalPlan("q257_semdedup_capped")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"capped SemDeDup pair join degenerated to a product:\n$plan")
+    // the pairwise join must key on BOTH the cluster id and the
+    // sub-shard — a cid-only equi key would re-open the hot-cluster
+    // quadratic the cap exists to bound
+    assert("Join \\[cid#\\d+L?, shard#\\d+L?\\]".r
+      .findFirstIn(plan).isDefined,
+      s"pair join is not keyed (cid, shard):\n$plan")
+  }
+
   test("q35/q48: corpus explodes exactly twice (bench/vocab + corpus)") {
     // the one-pass left-join rewrites keep a single corpus-side subplan;
     // a regression to split hit/total (or tf-recompute) subplans shows
