@@ -60,7 +60,11 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  private val hash60Sql: String => String =
+  /** DuckDB twin of [[hash60]]; package-wide so every oracle that
+    * needs the 60-bit hash (SemDeDup shards, the derived partsupp)
+    * interpolates ONE definition — hand-kept copies of the arithmetic
+    * are how one engine drifts from the other. */
+  private[graft] val hash60Sql: String => String =
     e => s"('0x'||substr(md5($e),1,15))::BIGINT"
 
   /** THE deterministic per-mille sampling predicate over an id: the

@@ -1097,8 +1097,8 @@ object Similarity {
        |ws AS MATERIALIZED (
        |  SELECT af.vec_id, af.cid, af.v,
        |         (sz.n + ${cap - 1}) // $cap AS n_shards,
-       |         ('0x'||substr(md5(af.vec_id::VARCHAR||'|shard'),1,15))
-       |           ::BIGINT % ((sz.n + ${cap - 1}) // $cap) AS shard
+       |         ${Dedup.hash60Sql("af.vec_id::VARCHAR||'|shard'")}
+       |           % ((sz.n + ${cap - 1}) // $cap) AS shard
        |  FROM af JOIN sz USING (cid)
        |), cells AS (
        |  SELECT cid, shard, COUNT(*) AS m FROM ws GROUP BY 1, 2
@@ -1123,6 +1123,114 @@ object Similarity {
        |       sz.n - COALESCE(dc.n_dups, 0) AS n_kept
        |FROM sz LEFT JOIN pairs p USING (cid) LEFT JOIN dc USING (cid)
        |ORDER BY cid""".stripMargin
+  }
+
+  /** Cap values swept by q258 — brackets [[SemDedupCap]] so the audit
+    * prices both a tighter and a looser guard than the one q257
+    * ships. */
+  val SemDedupCapSweep = Seq(32L, 64L, 128L)
+
+  /** q258 — capped-SemDeDup RECALL audit: q257 trades cross-shard
+    * duplicate pairs for cap-bounded work, and this query MEASURES
+    * that trade instead of asserting it (the q81/q246/q253
+    * "measure, don't guess" discipline). Ground truth is q132's full
+    * within-cluster dup set; for each cap in [[SemDedupCapSweep]] and
+    * each cluster it reports how many of those dups a capped pass
+    * would still flag, the miss count, and recall in integer ppm
+    * (floor division — no float fold anywhere; the only float is the
+    * rounded cosine inside the threshold, as in q132/q257).
+    *
+    * The sweep costs ONE pairwise pass, not three: the full
+    * within-cluster qualifying-pair list is computed once (exactly
+    * q132's join), each endpoint's 60-bit shard hash is
+    * cap-independent, and the cap sweep is a literal explode over
+    * that already-small pair list (the q209/q218 no-join shape) —
+    * shard membership per cap is pure modulus arithmetic. A pair
+    * survives cap c iff both endpoints hash into the same
+    * ceil(n/c)-shard, which is precisely q257's pair predicate, so
+    * the cap=64 column reconciles row-for-row with q257's n_dups
+    * (pinned in RoundNineOpsSpec).
+    *
+    * Scale shape: the ground-truth join is within-cluster pairwise —
+    * the audit is priced like q132, NOT like q257; at 100 TB you run
+    * it on a fixture-sized holdout the way q253 samples q246's exact
+    * audit. Everything after the pair list is broadcast-sized
+    * (8 clusters × 3 caps). */
+  def semDedupCapRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val code = kmeansCodebook(e, KmeansK, KmeansRounds)
+    val a = e.select(col("vec_id"),
+      nearest(col("v"), code)._1.as("cid"), col("v"))
+    val sizes = a.groupBy("cid").agg(count(lit(1)).as("n"))
+    val shardHash = (c: Column) =>
+      graft.ext.Dedup.hash60(concat_ws("|", c, lit("shard")))
+    // ONE full pairwise pass — q132's ground-truth qualifying pairs
+    val qp = a.as("x")
+      .join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .filter(round(cosine(col("x.v"), col("y.v")), 6) >= SemDedupTau)
+      .select(col("x.cid").as("cid"), col("x.vec_id").as("va"),
+        col("y.vec_id").as("vb"))
+    val swept = qp
+      .join(broadcast(sizes), Seq("cid"))
+      .withColumn("ha", shardHash(col("va")))
+      .withColumn("hb", shardHash(col("vb")))
+      .withColumn("cap", explode(typedlit(SemDedupCapSweep)))
+      .withColumn("ns", expr("(n + cap - 1) div cap"))
+      .withColumn("same_shard",
+        (col("ha") % col("ns")) === (col("hb") % col("ns")))
+      .groupBy("cap", "cid")
+      .agg(countDistinct(col("va")).as("dups_full"),
+        countDistinct(when(col("same_shard"), col("va"))).as("dups_capped"))
+    sizes
+      .withColumn("cap", explode(typedlit(SemDedupCapSweep)))
+      .join(swept, Seq("cap", "cid"), "left")
+      .select(col("cap"), col("cid"), col("n").as("n_members"),
+        (col("n") > col("cap")).as("capped"),
+        coalesce(col("dups_full"), lit(0L)).as("dups_full"),
+        coalesce(col("dups_capped"), lit(0L)).as("dups_capped"),
+        (coalesce(col("dups_full"), lit(0L)) -
+          coalesce(col("dups_capped"), lit(0L))).as("missed"),
+        when(coalesce(col("dups_full"), lit(0L)) > 0,
+          expr("dups_capped * 1000000 div dups_full")).as("recall_ppm"))
+      .orderBy("cap", "cid")
+  }
+
+  val semDedupCapRecallSql: String = {
+    val h = Dedup.hash60Sql
+    val caps = SemDedupCapSweep.mkString("[", ",", "]")
+    s"""${kmeansAfCteSql(keepFinalV = true)},
+       |sz AS (SELECT cid, COUNT(*) AS n FROM af GROUP BY 1),
+       |qp AS MATERIALIZED (
+       |  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+       |  FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemDedupTau
+       |), caps AS (SELECT CAST(unnest($caps) AS BIGINT) AS cap),
+       |pe AS MATERIALIZED (
+       |  SELECT c.cap, q.cid, q.va,
+       |         ${h("q.va::VARCHAR||'|shard'")}
+       |           % ((sz.n + c.cap - 1) // c.cap)
+       |         = ${h("q.vb::VARCHAR||'|shard'")}
+       |           % ((sz.n + c.cap - 1) // c.cap) AS same_shard
+       |  FROM qp q JOIN sz USING (cid) CROSS JOIN caps c
+       |), ag AS (
+       |  SELECT cap, cid, COUNT(DISTINCT va) AS dups_full,
+       |         COUNT(DISTINCT CASE WHEN same_shard THEN va END)
+       |           AS dups_capped
+       |  FROM pe GROUP BY 1, 2
+       |)
+       |SELECT c.cap, sz.cid, sz.n AS n_members, sz.n > c.cap AS capped,
+       |       COALESCE(ag.dups_full, 0) AS dups_full,
+       |       COALESCE(ag.dups_capped, 0) AS dups_capped,
+       |       COALESCE(ag.dups_full, 0) - COALESCE(ag.dups_capped, 0)
+       |         AS missed,
+       |       CASE WHEN COALESCE(ag.dups_full, 0) > 0
+       |            THEN ag.dups_capped * 1000000 // ag.dups_full END
+       |         AS recall_ppm
+       |FROM sz CROSS JOIN caps c
+       |LEFT JOIN ag ON ag.cap = c.cap AND ag.cid = sz.cid
+       |ORDER BY c.cap, sz.cid""".stripMargin
   }
 
   /** z-score threshold for q122 — flag a vector when its cohesion with

@@ -665,34 +665,38 @@ object Decision {
 
   /** The same derivation as DuckDB CTEs (prefix for the four oracles).
     *
-    * Hardened (round 8) against the single-session oracle flake that
-    * cost rounds 6-7 a clean gate: the original embedded a scalar
-    * subquery (`% (SELECT COUNT(*) FROM supplier)`) inside a DISTINCT
-    * projection — the one construct in the whole 256-oracle surface
-    * that DuckDB re-plans per session.  Now the count is its own
-    * pre-aggregated 1-row CTE cross-joined in, and both derivation
-    * stages carry `AS MATERIALIZED` barriers so each statement
-    * computes partsupp exactly once from a pinned plan (the q253-twin
-    * precedent).  At fixture SFs the materialized table is ≤ 4·|part|
-    * rows, so the barrier costs nothing. */
-  val partsuppCte: String =
-    """supcnt AS MATERIALIZED (
+    * Hardened (round 8): the original embedded a scalar subquery
+    * (`% (SELECT COUNT(*) FROM supplier)`) inside a DISTINCT
+    * projection — a legitimate per-session replan hazard, now a
+    * pre-aggregated 1-row CTE cross-joined in, with `AS MATERIALIZED`
+    * barriers pinning both derivation stages (the q253-twin
+    * precedent).  NOTE (round 8 adjudication): the driver-gate q248
+    * flake PERSISTED after this hardening while 8 single-session
+    * sweeps × 257 oracles could not flip it — the flake was
+    * adjudicated to the DRIVER's compare path (decimal128 output
+    * handling the prime suspect), not to this SQL.  Keep the barriers
+    * (they remove a real hazard) but do not chase the flake here; see
+    * `tools/flake_repro.py --full` and q248's BIGINT output cast.
+    * At fixture SFs the materialized table is ≤ 4·|part| rows, so the
+    * barrier costs nothing. */
+  val partsuppCte: String = {
+    val h = graft.ext.Dedup.hash60Sql
+    s"""supcnt AS MATERIALIZED (
       |  SELECT COUNT(*) AS n_sup FROM supplier
       |), pscand AS MATERIALIZED (
       |  SELECT DISTINCT p.p_partkey AS ps_partkey,
-      |         ('0x'||substr(md5(p.p_partkey::VARCHAR||'|'||k.k::VARCHAR),
-      |                       1,15))::BIGINT % sc.n_sup AS ps_suppkey
+      |         ${h("p.p_partkey::VARCHAR||'|'||k.k::VARCHAR")}
+      |           % sc.n_sup AS ps_suppkey
       |  FROM part p, (SELECT unnest([0,1,2,3]) AS k) k, supcnt sc
       |), partsupp AS MATERIALIZED (
       |  SELECT ps_partkey, ps_suppkey,
-      |         1 + ('0x'||substr(md5(ps_partkey::VARCHAR||'|'||
-      |               ps_suppkey::VARCHAR||'|a'),1,15))::BIGINT % 9999
-      |           AS ps_availqty,
-      |         100 + ('0x'||substr(md5(ps_partkey::VARCHAR||'|'||
-      |               ps_suppkey::VARCHAR||'|c'),1,15))::BIGINT % 99901
-      |           AS ps_supplycost_cents
+      |         1 + ${h("ps_partkey::VARCHAR||'|'||ps_suppkey::VARCHAR||'|a'")}
+      |               % 9999 AS ps_availqty,
+      |         100 + ${h("ps_partkey::VARCHAR||'|'||ps_suppkey::VARCHAR||'|c'")}
+      |               % 99901 AS ps_supplycost_cents
       |  FROM pscand
       |)""".stripMargin
+  }
 
   /** q247 — min-cost supplier (the TPC-H Q2 shape): for STANDARD
     * size-15 parts, the EUROPE supplier(s) whose supply cost equals
@@ -767,6 +771,13 @@ object Decision {
     // design point. DECIMAL(38,0) folds (HUGEINT in the twin) keep the
     // total and the cross-multiplied threshold compare exact where a
     // BIGINT sum would wrap silently under Spark's non-ANSI mode.
+    // The OUTPUT column, however, is per-part: the derivation caps a
+    // part at 4 (partkey, suppkey) pairs and each pair's value at
+    // 100000 · 9999, so value_cents ≤ 4 · 999 900 000 < 4e9 at ANY
+    // scale factor — it leaves as BIGINT (range pinned in
+    // DecisionSpec), eliminating decimal128 from the query's output
+    // surface (the round-8 flake adjudication's prime suspect in the
+    // driver's cross-engine hash).
     val grp = partsupp(spark, sfDir)
       .join(Tables.load(spark, sfDir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey")),
@@ -776,11 +787,12 @@ object Decision {
         col("n_nationkey") === col("s_nationkey"))
       .groupBy("ps_partkey")
       .agg(sum((col("ps_supplycost_cents") * col("ps_availqty"))
-        .cast("decimal(38,0)")).as("value_cents"))
-    val tot = grp.agg(sum("value_cents").as("t"), count(lit(1)).as("g"))
+        .cast("decimal(38,0)")).as("value_dec"))
+    val tot = grp.agg(sum("value_dec").as("t"), count(lit(1)).as("g"))
     grp.crossJoin(broadcast(tot))
-      .filter(col("value_cents") * col("g") > col("t") * 2)
-      .select(col("ps_partkey"), col("value_cents"))
+      .filter(col("value_dec") * col("g") > col("t") * 2)
+      .select(col("ps_partkey"),
+        col("value_dec").cast("long").as("value_cents"))
       .orderBy(col("value_cents").desc, col("ps_partkey"))
   }
 
@@ -794,15 +806,15 @@ object Decision {
        |  WHERE n.n_name = 'NATION_3'
        |), grp AS MATERIALIZED (
        |  SELECT ps_partkey,
-       |         CAST(SUM(v::HUGEINT) AS DECIMAL(38,0)) AS value_cents
+       |         CAST(SUM(v::HUGEINT) AS DECIMAL(38,0)) AS value_dec
        |  FROM natps GROUP BY 1
        |), tot AS (
-       |  SELECT CAST(SUM(value_cents) AS DECIMAL(38,0)) AS t, COUNT(*) AS g
+       |  SELECT CAST(SUM(value_dec) AS DECIMAL(38,0)) AS t, COUNT(*) AS g
        |  FROM grp
        |)
-       |SELECT ps_partkey, value_cents
+       |SELECT ps_partkey, CAST(value_dec AS BIGINT) AS value_cents
        |FROM grp, tot
-       |WHERE value_cents * g > t * 2
+       |WHERE value_dec * g > t * 2
        |ORDER BY value_cents DESC, ps_partkey""".stripMargin
 
   /** q249 — supplier counts by part attribute (the TPC-H Q16 shape):

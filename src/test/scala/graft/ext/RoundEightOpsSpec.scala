@@ -28,8 +28,17 @@ class RoundEightOpsSpec extends SparkSpec {
         assert(pairs == allPairs,
           s"uncapped cluster must examine every pair: $r")
       else
+        // pairs == allPairs on a capped cluster is NOT an engine bug:
+        // it means every member md5-hashed into one shard, i.e. the
+        // fixture stopped covering the sharding branch — say so, or a
+        // regenerated fixture reads as a pair-count defect.
         assert(pairs < allPairs && pairs > 0,
-          s"capped cluster must examine a strict, non-empty subset: $r")
+          if (pairs == allPairs)
+            s"capped cluster examined ALL pairs — every member hashed " +
+              s"into a single shard; fixture no longer covers the " +
+              s"sharding branch (regenerate or lower the cap): $r"
+          else
+            s"capped cluster must examine a strict, non-empty subset: $r")
     }
     // both branches must actually fire at fixture SF, or the oracle
     // stops covering one of them

@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Invariants for q258 (capped-SemDeDup recall audit) the row-hash
+  * oracle can't express: recall is a true fraction of q132's ground
+  * truth (≤ 1, equal to 1 exactly where the cap leaves a cluster
+  * whole), the cap=SemDedupCap column reconciles row-for-row with
+  * q257's shipped dup counts, and the ground-truth column reconciles
+  * with q132 itself — the audit must MEASURE the shipped queries, not
+  * a private reimplementation of them. */
+class RoundNineOpsSpec extends SparkSpec {
+
+  private lazy val rows =
+    Similarity.semDedupCapRecall(spark, sf001).collect()
+
+  test("q258: recall is bounded, exact on uncapped clusters") {
+    assert(rows.nonEmpty, "fixture must produce audit rows")
+    val caps = Similarity.SemDedupCapSweep
+    assert(caps.contains(Similarity.SemDedupCap),
+      "the sweep must bracket the cap q257 actually ships")
+    val nClusters = rows.map(_.getLong(1)).distinct.length
+    assert(rows.length == nClusters * caps.length,
+      "one audit row per (cap, cluster)")
+    rows.foreach { r =>
+      val (cap, n, capped) = (r.getLong(0), r.getLong(2), r.getBoolean(3))
+      val (full, cappedDups, missed) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(capped == (n > cap), s"capped flag wrong: $r")
+      assert(cappedDups <= full, s"capped pass flagged MORE than full: $r")
+      assert(missed == full - cappedDups, s"missed identity broken: $r")
+      if (r.isNullAt(7))
+        assert(full == 0, s"recall may be null only with no dups: $r")
+      else {
+        val recall = r.getLong(7)
+        assert(recall <= 1000000L, s"recall > 1: $r")
+        assert(recall == cappedDups * 1000000L / full,
+          s"recall_ppm must be the floor-div of the counts: $r")
+      }
+      if (!capped) {
+        // one shard => the capped pass IS the full pass
+        assert(missed == 0, s"uncapped cluster missed dups: $r")
+        if (full > 0)
+          assert(r.getLong(7) == 1000000L,
+            s"uncapped cluster must have recall exactly 1: $r")
+      }
+    }
+    // the trade must be VISIBLE at fixture SF for at least one cap, or
+    // the audit measures nothing (32 caps sf0.001's ~8x12-member
+    // clusters into multiple shards)
+    assert(rows.exists(_.getLong(6) > 0),
+      "no cap missed any dup — the fixture no longer exercises the " +
+        "cross-shard trade; shrink the smallest swept cap")
+  }
+
+  test("q258: cap=SemDedupCap column reconciles with q257, ground truth with q132") {
+    val shipCap = Similarity.SemDedupCap
+    val atShip = rows.filter(_.getLong(0) == shipCap)
+      .map(r => r.getLong(1) -> r.getLong(5)).toMap
+    val q257 = Similarity.semDedupCapped(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(atShip.keySet == q257.keySet, "cluster sets must agree")
+    atShip.foreach { case (cid, dups) =>
+      assert(dups == q257(cid),
+        s"cid $cid: audit's cap=$shipCap dup count $dups != q257's " +
+          s"${q257(cid)} — the audit is no longer measuring the " +
+          s"shipped predicate")
+    }
+    val full = rows.filter(_.getLong(0) == shipCap)
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    val q132 = Similarity.semDedup(spark, sf001).collect()
+      .filter(!_.getBoolean(4))
+      .groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    full.foreach { case (cid, f) =>
+      assert(f == q132.getOrElse(cid, 0L),
+        s"cid $cid: ground-truth dups $f != q132's flagged count " +
+          s"${q132.getOrElse(cid, 0L)}")
+    }
+  }
+}

@@ -28,6 +28,34 @@ class GramMatrixSpec extends SparkSpec {
     assert(agg.zero.toSeq == Seq.fill(dim * (dim + 1) / 2 + dim + 1)(0L))
   }
 
+  test("overflow headroom: worst-case cell bound from (CovScale, Dim)") {
+    // The kernel's exact-long claim rests on the worst-case triangle
+    // cell N · CovScale² staying far inside Long.MaxValue at the
+    // 100 TB design point (~1e10 vectors). Pin that bound in BigInt
+    // so a CovScale bump (e.g. 1024 → 2^20 for finer quantization)
+    // fails HERE instead of wrapping silently in production folds.
+    val scale = graft.ext.Similarity.CovScale
+    assert(scale == scale.toLong.toDouble && scale > 0,
+      "CovScale must be a positive integer-valued scale")
+    val designVectors = BigInt(10).pow(10)   // ~100 TB of embeddings
+    val worstCell = designVectors * BigInt(scale.toLong).pow(2)
+    val margin = BigInt(Long.MaxValue) / worstCell
+    assert(margin >= 100,
+      s"worst-case Gram cell $worstCell leaves only ${margin}x headroom " +
+        s"under Long.MaxValue at $designVectors vectors — shrink CovScale " +
+        s"or move the fold to DECIMAL before shipping")
+    // the bound's premise: quantized components actually stay within
+    // ±CovScale, i.e. the fixture's embeddings are unit-bounded
+    import org.apache.spark.sql.functions._
+    val maxQ = graft.Tables.load(spark, sf001, "embeddings")
+      .select(array_max(transform(col("embedding"),
+        e => abs(round(e.cast("double") * scale).cast("long")))).as("m"))
+      .agg(max("m")).head().getLong(0)
+    assert(maxQ <= scale.toLong,
+      s"fixture component quantizes to $maxQ > $scale — the N·CovScale² " +
+        s"bound no longer holds; re-derive it from the real component range")
+  }
+
   test("q210 through the aggregator equals the exploded brute force") {
     import org.apache.spark.sql.functions._
     val got = graft.ext.Similarity.embeddingCovariance(spark, sf001)

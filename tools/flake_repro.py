@@ -1,32 +1,58 @@
 #!/usr/bin/env python3
-"""Reproducer for the single-session DuckDB oracle flake (round-7 q248).
+"""Reproducer for the driver-gate oracle flake (q248, rounds 6-8).
 
-The driver's gate runs all 256 oracle SQL statements through ONE
-long-lived DuckDB connection.  Twice now (builder r7 gate, driver r7
-gate) exactly one query's hash flipped in that shape and was green on
-every rerun — rows and schema matching, values transiently off.  This
-script reproduces the driver's shape in a loop:
+History: three consecutive driver gates flipped q248's hash (rows and
+schema matching, values transiently off) while every repo-side rerun
+was green.  Round 7 blamed a correlated scalar subquery; round 8
+removed it and the driver STILL flipped — so the round-8 adjudication
+moved the suspect to the driver's COMPARE path (decimal128 output
+handling on the parquet-read/hash side), which the original version of
+this tool never exercised: it only looped the DuckDB oracle half.
 
-  one connection -> register sf views -> run every oracle -> hash each
-  result -> repeat N sweeps -> report any query whose hash is not
-  bit-identical across all sweeps (plus WHICH rows differed).
+This version replicates BOTH halves of the driver's pipeline:
 
-Usage: python3 tools/flake_repro.py [sfDir] [outDir] [sweeps]
+  default mode   — the original shape: one long-lived DuckDB session,
+                   every oracle, N sweeps, flag any hash instability.
+  --full         — the cross-engine compare: per query, hash THREE
+                   canonicalized reads — the DuckDB oracle, the Spark
+                   result parquet read through DuckDB, and the same
+                   parquet read through pyarrow (the driver's likely
+                   read path) — then compare all pairs per sweep and
+                   track stability across sweeps.  A pyarrow-vs-duckdb
+                   disagreement on the SAME parquet bytes is the
+                   smoking gun the round-8 verdict asked for.
+
+On ANY mismatch a per-row diff artifact lands in
+<outDir>/flake_artifacts/ so the next red gate is self-diagnosing:
+row counts on both sides, the multiset (Counter) symmetric difference
+(positional zip lies when a row is inserted/removed), and the python
+types of the first differing cells.  --full also prints a decimal
+audit: every query whose output schema still carries decimal128,
+since those are the flake-prone surface.
+
+Usage: python3 tools/flake_repro.py [sfDir] [outDir] [sweeps] [--full]
 
 Hash mimics the driver: columns sorted by name, row tuples sorted,
 md5 over the python-value repr stream.
 """
+import collections
+import datetime
 import glob
 import hashlib
 import json
+import os
 import sys
 import time
 
 import duckdb
+import pyarrow.parquet as pq
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-sweeps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+args = [a for a in sys.argv[1:] if a != "--full"]
+FULL = "--full" in sys.argv[1:]
+sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out = args[1] if len(args) > 1 else "/tmp/verify_out"
+sweeps = int(args[2]) if len(args) > 2 else 10
+art_dir = f"{out}/flake_artifacts"
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
@@ -35,14 +61,33 @@ for p in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(oracle)
-print(f"[repro] {len(names)} oracles, {sweeps} sweeps, one session, sf={sf}",
+mode = "FULL cross-engine compare" if FULL else "oracle-only"
+print(f"[repro] {len(names)} oracles, {sweeps} sweeps, {mode}, sf={sf}",
       flush=True)
 
 
-def run_hash(sql):
-    t = con.execute(sql).fetch_arrow_table()
-    cols = sorted(t.column_names)
-    rows = sorted(tuple(repr(r[c]) for c in cols) for r in t.to_pylist())
+def cell(v):
+    """One cell -> canonical string.  Datetime-likes normalize to
+    isoformat because the two read paths wrap the SAME instant in
+    different classes (pyarrow hands back pandas.Timestamp where
+    DuckDB hands datetime.datetime — a pure library-repr artifact,
+    verified identical-valued on 9 timestamp queries when this tool
+    first ran without the normalization).  Decimals deliberately KEEP
+    their raw repr: a digit-form divergence between the engines'
+    decimal128 paths is exactly the q248 suspect this tool exists to
+    catch, so it must stay visible, not be normalized away."""
+    if isinstance(v, datetime.datetime):   # includes pandas.Timestamp
+        return "ts:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    return repr(v)
+
+
+def canon(table):
+    """Driver-shaped canonicalization of an arrow table: columns sorted
+    by name, one canonical string per cell, row tuples sorted."""
+    cols = sorted(table.column_names)
+    rows = sorted(tuple(cell(r[c]) for c in cols) for r in table.to_pylist())
     h = hashlib.md5()
     for r in rows:
         for v in r:
@@ -52,32 +97,106 @@ def run_hash(sql):
     return h.hexdigest(), rows
 
 
-baseline = {}      # name -> (hash, rows) from sweep 0
-flips = {}         # name -> list of (sweep, hash)
+def diff_artifact(name, tag, a_label, a_rows, b_label, b_rows):
+    """Multiset diff (Counter symmetric difference) + explicit counts;
+    positional zip misreports everything after an insertion."""
+    ca, cb = collections.Counter(a_rows), collections.Counter(b_rows)
+    only_a = list((ca - cb).elements())
+    only_b = list((cb - ca).elements())
+    art = {
+        "query": name, "tag": tag,
+        a_label + "_rows": len(a_rows), b_label + "_rows": len(b_rows),
+        "only_in_" + a_label: only_a[:20], "only_in_" + b_label: only_b[:20],
+        "n_only_in_" + a_label: len(only_a), "n_only_in_" + b_label: len(only_b),
+        "first_cell_types": None,
+    }
+    if only_a and only_b:
+        art["first_cell_types"] = [
+            [t for t in map(lambda s: s.split("(")[0], only_a[0])],
+            [t for t in map(lambda s: s.split("(")[0], only_b[0])]]
+    os.makedirs(art_dir, exist_ok=True)
+    path = f"{art_dir}/{name}_{tag}.json"
+    json.dump(art, open(path, "w"), indent=1, default=str)
+    print(f"[repro] MISMATCH {name} ({tag}): {a_label}={len(a_rows)} rows, "
+          f"{b_label}={len(b_rows)} rows, multiset diff "
+          f"{len(only_a)}/{len(only_b)} -> {path}", flush=True)
+
+
+def spark_tables(name):
+    """The Spark result parquet read two ways: through DuckDB and
+    through pyarrow (the driver's likely path)."""
+    d = f"{out}/{name}"
+    t_duck = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetch_arrow_table()
+    parts = sorted(glob.glob(f"{d}/*.parquet"))
+    t_arrow = pq.ParquetDataset(parts).read()
+    return t_duck, t_arrow
+
+
+if FULL:
+    dec = []
+    for name in names:
+        try:
+            _, t_arrow = spark_tables(name)
+            bad = [f.name for f in t_arrow.schema
+                   if str(f.type).startswith("decimal")]
+            if bad:
+                dec.append((name, bad))
+        except Exception as e:
+            print(f"[repro] decimal-audit {name}: unreadable: {e}", flush=True)
+    if dec:
+        print(f"[repro] DECIMAL AUDIT: {len(dec)} queries still emit "
+              f"decimal128 output columns (flake-prone surface): {dec}",
+              flush=True)
+    else:
+        print("[repro] DECIMAL AUDIT: no query emits decimal128 output — "
+              "the adjudicated flake surface is empty", flush=True)
+
+baseline = {}      # name -> {tag: (hash, rows)} from sweep 0
+flips = {}         # name -> list of (sweep, detail)
 for s in range(sweeps):
     t0 = time.time()
     for name in names:
         try:
-            hsh, rows = run_hash(oracle[name])
+            sides = {}
+            hsh, rows = canon(con.execute(oracle[name]).fetch_arrow_table())
+            sides["oracle"] = (hsh, rows)
+            if FULL:
+                t_duck, t_arrow = spark_tables(name)
+                sides["spark_duck"] = canon(t_duck)
+                sides["spark_arrow"] = canon(t_arrow)
         except Exception as e:
             print(f"[repro] sweep {s} {name}: ERROR {e}", flush=True)
             flips.setdefault(name, []).append((s, f"ERROR {e}"))
             continue
+        # cross-engine agreement within this sweep (the driver's gate)
+        if FULL:
+            for tag, other in (("oracle_vs_spark_arrow", "spark_arrow"),
+                               ("duck_vs_arrow_read", "spark_duck")):
+                a, b = (sides["oracle"], sides[other]) \
+                    if tag.startswith("oracle") \
+                    else (sides["spark_duck"], sides["spark_arrow"])
+                if a[0] != b[0]:
+                    flips.setdefault(name, []).append((s, tag))
+                    diff_artifact(name, f"s{s}_{tag}",
+                                  tag.split("_vs_")[0], a[1],
+                                  tag.split("_vs_")[1], b[1])
+        # stability across sweeps (the transient-flake signature)
         if name not in baseline:
-            baseline[name] = (hsh, rows)
-        elif hsh != baseline[name][0]:
-            flips.setdefault(name, []).append((s, hsh))
-            base_rows = baseline[name][1]
-            diff = [(a, b) for a, b in zip(base_rows, rows) if a != b]
-            print(f"[repro] FLIP sweep {s} {name}: hash {hsh} != "
-                  f"{baseline[name][0]}; {len(diff)} differing rows; "
-                  f"first: {diff[:2]}", flush=True)
+            baseline[name] = sides
+        else:
+            for tag, (hsh2, rows2) in sides.items():
+                b0 = baseline[name][tag]
+                if hsh2 != b0[0]:
+                    flips.setdefault(name, []).append((s, f"unstable_{tag}"))
+                    diff_artifact(name, f"s{s}_unstable_{tag}",
+                                  "sweep0", b0[1], f"sweep{s}", rows2)
     print(f"[repro] sweep {s} done in {time.time()-t0:.1f}s, "
           f"flips so far: {sorted(flips)}", flush=True)
 
 if flips:
-    print(f"[repro] RESULT: flipped queries: "
-          f"{ {k: len(v) for k, v in flips.items()} }")
+    print(f"[repro] RESULT: flipped/mismatched queries: "
+          f"{ {k: len(v) for k, v in flips.items()} } "
+          f"(artifacts in {art_dir})")
     sys.exit(1)
-print(f"[repro] RESULT: {sweeps} sweeps x {len(names)} oracles clean — "
-      f"no flips")
+print(f"[repro] RESULT: {sweeps} sweeps x {len(names)} oracles clean "
+      f"({mode}) — no flips, no cross-engine mismatches")
