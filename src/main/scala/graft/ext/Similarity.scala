@@ -1702,6 +1702,151 @@ object Similarity {
        |JOIN m mb ON p.j = mb.d
        |ORDER BY i, j""".stripMargin
 
+  /** Fixed power-iteration count for q259 — unrolled identically in
+    * the DuckDB twin (the kmeans/pagerank fixed-rounds discipline):
+    * the output is DEFINED as the K-step iterate, so convergence is a
+    * quality property (spec'd), never a correctness dependency. */
+  val PowerIters = 8
+
+  /** q259 — covariance spectrum: the dominant principal component of
+    * the embedding covariance, the whitening/PCA step a feature
+    * pipeline derives right after q210's covariance (and the spectral
+    * drift statistic: a collapsing embedding space shows up as one
+    * component's explained-variance share creeping toward 1 long
+    * before downstream retrieval degrades). Per dimension: the
+    * component loading, the dominant eigenvalue (in quantized units —
+    * direction and SHARE are scale-free, so the 1024² factor cancels
+    * everywhere a consumer cares), and the explained-variance share
+    * λ/trace.
+    *
+    * Method: [[PowerIters]] fixed power-iteration steps from the
+    * uniform start 1/√D = 0.125 (exact in binary), on the covariance
+    * assembled from the SAME exact integer co-moments as q210 — both
+    * engines build cell (i,j) from identical integers with one shared
+    * IEEE expression, then run the identical iteration (ascending-j
+    * matvec folds, ascending-i norm fold, one sqrt, one divide), so
+    * the only cross-engine float question is the fold order already
+    * proven by the cosine-kernel twins; round(6) at the output edge.
+    *
+    * Scale shape: ONE GramMatrix pass over the corpus (the q210
+    * constant-shuffle shape) collects D(D+1)/2 + D + 1 exact longs —
+    * ~2 KB to the driver, the bounded-collect codebook precedent —
+    * and the O(K·D²) eigensolve (~33k flops) never touches the
+    * corpus. At 100 TB the plan is byte-identical: the corpus cost IS
+    * q210's fold, everything after is driver arithmetic. */
+  def covarianceSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tri = Dim * (Dim + 1) / 2
+    val g: Seq[Long] = Tables.load(spark, sfDir, "embeddings")
+      .select(transform(col("embedding"),
+        e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .as[Seq[Long]]
+      .select(new graft.functions.GramMatrix(Dim).toColumn)
+      .head()
+    val n = g(tri + Dim)
+    require(n > 0, "empty embeddings table")
+    val sx = (0 until Dim).map(i => g(tri + i))
+    val a = Array.ofDim[Double](Dim, Dim)
+    var k = 0
+    var i = 0
+    while (i < Dim) {
+      var j = i
+      while (j < Dim) {
+        val c = (g(k).toDouble -
+          sx(i).toDouble * sx(j).toDouble / n.toDouble) / n.toDouble
+        a(i)(j) = c; a(j)(i) = c; k += 1; j += 1
+      }
+      i += 1
+    }
+    var x = Array.fill(Dim)(0.125)
+    var lambda = 0.0
+    var it = 0
+    while (it < PowerIters) {
+      val y = Array.tabulate(Dim) { r =>
+        var s = 0.0; var j = 0
+        while (j < Dim) { s += a(r)(j) * x(j); j += 1 }
+        s
+      }
+      var s2 = 0.0
+      var r = 0
+      while (r < Dim) { s2 += y(r) * y(r); r += 1 }
+      lambda = math.sqrt(s2)
+      x = y.map(_ / lambda)
+      it += 1
+    }
+    var trace = 0.0
+    i = 0
+    while (i < Dim) { trace += a(i)(i); i += 1 }
+    (0 until Dim).map(d => (d.toLong, x(d), lambda, lambda / trace))
+      .toDF("i", "loading_raw", "lambda_raw", "explained_raw")
+      .select(col("i"), round(col("loading_raw"), 6).as("loading"),
+        round(col("lambda_raw"), 6).as("lambda_q"),
+        round(col("explained_raw"), 6).as("explained"))
+      .orderBy("i")
+  }
+
+  val covarianceSpectrumSql: String = {
+    // every iteration CTE is MATERIALIZED: each state is referenced
+    // twice downstream, and DuckDB's CTE inlining otherwise expands
+    // the 8-step chain into 2^8 copies of the covariance build — the
+    // first un-barriered draft of this twin hung >120s where the
+    // barriered form runs in 0.12s (the q253 cliff, third sighting)
+    val iters = (1 to PowerIters).map { r =>
+      val xp = if (r == 1) "x0" else s"x${r - 1}"
+      s"""y$r AS MATERIALIZED (
+         |  SELECT a.i AS i, list_dot_product(a.row, $xp.v) AS y
+         |  FROM a, $xp
+         |), n$r AS MATERIALIZED (
+         |  SELECT sqrt(list_dot_product(list(y ORDER BY i),
+         |                               list(y ORDER BY i))) AS nrm
+         |  FROM y$r
+         |), x$r AS MATERIALIZED (
+         |  SELECT list(y / n$r.nrm ORDER BY i) AS v FROM y$r, n$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
+       |          for e in embedding] AS qv
+       |  FROM embeddings
+       |), pos AS (
+       |  SELECT vec_id, t.i - 1 AS d, qv[t.i] AS x
+       |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+       |), prod AS (
+       |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+       |         COUNT(*) AS n
+       |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2
+       |), m AS (
+       |  SELECT d, CAST(SUM(x) AS BIGINT) AS sx FROM pos GROUP BY 1
+       |), cell AS (
+       |  SELECT p.i, p.j,
+       |         (CAST(p.sxy AS DOUBLE)
+       |          - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n)
+       |           / p.n AS c
+       |  FROM prod p JOIN m ma ON p.i = ma.d JOIN m mb ON p.j = mb.d
+       |), full_cells AS (
+       |  SELECT i, j, c FROM cell
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, c FROM cell WHERE i < j
+       |), a AS MATERIALIZED (
+       |  SELECT i, list(c ORDER BY j) AS row FROM full_cells GROUP BY i
+       |), tr AS (
+       |  SELECT list_sum(list(c ORDER BY i)) AS trace
+       |  FROM cell WHERE i = j
+       |), x0 AS (
+       |  SELECT list_transform(range($Dim), d -> 0.125::DOUBLE) AS v
+       |),
+       |$iters
+       |SELECT CAST(t.d AS BIGINT) AS i,
+       |       round(xf.v[t.d + 1], 6) AS loading,
+       |       round(nf.nrm, 6) AS lambda_q,
+       |       round(nf.nrm / tr.trace, 6) AS explained
+       |FROM (SELECT unnest(range($Dim)) AS d) t,
+       |     x$PowerIters xf, n$PowerIters nf, tr
+       |ORDER BY i""".stripMargin
+  }
+
   /** q216 — cross-modal dedup consistency: do TEXT near-dups look like
     * near-dups in EMBEDDING space? The fixture keys embeddings by the
     * same id space as documents (vec_id ≡ doc_id), so each verified

@@ -52,6 +52,37 @@ class RoundNineOpsSpec extends SparkSpec {
         "cross-shard trade; shrink the smallest swept cap")
   }
 
+  test("q259: spectrum invariants — unit loadings, PSD share, stability") {
+    val dim = Similarity.Dim
+    val rs = Similarity.covarianceSpectrum(spark, sf001).collect()
+    assert(rs.length == dim, s"one row per dimension, got ${rs.length}")
+    assert(rs.map(_.getLong(0)).toSeq == (0 until dim).map(_.toLong),
+      "i must enumerate 0..D-1 in order")
+    // the iterate is normalized every step, so the emitted loadings
+    // are a unit vector up to round(6) noise (64 cells × 0.5e-6)
+    val norm2 = rs.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4,
+      s"loadings must be unit-norm, got |x|^2 = $norm2")
+    val lambda = rs.map(_.getDouble(2)).distinct
+    val explained = rs.map(_.getDouble(3)).distinct
+    assert(lambda.length == 1 && explained.length == 1,
+      "lambda_q/explained are per-corpus scalars, identical on every row")
+    // covariance is PSD: 0 < lambda <= trace, so the share is a true
+    // fraction; and the dominant-direction estimate should carry at
+    // least the average per-dimension share on any non-degenerate
+    // fixture
+    assert(lambda.head > 0, "eigenvalue estimate must be positive")
+    assert(explained.head > 0 && explained.head <= 1.0,
+      s"explained share must be in (0, 1]: ${explained.head}")
+    assert(explained.head >= 1.0 / dim,
+      s"dominant share ${explained.head} below the 1/D isotropic floor")
+    // deterministic: the fixed-K iterate from a fixed start is a pure
+    // function of the corpus
+    val again = Similarity.covarianceSpectrum(spark, sf001).collect()
+    assert(rs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "q259 must be bit-stable across runs")
+  }
+
   test("q258: cap=SemDedupCap column reconciles with q257, ground truth with q132") {
     val shipCap = Similarity.SemDedupCap
     val atShip = rows.filter(_.getLong(0) == shipCap)
