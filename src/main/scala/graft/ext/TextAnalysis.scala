@@ -2909,4 +2909,107 @@ object TextAnalysis {
        |                      - cheap_keep_sampled * 1000000 // n_sampled
        |                      AS BIGINT) END AS ppi_ppm
        |FROM c ORDER BY source""".stripMargin
+
+  /** Token window for q260/q261: 32-token chunks advancing 24 tokens
+    * (8-token overlap) — sized so the fixture's 10-99-token docs
+    * produce 1-5 chunks each, exercising the partial-tail and
+    * multi-chunk paths at every SF. */
+  val ChunkToks = 32
+  val ChunkStride = 24
+
+  /** q260 — fixed-token-window document chunking: the windowing step
+    * that turns variable-length documents into training/RAG chunks —
+    * per document, overlapping [[ChunkToks]]-token windows every
+    * [[ChunkStride]] tokens (chunk starts s = 0, stride, 2·stride, …
+    * while s < n_tokens, so every token is covered and a short tail
+    * still emits), each carrying its 60-bit content hash so chunk
+    * identity is joinable downstream without re-reading text.
+    *
+    * Scale shape: map-only — tokenize, one explode of ceil(n/stride)
+    * indices per doc, slice + hash per row; NO shuffle anywhere but
+    * the output sort. At 100 TB this is the ideal operator: it
+    * parallelizes per-document with zero exchange, and the chunk
+    * table partitions however the scan did. Tokenization is the
+    * corpus-wide whitespace discipline (split + non-empty filter)
+    * shared with q12/q156. */
+  def tokenChunks(spark: SparkSession, sfDir: String): DataFrame =
+    tokenChunksOn(Tables.load(spark, sfDir, "documents"))
+
+  /** Core over an injectable documents frame (specs plant texts). */
+  def tokenChunksOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          expr(s"(n + ${ChunkStride - 1}) div $ChunkStride") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("start_tok"),
+        least(lit(ChunkToks.toLong),
+          col("n").cast("long") - col("chunk_idx") * ChunkStride)
+          .as("chunk_toks"),
+        Dedup.hash60(concat_ws(" ",
+          slice(col("toks"),
+            (col("chunk_idx") * ChunkStride + 1).cast("int"),
+            lit(ChunkToks)))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Shared CTE body: the q260 chunk table (unordered). */
+  private def chunksCte: String =
+    s"""base AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'),
+       |                     t -> t <> '') AS toks
+       |  FROM documents
+       |), sized AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+       |), cidx AS (
+       |  SELECT doc_id, n, toks,
+       |         unnest(generate_series(0,
+       |           (n + ${ChunkStride - 1}) // $ChunkStride - 1)) AS chunk_idx
+       |  FROM sized
+       |), chunks AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |         CAST(chunk_idx * $ChunkStride AS BIGINT) AS start_tok,
+       |         CAST(LEAST($ChunkToks, n - chunk_idx * $ChunkStride)
+       |              AS BIGINT) AS chunk_toks,
+       |         ${Dedup.hash60Sql(
+              s"array_to_string(toks[chunk_idx * $ChunkStride + 1 : " +
+                s"chunk_idx * $ChunkStride + $ChunkToks], ' ')")}
+       |           AS chunk_hash
+       |  FROM cidx
+       |)""".stripMargin
+
+  val tokenChunksSql: String =
+    s"""WITH $chunksCte
+       |SELECT doc_id, chunk_idx, start_tok, chunk_toks, chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q261 — chunk-level boilerplate detector: the q260 windows that
+    * occur more than once corpus-wide, with their occurrence and
+    * distinct-document counts — the window-granularity complement of
+    * the 5-gram boilerplate share (which scores DOCUMENTS; this names
+    * the repeated WINDOWS a packing pipeline would drop or
+    * deduplicate before they reach a training shard).
+    *
+    * Scale shape: q260's map-only chunk build, then ONE hash groupBy
+    * on chunk_hash (count + distinct-doc count) and a filter to the
+    * repeated tail — the same one-exchange shape as every exact-dedup
+    * query in the family. */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    tokenChunksOn(Tables.load(spark, sfDir, "documents"))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_chunks") > 1)
+      .orderBy(col("n_chunks").desc, col("chunk_hash"))
+
+  val chunkDedupSql: String =
+    s"""WITH $chunksCte
+       |SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
+       |ORDER BY n_chunks DESC, chunk_hash""".stripMargin
 }

@@ -83,6 +83,65 @@ class RoundNineOpsSpec extends SparkSpec {
       "q259 must be bit-stable across runs")
   }
 
+  test("q260: chunk windows tile every document, hashes are content-true") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (w, s) = (TextAnalysis.ChunkToks, TextAnalysis.ChunkStride)
+    assert(s < w, "stride must be < window or coverage gaps open")
+    // a planted 50-token doc: ceil(50/24) = 3 chunks — full, partial
+    // overlap tail, 2-token tail
+    val text = (0 until 50).map(i => s"t$i").mkString(" ")
+    val rows = TextAnalysis
+      .tokenChunksOn(Seq((7L, text)).toDF("doc_id", "text"))
+      .collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 32L), (1L, 24L, 26L), (2L, 48L, 2L)),
+      s"planted-doc chunk geometry wrong: ${rows.mkString(";")}")
+    val expect0 = Seq((0 until 32).map(i => s"t$i").mkString(" "))
+      .toDF("c").select(Dedup.hash60(col("c"))).head().getLong(0)
+    assert(rows(0).getLong(4) == expect0,
+      "chunk 0's hash must be the hash of exactly its 32 tokens")
+    // fixture-wide coverage identity: the last chunk of every doc ends
+    // exactly at the doc's token count, and indices are dense from 0
+    val fix = TextAnalysis.tokenChunks(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+    val nToks = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fix.foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      assert(cs.map(_.getLong(1)).sorted.toSeq == (0L until cs.length),
+        s"doc $doc chunk indices not dense")
+      assert(cs.length == (n + s - 1) / s,
+        s"doc $doc: ${cs.length} chunks != ceil($n/$s)")
+      assert(cs.map(r => r.getLong(2) + r.getLong(3)).max == n,
+        s"doc $doc: chunks do not tile to the last token")
+      assert(cs.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= w),
+        s"doc $doc: chunk_toks out of [1, $w]")
+    }
+  }
+
+  test("q261: boilerplate table reconciles with q260's hash multiset") {
+    val chunks = TextAnalysis.tokenChunks(spark, sf001).collect()
+    val byHash = chunks.groupBy(_.getLong(4))
+    val expected = byHash.collect {
+      case (h, cs) if cs.length > 1 =>
+        h -> (cs.length.toLong, cs.map(_.getLong(0)).distinct.length.toLong)
+    }
+    val got = TextAnalysis.chunkDedup(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected,
+      "q261 must be exactly q260's repeated-hash aggregation")
+    got.values.foreach { case (nc, nd) =>
+      assert(nc > 1 && nd <= nc, s"counts inconsistent: $nc, $nd")
+    }
+    assert(got.nonEmpty,
+      "fixture has no repeated chunk — the detector is untestable; " +
+        "re-check window size against the near-dup structure")
+  }
+
   test("q258: cap=SemDedupCap column reconciles with q257, ground truth with q132") {
     val shipCap = Similarity.SemDedupCap
     val atShip = rows.filter(_.getLong(0) == shipCap)
