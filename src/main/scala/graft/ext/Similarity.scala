@@ -1734,7 +1734,13 @@ object Similarity {
     * and the O(K·D²) eigensolve (~33k flops) never touches the
     * corpus. At 100 TB the plan is byte-identical: the corpus cost IS
     * q210's fold, everything after is driver arithmetic. */
-  def covarianceSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+  /** ONE GramMatrix pass → the quantized covariance as a dense D×D
+    * double matrix (both triangles) — the driver-side input to the
+    * spectral queries. Each cell is derived from exact integer
+    * co-moments with the single shared IEEE expression the q210
+    * oracle also uses, so both engines hold bit-identical matrices. */
+  private def quantizedCovariance(spark: SparkSession,
+      sfDir: String): Array[Array[Double]] = {
     import spark.implicits._
     val tri = Dim * (Dim + 1) / 2
     val g: Seq[Long] = Tables.load(spark, sfDir, "embeddings")
@@ -1758,6 +1764,14 @@ object Similarity {
       }
       i += 1
     }
+    a
+  }
+
+  /** [[PowerIters]] power-iteration steps on `a` from the uniform
+    * exact start — returns (final unit iterate, λ estimate = the last
+    * normalization constant). Ascending-j matvec folds, ascending-i
+    * norm fold: the op sequence the DuckDB twins replicate. */
+  private def powerIterate(a: Array[Array[Double]]): (Array[Double], Double) = {
     var x = Array.fill(Dim)(0.125)
     var lambda = 0.0
     var it = 0
@@ -1774,9 +1788,21 @@ object Similarity {
       x = y.map(_ / lambda)
       it += 1
     }
+    (x, lambda)
+  }
+
+  private def covTrace(a: Array[Array[Double]]): Double = {
     var trace = 0.0
-    i = 0
+    var i = 0
     while (i < Dim) { trace += a(i)(i); i += 1 }
+    trace
+  }
+
+  def covarianceSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = quantizedCovariance(spark, sfDir)
+    val (x, lambda) = powerIterate(a)
+    val trace = covTrace(a)
     (0 until Dim).map(d => (d.toLong, x(d), lambda, lambda / trace))
       .toDF("i", "loading_raw", "lambda_raw", "explained_raw")
       .select(col("i"), round(col("loading_raw"), 6).as("loading"),
@@ -1785,12 +1811,16 @@ object Similarity {
       .orderBy("i")
   }
 
-  val covarianceSpectrumSql: String = {
-    // every iteration CTE is MATERIALIZED: each state is referenced
-    // twice downstream, and DuckDB's CTE inlining otherwise expands
-    // the 8-step chain into 2^8 copies of the covariance build — the
-    // first un-barriered draft of this twin hung >120s where the
-    // barriered form runs in 0.12s (the q253 cliff, third sighting)
+  /** Shared oracle prefix for q259/q262: covariance cells from the
+    * exact integer co-moments, the matrix rows, the trace, and the
+    * unrolled power iteration ending at x$PowerIters / n$PowerIters.
+    *
+    * Every iteration CTE is MATERIALIZED: each state is referenced
+    * twice downstream, and DuckDB's CTE inlining otherwise expands
+    * the 8-step chain into 2^8 copies of the covariance build — the
+    * first un-barriered draft of this twin hung >120s where the
+    * barriered form runs in 0.12s (the q253 cliff, third sighting). */
+  private val covPowerCte: String = {
     val iters = (1 to PowerIters).map { r =>
       val xp = if (r == 1) "x0" else s"x${r - 1}"
       s"""y$r AS MATERIALIZED (
@@ -1804,7 +1834,7 @@ object Similarity {
          |  SELECT list(y / n$r.nrm ORDER BY i) AS v FROM y$r, n$r
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
        |          for e in embedding] AS qv
@@ -1825,7 +1855,7 @@ object Similarity {
        |          - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n)
        |           / p.n AS c
        |  FROM prod p JOIN m ma ON p.i = ma.d JOIN m mb ON p.j = mb.d
-       |), full_cells AS (
+       |), full_cells AS MATERIALIZED (
        |  SELECT i, j, c FROM cell
        |  UNION ALL
        |  SELECT j AS i, i AS j, c FROM cell WHERE i < j
@@ -1837,7 +1867,11 @@ object Similarity {
        |), x0 AS (
        |  SELECT list_transform(range($Dim), d -> 0.125::DOUBLE) AS v
        |),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val covarianceSpectrumSql: String =
+    s"""WITH $covPowerCte
        |SELECT CAST(t.d AS BIGINT) AS i,
        |       round(xf.v[t.d + 1], 6) AS loading,
        |       round(nf.nrm, 6) AS lambda_q,
@@ -1845,7 +1879,52 @@ object Similarity {
        |FROM (SELECT unnest(range($Dim)) AS d) t,
        |     x$PowerIters xf, n$PowerIters nf, tr
        |ORDER BY i""".stripMargin
+
+  /** q262 — spectral effective rank of the embedding covariance: the
+    * participation ratio trace(A)²/‖A‖²_F — equal to (Σλ)²/Σλ², D for
+    * an isotropic space, → 1 as the spectrum collapses onto one
+    * direction — plus the top-1 share from q259's iterate. This is
+    * the embedding-collapse early-warning a representation pipeline
+    * tracks per snapshot (the classic participation-ratio form of
+    * RankMe-style rank diagnostics): BOTH statistics come from the
+    * same D²-bounded matrix, so the whole query costs one GramMatrix
+    * pass regardless of corpus size.
+    *
+    * Float discipline: trace and Frobenius fold over the cells in
+    * pinned ascending order on both engines (list folds in the twin,
+    * the same ascending loops on the driver); every cell is the
+    * shared exact-co-moment expression; round(6) at the edge. */
+  def effectiveRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = quantizedCovariance(spark, sfDir)
+    val (_, lambda) = powerIterate(a)
+    val trace = covTrace(a)
+    var fro2 = 0.0
+    var i = 0
+    while (i < Dim) {
+      var j = 0
+      while (j < Dim) { fro2 += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    Seq((Dim.toLong, trace, fro2, trace * trace / fro2, lambda / trace))
+      .toDF("dim", "trace_raw", "fro2_raw", "er_raw", "t1_raw")
+      .select(col("dim"), round(col("trace_raw"), 6).as("trace_q"),
+        round(col("fro2_raw"), 6).as("fro2_q"),
+        round(col("er_raw"), 6).as("effective_rank"),
+        round(col("t1_raw"), 6).as("top1_share"))
   }
+
+  val effectiveRankSql: String =
+    s"""WITH $covPowerCte, er AS (
+       |  SELECT list_sum(list(c * c ORDER BY i, j)) AS fro2
+       |  FROM full_cells
+       |)
+       |SELECT CAST($Dim AS BIGINT) AS dim,
+       |       round(tr.trace, 6) AS trace_q,
+       |       round(er.fro2, 6) AS fro2_q,
+       |       round(tr.trace * tr.trace / er.fro2, 6) AS effective_rank,
+       |       round(nf.nrm / tr.trace, 6) AS top1_share
+       |FROM tr, er, n$PowerIters nf""".stripMargin
 
   /** q216 — cross-modal dedup consistency: do TEXT near-dups look like
     * near-dups in EMBEDDING space? The fixture keys embeddings by the

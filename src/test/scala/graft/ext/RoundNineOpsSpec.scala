@@ -83,6 +83,36 @@ class RoundNineOpsSpec extends SparkSpec {
       "q259 must be bit-stable across runs")
   }
 
+  test("q262: participation ratio is a true rank bound tied to q259") {
+    val dim = Similarity.Dim
+    val r = Similarity.effectiveRank(spark, sf001).collect()
+    assert(r.length == 1, "one diagnostics row")
+    val row = r.head
+    val (trace, fro2) = (row.getDouble(1), row.getDouble(2))
+    val (er, t1) = (row.getDouble(3), row.getDouble(4))
+    assert(row.getLong(0) == dim)
+    assert(trace > 0 && fro2 > 0, s"PSD covariance: $row")
+    // (Σλ)²/Σλ² is squeezed between 1 (fully collapsed) and D
+    // (isotropic) for any PSD spectrum
+    assert(er >= 1.0 - 1e-6 && er <= dim + 1e-6,
+      s"effective rank $er escapes [1, $dim]")
+    // the identity the columns claim, recomputed from the emitted
+    // ingredients (round(6) slack on a ~60 quotient)
+    assert(math.abs(er - trace * trace / fro2) < 1e-3,
+      s"effective_rank must equal trace^2 / fro2: $row")
+    // top-1 share reconciles with q259's explained column exactly —
+    // same iterate, same rounding
+    val q259 = Similarity.covarianceSpectrum(spark, sf001)
+      .collect().head.getDouble(3)
+    assert(t1 == q259,
+      s"q262 top1_share $t1 != q259 explained $q259")
+    // consistency: a spectrum with effective rank R cannot give the
+    // top component less than 1/R of the mass... (λ1 ≥ trace/D and
+    // λ1² ≤ Σλ² ⇒ t1 ≥ 1/D and t1 ≤ 1/√er, both up to rounding)
+    assert(t1 >= 1.0 / dim - 1e-6 && t1 <= 1.0 / math.sqrt(er) + 1e-3,
+      s"top-1 share $t1 inconsistent with effective rank $er")
+  }
+
   test("q260: chunk windows tile every document, hashes are content-true") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
