@@ -1906,10 +1906,14 @@ object Similarity {
       while (j < Dim) { fro2 += a(i)(j) * a(i)(j); j += 1 }
       i += 1
     }
-    Seq((Dim.toLong, trace, fro2, trace * trace / fro2, lambda / trace))
-      .toDF("dim", "trace_raw", "fro2_raw", "er_raw", "t1_raw")
+    // fro2 itself is NOT emitted: at ~1e10 magnitude one ULP is
+    // ~7.6e-6, above the round(6) grid, so a single last-bit
+    // divergence anywhere in the 4096-term fold would flip the hash
+    // (observed on q263's per-label twin before this was cut). The
+    // RATIO is safe — er ~ tens, where ULP noise is ~1e-14.
+    Seq((Dim.toLong, trace, trace * trace / fro2, lambda / trace))
+      .toDF("dim", "trace_raw", "er_raw", "t1_raw")
       .select(col("dim"), round(col("trace_raw"), 6).as("trace_q"),
-        round(col("fro2_raw"), 6).as("fro2_q"),
         round(col("er_raw"), 6).as("effective_rank"),
         round(col("t1_raw"), 6).as("top1_share"))
   }
@@ -1921,10 +1925,120 @@ object Similarity {
        |)
        |SELECT CAST($Dim AS BIGINT) AS dim,
        |       round(tr.trace, 6) AS trace_q,
-       |       round(er.fro2, 6) AS fro2_q,
        |       round(tr.trace * tr.trace / er.fro2, 6) AS effective_rank,
        |       round(nf.nrm / tr.trace, 6) AS top1_share
        |FROM tr, er, n$PowerIters nf""".stripMargin
+
+  /** q263 — per-LABEL effective rank: q262's participation ratio
+    * conditioned on the class label, the class-conditional collapse
+    * detector (a class whose members all paraphrase one template
+    * shows er → 1 for that label while the corpus-wide q262 still
+    * reads healthy — exactly the failure mode per-slice monitoring
+    * exists to catch).
+    *
+    * Scale shape: ONE typed-aggregator pass — each partition folds
+    * its vectors into per-label packed Gram buffers, the shuffle
+    * carries |labels| × (D(D+1)/2 + D + 1) longs (~2 KB per label,
+    * NEVER corpus-sized), and the per-label trace/Frobenius/ratio
+    * arithmetic runs on the driver over the collected buffers (the
+    * q259/q262 bounded-collect precedent, |labels|-bounded). */
+  def labelRank(spark: SparkSession, sfDir: String): DataFrame =
+    labelRankOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant spectra:
+    * a label whose vectors all sit on one axis must read er = 1). */
+  def labelRankOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tri = Dim * (Dim + 1) / 2
+    val packed: Array[(Long, Seq[Long])] = embs
+      .select(col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .as[(Long, Seq[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.GramMatrix(Dim).toColumn)
+      .collect()
+    val rows = packed.sortBy(_._1).map { case (label, g) =>
+      val n = g(tri + Dim)
+      val sx = (0 until Dim).map(i => g(tri + i))
+      val a = Array.ofDim[Double](Dim, Dim)
+      var k = 0
+      var i = 0
+      while (i < Dim) {
+        var j = i
+        while (j < Dim) {
+          val c = (g(k).toDouble -
+            sx(i).toDouble * sx(j).toDouble / n.toDouble) / n.toDouble
+          a(i)(j) = c; a(j)(i) = c; k += 1; j += 1
+        }
+        i += 1
+      }
+      val trace = covTrace(a)
+      var fro2 = 0.0
+      i = 0
+      while (i < Dim) {
+        var j = 0
+        while (j < Dim) { fro2 += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      (label, n, trace, trace * trace / fro2)
+    }
+    // raw fro2 is deliberately NOT a column: see effectiveRank — at
+    // ~1e10 one ULP beats the round(6) grid and the per-label twin
+    // DID flip on it; the ratio and the 64-term trace are safe.
+    rows.toSeq
+      .toDF("label", "n_vectors", "trace_raw", "er_raw")
+      .select(col("label"), col("n_vectors"),
+        round(col("trace_raw"), 6).as("trace_q"),
+        round(col("er_raw"), 6).as("effective_rank"))
+      .orderBy("label")
+  }
+
+  val labelRankSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
+       |          for e in embedding] AS qv
+       |  FROM embeddings
+       |), pos AS (
+       |  SELECT vec_id, label, t.i - 1 AS d, qv[t.i] AS x
+       |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+       |), prod AS (
+       |  SELECT a.label, a.d AS i, b.d AS j,
+       |         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy, COUNT(*) AS n
+       |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2, 3
+       |), m AS (
+       |  SELECT label, d, CAST(SUM(x) AS BIGINT) AS sx
+       |  FROM pos GROUP BY 1, 2
+       |), cell AS MATERIALIZED (
+       |  SELECT p.label, p.i, p.j,
+       |         (CAST(p.sxy AS DOUBLE)
+       |          - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n)
+       |           / p.n AS c
+       |  FROM prod p
+       |  JOIN m ma ON p.label = ma.label AND p.i = ma.d
+       |  JOIN m mb ON p.label = mb.label AND p.j = mb.d
+       |), full_cells AS MATERIALIZED (
+       |  SELECT label, i, j, c FROM cell
+       |  UNION ALL
+       |  SELECT label, j AS i, i AS j, c FROM cell WHERE i < j
+       |), tr AS (
+       |  SELECT label, list_sum(list(c ORDER BY i)) AS trace
+       |  FROM cell WHERE i = j GROUP BY label
+       |), fr AS (
+       |  SELECT label, list_sum(list(c * c ORDER BY i, j)) AS fro2
+       |  FROM full_cells GROUP BY label
+       |), cnt AS (
+       |  SELECT label, COUNT(*) AS n FROM q GROUP BY 1
+       |)
+       |SELECT CAST(c.label AS BIGINT) AS label,
+       |       CAST(c.n AS BIGINT) AS n_vectors,
+       |       round(tr.trace, 6) AS trace_q,
+       |       round(tr.trace * tr.trace / fr.fro2, 6) AS effective_rank
+       |FROM cnt c JOIN tr USING (label) JOIN fr USING (label)
+       |ORDER BY label""".stripMargin
 
   /** q216 — cross-modal dedup consistency: do TEXT near-dups look like
     * near-dups in EMBEDDING space? The fixture keys embeddings by the

@@ -88,18 +88,14 @@ class RoundNineOpsSpec extends SparkSpec {
     val r = Similarity.effectiveRank(spark, sf001).collect()
     assert(r.length == 1, "one diagnostics row")
     val row = r.head
-    val (trace, fro2) = (row.getDouble(1), row.getDouble(2))
-    val (er, t1) = (row.getDouble(3), row.getDouble(4))
+    val trace = row.getDouble(1)
+    val (er, t1) = (row.getDouble(2), row.getDouble(3))
     assert(row.getLong(0) == dim)
-    assert(trace > 0 && fro2 > 0, s"PSD covariance: $row")
+    assert(trace > 0, s"PSD covariance: $row")
     // (Σλ)²/Σλ² is squeezed between 1 (fully collapsed) and D
     // (isotropic) for any PSD spectrum
     assert(er >= 1.0 - 1e-6 && er <= dim + 1e-6,
       s"effective rank $er escapes [1, $dim]")
-    // the identity the columns claim, recomputed from the emitted
-    // ingredients (round(6) slack on a ~60 quotient)
-    assert(math.abs(er - trace * trace / fro2) < 1e-3,
-      s"effective_rank must equal trace^2 / fro2: $row")
     // top-1 share reconciles with q259's explained column exactly —
     // same iterate, same rounding
     val q259 = Similarity.covarianceSpectrum(spark, sf001)
@@ -111,6 +107,45 @@ class RoundNineOpsSpec extends SparkSpec {
     // λ1² ≤ Σλ² ⇒ t1 ≥ 1/D and t1 ≤ 1/√er, both up to rounding)
     assert(t1 >= 1.0 / dim - 1e-6 && t1 <= 1.0 / math.sqrt(er) + 1e-3,
       s"top-1 share $t1 inconsistent with effective rank $er")
+  }
+
+  test("q263: per-label rank bounds, corpus partition, planted collapse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = Similarity.Dim
+    val rows = Similarity.labelRank(spark, sf001).collect()
+    val corpus = graft.Tables.load(spark, sf001, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "label counts must partition the corpus")
+    rows.foreach { r =>
+      val (n, er) = (r.getLong(1), r.getDouble(3))
+      // participation ratio <= #nonzero eigenvalues <= rank of a
+      // covariance built from n points <= n; and >= 1 always
+      assert(er >= 1.0 - 1e-6 && er <= math.min(dim.toLong, n) + 1e-6,
+        s"label ${r.getLong(0)}: er $er escapes [1, min(D, n=$n)]")
+      assert(r.getDouble(2) > 0, s"PSD per-label covariance: $r")
+    }
+    // planted spectra with KNOWN participation ratios: label 0's
+    // vectors sit on ONE axis (rank-1 covariance => er exactly 1);
+    // label 1 is the symmetric 4-point cross (covariance diag(.5, .5)
+    // => er exactly 2). Both are exact in the quantized integer
+    // domain, so the equality check carries no FP slack beyond
+    // round(6).
+    val planted = Seq(
+      (1L, Array.tabulate(dim)(i => if (i == 0) 1.0f else 0f), 0),
+      (2L, Array.tabulate(dim)(i => if (i == 0) 3.0f else 0f), 0),
+      (3L, Array.tabulate(dim)(i => if (i == 0) 5.0f else 0f), 0),
+      (4L, Array.tabulate(dim)(i => if (i == 0) 1.0f else 0f), 1),
+      (5L, Array.tabulate(dim)(i => if (i == 0) -1.0f else 0f), 1),
+      (6L, Array.tabulate(dim)(i => if (i == 1) 1.0f else 0f), 1),
+      (7L, Array.tabulate(dim)(i => if (i == 1) -1.0f else 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelRankOn(spark, planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got(0L) - 1.0) < 1e-6,
+      s"one-axis label must have effective rank exactly 1: ${got(0L)}")
+    assert(math.abs(got(1L) - 2.0) < 1e-6,
+      s"the symmetric cross must have effective rank exactly 2: ${got(1L)}")
   }
 
   test("q260: chunk windows tile every document, hashes are content-true") {
