@@ -1676,30 +1676,54 @@ object Similarity {
       .orderBy("i", "j")
   }
 
-  val embeddingCovarianceSql: String =
-    s"""WITH q AS (
-       |  SELECT vec_id,
+  /** ONE shared builder for every oracle that needs the exact-
+    * co-moment covariance cells (q210/q259/q262/q263) — the hand-kept-
+    * copies rule (see [[graft.ext.Dedup.hash60Sql]]) applied to the
+    * far bigger drift surface: the per-cell IEEE expression. Ends at
+    * `cell` (i, j ≥ i, sxy, c) and `full_cells` (both triangles),
+    * optionally threaded by `label`. Both carry MATERIALIZED barriers:
+    * each is referenced 2-3 times downstream and DuckDB's CTE inlining
+    * would otherwise replicate the pos self-join per reference. */
+  private def covCellsCteSql(labeled: Boolean): String = {
+    val l = if (labeled) "label, " else ""
+    val pl = if (labeled) "p.label, " else ""
+    val al = if (labeled) "a.label, " else ""
+    val lj = (t: String) => if (labeled) s"p.label = $t.label AND " else ""
+    s"""q AS (
+       |  SELECT vec_id, $l
        |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
        |          for e in embedding] AS qv
        |  FROM embeddings
        |), pos AS (
-       |  SELECT vec_id, t.i - 1 AS d, qv[t.i] AS x
+       |  SELECT vec_id, $l t.i - 1 AS d, qv[t.i] AS x
        |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
        |), prod AS (
-       |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
-       |         COUNT(*) AS n
+       |  SELECT $al a.d AS i, b.d AS j,
+       |         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy, COUNT(*) AS n
        |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
-       |  GROUP BY 1, 2
+       |  GROUP BY ${if (labeled) "1, 2, 3" else "1, 2"}
        |), m AS (
-       |  SELECT d, SUM(x) AS sx FROM pos GROUP BY 1
-       |)
-       |SELECT p.i, p.j, p.sxy,
-       |       (CAST(p.sxy AS DOUBLE)
-       |        - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n) / p.n
-       |         AS cov
-       |FROM prod p
-       |JOIN m ma ON p.i = ma.d
-       |JOIN m mb ON p.j = mb.d
+       |  SELECT $l d, CAST(SUM(x) AS BIGINT) AS sx
+       |  FROM pos GROUP BY ${if (labeled) "1, 2" else "1"}
+       |), cell AS MATERIALIZED (
+       |  SELECT $pl p.i, p.j, p.sxy,
+       |         (CAST(p.sxy AS DOUBLE)
+       |          - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n)
+       |           / p.n AS c
+       |  FROM prod p
+       |  JOIN m ma ON ${lj("ma")}p.i = ma.d
+       |  JOIN m mb ON ${lj("mb")}p.j = mb.d
+       |), full_cells AS MATERIALIZED (
+       |  SELECT $l i, j, c FROM cell
+       |  UNION ALL
+       |  SELECT $l j AS i, i AS j, c FROM cell WHERE i < j
+       |)""".stripMargin
+  }
+
+  val embeddingCovarianceSql: String =
+    s"""WITH ${covCellsCteSql(labeled = false)}
+       |SELECT i, j, sxy, c AS cov
+       |FROM cell
        |ORDER BY i, j""".stripMargin
 
   /** Fixed power-iteration count for q259 — unrolled identically in
@@ -1742,15 +1766,23 @@ object Similarity {
   private def quantizedCovariance(spark: SparkSession,
       sfDir: String): Array[Array[Double]] = {
     import spark.implicits._
-    val tri = Dim * (Dim + 1) / 2
     val g: Seq[Long] = Tables.load(spark, sfDir, "embeddings")
       .select(transform(col("embedding"),
         e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
       .as[Seq[Long]]
       .select(new graft.functions.GramMatrix(Dim).toColumn)
       .head()
+    gramToCov(g)._1
+  }
+
+  /** Packed Gram buffer → (dense covariance, vector count): the ONE
+    * Scala home of the per-cell expression (the twins interpolate the
+    * matching SQL from [[covCellsCteSql]]) — hand-kept copies of this
+    * arithmetic are how one engine drifts from the other. */
+  private def gramToCov(g: Seq[Long]): (Array[Array[Double]], Long) = {
+    val tri = Dim * (Dim + 1) / 2
     val n = g(tri + Dim)
-    require(n > 0, "empty embeddings table")
+    require(n > 0, "empty embeddings group")
     val sx = (0 until Dim).map(i => g(tri + i))
     val a = Array.ofDim[Double](Dim, Dim)
     var k = 0
@@ -1764,7 +1796,20 @@ object Similarity {
       }
       i += 1
     }
-    a
+    (a, n)
+  }
+
+  /** Frobenius norm squared over the FULL matrix, ascending (i, j) —
+    * the fold order the twins' `list(c*c ORDER BY i, j)` replicates. */
+  private def fro2Of(a: Array[Array[Double]]): Double = {
+    var fro2 = 0.0
+    var i = 0
+    while (i < Dim) {
+      var j = 0
+      while (j < Dim) { fro2 += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    fro2
   }
 
   /** [[PowerIters]] power-iteration steps on `a` from the uniform
@@ -1803,7 +1848,17 @@ object Similarity {
     val a = quantizedCovariance(spark, sfDir)
     val (x, lambda) = powerIterate(a)
     val trace = covTrace(a)
-    (0 until Dim).map(d => (d.toLong, x(d), lambda, lambda / trace))
+    // degenerate spectra (zero covariance, or an iterate that dies in
+    // the null space) emit NULL, matching the twin's CASE guards —
+    // Spark would otherwise emit NaN where DuckDB's x/0 gives NULL
+    // and the gate hash would flip on the first singleton-ish fixture
+    val ok = lambda > 0 && !lambda.isNaN
+    (0 until Dim).map { d =>
+      (d.toLong,
+        if (ok) Some(x(d)) else None,
+        if (ok) Some(lambda) else None,
+        if (ok && trace > 0) Some(lambda / trace) else None)
+    }
       .toDF("i", "loading_raw", "lambda_raw", "explained_raw")
       .select(col("i"), round(col("loading_raw"), 6).as("loading"),
         round(col("lambda_raw"), 6).as("lambda_q"),
@@ -1834,32 +1889,7 @@ object Similarity {
          |  SELECT list(y / n$r.nrm ORDER BY i) AS v FROM y$r, n$r
          |)""".stripMargin
     }.mkString(",\n")
-    s"""q AS (
-       |  SELECT vec_id,
-       |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
-       |          for e in embedding] AS qv
-       |  FROM embeddings
-       |), pos AS (
-       |  SELECT vec_id, t.i - 1 AS d, qv[t.i] AS x
-       |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
-       |), prod AS (
-       |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
-       |         COUNT(*) AS n
-       |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
-       |  GROUP BY 1, 2
-       |), m AS (
-       |  SELECT d, CAST(SUM(x) AS BIGINT) AS sx FROM pos GROUP BY 1
-       |), cell AS (
-       |  SELECT p.i, p.j,
-       |         (CAST(p.sxy AS DOUBLE)
-       |          - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n)
-       |           / p.n AS c
-       |  FROM prod p JOIN m ma ON p.i = ma.d JOIN m mb ON p.j = mb.d
-       |), full_cells AS MATERIALIZED (
-       |  SELECT i, j, c FROM cell
-       |  UNION ALL
-       |  SELECT j AS i, i AS j, c FROM cell WHERE i < j
-       |), a AS MATERIALIZED (
+    s"""${covCellsCteSql(labeled = false)}, a AS MATERIALIZED (
        |  SELECT i, list(c ORDER BY j) AS row FROM full_cells GROUP BY i
        |), tr AS (
        |  SELECT list_sum(list(c ORDER BY i)) AS trace
@@ -1873,9 +1903,11 @@ object Similarity {
   val covarianceSpectrumSql: String =
     s"""WITH $covPowerCte
        |SELECT CAST(t.d AS BIGINT) AS i,
-       |       round(xf.v[t.d + 1], 6) AS loading,
-       |       round(nf.nrm, 6) AS lambda_q,
-       |       round(nf.nrm / tr.trace, 6) AS explained
+       |       CASE WHEN nf.nrm > 0 THEN round(xf.v[t.d + 1], 6) END
+       |         AS loading,
+       |       CASE WHEN nf.nrm > 0 THEN round(nf.nrm, 6) END AS lambda_q,
+       |       CASE WHEN nf.nrm > 0 AND tr.trace > 0
+       |            THEN round(nf.nrm / tr.trace, 6) END AS explained
        |FROM (SELECT unnest(range($Dim)) AS d) t,
        |     x$PowerIters xf, n$PowerIters nf, tr
        |ORDER BY i""".stripMargin
@@ -1899,19 +1931,17 @@ object Similarity {
     val a = quantizedCovariance(spark, sfDir)
     val (_, lambda) = powerIterate(a)
     val trace = covTrace(a)
-    var fro2 = 0.0
-    var i = 0
-    while (i < Dim) {
-      var j = 0
-      while (j < Dim) { fro2 += a(i)(j) * a(i)(j); j += 1 }
-      i += 1
-    }
+    val fro2 = fro2Of(a)
     // fro2 itself is NOT emitted: at ~1e10 magnitude one ULP is
     // ~7.6e-6, above the round(6) grid, so a single last-bit
     // divergence anywhere in the 4096-term fold would flip the hash
     // (observed on q263's per-label twin before this was cut). The
-    // RATIO is safe — er ~ tens, where ULP noise is ~1e-14.
-    Seq((Dim.toLong, trace, trace * trace / fro2, lambda / trace))
+    // RATIO is safe — er ~ tens, where ULP noise is ~1e-14. NULL on
+    // degenerate spectra, matching the twin's CASE guards.
+    val okT1 = lambda > 0 && !lambda.isNaN && trace > 0
+    Seq((Dim.toLong, trace,
+      if (fro2 > 0) Some(trace * trace / fro2) else None,
+      if (okT1) Some(lambda / trace) else None))
       .toDF("dim", "trace_raw", "er_raw", "t1_raw")
       .select(col("dim"), round(col("trace_raw"), 6).as("trace_q"),
         round(col("er_raw"), 6).as("effective_rank"),
@@ -1925,8 +1955,11 @@ object Similarity {
        |)
        |SELECT CAST($Dim AS BIGINT) AS dim,
        |       round(tr.trace, 6) AS trace_q,
-       |       round(tr.trace * tr.trace / er.fro2, 6) AS effective_rank,
-       |       round(nf.nrm / tr.trace, 6) AS top1_share
+       |       CASE WHEN er.fro2 > 0
+       |            THEN round(tr.trace * tr.trace / er.fro2, 6) END
+       |         AS effective_rank,
+       |       CASE WHEN nf.nrm > 0 AND tr.trace > 0
+       |            THEN round(nf.nrm / tr.trace, 6) END AS top1_share
        |FROM tr, er, n$PowerIters nf""".stripMargin
 
   /** q263 — per-LABEL effective rank: q262's participation ratio
@@ -1949,7 +1982,6 @@ object Similarity {
     * a label whose vectors all sit on one axis must read er = 1). */
   def labelRankOn(spark: SparkSession, embs: DataFrame): DataFrame = {
     import spark.implicits._
-    val tri = Dim * (Dim + 1) / 2
     val packed: Array[(Long, Seq[Long])] = embs
       .select(col("label").cast("long").as("label"),
         transform(col("embedding"),
@@ -1960,29 +1992,14 @@ object Similarity {
       .agg(new graft.functions.GramMatrix(Dim).toColumn)
       .collect()
     val rows = packed.sortBy(_._1).map { case (label, g) =>
-      val n = g(tri + Dim)
-      val sx = (0 until Dim).map(i => g(tri + i))
-      val a = Array.ofDim[Double](Dim, Dim)
-      var k = 0
-      var i = 0
-      while (i < Dim) {
-        var j = i
-        while (j < Dim) {
-          val c = (g(k).toDouble -
-            sx(i).toDouble * sx(j).toDouble / n.toDouble) / n.toDouble
-          a(i)(j) = c; a(j)(i) = c; k += 1; j += 1
-        }
-        i += 1
-      }
+      val (a, n) = gramToCov(g)
       val trace = covTrace(a)
-      var fro2 = 0.0
-      i = 0
-      while (i < Dim) {
-        var j = 0
-        while (j < Dim) { fro2 += a(i)(j) * a(i)(j); j += 1 }
-        i += 1
-      }
-      (label, n, trace, trace * trace / fro2)
+      val fro2 = fro2Of(a)
+      // NULL for a degenerate label (singleton, or all members
+      // identical after quantization — the template-collapsed class
+      // this query exists to catch): the twin's x/0 is NULL where
+      // Scala's would be NaN, so the guard keeps the engines equal
+      (label, n, trace, if (fro2 > 0) Some(trace * trace / fro2) else None)
     }
     // raw fro2 is deliberately NOT a column: see effectiveRank — at
     // ~1e10 one ULP beats the round(6) grid and the per-label twin
@@ -1996,35 +2013,7 @@ object Similarity {
   }
 
   val labelRankSql: String =
-    s"""WITH q AS (
-       |  SELECT vec_id, label,
-       |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
-       |          for e in embedding] AS qv
-       |  FROM embeddings
-       |), pos AS (
-       |  SELECT vec_id, label, t.i - 1 AS d, qv[t.i] AS x
-       |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
-       |), prod AS (
-       |  SELECT a.label, a.d AS i, b.d AS j,
-       |         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy, COUNT(*) AS n
-       |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
-       |  GROUP BY 1, 2, 3
-       |), m AS (
-       |  SELECT label, d, CAST(SUM(x) AS BIGINT) AS sx
-       |  FROM pos GROUP BY 1, 2
-       |), cell AS MATERIALIZED (
-       |  SELECT p.label, p.i, p.j,
-       |         (CAST(p.sxy AS DOUBLE)
-       |          - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n)
-       |           / p.n AS c
-       |  FROM prod p
-       |  JOIN m ma ON p.label = ma.label AND p.i = ma.d
-       |  JOIN m mb ON p.label = mb.label AND p.j = mb.d
-       |), full_cells AS MATERIALIZED (
-       |  SELECT label, i, j, c FROM cell
-       |  UNION ALL
-       |  SELECT label, j AS i, i AS j, c FROM cell WHERE i < j
-       |), tr AS (
+    s"""WITH ${covCellsCteSql(labeled = true)}, tr AS (
        |  SELECT label, list_sum(list(c ORDER BY i)) AS trace
        |  FROM cell WHERE i = j GROUP BY label
        |), fr AS (
@@ -2036,7 +2025,9 @@ object Similarity {
        |SELECT CAST(c.label AS BIGINT) AS label,
        |       CAST(c.n AS BIGINT) AS n_vectors,
        |       round(tr.trace, 6) AS trace_q,
-       |       round(tr.trace * tr.trace / fr.fro2, 6) AS effective_rank
+       |       CASE WHEN fr.fro2 > 0
+       |            THEN round(tr.trace * tr.trace / fr.fro2, 6) END
+       |         AS effective_rank
        |FROM cnt c JOIN tr USING (label) JOIN fr USING (label)
        |ORDER BY label""".stripMargin
 

@@ -2920,10 +2920,17 @@ object TextAnalysis {
   /** q260 — fixed-token-window document chunking: the windowing step
     * that turns variable-length documents into training/RAG chunks —
     * per document, overlapping [[ChunkToks]]-token windows every
-    * [[ChunkStride]] tokens (chunk starts s = 0, stride, 2·stride, …
-    * while s < n_tokens, so every token is covered and a short tail
-    * still emits), each carrying its 60-bit content hash so chunk
-    * identity is joinable downstream without re-reading text.
+    * [[ChunkStride]] tokens, each carrying its 60-bit content hash so
+    * chunk identity is joinable downstream without re-reading text.
+    * A chunk is emitted only when it EXTENDS coverage — start s = 0
+    * always, and s = k·stride only while s + overlap < n — i.e.
+    * n_chunks = max(1, ⌈(n − overlap)/stride⌉). The naive "while
+    * s < n" rule emits a fully-redundant tail whenever a doc ends
+    * inside the overlap (n mod stride ∈ 1..overlap): a 1-8-token
+    * window already covered by the previous chunk, whose short hash
+    * then floods q261's boilerplate counts with suffix noise (review
+    * finding, round 9). The tiling identity still holds: the last
+    * emitted chunk always ends exactly at token n.
     *
     * Scale shape: map-only — tokenize, one explode of ceil(n/stride)
     * indices per doc, slice + hash per row; NO shuffle anywhere but
@@ -2943,8 +2950,12 @@ object TextAnalysis {
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
       .withColumn("chunk_idx",
+        // max(0, ...) matters: for n <= overlap the ceil is <= 0 and
+        // an un-clamped sequence(0, -1) DESCENDS in Spark
         explode(sequence(lit(0L),
-          expr(s"(n + ${ChunkStride - 1}) div $ChunkStride") - 1)))
+          greatest(lit(0L),
+            expr(s"(n + ${ChunkStride - 1 - (ChunkToks - ChunkStride)})" +
+              s" div $ChunkStride") - 1))))
       .select(col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * ChunkStride).as("start_tok"),
         least(lit(ChunkToks.toLong),
@@ -2967,8 +2978,9 @@ object TextAnalysis {
        |  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
        |), cidx AS (
        |  SELECT doc_id, n, toks,
-       |         unnest(generate_series(0,
-       |           (n + ${ChunkStride - 1}) // $ChunkStride - 1)) AS chunk_idx
+       |         unnest(generate_series(0, GREATEST(0,
+       |           (n + ${ChunkStride - 1 - (ChunkToks - ChunkStride)})
+       |             // $ChunkStride - 1))) AS chunk_idx
        |  FROM sized
        |), chunks AS (
        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,

@@ -118,12 +118,19 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == corpus,
       "label counts must partition the corpus")
     rows.foreach { r =>
-      val (n, er) = (r.getLong(1), r.getDouble(3))
-      // participation ratio <= #nonzero eigenvalues <= rank of a
-      // covariance built from n points <= n; and >= 1 always
-      assert(er >= 1.0 - 1e-6 && er <= math.min(dim.toLong, n) + 1e-6,
-        s"label ${r.getLong(0)}: er $er escapes [1, min(D, n=$n)]")
-      assert(r.getDouble(2) > 0, s"PSD per-label covariance: $r")
+      val n = r.getLong(1)
+      if (r.isNullAt(3))
+        // NULL is reserved for the degenerate (zero-covariance) label
+        assert(r.getDouble(2) == 0.0,
+          s"er may be null only when the label's covariance is zero: $r")
+      else {
+        val er = r.getDouble(3)
+        // participation ratio <= #nonzero eigenvalues <= rank of a
+        // covariance built from n points <= n; and >= 1 always
+        assert(er >= 1.0 - 1e-6 && er <= math.min(dim.toLong, n) + 1e-6,
+          s"label ${r.getLong(0)}: er $er escapes [1, min(D, n=$n)]")
+        assert(r.getDouble(2) > 0, s"PSD per-label covariance: $r")
+      }
     }
     // planted spectra with KNOWN participation ratios: label 0's
     // vectors sit on ONE axis (rank-1 covariance => er exactly 1);
@@ -138,36 +145,51 @@ class RoundNineOpsSpec extends SparkSpec {
       (4L, Array.tabulate(dim)(i => if (i == 0) 1.0f else 0f), 1),
       (5L, Array.tabulate(dim)(i => if (i == 0) -1.0f else 0f), 1),
       (6L, Array.tabulate(dim)(i => if (i == 1) 1.0f else 0f), 1),
-      (7L, Array.tabulate(dim)(i => if (i == 1) -1.0f else 0f), 1)
+      (7L, Array.tabulate(dim)(i => if (i == 1) -1.0f else 0f), 1),
+      // a singleton label: zero covariance, er must be NULL (not NaN —
+      // the twin's x/0 is NULL and NaN would flip the gate hash)
+      (9L, Array.tabulate(dim)(i => if (i == 2) 4.0f else 0f), 2)
     ).toDF("vec_id", "embedding", "label")
-    val got = Similarity.labelRankOn(spark, planted).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val byLabel = Similarity.labelRankOn(spark, planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val got = byLabel.view.filterKeys(_ != 2L)
+      .mapValues(_.getDouble(3)).toMap
     assert(math.abs(got(0L) - 1.0) < 1e-6,
       s"one-axis label must have effective rank exactly 1: ${got(0L)}")
     assert(math.abs(got(1L) - 2.0) < 1e-6,
       s"the symmetric cross must have effective rank exactly 2: ${got(1L)}")
+    assert(byLabel(2L).isNullAt(3) && byLabel(2L).getDouble(2) == 0.0,
+      s"singleton label must read NULL rank over a zero trace: ${byLabel(2L)}")
   }
 
   test("q260: chunk windows tile every document, hashes are content-true") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val (w, s) = (TextAnalysis.ChunkToks, TextAnalysis.ChunkStride)
+    val ov = w - s
     assert(s < w, "stride must be < window or coverage gaps open")
-    // a planted 50-token doc: ceil(50/24) = 3 chunks — full, partial
-    // overlap tail, 2-token tail
+    // a planted 50-token doc: exactly 2 chunks — the naive "while
+    // start < n" rule would emit a third, fully-redundant 2-token tail
+    // (tokens 48-49 are already inside chunk 1's 24-49 window)
     val text = (0 until 50).map(i => s"t$i").mkString(" ")
     val rows = TextAnalysis
       .tokenChunksOn(Seq((7L, text)).toDF("doc_id", "text"))
       .collect()
     assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
-      Seq((0L, 0L, 32L), (1L, 24L, 26L), (2L, 48L, 2L)),
+      Seq((0L, 0L, 32L), (1L, 24L, 26L)),
       s"planted-doc chunk geometry wrong: ${rows.mkString(";")}")
     val expect0 = Seq((0 until 32).map(i => s"t$i").mkString(" "))
       .toDF("c").select(Dedup.hash60(col("c"))).head().getLong(0)
     assert(rows(0).getLong(4) == expect0,
       "chunk 0's hash must be the hash of exactly its 32 tokens")
+    // a doc shorter than the overlap still emits its single chunk
+    val tiny = TextAnalysis
+      .tokenChunksOn(Seq((8L, "a b c")).toDF("doc_id", "text")).collect()
+    assert(tiny.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 3L)), s"tiny doc must emit one chunk: ${tiny.toSeq}")
     // fixture-wide coverage identity: the last chunk of every doc ends
-    // exactly at the doc's token count, and indices are dense from 0
+    // exactly at the doc's token count, indices are dense from 0, and
+    // every non-first chunk EXTENDS coverage (no redundant tails)
     val fix = TextAnalysis.tokenChunks(spark, sf001).collect()
       .groupBy(_.getLong(0))
     val nToks = graft.Tables.load(spark, sf001, "documents")
@@ -179,12 +201,14 @@ class RoundNineOpsSpec extends SparkSpec {
       val n = nToks(doc)
       assert(cs.map(_.getLong(1)).sorted.toSeq == (0L until cs.length),
         s"doc $doc chunk indices not dense")
-      assert(cs.length == (n + s - 1) / s,
-        s"doc $doc: ${cs.length} chunks != ceil($n/$s)")
+      assert(cs.length == math.max(1L, (n - ov + s - 1) / s),
+        s"doc $doc: ${cs.length} chunks != max(1, ceil(($n-$ov)/$s))")
       assert(cs.map(r => r.getLong(2) + r.getLong(3)).max == n,
         s"doc $doc: chunks do not tile to the last token")
       assert(cs.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= w),
         s"doc $doc: chunk_toks out of [1, $w]")
+      assert(cs.filter(_.getLong(1) > 0).forall(r => r.getLong(2) + ov < n),
+        s"doc $doc: a non-first chunk adds no coverage")
     }
   }
 

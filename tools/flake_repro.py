@@ -136,8 +136,11 @@ if FULL:
     dec = []
     for name in names:
         try:
-            _, t_arrow = spark_tables(name)
-            bad = [f.name for f in t_arrow.schema
+            # footer-only schema read: the audit must not pay two full
+            # result scans per query before the first sweep starts
+            parts = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+            schema = pq.ParquetDataset(parts).schema
+            bad = [f.name for f in schema
                    if str(f.type).startswith("decimal")]
             if bad:
                 dec.append((name, bad))
