@@ -1684,16 +1684,35 @@ object Similarity {
     * optionally threaded by `label`. Both carry MATERIALIZED barriers:
     * each is referenced 2-3 times downstream and DuckDB's CTE inlining
     * would otherwise replicate the pos self-join per reference. */
+  /** The per-cell IEEE covariance expression — the ONE SQL home of the
+    * arithmetic [[gramToCov]] runs on the driver: cov(i,j) =
+    * (sxy − sxi·sxj/n)/n with exactly this cast/op order. Every twin
+    * that assembles covariance cells (the [[covCellsCteSql]] family
+    * AND the q265 cumulative-drift twin, which threads a batch key the
+    * shared CTE can't) interpolates this snippet — a hand-kept second
+    * copy is how the engines drift. */
+  private def covCellExprSql(sxy: String, sxi: String, sxj: String,
+      n: String): String =
+    s"""(CAST($sxy AS DOUBLE)
+       |          - CAST($sxi AS DOUBLE) * CAST($sxj AS DOUBLE) / $n)
+       |           / $n""".stripMargin
+
   private def covCellsCteSql(labeled: Boolean): String = {
     val l = if (labeled) "label, " else ""
     val pl = if (labeled) "p.label, " else ""
     val al = if (labeled) "a.label, " else ""
     val lj = (t: String) => if (labeled) s"p.label = $t.label AND " else ""
+    // labeled path drops NULL labels explicitly: the Scala side's
+    // non-nullable Long encoder would THROW on one while GROUP BY
+    // label silently keeps a NULL group — the symmetric filter (and
+    // its .filter(isNotNull) twin in labelRankOn) keeps the engines
+    // equal if the fixture ever gains NULL labels (advisor, round 9)
+    val nn = if (labeled) "WHERE label IS NOT NULL" else ""
     s"""q AS (
        |  SELECT vec_id, $l
        |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
        |          for e in embedding] AS qv
-       |  FROM embeddings
+       |  FROM embeddings $nn
        |), pos AS (
        |  SELECT vec_id, $l t.i - 1 AS d, qv[t.i] AS x
        |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
@@ -1707,9 +1726,7 @@ object Similarity {
        |  FROM pos GROUP BY ${if (labeled) "1, 2" else "1"}
        |), cell AS MATERIALIZED (
        |  SELECT $pl p.i, p.j, p.sxy,
-       |         (CAST(p.sxy AS DOUBLE)
-       |          - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / p.n)
-       |           / p.n AS c
+       |         ${covCellExprSql("p.sxy", "ma.sx", "mb.sx", "p.n")} AS c
        |  FROM prod p
        |  JOIN m ma ON ${lj("ma")}p.i = ma.d
        |  JOIN m mb ON ${lj("mb")}p.j = mb.d
@@ -1764,32 +1781,43 @@ object Similarity {
     * co-moments with the single shared IEEE expression the q210
     * oracle also uses, so both engines hold bit-identical matrices. */
   private def quantizedCovariance(spark: SparkSession,
-      sfDir: String): Array[Array[Double]] = {
+      sfDir: String): Array[Array[Double]] =
+    gramToCov(quantizedGramOf(spark,
+      Tables.load(spark, sfDir, "embeddings")))._1
+
+  /** ONE GramMatrix fold over an embeddings frame → the packed exact-
+    * integer buffer (~2 KB regardless of corpus size) — the corpus-
+    * side cost of every spectral query, and the per-micro-batch step
+    * of the streaming drift monitor. */
+  private[graft] def quantizedGramOf(spark: SparkSession,
+      embs: DataFrame): Seq[Long] = {
     import spark.implicits._
-    val g: Seq[Long] = Tables.load(spark, sfDir, "embeddings")
+    embs
       .select(transform(col("embedding"),
         e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
       .as[Seq[Long]]
       .select(new graft.functions.GramMatrix(Dim).toColumn)
       .head()
-    gramToCov(g)._1
   }
 
   /** Packed Gram buffer → (dense covariance, vector count): the ONE
     * Scala home of the per-cell expression (the twins interpolate the
-    * matching SQL from [[covCellsCteSql]]) — hand-kept copies of this
-    * arithmetic are how one engine drifts from the other. */
-  private def gramToCov(g: Seq[Long]): (Array[Array[Double]], Long) = {
-    val tri = Dim * (Dim + 1) / 2
-    val n = g(tri + Dim)
+    * matching SQL from [[covCellsCteSql]] / [[covCellExprSql]]) —
+    * hand-kept copies of this arithmetic are how one engine drifts
+    * from the other. `dim` defaults to the corpus [[Dim]]; specs pass
+    * smaller dims to run the same kernel over planted spectra. */
+  private[graft] def gramToCov(g: Seq[Long],
+      dim: Int = Dim): (Array[Array[Double]], Long) = {
+    val tri = dim * (dim + 1) / 2
+    val n = g(tri + dim)
     require(n > 0, "empty embeddings group")
-    val sx = (0 until Dim).map(i => g(tri + i))
-    val a = Array.ofDim[Double](Dim, Dim)
+    val sx = (0 until dim).map(i => g(tri + i))
+    val a = Array.ofDim[Double](dim, dim)
     var k = 0
     var i = 0
-    while (i < Dim) {
+    while (i < dim) {
       var j = i
-      while (j < Dim) {
+      while (j < dim) {
         val c = (g(k).toDouble -
           sx(i).toDouble * sx(j).toDouble / n.toDouble) / n.toDouble
         a(i)(j) = c; a(j)(i) = c; k += 1; j += 1
@@ -1801,12 +1829,12 @@ object Similarity {
 
   /** Frobenius norm squared over the FULL matrix, ascending (i, j) —
     * the fold order the twins' `list(c*c ORDER BY i, j)` replicates. */
-  private def fro2Of(a: Array[Array[Double]]): Double = {
+  private[graft] def fro2Of(a: Array[Array[Double]]): Double = {
     var fro2 = 0.0
     var i = 0
-    while (i < Dim) {
+    while (i < a.length) {
       var j = 0
-      while (j < Dim) { fro2 += a(i)(j) * a(i)(j); j += 1 }
+      while (j < a.length) { fro2 += a(i)(j) * a(i)(j); j += 1 }
       i += 1
     }
     fro2
@@ -1817,18 +1845,22 @@ object Similarity {
     * normalization constant). Ascending-j matvec folds, ascending-i
     * norm fold: the op sequence the DuckDB twins replicate. */
   private def powerIterate(a: Array[Array[Double]]): (Array[Double], Double) = {
-    var x = Array.fill(Dim)(0.125)
+    val dim = a.length
+    // 0.125 = 1/√Dim exactly in binary for the corpus D=64; for other
+    // dims (spec-planted spectra) any nonzero constant start works —
+    // the per-step normalization absorbs the scale
+    var x = Array.fill(dim)(0.125)
     var lambda = 0.0
     var it = 0
     while (it < PowerIters) {
-      val y = Array.tabulate(Dim) { r =>
+      val y = Array.tabulate(dim) { r =>
         var s = 0.0; var j = 0
-        while (j < Dim) { s += a(r)(j) * x(j); j += 1 }
+        while (j < dim) { s += a(r)(j) * x(j); j += 1 }
         s
       }
       var s2 = 0.0
       var r = 0
-      while (r < Dim) { s2 += y(r) * y(r); r += 1 }
+      while (r < dim) { s2 += y(r) * y(r); r += 1 }
       lambda = math.sqrt(s2)
       x = y.map(_ / lambda)
       it += 1
@@ -1836,10 +1868,10 @@ object Similarity {
     (x, lambda)
   }
 
-  private def covTrace(a: Array[Array[Double]]): Double = {
+  private[graft] def covTrace(a: Array[Array[Double]]): Double = {
     var trace = 0.0
     var i = 0
-    while (i < Dim) { trace += a(i)(i); i += 1 }
+    while (i < a.length) { trace += a(i)(i); i += 1 }
     trace
   }
 
@@ -1866,47 +1898,63 @@ object Similarity {
       .orderBy("i")
   }
 
-  /** Shared oracle prefix for q259/q262: covariance cells from the
-    * exact integer co-moments, the matrix rows, the trace, and the
-    * unrolled power iteration ending at x$PowerIters / n$PowerIters.
-    *
-    * Every iteration CTE is MATERIALIZED: each state is referenced
-    * twice downstream, and DuckDB's CTE inlining otherwise expands
-    * the 8-step chain into 2^8 copies of the covariance build — the
-    * first un-barriered draft of this twin hung >120s where the
-    * barriered form runs in 0.12s (the q253 cliff, third sighting). */
-  private val covPowerCte: String = {
+  /** One [[PowerIters]]-step power-iteration CTE chain on the matrix
+    * CTE `mat` (rows as (i, row)), with every state name prefixed by
+    * `tag` — `tag = ""` reproduces q259/q262's y1..x8 chain exactly;
+    * q264's deflation loop instantiates one chain per component. Every
+    * state is MATERIALIZED: each is referenced twice downstream and
+    * DuckDB's CTE inlining otherwise expands a K-step chain into 2^K
+    * copies of the upstream plan (the q253 cliff, third sighting —
+    * the first un-barriered draft hung >120s vs 0.12s barriered). */
+  private def powerChainSql(mat: String, tag: String): String = {
     val iters = (1 to PowerIters).map { r =>
-      val xp = if (r == 1) "x0" else s"x${r - 1}"
-      s"""y$r AS MATERIALIZED (
+      val xp = if (r == 1) s"x${tag}0" else s"x$tag${r - 1}"
+      s"""y$tag$r AS MATERIALIZED (
          |  SELECT a.i AS i, list_dot_product(a.row, $xp.v) AS y
-         |  FROM a, $xp
-         |), n$r AS MATERIALIZED (
+         |  FROM $mat a, $xp
+         |), n$tag$r AS MATERIALIZED (
          |  SELECT sqrt(list_dot_product(list(y ORDER BY i),
          |                               list(y ORDER BY i))) AS nrm
-         |  FROM y$r
-         |), x$r AS MATERIALIZED (
-         |  SELECT list(y / n$r.nrm ORDER BY i) AS v FROM y$r, n$r
+         |  FROM y$tag$r
+         |), x$tag$r AS MATERIALIZED (
+         |  SELECT list(y / n$tag$r.nrm ORDER BY i) AS v
+         |  FROM y$tag$r, n$tag$r
          |)""".stripMargin
     }.mkString(",\n")
-    s"""${covCellsCteSql(labeled = false)}, a AS MATERIALIZED (
-       |  SELECT i, list(c ORDER BY j) AS row FROM full_cells GROUP BY i
-       |), tr AS (
-       |  SELECT list_sum(list(c ORDER BY i)) AS trace
-       |  FROM cell WHERE i = j
-       |), x0 AS (
+    s"""x${tag}0 AS (
        |  SELECT list_transform(range($Dim), d -> 0.125::DOUBLE) AS v
        |),
        |$iters""".stripMargin
   }
 
+  /** Shared oracle prefix for q259/q262: covariance cells from the
+    * exact integer co-moments, the matrix rows, the trace, and the
+    * unrolled power iteration ending at x$PowerIters / n$PowerIters. */
+  private val covPowerCte: String =
+    s"""${covCellsCteSql(labeled = false)}, a AS MATERIALIZED (
+       |  SELECT i, list(c ORDER BY j) AS row FROM full_cells GROUP BY i
+       |), tr AS (
+       |  SELECT list_sum(list(c ORDER BY i)) AS trace
+       |  FROM cell WHERE i = j
+       |),
+       |${powerChainSql("a", "")}""".stripMargin
+
+  // Degenerate guards are isfinite(x) AND x > 0, not x > 0 alone:
+  // DuckDB >= 1.1 defaults ieee_floating_point_ops=true, where a
+  // zero-norm iterate yields NaN (not NULL) and NaN > 0 evaluates
+  // TRUE — the bare guard would emit NaN where Spark emits NULL and
+  // flip the gate hash on the first degenerate fixture after a
+  // duckdb upgrade (advisor finding, round 9).
   val covarianceSpectrumSql: String =
     s"""WITH $covPowerCte
        |SELECT CAST(t.d AS BIGINT) AS i,
-       |       CASE WHEN nf.nrm > 0 THEN round(xf.v[t.d + 1], 6) END
+       |       CASE WHEN isfinite(nf.nrm) AND nf.nrm > 0
+       |            THEN round(xf.v[t.d + 1], 6) END
        |         AS loading,
-       |       CASE WHEN nf.nrm > 0 THEN round(nf.nrm, 6) END AS lambda_q,
-       |       CASE WHEN nf.nrm > 0 AND tr.trace > 0
+       |       CASE WHEN isfinite(nf.nrm) AND nf.nrm > 0
+       |            THEN round(nf.nrm, 6) END AS lambda_q,
+       |       CASE WHEN isfinite(nf.nrm) AND nf.nrm > 0
+       |            AND isfinite(tr.trace) AND tr.trace > 0
        |            THEN round(nf.nrm / tr.trace, 6) END AS explained
        |FROM (SELECT unnest(range($Dim)) AS d) t,
        |     x$PowerIters xf, n$PowerIters nf, tr
@@ -1955,10 +2003,11 @@ object Similarity {
        |)
        |SELECT CAST($Dim AS BIGINT) AS dim,
        |       round(tr.trace, 6) AS trace_q,
-       |       CASE WHEN er.fro2 > 0
+       |       CASE WHEN isfinite(er.fro2) AND er.fro2 > 0
        |            THEN round(tr.trace * tr.trace / er.fro2, 6) END
        |         AS effective_rank,
-       |       CASE WHEN nf.nrm > 0 AND tr.trace > 0
+       |       CASE WHEN isfinite(nf.nrm) AND nf.nrm > 0
+       |            AND isfinite(tr.trace) AND tr.trace > 0
        |            THEN round(nf.nrm / tr.trace, 6) END AS top1_share
        |FROM tr, er, n$PowerIters nf""".stripMargin
 
@@ -1983,6 +2032,10 @@ object Similarity {
   def labelRankOn(spark: SparkSession, embs: DataFrame): DataFrame = {
     import spark.implicits._
     val packed: Array[(Long, Seq[Long])] = embs
+      // symmetric with the twin's WHERE label IS NOT NULL — without
+      // it the non-nullable tuple encoder throws where DuckDB would
+      // silently aggregate a NULL group
+      .filter(col("label").isNotNull)
       .select(col("label").cast("long").as("label"),
         transform(col("embedding"),
           e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
@@ -2127,4 +2180,360 @@ object Similarity {
        |             / CAST(tot.n AS DOUBLE), 6) AS ratio_to_mean
        |FROM asg, tot, kc
        |GROUP BY cid, tot.n, kc.k ORDER BY cid""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q264 — PCA whitening application (closes the q259/q262/q263 loop:
+  // those DIAGNOSE collapse, this APPLIES the decorrelation)
+  // ----------------------------------------------------------------
+
+  /** Components kept by the q264 whitener. 8 is the dim-reduction
+    * regime a PQ/int8 stage actually consumes (q111/q147 both degrade
+    * on anisotropic inputs); the full-D whiten is the same loop with
+    * WhitenK = Dim and nothing below depends on the choice. */
+  val WhitenK = 8
+
+  /** Relative variance floor: a component is APPLIED only while
+    * λ > trace·eps. Two things live below 1e-4: (a) genuine
+    * directions carrying <0.01% of total variance — whitening one
+    * amplifies a near-constant axis to unit scale, which is exactly
+    * the fake-rank failure a downstream PQ/int8 stage pays for; and
+    * (b) DEFLATION RESIDUE — an 8-step power iterate is off its
+    * eigenvector by ~(λ₂/λ₁)^8, so deflating leaves ~λ₁·ε of ghost
+    * mass (1e-5-ish relative for the ≥4x gaps the spec plants; NOT
+    * float noise — the first 1e-9 draft retained a ghost component
+    * whose whitened values hit −4e4 on the planted rank-3 fixture).
+    * Premise, documented not enforced: real components don't hug the
+    * floor, and consecutive gaps are ≳2.5x OR near-degenerate (where
+    * any orthogonal sub-basis whitens equally well); the threshold
+    * compares identically-derived doubles in both engines, so the
+    * branch flips only exactly AT the floor. */
+  val WhitenEps = 1e-4
+
+  /** In-place rank-1 deflation a ← a − λ·v·vᵀ, the op order the twin's
+    * `row[j+1] - nrm * v[i+1] * v[j+1]` replicates (left-assoc). */
+  private def deflate(a: Array[Array[Double]], v: Array[Double],
+      lambda: Double): Unit = {
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) {
+        a(i)(j) -= lambda * v(i) * v(j); j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Top-k (component, λ) pairs by [[PowerIters]]-step power iteration
+    * with rank-1 deflation between components — `a0` is copied, not
+    * mutated. A degenerate chain (zero matrix → zero norm → NaN
+    * iterate) poisons every later component with NaN, identically in
+    * both engines; the retention gate turns those into NULL output. */
+  private[graft] def deflatedSpectrum(a0: Array[Array[Double]],
+      k: Int): Seq[(Array[Double], Double)] = {
+    val a = a0.map(_.clone())
+    (0 until k).map { _ =>
+      val (v, lambda) = powerIterate(a)
+      deflate(a, v, lambda)
+      (v, lambda)
+    }
+  }
+
+  /** The retention gate, Scala face — the twin's
+    * `isfinite(nrm) AND isfinite(trace) AND trace > 0 AND
+    * nrm > trace * eps`. isFinite (not just NaN) on BOTH operands
+    * because DuckDB ≥1.1 evaluates NaN > x as TRUE (NaN sorts
+    * greatest); the bare > would diverge on the first degenerate. */
+  private def retainedComp(lambda: Double, trace: Double): Boolean =
+    java.lang.Double.isFinite(lambda) && java.lang.Double.isFinite(trace) &&
+      trace > 0 && lambda > trace * WhitenEps
+
+  /** q264 — PCA-whitening application: each embedding projected onto
+    * the top-[[WhitenK]] covariance eigenbasis and scaled to unit
+    * variance, w_k = vₖ·(x − μ)/√λₖ — the decorrelation a feature
+    * pipeline runs between the q259/q262 diagnosis and its ANN /
+    * quantization stage (PQ codebooks and int8 grids both assume
+    * isotropy; q111/q147 measure exactly the distortion this removes).
+    * Components under the [[WhitenEps]] floor emit NULL, so the output
+    * column set IS the usable rank.
+    *
+    * Float discipline: rotation AND scale derive on the driver from
+    * the same exact integer co-moments as q210/q259 (one shared cell
+    * expression, one proven 8-step iteration per component, rank-1
+    * deflation between components); the per-vector projection is one
+    * ordered 64-term fold per component at O(1) output magnitude —
+    * ULP noise ~1e-15 against the round(6) grid.
+    *
+    * Scale shape: ONE GramMatrix fold (~2 KB crosses the wire), an
+    * O(K·(PowerIters+D)·D²) driver eigensolve (~0.3 Mflop), then a
+    * MAP-ONLY projection with the rotation embedded as literals —
+    * zero shuffle except the output sort; the plan is byte-identical
+    * at any corpus size. This is (b) on the custom-operator ladder:
+    * compose existing ops, no new physical operator needed. */
+  def pcaWhiten(spark: SparkSession, sfDir: String): DataFrame =
+    pcaWhitenOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant anisotropic
+    * spectra and assert post-whitening effective rank). */
+  def pcaWhitenOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val g = quantizedGramOf(spark, embs)
+    val (a, n) = gramToCov(g)
+    val trace = covTrace(a)
+    val tri = Dim * (Dim + 1) / 2
+    // μ_d = sx_d / n — the twin's CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)
+    val mu = (0 until Dim).map(d => g(tri + d).toDouble / n.toDouble)
+    val comps = deflatedSpectrum(a, WhitenK)
+    val qv = embs.select(col("vec_id"),
+      transform(col("embedding"),
+        e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+    val wcols = comps.zipWithIndex.map { case ((v, lambda), k) =>
+      if (!retainedComp(lambda, trace))
+        lit(null).cast("double").as(s"w$k")
+      else {
+        val s = math.sqrt(lambda)
+        // ascending-d left fold — the twin's list_sum over the same
+        // ascending list_transform
+        val proj = (0 until Dim).map { d =>
+          (element_at(col("qv"), d + 1).cast("double") - lit(mu(d))) *
+            lit(v(d))
+        }.reduce(_ + _)
+        round(proj / lit(s), 6).as(s"w$k")
+      }
+    }
+    qv.select(col("vec_id") +: wcols: _*).orderBy("vec_id")
+  }
+
+  /** q264 twin: the SAME deflated power iteration unrolled — one
+    * [[powerChainSql]] chain per component on the running deflated
+    * matrix, every state MATERIALIZED (the q259 exponential-inlining
+    * cliff, now per component), then the per-vector projection as an
+    * ascending list fold. Rotation, scale, and retention all derive
+    * from the shared exact-integer cells, so both engines whiten with
+    * bit-identical parameters. */
+  val pcaWhitenSql: String = {
+    val chains = (1 to WhitenK).map { c =>
+      val mat = if (c == 1) "a" else s"d${c - 1}"
+      val chain = powerChainSql(mat, s"c${c}_")
+      val defl =
+        if (c == WhitenK) ""
+        else
+          s""",
+             |d$c AS MATERIALIZED (
+             |  SELECT m.i,
+             |         list_transform(range($Dim),
+             |           j -> m.row[j + 1]
+             |                - nc${c}_$PowerIters.nrm
+             |                  * xc${c}_$PowerIters.v[m.i + 1]
+             |                  * xc${c}_$PowerIters.v[j + 1]) AS row
+             |  FROM $mat m, xc${c}_$PowerIters, nc${c}_$PowerIters
+             |)""".stripMargin
+      chain + defl
+    }.mkString(",\n")
+    val wcols = (0 until WhitenK).map { k =>
+      val c = k + 1
+      s"""       CASE WHEN isfinite(nc${c}_$PowerIters.nrm)
+         |                 AND isfinite(tr.trace) AND tr.trace > 0
+         |                 AND nc${c}_$PowerIters.nrm > tr.trace * $WhitenEps
+         |            THEN round(list_sum(list_transform(range($Dim),
+         |                   d -> (CAST(q.qv[d + 1] AS DOUBLE) - mu.v[d + 1])
+         |                        * xc${c}_$PowerIters.v[d + 1]))
+         |                 / sqrt(nc${c}_$PowerIters.nrm), 6)
+         |       END AS w$k""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to WhitenK)
+      .map(c => s"xc${c}_$PowerIters, nc${c}_$PowerIters").mkString(", ")
+    s"""WITH ${covCellsCteSql(labeled = false)}, a AS MATERIALIZED (
+       |  SELECT i, list(c ORDER BY j) AS row FROM full_cells GROUP BY i
+       |), tr AS (
+       |  SELECT list_sum(list(c ORDER BY i)) AS trace
+       |  FROM cell WHERE i = j
+       |), cnt AS (
+       |  SELECT COUNT(*) AS n FROM q
+       |), mu AS MATERIALIZED (
+       |  SELECT list(CAST(sx AS DOUBLE) / CAST(cnt.n AS DOUBLE)
+       |              ORDER BY d) AS v
+       |  FROM m, cnt
+       |),
+       |$chains
+       |SELECT q.vec_id,
+       |$wcols
+       |FROM q, mu, tr, $finals
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // q265 — incremental covariance drift monitor (q262 as a per-
+  // snapshot monitoring operator instead of a point diagnostic)
+  // ----------------------------------------------------------------
+
+  /** Ingest batches the drift monitor snapshots on. The fixture has no
+    * arrival column, so contiguous vec_id ranges stand in for arrival
+    * order (vec_ids are dense 0..N−1); at 100 TB the batch key is the
+    * ingest date partition and NOTHING below changes — the per-batch
+    * buffer is still one GramMatrix fold, the merge is still
+    * element-wise integer addition. */
+  val DriftBatches = 8
+
+  /** Vector count packed at the tail of a Gram buffer. */
+  private[graft] def gramCount(g: Seq[Long]): Long =
+    g(Dim * (Dim + 1) / 2 + Dim)
+
+  /** Element-wise merge of two packed Gram buffers — exact integer
+    * addition, associative and commutative, so any merge tree (batch
+    * scanLeft, streaming foreachBatch, a 1000-executor partial tree)
+    * reaches the same buffer. The GramMatrixSpec merge property is the
+    * ground for this. */
+  private[graft] def mergeGram(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    a.zip(b).map { case (x, y) => x + y }
+
+  /** One cumulative buffer → (n, trace, effective rank): the shared
+    * snapshot kernel of batch q265 and the streaming monitor — both
+    * faces MUST route through here or replay-equality is luck. NULL
+    * (not NaN) effective rank on a degenerate spectrum, isFinite-
+    * guarded like the twin (NaN > 0 is TRUE in DuckDB ≥1.1). */
+  private[graft] def gramSnapshot(g: Seq[Long]): (Long, Double, Option[Double]) = {
+    val (a, n) = gramToCov(g)
+    val trace = covTrace(a)
+    val fro2 = fro2Of(a)
+    (n, trace,
+      if (java.lang.Double.isFinite(fro2) && fro2 > 0)
+        Some(trace * trace / fro2)
+      else None)
+  }
+
+  /** One snapshot row with the output-edge rounding — the streaming
+    * monitor appends exactly this frame per micro-batch, so stream
+    * and batch literally share the final projection. */
+  private[graft] def driftSnapshotDf(spark: SparkSession, batchId: Long,
+      g: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val (n, trace, er) = gramSnapshot(g)
+    Seq((batchId, n, trace, er))
+      .toDF("batch_id", "n_vectors_cum", "trace_raw", "er_raw")
+      .select(col("batch_id"), col("n_vectors_cum"),
+        round(col("trace_raw"), 6).as("trace_q"),
+        round(col("er_raw"), 6).as("effective_rank"))
+  }
+
+  /** q265 — incremental covariance drift monitor: the per-ingest-batch
+    * Gram buffers merged cumulatively along the batch axis, emitting
+    * vector count, trace, and spectral effective rank per snapshot —
+    * the running curve a representation pipeline alerts on (a batch of
+    * template-collapsed vectors bends effective rank DOWN at exactly
+    * the snapshot it lands in), turning the q262 point diagnostic into
+    * the monitoring operator a 100 TB pipeline actually deploys.
+    *
+    * Scale shape: ONE typed-aggregator pass — partitions fold into
+    * per-batch packed buffers, the shuffle carries |batches| × ~2 KB
+    * (calendar-bounded, NEVER corpus-bounded), and the cumulative
+    * merge is |batches| element-wise integer additions on the driver
+    * (the q259/q263 bounded-collect precedent). The integer merge is
+    * associative, so the same operator backfills (batch scan) and
+    * tails (streaming foreachBatch with ONE ~2 KB buffer as state —
+    * [[graft.streaming.StreamJobs.gramDriftMonitor]], replay-equal by
+    * construction: both faces call [[gramSnapshot]]). */
+  def gramDrift(spark: SparkSession, sfDir: String): DataFrame =
+    gramDriftOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant a batch of
+    * collapsed vectors and assert the rank curve bends at it). */
+  def gramDriftOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    // ceil((maxId+1)/B) — the twin's (MAX(vec_id) + B) // B
+    val width = (maxId + DriftBatches) / DriftBatches
+    val packed = embs
+      .select(expr(s"vec_id div $width").as("batch"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .as[(Long, Seq[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.GramMatrix(Dim).toColumn)
+      .collect()
+    val cum = packed.sortBy(_._1)
+      .scanLeft((0L, Seq.empty[Long])) { case ((_, acc), (b, g)) =>
+        (b, if (acc.isEmpty) g else mergeGram(acc, g))
+      }.drop(1)
+    val rows = cum.map { case (b, g) =>
+      val (n, trace, er) = gramSnapshot(g)
+      (b, n, trace, er)
+    }
+    rows.toSeq.toDF("batch_id", "n_vectors_cum", "trace_raw", "er_raw")
+      .select(col("batch_id"), col("n_vectors_cum"),
+        round(col("trace_raw"), 6).as("trace_q"),
+        round(col("er_raw"), 6).as("effective_rank"))
+      .orderBy("batch_id")
+  }
+
+  /** q265 twin: per-batch exact integer co-moments, cumulated with
+    * window SUMs along the batch axis (integer, so order-free), then
+    * the SHARED per-cell expression and the q262 trace/Frobenius folds
+    * per snapshot. Batch threading is why this can't interpolate
+    * [[covCellsCteSql]] wholesale — the cell arithmetic itself comes
+    * from the one shared [[covCellExprSql]] home. Cumulative sxy tops
+    * out at the full-corpus value the GramMatrix overflow spec already
+    * bounds, so the BIGINT casts are exact. */
+  val gramDriftSql: String =
+    s"""WITH wparam AS (
+       |  SELECT (MAX(vec_id) + $DriftBatches) // $DriftBatches AS w
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id, vec_id // wparam.w AS batch,
+       |         [CAST(round(CAST(e AS DOUBLE) * $CovScale) AS BIGINT)
+       |          for e in embedding] AS qv
+       |  FROM embeddings, wparam
+       |), pos AS (
+       |  SELECT batch, vec_id, t.i - 1 AS d, qv[t.i] AS x
+       |  FROM q, (SELECT unnest(generate_series(1, $Dim)) AS i) t
+       |), bprod AS (
+       |  SELECT a.batch, a.d AS i, b.d AS j,
+       |         CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+       |  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
+       |  GROUP BY 1, 2, 3
+       |), bm AS (
+       |  SELECT batch, d, CAST(SUM(x) AS BIGINT) AS sx
+       |  FROM pos GROUP BY 1, 2
+       |), bn AS (
+       |  SELECT batch, COUNT(*) AS bn FROM q GROUP BY 1
+       |), cum_prod AS MATERIALIZED (
+       |  SELECT batch, i, j,
+       |         CAST(SUM(sxy) OVER (PARTITION BY i, j ORDER BY batch)
+       |              AS BIGINT) AS sxy
+       |  FROM bprod
+       |), cum_m AS MATERIALIZED (
+       |  SELECT batch, d,
+       |         CAST(SUM(sx) OVER (PARTITION BY d ORDER BY batch)
+       |              AS BIGINT) AS sx
+       |  FROM bm
+       |), cum_n AS MATERIALIZED (
+       |  SELECT batch, CAST(SUM(bn) OVER (ORDER BY batch) AS BIGINT) AS n
+       |  FROM bn
+       |), cell AS MATERIALIZED (
+       |  SELECT p.batch, p.i, p.j,
+       |         ${covCellExprSql("p.sxy", "ma.sx", "mb.sx", "cn.n")} AS c
+       |  FROM cum_prod p
+       |  JOIN cum_m ma ON p.batch = ma.batch AND p.i = ma.d
+       |  JOIN cum_m mb ON p.batch = mb.batch AND p.j = mb.d
+       |  JOIN cum_n cn ON p.batch = cn.batch
+       |), full_cells AS MATERIALIZED (
+       |  SELECT batch, i, j, c FROM cell
+       |  UNION ALL
+       |  SELECT batch, j AS i, i AS j, c FROM cell WHERE i < j
+       |), tr AS (
+       |  SELECT batch, list_sum(list(c ORDER BY i)) AS trace
+       |  FROM cell WHERE i = j GROUP BY batch
+       |), fr AS (
+       |  SELECT batch, list_sum(list(c * c ORDER BY i, j)) AS fro2
+       |  FROM full_cells GROUP BY batch
+       |)
+       |SELECT CAST(cn.batch AS BIGINT) AS batch_id,
+       |       cn.n AS n_vectors_cum,
+       |       round(tr.trace, 6) AS trace_q,
+       |       CASE WHEN isfinite(fr.fro2) AND fr.fro2 > 0
+       |            THEN round(tr.trace * tr.trace / fr.fro2, 6) END
+       |         AS effective_rank
+       |FROM cum_n cn
+       |JOIN tr ON cn.batch = tr.batch
+       |JOIN fr ON cn.batch = fr.batch
+       |ORDER BY batch_id""".stripMargin
 }

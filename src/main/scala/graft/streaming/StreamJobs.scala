@@ -90,6 +90,51 @@ object StreamJobs {
       .start()
   }
 
+  /** The embeddings schema for file-source streams over the vector
+    * corpus. maxFilesPerTrigger=1 so each landing shard is its own
+    * micro-batch — the ingest-batch granularity the drift monitor
+    * snapshots on. */
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** Streaming face of batch q265: per arriving micro-batch of
+    * embeddings, fold ONE GramMatrix buffer (the only distributed
+    * work), merge it into the running buffer — the monitor's ENTIRE
+    * state is that one ~2 KB row of exact integers, regardless of how
+    * many vectors have flowed — and append one (batch_id,
+    * n_vectors_cum, trace_q, effective_rank) snapshot row. Both faces
+    * route through [[graft.ext.Similarity.gramSnapshot]] and the same
+    * output projection, so a replay whose micro-batches align with
+    * the batch query's ingest batches reproduces its rows exactly
+    * (StreamJobsSpec pins it); the integer merge is associative, so
+    * ANY batching reaches the same final snapshot. */
+  def gramDriftMonitor(embsStream: DataFrame,
+      outPath: String): StreamingQuery = {
+    var state: Seq[Long] = null // one packed Gram buffer (~2 KB)
+    embsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val g = graft.ext.Similarity.quantizedGramOf(
+          batch.sparkSession, batch.toDF())
+        if (graft.ext.Similarity.gramCount(g) > 0) {
+          state =
+            if (state == null) g
+            else graft.ext.Similarity.mergeGram(state, g)
+          graft.ext.Similarity.driftSnapshotDf(batch.sparkSession, bid, state)
+            .write.mode("append").parquet(outPath)
+        }
+        (): Unit
+      }
+      .start()
+  }
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark:
     * late data beyond the watermark is dropped, state is bounded. */
   def hourlyCounts(events: DataFrame): DataFrame =

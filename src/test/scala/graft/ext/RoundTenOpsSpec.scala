@@ -1,0 +1,174 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for q264 (PCA whitening application) and q265
+  * (incremental covariance drift monitor) the row-hash oracle can't
+  * express, plus two fixture premises the cross-engine twins rest on
+  * (advisor findings, round 9).
+  *
+  * The q264 planted-spectrum property is the round-10 verdict ask
+  * verbatim: on a planted anisotropic rank-r fixture, post-whitening
+  * effective rank — measured with the SHIPPED q262 kernel, not a
+  * private reimplementation — must rise toward min(D, rank) = r and
+  * the top-1 share must drop to ~1/r. */
+class RoundTenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val allSfDirs =
+    Seq(sf001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  /** Planted rank-3 anisotropic embeddings: three deterministic,
+    * near-uncorrelated integer patterns on axes 0-2 with well-
+    * separated scales (variance ratio ~4x between components, so the
+    * 8-step power iteration converges to ~(1/4)^8 per component),
+    * zeros everywhere else. */
+  private def plantedRank3(n: Int) = {
+    val dim = Similarity.Dim
+    (0 until n).map { i =>
+      val a = ((i * 37) % 21 - 10) / 10.0 * 3.0
+      val b = ((i * 53) % 17 - 8) / 8.0 * 1.5
+      val c = ((i * 71) % 13 - 6) / 6.0 * 0.7
+      val v = Array.fill(dim)(0.0f)
+      v(0) = a.toFloat; v(1) = b.toFloat; v(2) = c.toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Effective rank + top-1 share of a vector frame, via the SHIPPED
+    * q262 kernel chain (quantize -> GramMatrix -> shared cell
+    * expression -> participation ratio), at the frame's own dim. */
+  private def rankOf(vecs: Seq[Seq[Double]], dim: Int): (Double, Double) = {
+    val g = vecs.toDF("raw")
+      .select(transform(col("raw"),
+        e => round(e * Similarity.CovScale).cast("long")).as("qv"))
+      .as[Seq[Long]]
+      .select(new graft.functions.GramMatrix(dim).toColumn)
+      .head()
+    val (a, _) = Similarity.gramToCov(g, dim)
+    val trace = Similarity.covTrace(a)
+    val fro2 = Similarity.fro2Of(a)
+    val top = Similarity.deflatedSpectrum(a, 1).head._2
+    (trace * trace / fro2, top / trace)
+  }
+
+  test("q264: planted rank-3 spectrum — NULL beyond rank, ER rises to rank") {
+    val dim = Similarity.Dim
+    val planted = plantedRank3(200)
+    val rows = Similarity.pcaWhitenOn(spark, planted)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 200, "map-only: one output row per vector")
+
+    // components beyond the planted rank are NOT applied: their
+    // deflation residual is float noise ~trace*1e-14, far under the
+    // WhitenEps floor, so w3..w7 are NULL for every row
+    rows.foreach { r =>
+      (3 until Similarity.WhitenK).foreach(k =>
+        assert(r.isNullAt(1 + k), s"w$k should be NULL beyond rank: $r"))
+      (0 until 3).foreach(k =>
+        assert(!r.isNullAt(1 + k), s"w$k should be retained: $r"))
+    }
+
+    // pre-whitening the planted spectrum is collapsed (scales 3.0 /
+    // 1.5 / 0.7 -> ER ~ 1.6); post-whitening, measured with the same
+    // shipped q262 kernel over the retained columns, it must rise to
+    // ~min(D, rank) = 3 and the top-1 share must drop to ~1/3
+    val pre = planted.collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val (erPre, t1Pre) = rankOf(pre, dim)
+    assert(erPre < 2.2, s"planted fixture not anisotropic: erPre=$erPre")
+    assert(t1Pre > 0.5, s"planted top-1 share too weak: $t1Pre")
+
+    val post = rows.map(r => Seq(r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))).toSeq
+    val (erPost, t1Post) = rankOf(post, 3)
+    assert(erPost > 2.97 && erPost <= 3.0 + 1e-6,
+      s"post-whitening ER must reach min(D, rank)=3: $erPost")
+    assert(math.abs(t1Post - 1.0 / 3) < 0.02,
+      s"post-whitening top-1 share must drop to ~1/rank: $t1Post")
+    assert(erPost > erPre + 1.0,
+      s"whitening must visibly raise ER: $erPre -> $erPost")
+  }
+
+  test("q264: corpus fixture — full retention, unit variance per component") {
+    val rows = Similarity.pcaWhiten(spark, sf001).collect()
+    assert(rows.length == 500)
+    // the real fixture is full-rank: every swept component clears the
+    // eps floor, so no column is NULL
+    rows.foreach { r =>
+      (0 until Similarity.WhitenK).foreach(k =>
+        assert(!r.isNullAt(1 + k), s"corpus component $k dropped: $r"))
+    }
+    // whitened coordinates have ~unit variance (up to power-iteration
+    // convergence and the round(6) edge) and ~zero mean
+    (0 until Similarity.WhitenK).foreach { k =>
+      val xs = rows.map(_.getDouble(1 + k))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(m) < 1e-3, s"w$k mean not ~0: $m")
+      assert(math.abs(v - 1.0) < 0.05, s"w$k variance not ~1: $v")
+    }
+  }
+
+  test("q265: batched merge equals one-pass, collapsed batch bends the curve") {
+    val dim = Similarity.Dim
+    // batches 0-6: spread across all 64 axes (healthy); batch 7: one
+    // repeated vector (a collapsed ingest batch, the failure q265
+    // exists to catch). N=160, B=8 -> width 20.
+    val healthy = (0 until 140).map { i =>
+      val v = Array.tabulate(dim)(d => (((i * 31 + d * 17) % 19) - 9) / 9.0f)
+      (i.toLong, v.toSeq)
+    }
+    val collapsed = (140 until 160).map { i =>
+      val v = Array.fill(dim)(0.0f); v(0) = 20.0f
+      (i.toLong, v.toSeq)
+    }
+    val planted = (healthy ++ collapsed).toDF("vec_id", "embedding")
+    val rows = Similarity.gramDriftOn(spark, planted)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 8L),
+      "one snapshot per ingest batch, densely numbered")
+    assert(rows.map(_.getLong(1)).toSeq == (1 to 8).map(_ * 20L),
+      "cumulative vector count must step by the batch width")
+
+    // the collapsed batch must bend effective rank DOWN at exactly its
+    // snapshot, after a stable healthy prefix
+    val ers = rows.map(_.getDouble(3))
+    assert(ers(7) < ers(6) - 1.0,
+      s"collapsed batch must visibly drop ER: ${ers.mkString(", ")}")
+    assert(ers.take(7).forall(_ > ers(7)),
+      "every healthy snapshot outranks the post-collapse one")
+
+    // final snapshot == the unbatched one-pass fold of the whole frame:
+    // batching + integer merge must lose nothing
+    val (nAll, traceAll, erAll) =
+      Similarity.gramSnapshot(Similarity.quantizedGramOf(spark, planted))
+    assert(rows(7).getLong(1) == nAll)
+    assert(math.abs(rows(7).getDouble(2) - traceAll) < 1e-5)
+    assert(math.abs(rows(7).getDouble(3) - erAll.get) < 1e-5)
+  }
+
+  test("fixture premise: documents.text carries no vertical tab (\\x0B)") {
+    // Java \s matches \x0B, RE2 (DuckDB string_split_regex) \s does
+    // not — every whitespace-tokenizing twin (q12/q156/q260/q261...)
+    // rests on the corpus not exercising the divergence. Pin it at
+    // every gate SF instead of rewriting ~30 proven regexes.
+    allSfDirs.foreach { dir =>
+      val n = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").contains("\u000B")).count()
+      assert(n == 0, s"$dir: $n documents contain \\x0B — the Java-vs-" +
+        "RE2 \\s+ premise no longer holds; pin an explicit class")
+    }
+  }
+
+  test("fixture premise: embeddings.label has no NULLs") {
+    // q263 drops NULL labels symmetrically in both engines; the
+    // fixture premise is that none exist, so the filter is inert
+    allSfDirs.foreach { dir =>
+      val n = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("label").isNull).count()
+      assert(n == 0, s"$dir: $n NULL labels in embeddings")
+    }
+  }
+}

@@ -395,4 +395,46 @@ class StreamJobsSpec extends SparkSpec {
     val wantTotal = batch.map(_.getAs[Long]("n_events")).sum
     assert(gotTotal == wantTotal)
   }
+
+  test("streaming Gram drift monitor replays to the batch q265 snapshots") {
+    import graft.ext.Similarity
+    // stage the fixture as ONE FILE PER INGEST BATCH (the batch
+    // query's vec_id ranges), mtimes ascending so the file source
+    // replays them in ingest order, one micro-batch each
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val width = (maxId + Similarity.DriftBatches) / Similarity.DriftBatches
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramdrift")
+    (0 until Similarity.DriftBatches).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-gd-$b")
+      embs.filter(expr(s"vec_id div $width") === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val single =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+        } finally listing.close()
+      val dest = dir.resolve(f"batch$b%03d.parquet")
+      java.nio.file.Files.copy(single, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 10000L))
+    }
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-gd-out").toString + "/snapshots"
+    val q = StreamJobs.gramDriftMonitor(
+      StreamJobs.readEmbeddings(spark, dir.toString), outPath)
+    q.awaitTermination()
+    val got = spark.read.parquet(outPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val want = Similarity.gramDrift(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    // EXACT equality, batch ids included: both faces fold the same
+    // integer buffers through the same snapshot kernel and rounding
+    assert(got == want,
+      s"drift replay drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
 }

@@ -108,12 +108,15 @@ def diff_artifact(name, tag, a_label, a_rows, b_label, b_rows):
         a_label + "_rows": len(a_rows), b_label + "_rows": len(b_rows),
         "only_in_" + a_label: only_a[:20], "only_in_" + b_label: only_b[:20],
         "n_only_in_" + a_label: len(only_a), "n_only_in_" + b_label: len(only_b),
-        "first_cell_types": None,
+        # raw canonical cell reprs of the first divergent row per side —
+        # NOT parsed into type names: cells are already canonical strings
+        # here, and splitting on "(" only yields a type for Decimal(...)
+        # reprs (it returned the raw value for ints/floats/timestamps,
+        # which misled exactly when debugging non-Decimal mismatches)
+        "first_cells": None,
     }
     if only_a and only_b:
-        art["first_cell_types"] = [
-            [t for t in map(lambda s: s.split("(")[0], only_a[0])],
-            [t for t in map(lambda s: s.split("(")[0], only_b[0])]]
+        art["first_cells"] = [list(only_a[0]), list(only_b[0])]
     os.makedirs(art_dir, exist_ok=True)
     path = f"{art_dir}/{name}_{tag}.json"
     json.dump(art, open(path, "w"), indent=1, default=str)
