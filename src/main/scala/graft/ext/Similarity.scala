@@ -2272,32 +2272,47 @@ object Similarity {
   def pcaWhiten(spark: SparkSession, sfDir: String): DataFrame =
     pcaWhitenOn(spark, Tables.load(spark, sfDir, "embeddings"))
 
-  /** Core over an injectable embeddings frame (specs plant anisotropic
-    * spectra and assert post-whitening effective rank). */
-  def pcaWhitenOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+  /** Driver-side whitening model from ONE Gram fold: (μ, top-K
+    * (component, λ) pairs, trace) — shared by q264 (the transform)
+    * and q266 (the payoff audit) so both whiten with the same
+    * parameters by construction. */
+  private[graft] def whitenModel(spark: SparkSession, embs: DataFrame)
+      : (IndexedSeq[Double], Seq[(Array[Double], Double)], Double) = {
     val g = quantizedGramOf(spark, embs)
     val (a, n) = gramToCov(g)
     val trace = covTrace(a)
     val tri = Dim * (Dim + 1) / 2
     // μ_d = sx_d / n — the twin's CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)
     val mu = (0 until Dim).map(d => g(tri + d).toDouble / n.toDouble)
-    val comps = deflatedSpectrum(a, WhitenK)
+    (mu, deflatedSpectrum(a, WhitenK), trace)
+  }
+
+  /** One whitened coordinate over a `qv` long-array column — None when
+    * the component fails the retention gate. The ONE Scala home of the
+    * projection expression (ascending-d left fold, then /√λ, then the
+    * round(6) edge); the twins interpolate [[whitenCompExprSql]]. */
+  private def whitenCompCol(mu: IndexedSeq[Double], v: Array[Double],
+      lambda: Double, trace: Double): Option[Column] =
+    if (!retainedComp(lambda, trace)) None
+    else {
+      val s = math.sqrt(lambda)
+      val proj = (0 until Dim).map { d =>
+        (element_at(col("qv"), d + 1).cast("double") - lit(mu(d))) *
+          lit(v(d))
+      }.reduce(_ + _)
+      Some(round(proj / lit(s), 6))
+    }
+
+  /** Core over an injectable embeddings frame (specs plant anisotropic
+    * spectra and assert post-whitening effective rank). */
+  def pcaWhitenOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val (mu, comps, trace) = whitenModel(spark, embs)
     val qv = embs.select(col("vec_id"),
       transform(col("embedding"),
         e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
     val wcols = comps.zipWithIndex.map { case ((v, lambda), k) =>
-      if (!retainedComp(lambda, trace))
-        lit(null).cast("double").as(s"w$k")
-      else {
-        val s = math.sqrt(lambda)
-        // ascending-d left fold — the twin's list_sum over the same
-        // ascending list_transform
-        val proj = (0 until Dim).map { d =>
-          (element_at(col("qv"), d + 1).cast("double") - lit(mu(d))) *
-            lit(v(d))
-        }.reduce(_ + _)
-        round(proj / lit(s), 6).as(s"w$k")
-      }
+      whitenCompCol(mu, v, lambda, trace)
+        .getOrElse(lit(null).cast("double")).as(s"w$k")
     }
     qv.select(col("vec_id") +: wcols: _*).orderBy("vec_id")
   }
@@ -2309,7 +2324,28 @@ object Similarity {
     * ascending list fold. Rotation, scale, and retention all derive
     * from the shared exact-integer cells, so both engines whiten with
     * bit-identical parameters. */
-  val pcaWhitenSql: String = {
+  /** One whitened coordinate as a SQL expression (no alias) — the
+    * twin of [[whitenCompCol]], interpolated by both the q264 and
+    * q266 oracles. `c` is the 1-based component index. */
+  private def whitenCompExprSql(c: Int): String =
+    s"""CASE WHEN isfinite(nc${c}_$PowerIters.nrm)
+       |                 AND isfinite(tr.trace) AND tr.trace > 0
+       |                 AND nc${c}_$PowerIters.nrm > tr.trace * $WhitenEps
+       |            THEN round(list_sum(list_transform(range($Dim),
+       |                   d -> (CAST(q.qv[d + 1] AS DOUBLE) - mu.v[d + 1])
+       |                        * xc${c}_$PowerIters.v[d + 1]))
+       |                 / sqrt(nc${c}_$PowerIters.nrm), 6)
+       |       END""".stripMargin
+
+  /** The single-row CTEs the per-component expression references. */
+  private val whitenFinalsSql: String = (1 to WhitenK)
+    .map(c => s"xc${c}_$PowerIters, nc${c}_$PowerIters").mkString(", ")
+
+  /** Shared oracle prefix for q264/q266: covariance build, trace,
+    * mean vector, and one power chain + rank-1 deflation per
+    * component — every state MATERIALIZED (the q259 exponential-
+    * inlining cliff, per component here). */
+  private val whitenCtesSql: String = {
     val chains = (1 to WhitenK).map { c =>
       val mat = if (c == 1) "a" else s"d${c - 1}"
       val chain = powerChainSql(mat, s"c${c}_")
@@ -2328,20 +2364,7 @@ object Similarity {
              |)""".stripMargin
       chain + defl
     }.mkString(",\n")
-    val wcols = (0 until WhitenK).map { k =>
-      val c = k + 1
-      s"""       CASE WHEN isfinite(nc${c}_$PowerIters.nrm)
-         |                 AND isfinite(tr.trace) AND tr.trace > 0
-         |                 AND nc${c}_$PowerIters.nrm > tr.trace * $WhitenEps
-         |            THEN round(list_sum(list_transform(range($Dim),
-         |                   d -> (CAST(q.qv[d + 1] AS DOUBLE) - mu.v[d + 1])
-         |                        * xc${c}_$PowerIters.v[d + 1]))
-         |                 / sqrt(nc${c}_$PowerIters.nrm), 6)
-         |       END AS w$k""".stripMargin
-    }.mkString(",\n")
-    val finals = (1 to WhitenK)
-      .map(c => s"xc${c}_$PowerIters, nc${c}_$PowerIters").mkString(", ")
-    s"""WITH ${covCellsCteSql(labeled = false)}, a AS MATERIALIZED (
+    s"""${covCellsCteSql(labeled = false)}, a AS MATERIALIZED (
        |  SELECT i, list(c ORDER BY j) AS row FROM full_cells GROUP BY i
        |), tr AS (
        |  SELECT list_sum(list(c ORDER BY i)) AS trace
@@ -2353,11 +2376,139 @@ object Similarity {
        |              ORDER BY d) AS v
        |  FROM m, cnt
        |),
-       |$chains
+       |$chains""".stripMargin
+  }
+
+  val pcaWhitenSql: String = {
+    val wcols = (0 until WhitenK)
+      .map(k => s"       ${whitenCompExprSql(k + 1)} AS w$k")
+      .mkString(",\n")
+    s"""WITH $whitenCtesSql
        |SELECT q.vec_id,
        |$wcols
-       |FROM q, mu, tr, $finals
+       |FROM q, mu, tr, $whitenFinalsSql
        |ORDER BY vec_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // q266 — whitening payoff audit (does running q264 before the
+  // int8/PQ stage actually buy anything? measure, don't guess)
+  // ----------------------------------------------------------------
+
+  /** Per-row symmetric int8 cosine distortion — q147's exact kernel
+    * (scale = max|x|/127, round-to-grid, 1 − cos(v, dequant(v)), 0 on
+    * a zero vector) as a reusable Column so q266 can score two
+    * representations in one pass. The scale expression is inlined
+    * thrice (Catalyst CSEs it; semantics identical either way). */
+  private def int8DistCol(v: Column): Column = {
+    def scale = aggregate(transform(v, x => abs(x)), lit(0.0),
+      (a, e) => greatest(a, e)) / lit(127.0)
+    when(scale > 0.0,
+      lit(1.0) - cosine(v, transform(v, x => round(x / scale, 0) * scale)))
+      .otherwise(lit(0.0))
+  }
+
+  /** q266 — whitening payoff: per label, the int8 quantization
+    * distortion (q147's kernel) of the RAW 64-dim embedding vs the
+    * WHITENED top-K representation (q264's exact output values, NULL
+    * components dropped), plus their ratio — the measurement that
+    * decides whether the pipeline runs q264 before its index build.
+    * Symmetric per-vector int8 wastes grid on anisotropic inputs
+    * (one dominant axis sets the step for every axis); whitening
+    * equalizes per-axis scale, so the whitened copy should quantize
+    * strictly better wherever q259/q262 diagnose anisotropy. This is
+    * the q258 discipline: an audit must MEASURE the shipped operators
+    * (q147's kernel on q264's values), never a private twin of them.
+    *
+    * Scale shape: q264's bounded model derivation (ONE Gram fold +
+    * driver eigensolve), then a single MAP-ONLY pass scoring both
+    * representations row-locally — no join (the whitened coords are
+    * rebuilt from the broadcast model on the same scan, not joined
+    * back from q264's output), one |labels|-sized agg. */
+  def whitenPayoff(spark: SparkSession, sfDir: String): DataFrame =
+    whitenPayoffOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant anisotropy
+    * and assert the whitened copy quantizes strictly better). */
+  def whitenPayoffOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val (mu, comps, trace) = whitenModel(spark, embs)
+    val retained = comps.flatMap { case (v, lambda) =>
+      whitenCompCol(mu, v, lambda, trace)
+    }
+    // a fully-degenerate model (no retained component) scores the
+    // whitened side as the zero vector -> distortion 0.0, matching
+    // the twin's empty-list NULL-scale CASE arm
+    val wv =
+      if (retained.isEmpty) array(lit(0.0))
+      else array(retained: _*)
+    val scored = embs
+      .select(col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .select(col("label"),
+        int8DistCol(col("v")).as("dist_raw"),
+        int8DistCol(wv).as("dist_wh"))
+    def nanoMean(c: Column): Column =
+      round(sum(round(c * 1e9, 0).cast("long")).cast("double") /
+        count(lit(1)).cast("double") / 1e9, 6)
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        nanoMean(col("dist_raw")).as("raw_mean_distortion"),
+        nanoMean(col("dist_wh")).as("white_mean_distortion"))
+      // the gain divides the already-rounded means (identical doubles
+      // in both engines), NULL when the whitened copy is lossless at
+      // the nano grid
+      .withColumn("distortion_gain",
+        when(col("white_mean_distortion") > 0,
+          round(col("raw_mean_distortion") / col("white_mean_distortion"),
+            6)))
+      .orderBy("label")
+  }
+
+  /** q266 twin: q264's shared CTE prefix, the whitened list per vec
+    * (NULL components filtered), then the q147 kernel on both
+    * representations and per-label nano-unit means. */
+  val whitenPayoffSql: String = {
+    val wlist = (1 to WhitenK).map(whitenCompExprSql).mkString(",\n        ")
+    s"""WITH $whitenCtesSql,
+       |wh AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |         list_filter([$wlist], x -> x IS NOT NULL) AS wv
+       |  FROM q, mu, tr, $whitenFinalsSql
+       |), b AS (
+       |  SELECT e.label, e.embedding::DOUBLE[] AS v, wh.wv
+       |  FROM embeddings e JOIN wh ON wh.vec_id = e.vec_id
+       |), s AS (
+       |  SELECT label, v, wv,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS sr,
+       |         list_max(list_transform(wv, x -> abs(x))) / 127.0 AS sw
+       |  FROM b
+       |), d AS (
+       |  SELECT label,
+       |         CASE WHEN sr > 0.0
+       |              THEN 1.0 - list_cosine_similarity(v,
+       |                list_transform(v, x -> round(x / sr) * sr))
+       |              ELSE 0.0 END AS dist_raw,
+       |         CASE WHEN sw > 0.0
+       |              THEN 1.0 - list_cosine_similarity(wv,
+       |                list_transform(wv, x -> round(x / sw) * sw))
+       |              ELSE 0.0 END AS dist_wh
+       |  FROM s
+       |), g AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |         round(SUM(round(dist_raw * 1e9)::BIGINT)::DOUBLE
+       |               / COUNT(*)::DOUBLE / 1e9, 6) AS raw_mean_distortion,
+       |         round(SUM(round(dist_wh * 1e9)::BIGINT)::DOUBLE
+       |               / COUNT(*)::DOUBLE / 1e9, 6) AS white_mean_distortion
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT label, n_vectors, raw_mean_distortion, white_mean_distortion,
+       |       CASE WHEN white_mean_distortion > 0
+       |            THEN round(raw_mean_distortion / white_mean_distortion, 6)
+       |       END AS distortion_gain
+       |FROM g ORDER BY label""".stripMargin
   }
 
   // ----------------------------------------------------------------

@@ -149,6 +149,38 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(math.abs(rows(7).getDouble(3) - erAll.get) < 1e-5)
   }
 
+  test("q266: whitened int8 copy quantizes strictly better on anisotropy") {
+    val dim = Similarity.Dim
+    // strong single-axis anisotropy over an otherwise-busy base: axis
+    // 0 is 40x the rest, so its max sets the int8 step for EVERY axis
+    // and the raw copy quantizes the other 63 coarsely (distortion
+    // ~1e-3, far above the round(6) grid — the first draft planted a
+    // 3-axis 4x spectrum whose distortions tied at 3e-6); the
+    // whitened copy equalizes per-axis scale
+    val planted = (0 until 200).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = v(0) * 40.0f
+      (i.toLong, v.toSeq, (i % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.whitenPayoffOn(spark, planted).collect()
+    assert(rows.length == 4, "one row per planted label")
+    rows.foreach { r =>
+      val (raw, wh) = (r.getDouble(2), r.getDouble(3))
+      assert(raw > 0, s"planted anisotropy must cost the raw copy: $r")
+      assert(wh < raw,
+        s"whitened copy must quantize strictly better: $r")
+      assert(!r.isNullAt(4) && r.getDouble(4) > 1.0,
+        s"distortion_gain must exceed 1 on anisotropic input: $r")
+    }
+    // the audit measures the SHIPPED kernels: distortions are honest
+    // cosine losses, bounded by [0, 1]
+    rows.foreach { r =>
+      Seq(r.getDouble(2), r.getDouble(3)).foreach(d =>
+        assert(d >= 0.0 && d <= 1.0, s"distortion out of range: $r"))
+    }
+  }
+
   test("fixture premise: documents.text carries no vertical tab (\\x0B)") {
     // Java \s matches \x0B, RE2 (DuckDB string_split_regex) \s does
     // not — every whitespace-tokenizing twin (q12/q156/q260/q261...)
