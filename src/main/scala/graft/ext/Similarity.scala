@@ -2585,9 +2585,12 @@ object Similarity {
   def gramDrift(spark: SparkSession, sfDir: String): DataFrame =
     gramDriftOn(spark, Tables.load(spark, sfDir, "embeddings"))
 
-  /** Core over an injectable embeddings frame (specs plant a batch of
-    * collapsed vectors and assert the rank curve bends at it). */
-  def gramDriftOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+  /** Cumulative per-ingest-batch Gram buffers, ascending batch — the
+    * shared corpus-side pass of q265 (spectrum-shape drift) and q267
+    * (basis-rotation drift): ONE typed-aggregator job, |batches| ×
+    * ~2 KB collected, exact integer scanLeft merge. */
+  private[graft] def cumGramBuffers(spark: SparkSession,
+      embs: DataFrame): Seq[(Long, Seq[Long])] = {
     import spark.implicits._
     val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
     // ceil((maxId+1)/B) — the twin's (MAX(vec_id) + B) // B
@@ -2601,15 +2604,21 @@ object Similarity {
       .mapValues(_._2)
       .agg(new graft.functions.GramMatrix(Dim).toColumn)
       .collect()
-    val cum = packed.sortBy(_._1)
+    packed.sortBy(_._1).toSeq
       .scanLeft((0L, Seq.empty[Long])) { case ((_, acc), (b, g)) =>
         (b, if (acc.isEmpty) g else mergeGram(acc, g))
       }.drop(1)
-    val rows = cum.map { case (b, g) =>
+  }
+
+  /** Core over an injectable embeddings frame (specs plant a batch of
+    * collapsed vectors and assert the rank curve bends at it). */
+  def gramDriftOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = cumGramBuffers(spark, embs).map { case (b, g) =>
       val (n, trace, er) = gramSnapshot(g)
       (b, n, trace, er)
     }
-    rows.toSeq.toDF("batch_id", "n_vectors_cum", "trace_raw", "er_raw")
+    rows.toDF("batch_id", "n_vectors_cum", "trace_raw", "er_raw")
       .select(col("batch_id"), col("n_vectors_cum"),
         round(col("trace_raw"), 6).as("trace_q"),
         round(col("er_raw"), 6).as("effective_rank"))
@@ -2624,8 +2633,11 @@ object Similarity {
     * from the one shared [[covCellExprSql]] home. Cumulative sxy tops
     * out at the full-corpus value the GramMatrix overflow spec already
     * bounds, so the BIGINT casts are exact. */
-  val gramDriftSql: String =
-    s"""WITH wparam AS (
+  /** Shared oracle prefix for q265/q267: per-batch exact integer
+    * co-moments, window-SUM cumulation, the shared cell expression,
+    * both triangles, and the per-snapshot trace. */
+  private val driftCumCteSql: String =
+    s"""wparam AS (
        |  SELECT (MAX(vec_id) + $DriftBatches) // $DriftBatches AS w
        |  FROM embeddings
        |), q AS (
@@ -2673,7 +2685,10 @@ object Similarity {
        |), tr AS (
        |  SELECT batch, list_sum(list(c ORDER BY i)) AS trace
        |  FROM cell WHERE i = j GROUP BY batch
-       |), fr AS (
+       |)""".stripMargin
+
+  val gramDriftSql: String =
+    s"""WITH $driftCumCteSql, fr AS (
        |  SELECT batch, list_sum(list(c * c ORDER BY i, j)) AS fro2
        |  FROM full_cells GROUP BY batch
        |)
@@ -2687,4 +2702,115 @@ object Similarity {
        |JOIN tr ON cn.batch = tr.batch
        |JOIN fr ON cn.batch = fr.batch
        |ORDER BY batch_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q267 — basis-rotation drift (q265 watches the spectrum's SHAPE;
+  // this watches whether the q264 ROTATION is going stale)
+  // ----------------------------------------------------------------
+
+  /** Ascending-d dot product — the twin's list_dot_product pairing,
+    * already proven exact cross-engine by the q259 iterate. */
+  private def dotV(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** q267 — rotation staleness: per cumulative snapshot, the absolute
+    * cosine between this snapshot's dominant principal component and
+    * the PREVIOUS snapshot's (NULL at the first snapshot and on
+    * degenerate spectra), plus the snapshot's top-1 variance share —
+    * the monitor that tells a pipeline when the whitening rotation it
+    * derived (q264) no longer matches the data flowing in: q265's
+    * effective rank can hold steady while the BASIS rotates (new
+    * dominant topic, same spectrum shape), and a stale rotation
+    * silently degrades every consumer of the whitened copy. Absolute
+    * cosine because the power iterate's sign follows its overlap with
+    * the fixed start vector — identical in both engines, but not a
+    * property of the subspace being compared.
+    *
+    * Scale shape: the SAME |batches|-bounded cumulative buffers as
+    * q265 (one shared corpus pass, [[cumGramBuffers]]), then an
+    * O(|batches|·PowerIters·D²) driver eigensolve — nothing
+    * corpus-sized is touched after the fold. */
+  def rotationDrift(spark: SparkSession, sfDir: String): DataFrame =
+    rotationDriftOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant a rotation
+    * event and assert the dip lands at exactly its snapshot). */
+  def rotationDriftOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val snaps = cumGramBuffers(spark, embs).map { case (b, g) =>
+      val (a, n) = gramToCov(g)
+      val trace = covTrace(a)
+      val (v, lambda) = powerIterate(a)
+      (b, n, v, lambda, trace)
+    }
+    val rows = snaps.zipWithIndex.map {
+      case ((b, n, v, lambda, trace), i) =>
+        val share =
+          if (java.lang.Double.isFinite(lambda) && lambda > 0 &&
+            java.lang.Double.isFinite(trace) && trace > 0)
+            Some(lambda / trace)
+          else None
+        val stab =
+          if (i == 0) None
+          else {
+            val d = dotV(v, snaps(i - 1)._3)
+            // NULL (not NaN) when either iterate died in a degenerate
+            // spectrum — the twin's isfinite CASE guard
+            if (java.lang.Double.isFinite(d)) Some(math.abs(d)) else None
+          }
+        (b, n, stab, share)
+    }
+    rows.toDF("batch_id", "n_vectors_cum", "stab_raw", "share_raw")
+      .select(col("batch_id"), col("n_vectors_cum"),
+        round(col("stab_raw"), 6).as("rotation_stability"),
+        round(col("share_raw"), 6).as("top1_share"))
+      .orderBy("batch_id")
+  }
+
+  /** q267 twin: the q265 cumulative prefix, one matrix CTE + one
+    * [[powerChainSql]] chain per snapshot (every state MATERIALIZED —
+    * the exponential-inlining cliff again), then per-snapshot rows
+    * UNION ALLed with the successive-iterate dot. Snapshot count is
+    * the [[DriftBatches]] constant, so the unroll is closed-form. */
+  val rotationDriftSql: String = {
+    val perBatch = (0 until DriftBatches).map { b =>
+      s"""ab$b AS MATERIALIZED (
+         |  SELECT i, list(c ORDER BY j) AS row
+         |  FROM full_cells WHERE batch = $b GROUP BY i
+         |),
+         |${powerChainSql(s"ab$b", s"b${b}_")}""".stripMargin
+    }.mkString(",\n")
+    def shareExpr(b: Int): String =
+      s"""CASE WHEN isfinite(nb${b}_$PowerIters.nrm)
+         |            AND nb${b}_$PowerIters.nrm > 0
+         |            AND isfinite(t$b.trace) AND t$b.trace > 0
+         |       THEN round(nb${b}_$PowerIters.nrm / t$b.trace, 6)
+         |       END AS top1_share""".stripMargin
+    val selects = (0 until DriftBatches).map { b =>
+      val stab =
+        if (b == 0) "NULL::DOUBLE AS rotation_stability"
+        else {
+          val d = s"list_dot_product(xb${b}_$PowerIters.v, " +
+            s"xb${b - 1}_$PowerIters.v)"
+          s"""CASE WHEN isfinite($d) THEN round(abs($d), 6)
+             |       END AS rotation_stability""".stripMargin
+        }
+      val prevFinal =
+        if (b == 0) "" else s", xb${b - 1}_$PowerIters"
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, cn.n AS n_vectors_cum,
+         |       $stab,
+         |       ${shareExpr(b)}
+         |FROM (SELECT n FROM cum_n WHERE batch = $b) cn,
+         |     (SELECT trace FROM tr WHERE batch = $b) t$b,
+         |     xb${b}_$PowerIters, nb${b}_$PowerIters$prevFinal""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $driftCumCteSql,
+       |$perBatch
+       |$selects
+       |ORDER BY batch_id""".stripMargin
+  }
 }

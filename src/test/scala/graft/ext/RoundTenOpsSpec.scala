@@ -181,6 +181,47 @@ class RoundTenOpsSpec extends SparkSpec {
     }
   }
 
+  test("q267: rotation event dips stability at exactly its snapshot") {
+    val dim = Similarity.Dim
+    // batches 0-6: dominant axis 0 (scaled 4x over a busy base) ->
+    // the cumulative dominant component is stable; batch 7: a strong
+    // constant axis-1 cohort whose between-group variance overtakes
+    // axis 0 -> the cumulative dominant ROTATES at snapshot 7 while
+    // the spectrum's shape story stays q265's
+    val healthy = (0 until 140).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = v(0) * 4.0f
+      (i.toLong, v.toSeq)
+    }
+    val rotated = (140 until 160).map { i =>
+      val v = Array.fill(dim)(0.0f); v(1) = 50.0f
+      (i.toLong, v.toSeq)
+    }
+    val planted = (healthy ++ rotated).toDF("vec_id", "embedding")
+    val rows = Similarity.rotationDriftOn(spark, planted)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 8L))
+    assert(rows.head.isNullAt(2), "first snapshot has no predecessor")
+    (1 to 6).foreach { b =>
+      assert(rows(b).getDouble(2) > 0.99,
+        s"healthy snapshot $b must hold the basis: ${rows(b)}")
+    }
+    assert(rows(7).getDouble(2) < 0.5,
+      s"rotation event must dip stability at snapshot 7: ${rows(7)}")
+    // the dominant share after the event belongs to the NEW axis and
+    // is large; every stability is a valid |cos|
+    assert(rows(7).getDouble(3) > rows(6).getDouble(3),
+      "the rotating cohort must raise the top-1 share")
+    rows.drop(1).foreach(r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.000001,
+        s"stability out of range: $r"))
+    // n_vectors_cum reconciles with q265's (shared cumulative pass)
+    val q265n = Similarity.gramDriftOn(spark, planted)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(rows.map(_.getLong(1)).toSeq == q265n)
+  }
+
   test("fixture premise: documents.text carries no vertical tab (\\x0B)") {
     // Java \s matches \x0B, RE2 (DuckDB string_split_regex) \s does
     // not — every whitespace-tokenizing twin (q12/q156/q260/q261...)
