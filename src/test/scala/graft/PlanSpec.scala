@@ -295,6 +295,26 @@ class PlanSpec extends SparkSpec {
       s"20 anchor intervals must broadcast:\n$plan")
   }
 
+  test("q264/q266: whitening is map-only — no join, bounded exchanges") {
+    // the rotation ships as expression literals from the driver model;
+    // a regression that joins q264's output back (or shuffles anything
+    // besides the output sort / the |labels| agg) breaks the 100 TB
+    // story. q264: scan -> project -> sort = at most 1 exchange.
+    // AQE's toString appends "== Initial Plan ==" repeating every
+    // Exchange — count only the executed (final) section
+    def finalSection(p: String): String = p.split("== Initial Plan ==")(0)
+    val p264 = finalSection(finalPlan("q264_pca_whiten"))
+    assert(!p264.contains("Join"), s"q264 must not join:\n$p264")
+    val ex264 = "Exchange".r.findAllIn(p264).length
+    assert(ex264 <= 1, s"q264 planned $ex264 exchanges (sort only):\n$p264")
+    // q266: scan -> row-local scoring -> one hash agg (+ final sort);
+    // partial+final agg = at most 2 exchanges, still no join
+    val p266 = finalSection(finalPlan("q266_whiten_payoff"))
+    assert(!p266.contains("Join"), s"q266 must not join:\n$p266")
+    val ex266 = "Exchange".r.findAllIn(p266).length
+    assert(ex266 <= 2, s"q266 planned $ex266 exchanges:\n$p266")
+  }
+
   test("no declared query plans an unpartitioned Window over unbounded input") {
     // THE scale invariant for window functions: an empty partitionSpec
     // funnels every row through ONE task. A global window is admissible
