@@ -2395,17 +2395,51 @@ object Similarity {
   // int8/PQ stage actually buy anything? measure, don't guess)
   // ----------------------------------------------------------------
 
-  /** Per-row symmetric int8 cosine distortion — q147's exact kernel
-    * (scale = max|x|/127, round-to-grid, 1 − cos(v, dequant(v)), 0 on
-    * a zero vector) as a reusable Column so q266 can score two
-    * representations in one pass. The scale expression is inlined
-    * thrice (Catalyst CSEs it; semantics identical either way). */
-  private def int8DistCol(v: Column): Column = {
-    def scale = aggregate(transform(v, x => abs(x)), lit(0.0),
+  /** q147's int8 scale as a Column — staged into its OWN projection
+    * by q266 so it computes once per row: inlining it inside the
+    * dequant lambda re-evaluates the full aggregate per ELEMENT, and
+    * when `v` is itself the (expensive) whitened projection the tree
+    * re-expands ~16× per row — the first q266 draft paid 5.5 ms/row
+    * for a ~5 kflop kernel. Referencing ALIASED columns keeps every
+    * duplicate a cheap attribute (CollapseProject refuses to merge
+    * multiply-referenced expensive aliases, so the stages hold). */
+  private def int8ScaleCol(v: Column): Column =
+    aggregate(transform(v, x => abs(x)), lit(0.0),
       (a, e) => greatest(a, e)) / lit(127.0)
+
+  /** Per-row symmetric int8 cosine distortion — q147's exact kernel
+    * (round-to-grid, 1 − cos(v, dequant(v)), 0 on a zero vector) over
+    * a PRE-STAGED scale column. */
+  private def int8DistCol(v: Column, scale: Column): Column =
     when(scale > 0.0,
       lit(1.0) - cosine(v, transform(v, x => round(x / scale, 0) * scale)))
       .otherwise(lit(0.0))
+
+  /** Whitened representation as one array column + the degeneracy
+    * flag, from ONE model derivation — the shared Scala home of the
+    * q266/q268/q269 "rebuild the whitened coords on the same scan"
+    * step. A fully-degenerate model (no retained component) returns
+    * the [0.0] stand-in (keeps downstream plans well-typed) and
+    * flag=true so callers mask their whitened outputs NULL. */
+  private def whitenedArrayCol(spark: SparkSession, embs: DataFrame)
+      : (Column, Boolean) = {
+    val (mu, comps, trace) = whitenModel(spark, embs)
+    val retained = comps.flatMap { case (v, lambda) =>
+      whitenCompCol(mu, v, lambda, trace)
+    }
+    (if (retained.isEmpty) array(lit(0.0)) else array(retained: _*),
+      retained.isEmpty)
+  }
+
+  /** The `wh` CTE (per-vec retained whitened list) over the q264
+    * prefix — the shared SQL home of the same step. */
+  private def whitenedListCteSql(alias: String): String = {
+    val wlist = (1 to WhitenK).map(whitenCompExprSql).mkString(",\n        ")
+    s"""wh AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |         list_filter([$wlist], x -> x IS NOT NULL) AS $alias
+       |  FROM q, mu, tr, $whitenFinalsSql
+       |)""".stripMargin
   }
 
   /** q266 — whitening payoff: per label, the int8 quantization
@@ -2431,24 +2465,23 @@ object Similarity {
   /** Core over an injectable embeddings frame (specs plant anisotropy
     * and assert the whitened copy quantizes strictly better). */
   def whitenPayoffOn(spark: SparkSession, embs: DataFrame): DataFrame = {
-    val (mu, comps, trace) = whitenModel(spark, embs)
-    val retained = comps.flatMap { case (v, lambda) =>
-      whitenCompCol(mu, v, lambda, trace)
-    }
     // a fully-degenerate model (no retained component) scores the
     // whitened side as the zero vector -> distortion 0.0, matching
     // the twin's empty-list NULL-scale CASE arm
-    val wv =
-      if (retained.isEmpty) array(lit(0.0))
-      else array(retained: _*)
+    val (wv, _) = whitenedArrayCol(spark, embs)
+    // three staged projections: wv once per row, then both scales
+    // once per row, then the kernels over pure attribute references
     val scored = embs
       .select(col("label").cast("long").as("label"),
         asDouble(col("embedding")).as("v"),
         transform(col("embedding"),
           e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .select(col("label"), col("v"), wv.as("wv"))
+      .select(col("label"), col("v"), col("wv"),
+        int8ScaleCol(col("v")).as("sr"), int8ScaleCol(col("wv")).as("sw"))
       .select(col("label"),
-        int8DistCol(col("v")).as("dist_raw"),
-        int8DistCol(wv).as("dist_wh"))
+        int8DistCol(col("v"), col("sr")).as("dist_raw"),
+        int8DistCol(col("wv"), col("sw")).as("dist_wh"))
     def nanoMean(c: Column): Column =
       round(sum(round(c * 1e9, 0).cast("long")).cast("double") /
         count(lit(1)).cast("double") / 1e9, 6)
@@ -2470,13 +2503,8 @@ object Similarity {
     * (NULL components filtered), then the q147 kernel on both
     * representations and per-label nano-unit means. */
   val whitenPayoffSql: String = {
-    val wlist = (1 to WhitenK).map(whitenCompExprSql).mkString(",\n        ")
     s"""WITH $whitenCtesSql,
-       |wh AS MATERIALIZED (
-       |  SELECT q.vec_id,
-       |         list_filter([$wlist], x -> x IS NOT NULL) AS wv
-       |  FROM q, mu, tr, $whitenFinalsSql
-       |), b AS (
+       |${whitenedListCteSql("wv")}, b AS (
        |  SELECT e.label, e.embedding::DOUBLE[] AS v, wh.wv
        |  FROM embeddings e JOIN wh ON wh.vec_id = e.vec_id
        |), s AS (
@@ -2737,32 +2765,54 @@ object Similarity {
   def rotationDrift(spark: SparkSession, sfDir: String): DataFrame =
     rotationDriftOn(spark, Tables.load(spark, sfDir, "embeddings"))
 
+  /** One rotation snapshot from a cumulative buffer plus the PREVIOUS
+    * snapshot's dominant iterate: (n, iterate, |cos| vs prev, top-1
+    * share) — the shared kernel of batch q267 and the streaming
+    * monitor; both faces MUST route through here or replay-equality
+    * is luck (the [[gramSnapshot]] doctrine). NULL (not NaN) share on
+    * a degenerate spectrum and NULL stability when either iterate
+    * died in one — the twin's isfinite CASE guards. */
+  private[graft] def rotationSnapshot(g: Seq[Long],
+      prevV: Option[Array[Double]])
+      : (Long, Array[Double], Option[Double], Option[Double]) = {
+    val (a, n) = gramToCov(g)
+    val trace = covTrace(a)
+    val (v, lambda) = powerIterate(a)
+    val share =
+      if (java.lang.Double.isFinite(lambda) && lambda > 0 &&
+        java.lang.Double.isFinite(trace) && trace > 0)
+        Some(lambda / trace)
+      else None
+    val stab = prevV.flatMap { pv =>
+      val d = dotV(v, pv)
+      if (java.lang.Double.isFinite(d)) Some(math.abs(d)) else None
+    }
+    (n, v, stab, share)
+  }
+
+  /** One q267 snapshot row with the output-edge rounding — the
+    * streaming monitor appends exactly this frame per micro-batch
+    * (the [[driftSnapshotDf]] shape discipline). */
+  private[graft] def rotationSnapshotDf(spark: SparkSession,
+      batchId: Long, n: Long, stab: Option[Double],
+      share: Option[Double]): DataFrame = {
+    import spark.implicits._
+    Seq((batchId, n, stab, share))
+      .toDF("batch_id", "n_vectors_cum", "stab_raw", "share_raw")
+      .select(col("batch_id"), col("n_vectors_cum"),
+        round(col("stab_raw"), 6).as("rotation_stability"),
+        round(col("share_raw"), 6).as("top1_share"))
+  }
+
   /** Core over an injectable embeddings frame (specs plant a rotation
     * event and assert the dip lands at exactly its snapshot). */
   def rotationDriftOn(spark: SparkSession, embs: DataFrame): DataFrame = {
     import spark.implicits._
-    val snaps = cumGramBuffers(spark, embs).map { case (b, g) =>
-      val (a, n) = gramToCov(g)
-      val trace = covTrace(a)
-      val (v, lambda) = powerIterate(a)
-      (b, n, v, lambda, trace)
-    }
-    val rows = snaps.zipWithIndex.map {
-      case ((b, n, v, lambda, trace), i) =>
-        val share =
-          if (java.lang.Double.isFinite(lambda) && lambda > 0 &&
-            java.lang.Double.isFinite(trace) && trace > 0)
-            Some(lambda / trace)
-          else None
-        val stab =
-          if (i == 0) None
-          else {
-            val d = dotV(v, snaps(i - 1)._3)
-            // NULL (not NaN) when either iterate died in a degenerate
-            // spectrum — the twin's isfinite CASE guard
-            if (java.lang.Double.isFinite(d)) Some(math.abs(d)) else None
-          }
-        (b, n, stab, share)
+    var prev: Option[Array[Double]] = None
+    val rows = cumGramBuffers(spark, embs).map { case (b, g) =>
+      val (n, v, stab, share) = rotationSnapshot(g, prev)
+      prev = Some(v)
+      (b, n, stab, share)
     }
     rows.toDF("batch_id", "n_vectors_cum", "stab_raw", "share_raw")
       .select(col("batch_id"), col("n_vectors_cum"),
@@ -2813,4 +2863,311 @@ object Similarity {
        |$selects
        |ORDER BY batch_id""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // q268 — whitening retrieval payoff (q266 measures what int8 costs
+  // in DISTORTION; this measures what it costs where an index is
+  // actually judged — the top-k neighbor sets it serves)
+  // ----------------------------------------------------------------
+
+  /** Symmetric per-vector int8 round-trip — q147's exact grid
+    * (scale = max|x|/127, round-to-grid) applied to the CANDIDATE
+    * side only: retrieval scores are ASYMMETRIC (float query vs
+    * dequantized candidate), the ADC discipline q111's PQ scoring
+    * already uses. Identity on a zero vector (scale 0), matching the
+    * twin's CASE arm. */
+  private def dequantCol(v: Column): Column = {
+    def s = aggregate(transform(v, x => abs(x)), lit(0.0),
+      (a, e) => greatest(a, e)) / lit(127.0)
+    when(s > 0.0, transform(v, x => round(x / s, 0) * s)).otherwise(v)
+  }
+
+  /** q268 — whitening retrieval payoff: per query vector, recall@k of
+    * int8-quantized brute-force retrieval against the SAME space's
+    * float ground truth, in the raw 64-dim space vs the q264 whitened
+    * top-K space. Distortion (q266) is a proxy; an ANN index is judged
+    * on the neighbor sets it returns, and symmetric int8 on an
+    * anisotropic corpus collapses the fine axes that order a
+    * neighborhood — the whitened copy should KEEP its float top-k
+    * under quantization wherever q259/q262 diagnose anisotropy.
+    * Each space is scored against its OWN float ranking by design:
+    * whitening changes the metric (that is its purpose), so the audit
+    * asks "in the space you serve, what does int8 cost?", never
+    * "does whitened retrieval reproduce raw neighbors".
+    *
+    * Per space: float scores and ADC scores computed on the SAME
+    * scored rows (one candidate scan, no GT-vs-quantized join),
+    * ranked by (score DESC, neighbor_id) — the q13 deterministic
+    * tie-break, which quantization-induced ties make load-bearing —
+    * recall = |float-top-k ∩ quantized-top-k| / |float-top-k|, a
+    * ratio of integers, exact cross-engine. A model that retains no
+    * component (degenerate corpus) masks the whitened columns NULL;
+    * Scala decides driver-side, the twin decides data-side, from
+    * bit-identical parameters.
+    *
+    * Scale shape: q264's bounded model derivation (ONE Gram fold +
+    * driver eigensolve), then q13's retrieval shape — queries
+    * broadcast, ONE candidate scan computing all four scores
+    * row-locally, one small shuffle of |queries|·k-bounded ranked
+    * rows. Brute-force scoring is audit-class: at 100 TB this runs on
+    * a fixture-sized holdout (the q81/q253/q258 precedent), while the
+    * serving path stays q14/q25/q111. */
+  def whitenRecall(spark: SparkSession, sfDir: String): DataFrame =
+    whitenRecallOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant an
+    * anisotropic corpus whose fine ranking axes sit under the raw
+    * int8 grid but above the whitened one). */
+  def whitenRecallOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    // degenerate model -> whitened columns masked NULL below; the
+    // [0.0] stand-in only keeps the scored plan well-typed
+    val (wv, degenerate) = whitenedArrayCol(spark, embs)
+    val base = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .select(col("vec_id"), col("v"), wv.as("wv"))
+    val cand = base.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), dequantCol(col("v")).as("cq"),
+      col("wv").as("cw"), dequantCol(col("wv")).as("cwq"))
+    val qs = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        col("v").as("qfv"), col("wv").as("qwv"))
+    val scored = cand.join(broadcast(qs),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qfv"), col("cv")).as("c_rf"),
+        cosine(col("qfv"), col("cq")).as("c_rq"),
+        cosine(col("qwv"), col("cw")).as("c_wf"),
+        cosine(col("qwv"), col("cwq")).as("c_wq"))
+    def rk(c: String): Column = row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col(c).desc, col("neighbor_id"))).cast("long")
+    val ranked = scored.select(col("query_id"),
+      rk("c_rf").as("r_rf"), rk("c_rq").as("r_rq"),
+      rk("c_wf").as("r_wf"), rk("c_wq").as("r_wq"))
+    val k = TopK.toLong
+    def hits(f: Column, q: Column): Column =
+      sum(when(f <= k && q <= k, 1L).otherwise(0L))
+    val agg = ranked.groupBy("query_id").agg(
+      hits(col("r_rf"), col("r_rq")).as("raw_hits"),
+      hits(col("r_wf"), col("r_wq")).as("white_hits_u"),
+      sum(when(col("r_rf") <= k, 1L).otherwise(0L)).as("gt_k"))
+    agg.select(col("query_id"), col("gt_k"), col("raw_hits"),
+        round(col("raw_hits").cast("double") /
+          col("gt_k").cast("double"), 6).as("raw_recall"),
+        (if (degenerate) lit(null).cast("long")
+         else col("white_hits_u")).as("white_hits"),
+        (if (degenerate) lit(null).cast("double")
+         else round(col("white_hits_u").cast("double") /
+           col("gt_k").cast("double"), 6)).as("white_recall"))
+      .orderBy("query_id")
+  }
+
+  /** q268 twin: q264's shared CTE prefix, the whitened list per vec
+    * (NULL components filtered, q266's `wh` shape), q147's grid on
+    * the candidate side of each space, four row_number rankings with
+    * the q13 tie-break, and integer hit counts. The degenerate mask
+    * (`hasw`) evaluates the same retention decision the Scala face
+    * takes driver-side. */
+  val whitenRecallSql: String = {
+    s"""WITH $whitenCtesSql,
+       |${whitenedListCteSql("wvr")}, hasw AS (
+       |  SELECT COALESCE(SUM(CASE WHEN len(wvr) > 0 THEN 1 ELSE 0 END), 0)
+       |           > 0 AS ok
+       |  FROM wh
+       |), base AS (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+       |         CASE WHEN len(wh.wvr) > 0 THEN wh.wvr ELSE [0.0] END AS wv
+       |  FROM embeddings e JOIN wh ON wh.vec_id = e.vec_id
+       |), sc AS (
+       |  SELECT vec_id, v, wv,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS sr,
+       |         list_max(list_transform(wv, x -> abs(x))) / 127.0 AS sw
+       |  FROM base
+       |), cand AS (
+       |  SELECT vec_id AS neighbor_id, v AS cv,
+       |         CASE WHEN sr > 0.0
+       |              THEN list_transform(v, x -> round(x / sr) * sr)
+       |              ELSE v END AS cq,
+       |         wv AS cw,
+       |         CASE WHEN sw > 0.0
+       |              THEN list_transform(wv, x -> round(x / sw) * sw)
+       |              ELSE wv END AS cwq
+       |  FROM sc
+       |), qs AS (
+       |  SELECT vec_id AS query_id, v AS qfv, wv AS qwv
+       |  FROM base WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT qs.query_id, c.neighbor_id,
+       |         list_cosine_similarity(qs.qfv, c.cv) AS c_rf,
+       |         list_cosine_similarity(qs.qfv, c.cq) AS c_rq,
+       |         list_cosine_similarity(qs.qwv, c.cw) AS c_wf,
+       |         list_cosine_similarity(qs.qwv, c.cwq) AS c_wq
+       |  FROM cand c JOIN qs ON c.neighbor_id != qs.query_id
+       |), ranked AS (
+       |  SELECT query_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c_rf DESC, neighbor_id) AS r_rf,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c_rq DESC, neighbor_id) AS r_rq,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c_wf DESC, neighbor_id) AS r_wf,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY c_wq DESC, neighbor_id) AS r_wq
+       |  FROM scored
+       |), agg AS (
+       |  SELECT query_id,
+       |         SUM(CASE WHEN r_rf <= $TopK AND r_rq <= $TopK
+       |                  THEN 1 ELSE 0 END) AS raw_hits,
+       |         SUM(CASE WHEN r_wf <= $TopK AND r_wq <= $TopK
+       |                  THEN 1 ELSE 0 END) AS white_hits_u,
+       |         SUM(CASE WHEN r_rf <= $TopK THEN 1 ELSE 0 END) AS gt_k
+       |  FROM ranked GROUP BY query_id
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(gt_k AS BIGINT) AS gt_k,
+       |       CAST(raw_hits AS BIGINT) AS raw_hits,
+       |       round(CAST(raw_hits AS DOUBLE) / CAST(gt_k AS DOUBLE), 6)
+       |         AS raw_recall,
+       |       CASE WHEN hasw.ok
+       |            THEN CAST(white_hits_u AS BIGINT) END AS white_hits,
+       |       CASE WHEN hasw.ok
+       |            THEN round(CAST(white_hits_u AS DOUBLE)
+       |                       / CAST(gt_k AS DOUBLE), 6)
+       |       END AS white_recall
+       |FROM agg, hasw
+       |ORDER BY query_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // q269 — whitening index-balance payoff (q268 measures recall;
+  // this measures the OTHER serving cost — IVF list skew, the
+  // tail-latency multiplier a 100 TB index pays per query)
+  // ----------------------------------------------------------------
+
+  /** q269 — IVF list balance, raw vs whitened: q220's census run in
+    * both spaces with the SAME codebook protocol (every vec_id ≡ 0
+    * mod [[CentroidEvery]], cosine argmax, cid-ascending tie-break),
+    * summarized per space as the exact integer imbalance factor
+    * K·Σn²/N² — the expected-probe-cost multiplier under uniform
+    * queries (1.0 = perfectly balanced lists; Cauchy–Schwarz bounds
+    * it ≥ 1) — plus the hot-list ratio max(n)·K/N. An anisotropic
+    * corpus herds cosine-Voronoi assignment into the lists aligned
+    * with the dominant axis; whitening spreads them, and THIS audit
+    * is the measurement that justifies running q264 before the index
+    * build (q268's recall argument, replayed for tail latency).
+    *
+    * Float discipline: everything up to the two output divisions is
+    * exact integer arithmetic (counts, squares, max) — no float fold
+    * anywhere; the assignment cosines are per-row ordered folds with
+    * the proven q25/q220 tie-break.
+    *
+    * Scale shape: ONE corpus scan — both assignments are map-side
+    * argmaxes over broadcast literal codebooks (K·Dim literals each,
+    * the q25 shape), the per-space census is one explode(2) + hash
+    * aggregate into 2K groups, then a 2-row summary. Nothing joins,
+    * nothing corpus-sized shuffles (the explode doubles rows but
+    * partial aggregation collapses them map-side). */
+  def whitenBalance(spark: SparkSession, sfDir: String): DataFrame =
+    whitenBalanceOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant anisotropy
+    * and assert the whitened census is strictly flatter). */
+  def whitenBalanceOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val (wv, degenerate) = whitenedArrayCol(spark, embs)
+    val base = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .select(col("vec_id"), col("v"), wv.as("wv"))
+    val centsRaw = ivfCodebook(base.select(col("vec_id"), col("v")))
+    val centsWh = ivfCodebook(base.select(col("vec_id"), col("wv")))
+    def argmax(cents: Array[(Long, Seq[Double])], v: Column): Column =
+      -sort_array(ivfScores(cents, v), asc = false)(0)("ncid")
+    val k = centsRaw.length.toLong
+    val census = base
+      .select(explode(array(
+        struct(lit("raw").as("space"),
+          argmax(centsRaw, col("v")).as("cid")),
+        struct(lit("white").as("space"),
+          argmax(centsWh, col("wv")).as("cid")))).as("a"))
+      .select(col("a.space").as("space"), col("a.cid").as("cid"))
+      .groupBy("space", "cid").agg(count(lit(1)).as("n"))
+    val summary = census.groupBy("space").agg(
+      sum(col("n")).as("n_vectors"), max(col("n")).as("max_list_u"),
+      sum(col("n") * col("n")).as("sum_sq"))
+    def masked(c: Column): Column =
+      if (!degenerate) c
+      else when(col("space") === "raw", c)
+    summary.select(col("space"), lit(k).as("k_lists"), col("n_vectors"),
+        masked(col("max_list_u")).as("max_list"),
+        masked(round(col("max_list_u").cast("double") * k.toDouble /
+          col("n_vectors").cast("double"), 6)).as("max_ratio"),
+        masked(round(col("sum_sq").cast("double") * k.toDouble /
+          (col("n_vectors").cast("double") *
+            col("n_vectors").cast("double")), 6)).as("imbalance_factor"))
+      .orderBy("space")
+  }
+
+  /** q269 twin: the q264 prefix + shared `wh` list, both codebooks by
+    * the modulus rule, both argmax assignments with the q25 tie-break,
+    * one unioned census, exact integer summary, masked like the Scala
+    * face when the model retains nothing. */
+  val whitenBalanceSql: String =
+    s"""WITH $whitenCtesSql,
+       |${whitenedListCteSql("wvr")}, hasw AS (
+       |  SELECT COALESCE(SUM(CASE WHEN len(wvr) > 0 THEN 1 ELSE 0 END), 0)
+       |           > 0 AS ok
+       |  FROM wh
+       |), base AS (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+       |         CASE WHEN len(wh.wvr) > 0 THEN wh.wvr ELSE [0.0] END AS wv
+       |  FROM embeddings e JOIN wh ON wh.vec_id = e.vec_id
+       |), centr AS (
+       |  SELECT vec_id AS cid, v AS cv FROM base
+       |  WHERE vec_id % $CentroidEvery = 0
+       |), centw AS (
+       |  SELECT vec_id AS cid, wv AS cv FROM base
+       |  WHERE vec_id % $CentroidEvery = 0
+       |), asgr AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid)
+       |             AS rn
+       |    FROM base b, centr c) WHERE rn = 1
+       |), asgw AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY list_cosine_similarity(b.wv, c.cv) DESC, c.cid)
+       |             AS rn
+       |    FROM base b, centw c) WHERE rn = 1
+       |), census AS (
+       |  SELECT 'raw' AS space, cid, COUNT(*) AS n FROM asgr GROUP BY cid
+       |  UNION ALL
+       |  SELECT 'white' AS space, cid, COUNT(*) AS n FROM asgw GROUP BY cid
+       |), kc AS (SELECT COUNT(*) AS k FROM centr),
+       |summ AS (
+       |  SELECT space, SUM(n) AS n_vectors, MAX(n) AS max_list_u,
+       |         SUM(n * n) AS sum_sq
+       |  FROM census GROUP BY space
+       |)
+       |SELECT space, CAST(kc.k AS BIGINT) AS k_lists,
+       |       CAST(n_vectors AS BIGINT) AS n_vectors,
+       |       CASE WHEN space = 'raw' OR hasw.ok
+       |            THEN CAST(max_list_u AS BIGINT) END AS max_list,
+       |       CASE WHEN space = 'raw' OR hasw.ok
+       |            THEN round(CAST(max_list_u AS DOUBLE)
+       |                       * CAST(kc.k AS DOUBLE)
+       |                       / CAST(n_vectors AS DOUBLE), 6)
+       |       END AS max_ratio,
+       |       CASE WHEN space = 'raw' OR hasw.ok
+       |            THEN round(CAST(sum_sq AS DOUBLE) * CAST(kc.k AS DOUBLE)
+       |                       / (CAST(n_vectors AS DOUBLE)
+       |                          * CAST(n_vectors AS DOUBLE)), 6)
+       |       END AS imbalance_factor
+       |FROM summ, kc, hasw
+       |ORDER BY space""".stripMargin
 }

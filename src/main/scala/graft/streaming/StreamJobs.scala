@@ -135,6 +135,44 @@ object StreamJobs {
       .start()
   }
 
+  /** Streaming face of batch q267: per arriving micro-batch of
+    * embeddings, fold ONE GramMatrix buffer, merge it into the running
+    * cumulative buffer, eigensolve the cumulative on the driver
+    * (O(PowerIters·D²), ~0.04 Mflop), and append one (batch_id,
+    * n_vectors_cum, rotation_stability, top1_share) snapshot row.
+    * State is the ~2 KB integer buffer PLUS the previous snapshot's
+    * dominant iterate (D doubles) — the rotation alarm compares
+    * exactly the predecessor, never a longer history. Both faces
+    * route through [[graft.ext.Similarity.rotationSnapshot]] and the
+    * same output projection, so a replay whose micro-batches align
+    * with the batch query's ingest batches reproduces its rows
+    * exactly (StreamJobsSpec pins it). */
+  def rotationDriftMonitor(embsStream: DataFrame,
+      outPath: String): StreamingQuery = {
+    var state: Seq[Long] = null // one packed Gram buffer (~2 KB)
+    var prev: Option[Array[Double]] = None // predecessor iterate
+    embsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val g = graft.ext.Similarity.quantizedGramOf(
+          batch.sparkSession, batch.toDF())
+        if (graft.ext.Similarity.gramCount(g) > 0) {
+          state =
+            if (state == null) g
+            else graft.ext.Similarity.mergeGram(state, g)
+          val (n, v, stab, share) =
+            graft.ext.Similarity.rotationSnapshot(state, prev)
+          prev = Some(v)
+          graft.ext.Similarity
+            .rotationSnapshotDf(batch.sparkSession, bid, n, stab, share)
+            .write.mode("append").parquet(outPath)
+        }
+        (): Unit
+      }
+      .start()
+  }
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark:
     * late data beyond the watermark is dropped, state is bounded. */
   def hourlyCounts(events: DataFrame): DataFrame =

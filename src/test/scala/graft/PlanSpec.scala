@@ -190,7 +190,10 @@ class PlanSpec extends SparkSpec {
       // suppkey derivation itself is a map-side expression); q248 adds
       // the 1-row (total, groups) threshold anchor on top
       "q247_min_cost_supplier", "q248_important_stock",
-      "q249_supplier_part_types", "q250_promotable_suppliers")
+      "q249_supplier_part_types", "q250_promotable_suppliers",
+      // q268: the q13 shape scored four ways on the same rows —
+      // NQueries(=8) query vectors broadcast into ONE candidate scan
+      "q268_whiten_recall")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

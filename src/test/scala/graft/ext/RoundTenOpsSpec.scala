@@ -244,4 +244,88 @@ class RoundTenOpsSpec extends SparkSpec {
       assert(n == 0, s"$dir: $n NULL labels in embeddings")
     }
   }
+
+  test("q268: raw int8 loses the planted fine ranking, whitened keeps it") {
+    val dim = Similarity.Dim
+    // A corpus whose NEIGHBOR SETS are decided by structure the raw
+    // int8 grid cannot represent: axis 0 is a ±20 coarse split (it
+    // sets the per-vector int8 step at 20/127 ~ 0.157 and dominates
+    // cosine), axes 1-2 carry a ±1 / ±0.55 cell pattern plus an
+    // 11-level jitter of step 0.014 — same-cell candidates (~38 per
+    // cell, > k=10) are float-ranked by the jitter, which the raw
+    // grid collapses to ~2 levels per axis while the whitened grid
+    // (max|w| ~ 1.13 over 3 retained unit-variance components ->
+    // step ~ 0.009) resolves every level.
+    val planted = (0 until 304).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = if (i % 2 == 0) 20.0f else -20.0f
+      val b1 = if (((i >> 1) & 1) == 0) 1.0 else -1.0
+      val b2 = if (((i >> 2) & 1) == 0) 0.55 else -0.55
+      v(1) = (b1 + 0.07 * (((i * 37) % 11) - 5) / 5.0).toFloat
+      v(2) = (b2 + 0.07 * (((i * 53) % 11) - 5) / 5.0).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.whitenRecallOn(spark, planted)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { r =>
+      assert(r.getLong(1) == Similarity.TopK, s"gt_k must be k: $r")
+      assert(!r.isNullAt(4) && !r.isNullAt(5),
+        s"planted rank-3 model must retain components: $r")
+      Seq(r.getDouble(3), r.getDouble(5)).foreach(rec =>
+        assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $r"))
+    }
+    val raw = rows.map(_.getDouble(3))
+    val wh = rows.map(_.getDouble(5))
+    // per query the whitened copy never serves a worse top-k, and on
+    // average the gap is the operator's whole point
+    rows.indices.foreach(i =>
+      assert(wh(i) >= raw(i),
+        s"query $i: whitened recall ${wh(i)} < raw ${raw(i)}"))
+    assert(wh.sum / wh.length > 0.85,
+      s"whitened grid must resolve the jitter: ${wh.mkString(", ")}")
+    assert(raw.sum / raw.length < wh.sum / wh.length - 0.2,
+      s"raw grid must visibly lose the ranking: raw=${raw.mkString(", ")}" +
+        s" white=${wh.mkString(", ")}")
+  }
+
+  test("q269: anisotropy herds raw IVF lists, whitening spreads them") {
+    val dim = Similarity.Dim
+    // a bimodal dominant axis (±40 by parity) over a busy base with
+    // HETEROGENEOUS residual norms (per-vector amplitude 0.2..2.0 —
+    // clean vs noisy rows, the shape real embedding corpora have):
+    // in raw space every same-sign vector is nearly parallel, so the
+    // v-INDEPENDENT |centroid| bias — the same-sign centroid with the
+    // smallest residual norm maximizes the shared 1600/(|v||c|) term
+    // for EVERY query — herds assignment onto ~one hot list per sign;
+    // whitening scales the shared axis to ±1, the residual axes take
+    // over, and the census follows the informative directions
+    val planted = (0 until 400).map { i =>
+      val amp = 0.2 + 1.8 * (((i * 13) % 17) / 16.0)
+      val v = Array.tabulate(dim)(d =>
+        (amp * (((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = if (i % 2 == 0) 40.0f else -40.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.whitenBalanceOn(spark, planted)
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("raw", "white"))
+    val Array(raw, white) = rows
+    // shared protocol invariants: same codebook size, full census
+    assert(raw.getLong(1) == 400 / Similarity.CentroidEvery &&
+      white.getLong(1) == raw.getLong(1))
+    assert(raw.getLong(2) == 400 && white.getLong(2) == 400)
+    // Cauchy-Schwarz floor in both spaces (1.0 = perfectly balanced)
+    Seq(raw, white).foreach(r =>
+      assert(r.getDouble(5) >= 1.0 - 1e-9,
+        s"imbalance factor below its floor: $r"))
+    // the payoff: the whitened census is strictly flatter, by enough
+    // to matter for probe cost, and its hot list shrinks
+    assert(white.getDouble(5) < raw.getDouble(5) - 0.2,
+      s"whitening must flatten the census: raw=$raw white=$white")
+    assert(white.getLong(3) < raw.getLong(3),
+      s"whitening must shrink the hot list: raw=$raw white=$white")
+    assert(raw.getDouble(5) > 1.3,
+      s"planted anisotropy must visibly herd raw assignment: $raw")
+  }
 }

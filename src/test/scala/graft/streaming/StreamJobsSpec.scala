@@ -437,4 +437,45 @@ class StreamJobsSpec extends SparkSpec {
     assert(got == want,
       s"drift replay drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
   }
+
+  test("streaming rotation drift monitor replays to the batch q267 snapshots") {
+    import graft.ext.Similarity
+    // same staging as the q265 replay: one file per ingest batch,
+    // mtimes ascending, one micro-batch each — so the streaming
+    // predecessor chain aligns with the batch query's snapshot axis
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val width = (maxId + Similarity.DriftBatches) / Similarity.DriftBatches
+    val dir = java.nio.file.Files.createTempDirectory("graft-rotdrift")
+    (0 until Similarity.DriftBatches).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-rd-$b")
+      embs.filter(expr(s"vec_id div $width") === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val single =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+        } finally listing.close()
+      val dest = dir.resolve(f"batch$b%03d.parquet")
+      java.nio.file.Files.copy(single, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 10000L))
+    }
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-rd-out").toString + "/snapshots"
+    val q = StreamJobs.rotationDriftMonitor(
+      StreamJobs.readEmbeddings(spark, dir.toString), outPath)
+    q.awaitTermination()
+    // NULL-safe extraction: rotation_stability is NULL at the first
+    // snapshot by definition (no predecessor) in BOTH faces
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val got = spark.read.parquet(outPath).collect().map(key).toSet
+    val want = Similarity.rotationDrift(spark, sf001).collect().map(key).toSet
+    assert(got == want,
+      s"rotation replay drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+  }
 }
