@@ -3170,4 +3170,178 @@ object Similarity {
        |       END AS imbalance_factor
        |FROM summ, kc, hasw
        |ORDER BY space""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q270 — MMR diversified rerank (the RAG serving step between
+  // retrieval and the context window: near-duplicate neighbors waste
+  // prompt tokens, so the top-k is re-picked for relevance AND
+  // novelty)
+  // ----------------------------------------------------------------
+
+  /** Candidate pool per query the reranker works over — top-P by
+    * relevance. At 100 TB the pool comes from the serving index
+    * (q14/q25/q111); its SIZE stays this constant, which is what
+    * bounds the group-local greedy below. */
+  val RerankPool = 30
+
+  /** q270 — maximal marginal relevance over the top-[[RerankPool]]
+    * cosine pool of each query vector: greedily pick k = [[TopK]]
+    * results maximizing ½·rel(q,d) − ½·max_{s∈S} sim(d,s) (λ = ½ —
+    * exactly representable, so both engines parse the identical
+    * constant), ties by neighbor_id. Step 1 has no selected set and
+    * is pure relevance, so rank 1 always equals the plain top-1; the
+    * running pick score is provably non-increasing (the novelty
+    * penalty only grows and the candidate set only shrinks) — both
+    * are spec properties.
+    *
+    * Execution shape: pool construction is q13's audit shape (queries
+    * broadcast, ONE candidate scan, per-query WindowGroupLimit), the
+    * greedy is genuinely sequential per query (each pick conditions
+    * on the previous), so it runs as flatMapGroups over the
+    * CONSTANT-bounded pool — preference-ladder rung (d), legitimate
+    * exactly because the per-group input is ≤ RerankPool rows by
+    * construction, never corpus-sized; pairwise sims are computed
+    * lazily inside the group with the SAME single-pass kernel as the
+    * cosine expression ([[graft.functions.VectorKernels.cosine]]), so
+    * every score matches the oracle bit-for-bit. The twin unrolls the
+    * k greedy steps as MATERIALIZED CTEs (the powerChainSql
+    * precedent) over one shared pool + pairwise-sim prefix. */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame =
+    mmrRerankOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant topic
+    * clusters and assert the rerank diversifies where plain top-k
+    * drowns in near-duplicates). */
+  def mmrRerankOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qs = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pool = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("rel"), col("v"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("neighbor_id"))))
+      .filter(col("rk") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("v"))
+    val picked = pool.as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        // deterministic regardless of iterator order: the pool is
+        // re-sorted by (rel DESC, id) before the greedy runs
+        val cand = it.toArray.sortBy(c => (-c._3, c._2))
+        val vecs = cand.map(_._4.toArray)
+        val n = cand.length
+        val taken = Array.fill(n)(false)
+        // the novelty term is the HONEST max over the selected set —
+        // cosines are signed, so flooring at 0 would understate the
+        // penalty for anti-correlated picks (first-draft bug, caught
+        // by the oracle: the floor flipped rank 2 on the corpus
+        // fixture where the best novel candidate sits at sim ≈ −0.13)
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Seq.newBuilder[(Long, Long, Long, Double)]
+        var step = 1
+        var selected = 0
+        while (step <= TopK && selected < n) {
+          var best = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              // step 1 is pure relevance — the twin's s1 arm computes
+              // 0.5*rel with no subtraction, so match it exactly
+              val s =
+                if (selected == 0) 0.5 * cand(i)._3
+                else 0.5 * cand(i)._3 - 0.5 * maxSim(i)
+              if (best < 0 || s > bestScore ||
+                (s == bestScore && cand(i)._2 < cand(best)._2)) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          taken(best) = true
+          selected += 1
+          out += ((qid, step.toLong, cand(best)._2, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val sim = graft.functions.VectorKernels
+                .cosine(vecs(j), vecs(best))
+              if (sim > maxSim(j)) maxSim(j) = sim
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result()
+      }
+    picked.toDF("query_id", "rk", "neighbor_id", "score_raw")
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("score_raw"), 6).as("mmr_score"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** q270 twin: shared pool + pairwise-sim prefix, then the greedy
+    * unrolled — one MATERIALIZED CTE per pick (argmax via
+    * row_number with the neighbor_id tie-break, novelty as MAX(sim)
+    * against the running selected set). */
+  val mmrRerankSql: String = {
+    val steps = (2 to TopK).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, score FROM (
+         |    SELECT p.query_id, p.neighbor_id,
+         |           0.5::DOUBLE * p.rel - 0.5::DOUBLE * ms.m AS score,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY 0.5::DOUBLE * p.rel - 0.5::DOUBLE * ms.m
+         |               DESC, p.neighbor_id) AS rn
+         |    FROM pool p
+         |    JOIN (SELECT ps.query_id, ps.ca AS neighbor_id,
+         |                 MAX(ps.sim) AS m
+         |          FROM psim ps
+         |          JOIN sel${t - 1} s ON s.query_id = ps.query_id
+         |                            AND s.neighbor_id = ps.cb
+         |          GROUP BY 1, 2) ms
+         |      ON ms.query_id = p.query_id
+         |     AND ms.neighbor_id = p.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                      WHERE s.query_id = p.query_id
+         |                        AND s.neighbor_id = p.neighbor_id))
+         |  WHERE rn = 1
+         |), sel$t AS (
+         |  SELECT * FROM sel${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to TopK).map(t =>
+      s"SELECT query_id, CAST($t AS BIGINT) AS rk, neighbor_id, " +
+        s"round(score, 6) AS mmr_score FROM s$t").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rel, v FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           list_cosine_similarity(q.v, c.v) AS rel, c.v AS v,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+       |               c.vec_id) AS rn
+       |    FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < $NQueries)
+       |  WHERE rn <= $RerankPool
+       |), psim AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM pool a JOIN pool b ON a.query_id = b.query_id
+       |                         AND a.neighbor_id != b.neighbor_id
+       |), s1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, 0.5::DOUBLE * rel AS score FROM (
+       |    SELECT query_id, neighbor_id, rel,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM pool) WHERE rn = 1
+       |), sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |$steps
+       |$unioned
+       |ORDER BY query_id, rk""".stripMargin
+  }
 }

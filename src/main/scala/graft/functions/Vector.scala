@@ -22,6 +22,26 @@ object VectorKernels {
     s
   }
 
+  /** The same single-pass kernel over plain arrays — for group-local
+    * consumers (q270's greedy rerank) whose pairwise scores must match
+    * the expression and the DuckDB oracle bit-for-bit. */
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i)
+      val y = b(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Cosine similarity over two double arrays in one pass. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

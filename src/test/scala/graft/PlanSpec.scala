@@ -193,7 +193,10 @@ class PlanSpec extends SparkSpec {
       "q249_supplier_part_types", "q250_promotable_suppliers",
       // q268: the q13 shape scored four ways on the same rows —
       // NQueries(=8) query vectors broadcast into ONE candidate scan
-      "q268_whiten_recall")
+      "q268_whiten_recall",
+      // q270: the same q13 pool-construction shape; the greedy rerank
+      // downstream runs over the RerankPool(=30)-bounded groups
+      "q270_mmr_rerank")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -328,4 +328,57 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(raw.getDouble(5) > 1.3,
       s"planted anisotropy must visibly herd raw assignment: $raw")
   }
+
+  test("q270: MMR diversifies where plain top-k drowns in near-duplicates") {
+    val dim = Similarity.Dim
+    // 4 orthogonal topic axes over a shared base axis, 20 members
+    // each, with a small per-id jitter axis: within-topic sims ~0.99+
+    // (near-duplicates), cross-topic ~0.08 (the shared axis) — plain
+    // top-10 for any query is pure own-topic; MMR's novelty penalty
+    // cancels the own-topic relevance after the first pick and the
+    // rerank spreads across topics
+    val planted = (0 until 80).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 0.3f
+      v(8 + i % 4) = 1.0f
+      v(40 + i % 16) = 0.05f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.mmrRerankOn(spark, planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until Similarity.NQueries).toSet)
+    val vecs = planted.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def topic(id: Long): Long = id % 4
+    byQ.foreach { case (qid, picks) =>
+      val ordered = picks.sortBy(_._2)
+      assert(ordered.length == Similarity.TopK)
+      assert(ordered.map(_._3).distinct.length == ordered.length,
+        s"q$qid: duplicate picks")
+      // rank 1 is pure relevance: the plain argmax (rel DESC, id)
+      val plainBest = vecs.keys.filter(_ != qid).toSeq
+        .map(i => (i, graft.functions.VectorKernels.cosine(vecs(qid), vecs(i))))
+        .minBy { case (i, rel) => (-rel, i) }._1
+      assert(ordered.head._3 == plainBest,
+        s"q$qid: rank 1 must equal the plain top-1")
+      // plain top-10 is single-topic (the failure MMR exists to fix)
+      val plain10 = vecs.keys.filter(_ != qid).toSeq
+        .map(i => (i, graft.functions.VectorKernels.cosine(vecs(qid), vecs(i))))
+        .sortBy { case (i, rel) => (-rel, i) }.take(Similarity.TopK)
+      assert(plain10.map(p => topic(p._1)).distinct.length == 1,
+        s"q$qid: fixture broken — plain top-k should be one topic")
+      // the rerank spreads across topics
+      val topics = ordered.map(p => topic(p._3)).distinct
+      assert(topics.length >= 3,
+        s"q$qid: MMR must diversify, got topics ${topics.mkString(",")}")
+      // pick scores are non-increasing (novelty only grows, the
+      // candidate set only shrinks)
+      ordered.map(_._4).sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a + 1e-9, s"q$qid: scores must be non-increasing")
+      }
+    }
+  }
 }
