@@ -3286,8 +3286,9 @@ object Similarity {
   /** q270 twin: shared pool + pairwise-sim prefix, then the greedy
     * unrolled — one MATERIALIZED CTE per pick (argmax via
     * row_number with the neighbor_id tie-break, novelty as MAX(sim)
-    * against the running selected set). */
-  val mmrRerankSql: String = {
+    * against the running selected set). The CTE body is shared with
+    * the q271 tradeoff audit so both measure the SAME picks. */
+  private val mmrCtesSql: String = {
     val steps = (2 to TopK).map { t =>
       s"""s$t AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, score FROM (
@@ -3314,10 +3315,7 @@ object Similarity {
          |  UNION ALL SELECT query_id, neighbor_id FROM s$t
          |)""".stripMargin
     }.mkString(",\n")
-    val unioned = (1 to TopK).map(t =>
-      s"SELECT query_id, CAST($t AS BIGINT) AS rk, neighbor_id, " +
-        s"round(score, 6) AS mmr_score FROM s$t").mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |pool AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, rel, v FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3340,8 +3338,119 @@ object Similarity {
        |             ORDER BY rel DESC, neighbor_id) AS rn
        |    FROM pool) WHERE rn = 1
        |), sel1 AS (SELECT query_id, neighbor_id FROM s1),
-       |$steps
-       |$unioned
-       |ORDER BY query_id, rk""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private val mmrUnionSql: String = (1 to TopK).map(t =>
+    s"SELECT query_id, CAST($t AS BIGINT) AS rk, neighbor_id, " +
+      s"score FROM s$t").mkString("\nUNION ALL\n")
+
+  val mmrRerankSql: String =
+    s"""WITH $mmrCtesSql
+       |SELECT query_id, rk, neighbor_id, round(score, 6) AS mmr_score
+       |FROM ($mmrUnionSql)
+       |ORDER BY query_id, rk""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q271 — rerank tradeoff audit (what does q270 BUY and COST? the
+  // q266/q268 measure-the-payoff discipline applied to the rerank)
+  // ----------------------------------------------------------------
+
+  /** q271 — per query, the relevance/diversity tradeoff of the q270
+    * rerank against plain top-k, with label agreement as the
+    * relevance proxy (q57's convention): how many of the k picks
+    * share the query's label, and how many distinct labels the picks
+    * cover, for BOTH rankings. All four measures are integers — the
+    * oracle comparison is exact. The audit measures the SHIPPED
+    * operators: Scala reuses [[mmrRerankOn]] and the same pool; the
+    * twin interpolates q270's entire CTE body, so both engines audit
+    * the identical picks.
+    *
+    * Scale shape: q270's (bounded pool + group-local greedy) plus two
+    * |queries|·k-row label joins (the corpus-sided label lookup is an
+    * UNHINTED equi-join on vec_id — AQE broadcasts it small, shuffles
+    * on the id at scale) and two k-bounded aggregates. */
+  def rerankTradeoff(spark: SparkSession, sfDir: String): DataFrame =
+    rerankTradeoffOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant labeled
+    * topic clusters and assert the tradeoff is visible: same-label
+    * count drops, label coverage rises). */
+  def rerankTradeoffOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val labels = embs.select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val qlab = labels.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("lbl").as("qlbl"))
+    val e = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qs = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val plain = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("rel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("neighbor_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val mmr = mmrRerankOn(spark, embs)
+      .select(col("query_id"), col("neighbor_id"))
+    def audit(picks: DataFrame, tag: String): DataFrame = picks
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("lbl", "nlbl"), Seq("neighbor_id"))
+      .join(broadcast(qlab), Seq("query_id"))
+      .groupBy(col("query_id"), col("qlbl"))
+      .agg(sum(when(col("nlbl") === col("qlbl"), 1L).otherwise(0L))
+        .as(s"${tag}_same_label"),
+        countDistinct(col("nlbl")).as(s"${tag}_labels"))
+    audit(plain, "plain")
+      .join(audit(mmr, "mmr").drop("qlbl"), Seq("query_id"))
+      .select(col("query_id"), col("qlbl").as("label"),
+        col("plain_same_label"), col("plain_labels"),
+        col("mmr_same_label"), col("mmr_labels"))
+      .orderBy("query_id")
+  }
+
+  /** q271 twin: q270's full CTE body (identical picks by
+    * construction), plain top-k from the same pool, label joins, and
+    * integer aggregates (SUMs cast — DuckDB widens SUM to HUGEINT). */
+  val rerankTradeoffSql: String =
+    s"""WITH $mmrCtesSql,
+       |mmrp AS (
+       |  SELECT query_id, neighbor_id FROM ($mmrUnionSql)
+       |), plainp AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM pool) WHERE rn <= $TopK
+       |), lab AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings
+       |), qlab AS (
+       |  SELECT vec_id AS query_id, lbl AS qlbl FROM lab
+       |  WHERE vec_id < $NQueries
+       |), pa AS (
+       |  SELECT p.query_id, ql.qlbl,
+       |         SUM(CASE WHEN l.lbl = ql.qlbl THEN 1 ELSE 0 END)
+       |           AS plain_same_label,
+       |         COUNT(DISTINCT l.lbl) AS plain_labels
+       |  FROM plainp p
+       |  JOIN lab l ON l.vec_id = p.neighbor_id
+       |  JOIN qlab ql ON ql.query_id = p.query_id
+       |  GROUP BY 1, 2
+       |), ma AS (
+       |  SELECT p.query_id,
+       |         SUM(CASE WHEN l.lbl = ql.qlbl THEN 1 ELSE 0 END)
+       |           AS mmr_same_label,
+       |         COUNT(DISTINCT l.lbl) AS mmr_labels
+       |  FROM mmrp p
+       |  JOIN lab l ON l.vec_id = p.neighbor_id
+       |  JOIN qlab ql ON ql.query_id = p.query_id
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(pa.query_id AS BIGINT) AS query_id, pa.qlbl AS label,
+       |       CAST(pa.plain_same_label AS BIGINT) AS plain_same_label,
+       |       CAST(pa.plain_labels AS BIGINT) AS plain_labels,
+       |       CAST(ma.mmr_same_label AS BIGINT) AS mmr_same_label,
+       |       CAST(ma.mmr_labels AS BIGINT) AS mmr_labels
+       |FROM pa JOIN ma ON ma.query_id = pa.query_id
+       |ORDER BY query_id""".stripMargin
 }

@@ -196,7 +196,11 @@ class PlanSpec extends SparkSpec {
       "q268_whiten_recall",
       // q270: the same q13 pool-construction shape; the greedy rerank
       // downstream runs over the RerankPool(=30)-bounded groups
-      "q270_mmr_rerank")
+      "q270_mmr_rerank",
+      // q271: audits q270's picks, so it embeds the same bounded
+      // pool-construction broadcasts (plain + rerank); the label
+      // lookups stay unhinted equi-joins
+      "q271_rerank_tradeoff")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -381,4 +381,46 @@ class RoundTenOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q271: the rerank tradeoff is visible — relevance down, coverage up") {
+    val dim = Similarity.Dim
+    // the q270 topic fixture with label = topic: plain top-10 is pure
+    // own-label (10/10 same, 1 label); MMR trades some same-label
+    // picks for cross-label coverage — exactly what the audit exists
+    // to quantify
+    val planted = (0 until 80).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 0.3f
+      v(8 + i % 4) = 1.0f
+      v(40 + i % 16) = 0.05f
+      (i.toLong, v.toSeq, (i % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.rerankTradeoffOn(spark, planted)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      assert(r.getLong(1) == qid % 4, s"query label must be its topic: $r")
+      assert(r.getLong(2) == Similarity.TopK,
+        s"plain top-k must be pure own-label on the fixture: $r")
+      assert(r.getLong(3) == 1,
+        s"plain top-k must cover exactly one label: $r")
+      assert(r.getLong(5) >= 3,
+        s"MMR must raise label coverage: $r")
+      assert(r.getLong(4) < Similarity.TopK,
+        s"the coverage gain must cost same-label picks: $r")
+      assert(r.getLong(4) >= 1,
+        s"rank 1 is pure relevance, so at least one same-label pick: $r")
+    }
+    // reconciliation with q270: same-label counts and coverage derive
+    // from the SAME picks the rerank emits
+    val picks = Similarity.mmrRerankOn(spark, planted)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val mine = picks.filter(_._1 == qid).map(_._2 % 4)
+      assert(mine.count(_ == qid % 4) == r.getLong(4), s"same-label drift: $r")
+      assert(mine.distinct.length == r.getLong(5), s"coverage drift: $r")
+    }
+  }
 }
