@@ -3453,4 +3453,176 @@ object Similarity {
        |       CAST(ma.mmr_labels AS BIGINT) AS mmr_labels
        |FROM pa JOIN ma ON ma.query_id = pa.query_id
        |ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q272 — whitened-IVF serving audit (q269 shows whitening flattens
+  // the lists; this prices the OTHER side of that decision — at a
+  // fixed probe budget, what recall does each index serve, and how
+  // many rows does each query actually scan?)
+  // ----------------------------------------------------------------
+
+  /** q272 — IVF recall-vs-scan tradeoff, raw vs whitened: per query
+    * and space, an IVF index built with the shared codebook protocol
+    * (q269's) is probed with the fixed [[NProbe]] budget (q25's), and
+    * the audit reports scanned_rows (the integer latency proxy: how
+    * many candidate rows the probe touched), hits (probed top-k ∩ the
+    * SAME space's exact float top-k — the q268 per-space discipline),
+    * and their exact recall ratio. A herded index (q269's anisotropic
+    * failure) hides most of the corpus behind the hot lists: whatever
+    * recall it serves, it pays for in scanned rows; the whitened
+    * index spreads the same probe budget over flatter lists. This is
+    * the measurement that closes the "index the whitened copy?"
+    * decision: q268 prices quantization, q269 prices balance, q272
+    * prices the probe budget.
+    *
+    * Exactness: scanned/gt_k/hits are integers, recall is their
+    * ratio; ranking ties break by neighbor_id everywhere (the q13
+    * discipline). Scale shape: per space, ONE corpus scan for the
+    * broadcast-codebook argmax (q25's map-side assignment), the
+    * NQueries-bounded scoring broadcast, a 24-row probe-set left
+    * join, two per-query windows, one 8-group aggregate. Brute-force
+    * exact GT makes it audit-class: fixture-sized holdouts at 100 TB
+    * (q81/q253/q268 precedent) while production serves q25/q111. */
+  def whitenIvf(spark: SparkSession, sfDir: String): DataFrame =
+    whitenIvfOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame. */
+  def whitenIvfOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val (wv, degenerate) = whitenedArrayCol(spark, embs)
+    val base = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .select(col("vec_id"), col("v"), wv.as("wv"))
+    def spaceAudit(vcol: String, tag: String): DataFrame = {
+      val e = base.select(col("vec_id"), col(vcol).as("x"))
+      val cents = ivfCodebook(e)
+      def scores(c: Column): Column = ivfScores(cents, c)
+      val assigned = e.withColumn("cid",
+        -sort_array(scores(col("x")), asc = false)(0)("ncid"))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("x").as("qx"))
+      val probes = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          explode(transform(
+            slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
+            s => -s("ncid"))).as("pcid"))
+      val scored = assigned
+        .select(col("vec_id").as("neighbor_id"), col("x").as("cx"),
+          col("cid"))
+        .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cid"),
+          cosine(col("qx"), col("cx")).as("cos"))
+        .join(broadcast(probes
+            .withColumnRenamed("query_id", "p_qid")),
+          col("query_id") === col("p_qid") &&
+            col("cid") === col("pcid"), "left_outer")
+        .drop("p_qid")
+        .withColumn("probed", col("pcid").isNotNull)
+      val k = TopK.toLong
+      val ranked = scored
+        .withColumn("r_ex", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+        .withColumn("r_pv", row_number().over(
+          Window.partitionBy(col("query_id"), col("probed"))
+            .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      ranked.groupBy("query_id").agg(
+          sum(when(col("probed"), 1L).otherwise(0L)).as("scanned_rows"),
+          sum(when(col("r_ex") <= k, 1L).otherwise(0L)).as("gt_k"),
+          sum(when(col("probed") && col("r_pv") <= k && col("r_ex") <= k,
+            1L).otherwise(0L)).as("hits"))
+        .select(lit(tag).as("space"), col("query_id"), col("scanned_rows"),
+          col("gt_k"), col("hits"),
+          round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
+            .as("recall"))
+    }
+    val raw = spaceAudit("v", "raw")
+    val white =
+      if (!degenerate) spaceAudit("wv", "white")
+      else base.filter(col("vec_id") < NQueries)
+        .select(lit("white").as("space"), col("vec_id").as("query_id"),
+          lit(null).cast("long").as("scanned_rows"),
+          lit(null).cast("long").as("gt_k"),
+          lit(null).cast("long").as("hits"),
+          lit(null).cast("double").as("recall"))
+    raw.unionByName(white).orderBy("space", "query_id")
+  }
+
+  /** q272 twin: the shared q264 prefix + `wh` list, then the same
+    * assignment/probe/score/rank pipeline instantiated per space over
+    * one `base`, masked like the Scala face when the model retains
+    * nothing. */
+  val whitenIvfSql: String = {
+    def spaceCtes(s: String, x: String): String =
+      s"""cent$s AS (
+         |  SELECT vec_id AS cid, $x AS cv FROM base
+         |  WHERE vec_id % $CentroidEvery = 0
+         |), asg$s AS (
+         |  SELECT vec_id, x, cid FROM (
+         |    SELECT b.vec_id, b.$x AS x, c.cid,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY list_cosine_similarity(b.$x, c.cv) DESC,
+         |               c.cid) AS rn
+         |    FROM base b, cent$s c) WHERE rn = 1
+         |), prob$s AS (
+         |  SELECT vec_id AS query_id, cid AS pcid FROM (
+         |    SELECT b.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY b.vec_id
+         |             ORDER BY list_cosine_similarity(b.$x, c.cv) DESC,
+         |               c.cid) AS rn
+         |    FROM base b, cent$s c WHERE b.vec_id < $NQueries)
+         |  WHERE rn <= $NProbe
+         |), fl$s AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |         list_cosine_similarity(q.$x, a.x) AS cos,
+         |         (p.pcid IS NOT NULL) AS probed
+         |  FROM asg$s a
+         |  JOIN base q ON q.vec_id < $NQueries AND a.vec_id != q.vec_id
+         |  LEFT JOIN prob$s p ON p.query_id = q.vec_id AND p.pcid = a.cid
+         |), rk$s AS (
+         |  SELECT query_id, probed,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS r_ex,
+         |         row_number() OVER (PARTITION BY query_id, probed
+         |           ORDER BY cos DESC, neighbor_id) AS r_pv
+         |  FROM fl$s
+         |), ag$s AS (
+         |  SELECT query_id,
+         |         SUM(CASE WHEN probed THEN 1 ELSE 0 END) AS scanned_rows,
+         |         SUM(CASE WHEN r_ex <= $TopK THEN 1 ELSE 0 END) AS gt_k,
+         |         SUM(CASE WHEN probed AND r_pv <= $TopK AND r_ex <= $TopK
+         |                  THEN 1 ELSE 0 END) AS hits
+         |  FROM rk$s GROUP BY 1
+         |)""".stripMargin
+    s"""WITH $whitenCtesSql,
+       |${whitenedListCteSql("wvr")}, hasw AS (
+       |  SELECT COALESCE(SUM(CASE WHEN len(wvr) > 0 THEN 1 ELSE 0 END), 0)
+       |           > 0 AS ok
+       |  FROM wh
+       |), base AS (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+       |         CASE WHEN len(wh.wvr) > 0 THEN wh.wvr ELSE [0.0] END AS wv
+       |  FROM embeddings e JOIN wh ON wh.vec_id = e.vec_id
+       |),
+       |${spaceCtes("r", "v")},
+       |${spaceCtes("w", "wv")}
+       |SELECT 'raw' AS space, CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(scanned_rows AS BIGINT) AS scanned_rows,
+       |       CAST(gt_k AS BIGINT) AS gt_k, CAST(hits AS BIGINT) AS hits,
+       |       round(CAST(hits AS DOUBLE) / CAST(gt_k AS DOUBLE), 6)
+       |         AS recall
+       |FROM agr
+       |UNION ALL
+       |SELECT 'white' AS space, CAST(a.query_id AS BIGINT) AS query_id,
+       |       CASE WHEN hasw.ok
+       |            THEN CAST(a.scanned_rows AS BIGINT) END AS scanned_rows,
+       |       CASE WHEN hasw.ok THEN CAST(a.gt_k AS BIGINT) END AS gt_k,
+       |       CASE WHEN hasw.ok THEN CAST(a.hits AS BIGINT) END AS hits,
+       |       CASE WHEN hasw.ok
+       |            THEN round(CAST(a.hits AS DOUBLE)
+       |                       / CAST(a.gt_k AS DOUBLE), 6) END AS recall
+       |FROM agw a, hasw
+       |ORDER BY space, query_id""".stripMargin
+  }
 }

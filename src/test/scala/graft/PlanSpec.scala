@@ -200,7 +200,10 @@ class PlanSpec extends SparkSpec {
       // q271: audits q270's picks, so it embeds the same bounded
       // pool-construction broadcasts (plain + rerank); the label
       // lookups stay unhinted equi-joins
-      "q271_rerank_tradeoff")
+      "q271_rerank_tradeoff",
+      // q272: the q13 scoring broadcast per space plus the 24-row
+      // probe-set broadcast (NQueries x NProbe, constant-bounded)
+      "q272_whiten_ivf")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

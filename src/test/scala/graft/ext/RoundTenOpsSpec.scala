@@ -423,4 +423,45 @@ class RoundTenOpsSpec extends SparkSpec {
       assert(mine.distinct.length == r.getLong(5), s"coverage drift: $r")
     }
   }
+
+  test("q272: the herded raw index pays for its recall in scanned rows") {
+    val dim = Similarity.Dim
+    // the q269 herding fixture: raw-space assignment piles the corpus
+    // onto few hot lists, so a fixed 3-probe budget happens to cover
+    // almost everything relevant (recall stays high) BUT scans far
+    // more rows per query; the whitened index spreads the lists and
+    // serves its recall from a smaller probe footprint — the scan
+    // column is the latency side of the q269 balance numbers
+    val planted = (0 until 400).map { i =>
+      val amp = 0.2 + 1.8 * (((i * 13) % 17) / 16.0)
+      val v = Array.tabulate(dim)(d =>
+        (amp * (((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = if (i % 2 == 0) 40.0f else -40.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.whitenIvfOn(spark, planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val (raw, white) = (rows.filter(_._1 == "raw"), rows.filter(_._1 == "white"))
+    assert(raw.length == Similarity.NQueries &&
+      white.length == Similarity.NQueries)
+    rows.foreach { r =>
+      assert(r._4 == Similarity.TopK, s"gt_k must be k: $r")
+      assert(r._5 <= r._4 && r._5 >= 0, s"hits out of range: $r")
+      assert(r._3 >= r._5 && r._3 <= 399, s"scanned out of range: $r")
+      assert(r._6 >= 0.0 && r._6 <= 1.0, s"recall out of range: $r")
+    }
+    // both indexes serve good recall on this fixture — the raw one
+    // because its hot lists contain nearly everything
+    assert(raw.map(_._6).sum / raw.length >= 0.95,
+      s"raw recall collapsed unexpectedly: ${raw.mkString(", ")}")
+    assert(white.map(_._6).sum / white.length >= 0.8,
+      s"white recall collapsed unexpectedly: ${white.mkString(", ")}")
+    // ...but the herded index pays in probe volume: same nprobe,
+    // visibly more candidate rows scanned per query on average
+    val rawScan = raw.map(_._3).sum.toDouble / raw.length
+    val whiteScan = white.map(_._3).sum.toDouble / white.length
+    assert(rawScan > whiteScan + 15.0,
+      s"herding must cost scan volume: raw=$rawScan white=$whiteScan")
+  }
 }
