@@ -3209,6 +3209,58 @@ object Similarity {
   def mmrRerank(spark: SparkSession, sfDir: String): DataFrame =
     mmrRerankOn(spark, Tables.load(spark, sfDir, "embeddings"))
 
+  /** Pure greedy MMR over ONE query's pool — the group-local kernel
+    * of q270, extracted so PropertySpec can pin it against an
+    * independent reference on arbitrary inputs. `cand` is
+    * (neighbor_id, rel, vector) sorted by (rel DESC, id ASC); returns
+    * (step, neighbor_id, score). The novelty term is the HONEST
+    * signed max over the selected set — cosines are signed, so
+    * flooring at 0 would understate the penalty for anti-correlated
+    * picks (first-draft bug, caught by the oracle: the floor flipped
+    * rank 2 on the corpus fixture where the best novel candidate sits
+    * at sim ≈ −0.13). Step 1 is pure relevance, computed as 0.5·rel
+    * with no subtraction to match the twin's s1 arm exactly. */
+  private[graft] def mmrGreedy(cand: Array[(Long, Double, Array[Double])],
+      k: Int): Seq[(Long, Long, Double)] = {
+    val n = cand.length
+    val taken = Array.fill(n)(false)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var step = 1
+    var selected = 0
+    while (step <= k && selected < n) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s =
+            if (selected == 0) 0.5 * cand(i)._2
+            else 0.5 * cand(i)._2 - 0.5 * maxSim(i)
+          if (best < 0 || s > bestScore ||
+            (s == bestScore && cand(i)._1 < cand(best)._1)) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      selected += 1
+      out += ((step.toLong, cand(best)._1, bestScore))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val sim = graft.functions.VectorKernels
+            .cosine(cand(j)._3, cand(best)._3)
+          if (sim > maxSim(j)) maxSim(j) = sim
+        }
+        j += 1
+      }
+      step += 1
+    }
+    out.result()
+  }
+
   /** Core over an injectable embeddings frame (specs plant topic
     * clusters and assert the rerank diversifies where plain top-k
     * drowns in near-duplicates). */
@@ -3231,51 +3283,10 @@ object Similarity {
         // deterministic regardless of iterator order: the pool is
         // re-sorted by (rel DESC, id) before the greedy runs
         val cand = it.toArray.sortBy(c => (-c._3, c._2))
-        val vecs = cand.map(_._4.toArray)
-        val n = cand.length
-        val taken = Array.fill(n)(false)
-        // the novelty term is the HONEST max over the selected set —
-        // cosines are signed, so flooring at 0 would understate the
-        // penalty for anti-correlated picks (first-draft bug, caught
-        // by the oracle: the floor flipped rank 2 on the corpus
-        // fixture where the best novel candidate sits at sim ≈ −0.13)
-        val maxSim = Array.fill(n)(Double.NegativeInfinity)
-        val out = Seq.newBuilder[(Long, Long, Long, Double)]
-        var step = 1
-        var selected = 0
-        while (step <= TopK && selected < n) {
-          var best = -1
-          var bestScore = 0.0
-          var i = 0
-          while (i < n) {
-            if (!taken(i)) {
-              // step 1 is pure relevance — the twin's s1 arm computes
-              // 0.5*rel with no subtraction, so match it exactly
-              val s =
-                if (selected == 0) 0.5 * cand(i)._3
-                else 0.5 * cand(i)._3 - 0.5 * maxSim(i)
-              if (best < 0 || s > bestScore ||
-                (s == bestScore && cand(i)._2 < cand(best)._2)) {
-                best = i; bestScore = s
-              }
-            }
-            i += 1
-          }
-          taken(best) = true
-          selected += 1
-          out += ((qid, step.toLong, cand(best)._2, bestScore))
-          var j = 0
-          while (j < n) {
-            if (!taken(j)) {
-              val sim = graft.functions.VectorKernels
-                .cosine(vecs(j), vecs(best))
-              if (sim > maxSim(j)) maxSim(j) = sim
-            }
-            j += 1
-          }
-          step += 1
+          .map(c => (c._2, c._3, c._4.toArray))
+        mmrGreedy(cand, TopK).map { case (step, id, score) =>
+          (qid, step, id, score)
         }
-        out.result()
       }
     picked.toDF("query_id", "rk", "neighbor_id", "score_raw")
       .select(col("query_id"), col("rk"), col("neighbor_id"),

@@ -141,4 +141,65 @@ class PropertySpec extends AnyFunSuite {
       merged == whole
     })
   }
+
+  test("mmrGreedy equals a from-scratch reference on random pools") {
+    // the q270 group-local kernel vs an independent implementation
+    // that recomputes the novelty max over the selected set from
+    // scratch at every step (no incremental maxSim state, no taken
+    // array) — same picks, same scores, bit-for-bit
+    import graft.functions.VectorKernels
+    val dim = 6
+    val vec = Gen.listOfN(dim, Gen.chooseNum(-8, 8))
+      .map(_.map(_ / 4.0).toArray)
+      .suchThat(v => v.exists(_ != 0.0)) // zero vectors make cosine NaN
+    val gen = for {
+      q <- vec
+      n <- Gen.chooseNum(1, 25)
+      cs <- Gen.listOfN(n, vec)
+      k <- Gen.chooseNum(1, 12)
+    } yield (q, cs, k)
+    check(forAll(gen) { case (q, cs, k) =>
+      val cand = cs.zipWithIndex
+        .map { case (v, i) => (i.toLong, VectorKernels.cosine(q, v), v) }
+        .sortBy(c => (-c._2, c._1)).toArray
+      val got = graft.ext.Similarity.mmrGreedy(cand, k)
+
+      // reference: recompute the novelty max from scratch per step.
+      // Picks and max use the kernel's PRIMITIVE comparisons (not
+      // Ordering[Double]/minBy, which order -0.0 below 0.0 and would
+      // diverge on exactly-zero cosines)
+      val byId = cand.map(c => c._1 -> c).toMap
+      var selected = List.empty[Long]
+      var want = List.empty[(Long, Long, Double)]
+      var step = 1L
+      while (step <= k && selected.length < cand.length) {
+        var bid = -1L
+        var bs = 0.0
+        var first = true
+        cand.filterNot(c => selected.contains(c._1)).foreach { c =>
+          val s =
+            if (selected.isEmpty) 0.5 * c._2
+            else {
+              var m = Double.NegativeInfinity
+              selected.foreach { sid =>
+                val sim = VectorKernels.cosine(c._3, byId(sid)._3)
+                if (sim > m) m = sim
+              }
+              0.5 * c._2 - 0.5 * m
+            }
+          if (first || s > bs || (s == bs && c._1 < bid)) {
+            bid = c._1; bs = s; first = false
+          }
+        }
+        selected ::= bid
+        want = want :+ ((step, bid, bs))
+        step += 1
+      }
+      // field-wise primitive compare (tuple equals boxes doubles and
+      // distinguishes -0.0 from 0.0)
+      got.length == want.length && got.zip(want).forall {
+        case ((s1, i1, v1), (s2, i2, v2)) => s1 == s2 && i1 == i2 && v1 == v2
+      }
+    })
+  }
 }
