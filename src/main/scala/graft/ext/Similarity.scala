@@ -3219,9 +3219,24 @@ object Similarity {
     * picks (first-draft bug, caught by the oracle: the floor flipped
     * rank 2 on the corpus fixture where the best novel candidate sits
     * at sim ≈ −0.13). Step 1 is pure relevance, computed as 0.5·rel
-    * with no subtraction to match the twin's s1 arm exactly. */
+    * with no subtraction to match the twin's s1 arm exactly.
+    *
+    * Comparisons are NaN-total (round-10 advisor): a zero vector in
+    * the pool makes its cosine — and hence its MMR score — NaN, and
+    * primitive `>` would let such a candidate win or lose a step by
+    * SCAN ORDER (NaN compares false both ways) while never updating
+    * `maxSim`. Both engines rank NaN above +∞ (Spark sorts and DuckDB
+    * ORDER BY/MAX agree), so the kernel uses `java.lang.Double
+    * .compare` with signed zeros normalized (+0.0 ≡ −0.0, matching
+    * SQL equality) for both the argmax and the running pairwise max —
+    * a NaN-scored candidate wins deterministically with the id
+    * tie-break, exactly as in the twin. PropertySpec pins this with
+    * zero vectors planted in the random pools. */
   private[graft] def mmrGreedy(cand: Array[(Long, Double, Array[Double])],
       k: Int): Seq[(Long, Long, Double)] = {
+    // NaN-total, signed-zero-normalized ordering: >0 iff a ranks above b.
+    def cmp(a: Double, b: Double): Int =
+      java.lang.Double.compare(a + 0.0, b + 0.0)
     val n = cand.length
     val taken = Array.fill(n)(false)
     val maxSim = Array.fill(n)(Double.NegativeInfinity)
@@ -3237,8 +3252,8 @@ object Similarity {
           val s =
             if (selected == 0) 0.5 * cand(i)._2
             else 0.5 * cand(i)._2 - 0.5 * maxSim(i)
-          if (best < 0 || s > bestScore ||
-            (s == bestScore && cand(i)._1 < cand(best)._1)) {
+          val c = if (best < 0) 1 else cmp(s, bestScore)
+          if (c > 0 || (c == 0 && cand(i)._1 < cand(best)._1)) {
             best = i; bestScore = s
           }
         }
@@ -3252,7 +3267,7 @@ object Similarity {
         if (!taken(j)) {
           val sim = graft.functions.VectorKernels
             .cosine(cand(j)._3, cand(best)._3)
-          if (sim > maxSim(j)) maxSim(j) = sim
+          if (cmp(sim, maxSim(j)) > 0) maxSim(j) = sim
         }
         j += 1
       }
@@ -3297,8 +3312,13 @@ object Similarity {
   /** q270 twin: shared pool + pairwise-sim prefix, then the greedy
     * unrolled — one MATERIALIZED CTE per pick (argmax via
     * row_number with the neighbor_id tie-break, novelty as MAX(sim)
-    * against the running selected set). The CTE body is shared with
-    * the q271 tradeoff audit so both measure the SAME picks. */
+    * against the running selected set). The running sel$t state CTEs
+    * are MATERIALIZED too (round-10 advisor): each is referenced
+    * three times per step (greedy join, NOT EXISTS, next union), so
+    * an inlining planner would expand them ~3^TopK times — the exact
+    * exponential cliff the q259/q264 doctrine materializes against.
+    * The CTE body is shared with the q271 tradeoff audit so both
+    * measure the SAME picks. */
   private val mmrCtesSql: String = {
     val steps = (2 to TopK).map { t =>
       s"""s$t AS MATERIALIZED (
@@ -3321,7 +3341,7 @@ object Similarity {
          |                      WHERE s.query_id = p.query_id
          |                        AND s.neighbor_id = p.neighbor_id))
          |  WHERE rn = 1
-         |), sel$t AS (
+         |), sel$t AS MATERIALIZED (
          |  SELECT * FROM sel${t - 1}
          |  UNION ALL SELECT query_id, neighbor_id FROM s$t
          |)""".stripMargin
@@ -3348,7 +3368,7 @@ object Similarity {
        |           row_number() OVER (PARTITION BY query_id
        |             ORDER BY rel DESC, neighbor_id) AS rn
        |    FROM pool) WHERE rn = 1
-       |), sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |), sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1),
        |$steps""".stripMargin
   }
 

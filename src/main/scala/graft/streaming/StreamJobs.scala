@@ -113,26 +113,51 @@ object StreamJobs {
     * output projection, so a replay whose micro-batches align with
     * the batch query's ingest batches reproduces its rows exactly
     * (StreamJobsSpec pins it); the integer merge is associative, so
-    * ANY batching reaches the same final snapshot. */
+    * ANY batching reaches the same final snapshot.
+    *
+    * At-least-once guard (round-10 advisor): foreachBatch may
+    * re-deliver a micro-batch after a sink/commit failure, and a
+    * double-merge would permanently inflate the cumulative buffer —
+    * every later snapshot wrong, plus duplicate parquet rows. Batch
+    * ids are monotone per run, so we track the last merged id and
+    * make re-delivery a no-op (the parquet append is retried INSIDE
+    * the guarded block, so a retry after a failed write re-merges
+    * nothing — `state` is only advanced after the write commits).
+    * The monitor's contract is one AvailableNow run per invocation
+    * (driver-local state, no checkpoint); resuming a killed run
+    * means re-running it over the full input, not restarting. */
   def gramDriftMonitor(embsStream: DataFrame,
       outPath: String): StreamingQuery = {
-    var state: Seq[Long] = null // one packed Gram buffer (~2 KB)
+    val handler = new GramMonitorHandler(outPath)
     embsStream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val g = graft.ext.Similarity.quantizedGramOf(
-          batch.sparkSession, batch.toDF())
-        if (graft.ext.Similarity.gramCount(g) > 0) {
-          state =
-            if (state == null) g
-            else graft.ext.Similarity.mergeGram(state, g)
-          graft.ext.Similarity.driftSnapshotDf(batch.sparkSession, bid, state)
-            .write.mode("append").parquet(outPath)
-        }
-        (): Unit
+        handler.onBatch(batch.toDF(), bid)
       }
       .start()
+  }
+
+  /** Per-batch handler for [[gramDriftMonitor]], extracted so the
+    * at-least-once guard is directly testable (StreamJobsSpec calls
+    * `onBatch` with a re-delivered id and asserts the no-op). */
+  private[graft] final class GramMonitorHandler(outPath: String) {
+    private var state: Seq[Long] = null // one packed Gram buffer (~2 KB)
+    private var lastBid: Long = -1L // last batch id merged+written
+    private[graft] def cumulative: Seq[Long] = state
+    def onBatch(batch: DataFrame, bid: Long): Unit = {
+      if (bid <= lastBid) return // re-delivered micro-batch: no-op
+      val g = graft.ext.Similarity.quantizedGramOf(batch.sparkSession, batch)
+      if (graft.ext.Similarity.gramCount(g) > 0) {
+        val merged =
+          if (state == null) g
+          else graft.ext.Similarity.mergeGram(state, g)
+        graft.ext.Similarity.driftSnapshotDf(batch.sparkSession, bid, merged)
+          .write.mode("append").parquet(outPath)
+        state = merged // commit driver state only after the write
+      }
+      lastBid = bid
+    }
   }
 
   /** Streaming face of batch q267: per arriving micro-batch of
@@ -146,31 +171,50 @@ object StreamJobs {
     * route through [[graft.ext.Similarity.rotationSnapshot]] and the
     * same output projection, so a replay whose micro-batches align
     * with the batch query's ingest batches reproduces its rows
-    * exactly (StreamJobsSpec pins it). */
+    * exactly (StreamJobsSpec pins it).
+    *
+    * At-least-once guard (round-10 advisor): same discipline as
+    * [[gramDriftMonitor]] — a re-delivered micro-batch id is a no-op,
+    * and driver state (buffer + predecessor iterate) is only advanced
+    * AFTER the snapshot write commits, so a retry after a failed
+    * write re-merges nothing. One AvailableNow run per invocation. */
   def rotationDriftMonitor(embsStream: DataFrame,
       outPath: String): StreamingQuery = {
-    var state: Seq[Long] = null // one packed Gram buffer (~2 KB)
-    var prev: Option[Array[Double]] = None // predecessor iterate
+    val handler = new RotationMonitorHandler(outPath)
     embsStream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val g = graft.ext.Similarity.quantizedGramOf(
-          batch.sparkSession, batch.toDF())
-        if (graft.ext.Similarity.gramCount(g) > 0) {
-          state =
-            if (state == null) g
-            else graft.ext.Similarity.mergeGram(state, g)
-          val (n, v, stab, share) =
-            graft.ext.Similarity.rotationSnapshot(state, prev)
-          prev = Some(v)
-          graft.ext.Similarity
-            .rotationSnapshotDf(batch.sparkSession, bid, n, stab, share)
-            .write.mode("append").parquet(outPath)
-        }
-        (): Unit
+        handler.onBatch(batch.toDF(), bid)
       }
       .start()
+  }
+
+  /** Per-batch handler for [[rotationDriftMonitor]], extracted so the
+    * at-least-once guard is directly testable (StreamJobsSpec calls
+    * `onBatch` with a re-delivered id and asserts the no-op). */
+  private[graft] final class RotationMonitorHandler(outPath: String) {
+    private var state: Seq[Long] = null // one packed Gram buffer (~2 KB)
+    private var prev: Option[Array[Double]] = None // predecessor iterate
+    private var lastBid: Long = -1L // last batch id merged+written
+    private[graft] def cumulative: Seq[Long] = state
+    def onBatch(batch: DataFrame, bid: Long): Unit = {
+      if (bid <= lastBid) return // re-delivered micro-batch: no-op
+      val g = graft.ext.Similarity.quantizedGramOf(batch.sparkSession, batch)
+      if (graft.ext.Similarity.gramCount(g) > 0) {
+        val merged =
+          if (state == null) g
+          else graft.ext.Similarity.mergeGram(state, g)
+        val (n, v, stab, share) =
+          graft.ext.Similarity.rotationSnapshot(merged, prev)
+        graft.ext.Similarity
+          .rotationSnapshotDf(batch.sparkSession, bid, n, stab, share)
+          .write.mode("append").parquet(outPath)
+        state = merged // commit driver state only after the write
+        prev = Some(v)
+      }
+      lastBid = bid
+    }
   }
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark:

@@ -478,4 +478,46 @@ class StreamJobsSpec extends SparkSpec {
     assert(got == want,
       s"rotation replay drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
   }
+
+  test("drift monitors treat a re-delivered micro-batch as a no-op") {
+    // foreachBatch is at-least-once: a retried batch id must neither
+    // re-merge the cumulative buffer nor append duplicate snapshot
+    // rows (round-10 advisor). Drive the extracted handlers directly
+    // with a duplicate id and assert buffer + output are unchanged.
+    import graft.ext.Similarity
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val b0 = embs.filter(col("vec_id") < 50)
+    val b1 = embs.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+
+    val gOut = java.nio.file.Files
+      .createTempDirectory("graft-gd-idem").toString + "/snapshots"
+    val gh = new StreamJobs.GramMonitorHandler(gOut)
+    gh.onBatch(b0, 0L)
+    gh.onBatch(b1, 1L)
+    val gBuf = gh.cumulative
+    gh.onBatch(b1, 1L) // re-delivery
+    gh.onBatch(b0, 0L) // stale re-delivery
+    assert(gh.cumulative == gBuf,
+      "re-delivered batch must not re-merge the Gram buffer")
+    val gRows = spark.read.parquet(gOut).collect()
+    assert(gRows.length == 2, s"duplicate snapshot rows: ${gRows.length}")
+    assert(gRows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+
+    val rOut = java.nio.file.Files
+      .createTempDirectory("graft-rd-idem").toString + "/snapshots"
+    val rh = new StreamJobs.RotationMonitorHandler(rOut)
+    rh.onBatch(b0, 0L)
+    rh.onBatch(b1, 1L)
+    val rBuf = rh.cumulative
+    rh.onBatch(b1, 1L)
+    assert(rh.cumulative == rBuf,
+      "re-delivered batch must not re-merge the rotation buffer")
+    val rRows = spark.read.parquet(rOut).collect()
+    assert(rRows.length == 2, s"duplicate snapshot rows: ${rRows.length}")
+
+    // fresh ids still advance: the guard skips only re-deliveries
+    gh.onBatch(embs.filter(col("vec_id") >= 100 && col("vec_id") < 150), 2L)
+    assert(Similarity.gramCount(gh.cumulative) >
+      Similarity.gramCount(gBuf), "fresh batch id must merge")
+  }
 }
