@@ -1454,8 +1454,19 @@ object Similarity {
   def centroidMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("label"), asDouble(col("embedding")).as("v"))
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"), count(lit(1)).as("n"))
+    // centroids from exact integer sums on the CovScale grid — the
+    // same hardening as q196 (round-11): AVG over members is an
+    // unordered float fold, and a centroid_cos on the round(6)
+    // half-boundary would flip with the engines' thread schedules
+    val cent = e
+      .select(col("label"),
+        posexplode(transform(col("v"),
+          x => round(x * CovScale, 0).cast("long"))).as(Seq("i", "qx")))
+      .groupBy("label", "i")
+      .agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("sq").cast("double") / col("n").cast("double") /
+          lit(CovScale)).as("m"), col("n"))
       .groupBy("label")
       .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"),
         max("n").as("n_vectors"))
@@ -1470,13 +1481,19 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
-  val centroidMatrixSql: String =
+  // lazy: interpolates CovScale, declared LATER in this object — an
+  // eager val here would capture its default-initialized 0.0
+  lazy val centroidMatrixSql: String =
     s"""WITH e AS (
        |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
        |), cent AS (
        |  SELECT label, list(m ORDER BY i) AS c, MAX(n) AS n_vectors
        |  FROM (
-       |    SELECT label, i, AVG(v[i]) AS m, COUNT(*) AS n
+       |    SELECT label, i,
+       |           CAST(SUM(CAST(round(v[i] * $CovScale) AS BIGINT))
+       |                AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) / $CovScale AS m,
+       |           COUNT(*) AS n
        |    FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i)
        |    GROUP BY 1, 2)
        |  GROUP BY label
@@ -1503,6 +1520,19 @@ object Similarity {
     * and the share of negative-s vectors (rows geometrically closer to a
     * foreign class — the label-noise signal a curation pass ranks by).
     *
+    * Float discipline (hardened round 11): the original float-mean
+    * centroid (AVG over members) was an UNORDERED fold, and at sf0.1
+    * label 8's mean silhouette sits exactly on the round(6)
+    * half-boundary (−0.0083835) — the ORACLE itself flipped the 6th
+    * decimal run-to-run with DuckDB's thread schedule (flake artifact,
+    * round-11 open gate; almost certainly the round-10 mid-close
+    * 270/271 one-off). Both order-sensitive folds are now exact:
+    * centroids derive from integer sums on the [[CovScale]] grid (the
+    * q210/q264 co-moment discipline — centroid of the quantized
+    * corpus), and the mean aggregates round(s·1e6) as integers (the
+    * q266 nanoMean discipline). Per-row a/b/s are in-order folds over
+    * identical doubles; every cross-row fold is an integer.
+    *
     * Scale shape: centroids are the |labels|·Dim posexplode aggregate
     * (as q122), broadcast back twice — own-centroid lookup is an equi
     * join, nearest-other is a |labels|−1-per-row broadcast grid
@@ -1512,8 +1542,15 @@ object Similarity {
   def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"))
+    val cent = e
+      .select(col("label"),
+        posexplode(transform(col("v"),
+          x => round(x * CovScale, 0).cast("long"))).as(Seq("i", "qx")))
+      .groupBy("label", "i")
+      .agg(sum("qx").as("sq"), count(lit(1)).as("cn"))
+      .select(col("label"), col("i"),
+        (col("sq").cast("double") / col("cn").cast("double") /
+          lit(CovScale)).as("m"))
       .groupBy("label")
       .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
       .select(col("label"), transform(col("ms"), s => s("m")).as("c"))
@@ -1530,18 +1567,24 @@ object Similarity {
         round((col("b") - col("a")) / greatest(col("a"), col("b")), 6).as("s"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(avg(col("s")), 6).as("mean_silhouette"),
+        round(sum(round(col("s") * 1e6, 0).cast("long")).cast("double") /
+          count(lit(1)).cast("double") / 1e6, 6).as("mean_silhouette"),
         round(sum(when(col("s") < 0, 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double"), 6).as("neg_share"))
       .orderBy("label")
   }
 
-  val silhouetteSql: String =
+  // lazy: interpolates CovScale, declared LATER in this object (as
+  // centroidMatrixSql)
+  lazy val silhouetteSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
        |), cent AS (
        |  SELECT label, list(m ORDER BY i) AS c FROM (
-       |    SELECT label, i, AVG(v[i]) AS m
+       |    SELECT label, i,
+       |           CAST(SUM(CAST(round(v[i] * $CovScale) AS BIGINT))
+       |                AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) / $CovScale AS m
        |    FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i)
        |    GROUP BY 1, 2)
        |  GROUP BY label
@@ -1558,7 +1601,8 @@ object Similarity {
        |  FROM other
        |)
        |SELECT label, COUNT(*) AS n,
-       |       round(AVG(s), 6) AS mean_silhouette,
+       |       round(CAST(SUM(CAST(round(s * 1e6) AS BIGINT)) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_silhouette,
        |       round(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)::DOUBLE
        |             / COUNT(*)::DOUBLE, 6) AS neg_share
        |FROM s GROUP BY 1 ORDER BY label""".stripMargin
@@ -3654,6 +3698,365 @@ object Similarity {
        |            THEN round(CAST(a.hits AS DOUBLE)
        |                       / CAST(a.gt_k AS DOUBLE), 6) END AS recall
        |FROM agw a, hasw
+       |ORDER BY space, query_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // q273 — composed IVF-PQ serving index, raw vs whitened: EXECUTES
+  // the decision q266/q268/q269/q272 priced. q25's IVF and q111's PQ
+  // each serve alone; this composes them — coarse quantizer routes
+  // the probe, PQ residual codes compress the lists, ADC scores at
+  // the fixed probe budget — over BOTH representations, judged by
+  // the same exact-GT protocol as q272 so the composed numbers land
+  // beside the single-tier ones.
+  // ----------------------------------------------------------------
+
+  /** PQ geometry for the whitened space: the top-[[WhitenK]] (=8)
+    * whitened coords split into 2 subspaces of 4 dims. 1-dim
+    * subspaces would degenerate the cosine-metric Lloyd kernel
+    * (cosine in 1-D is sign-only), and 8×1 would spend 8 codes on an
+    * 8-dim vector; 2×4 keeps the q111 kernel geometrically meaningful
+    * and makes the whitened codes 4× smaller than the raw ones
+    * (2 vs 8 codes/vector) — the memory dividend of indexing the
+    * dim-reduced copy. */
+  val PqMWhite = 2
+  private val PqSubWhite = WhitenK / PqMWhite
+
+  /** Nearest sub-codeword by SQUARED L2 (ascending, ties to the
+    * smallest cid) — the residual-PQ metric. Cosine (q111's whole-
+    * vector metric) is undefined on the zero vector, and residuals
+    * contain exact zeros BY CONSTRUCTION (every IVF centroid's own
+    * residual): the first draft trained residual books with cosine
+    * and the NaN ordering diverged between engines (Spark ranks NaN
+    * greatest, DuckDB orders the NULL-ish result last) — every code
+    * wrong. Squared L2 is total on all finite inputs, matches the
+    * IVFADC formulation (Jégou et al.), and the in-order fold is
+    * bit-equal across engines. */
+  private def nearestL2(v: Column, code: Seq[(Long, Seq[Double])]): Column =
+    sort_array(array(code.map { case (cid, cv) =>
+      struct(sqDist(v, typedlit(cv)).as("d"), lit(cid).as("cid"))
+    }: _*), asc = true)(0)("cid")
+
+  /** q273 — IVF-PQ recall-vs-scan audit, raw vs whitened: per query
+    * and space, an IVF index (q25/q269's sampled-codebook protocol)
+    * whose lists hold PQ RESIDUAL codes (q111's one-Lloyd-job
+    * discipline, trained on x − centroid[cid]) is probed at the fixed
+    * [[NProbe]] budget and ranked by ADC: dot(q, centroid) +
+    * Σ_s dot(q_s, book_s[code_s]) — exact coarse term plus the
+    * compressed residual term, the classic IVFADC decomposition
+    * (Jégou et al., PAMI 2011). Columns are q272's exactly
+    * (scanned_rows / gt_k / hits / recall, GT = the SAME space's
+    * exact float top-k), so the composed index's numbers are directly
+    * comparable with q272's exact-scoring ones: q272 isolates the
+    * probe budget, q273 adds what PQ compression costs ON that
+    * budget in each geometry.
+    *
+    * Exactness: corpus normalized by the in-order self-dot norm
+    * (q111), codebooks derive from literal-seed Lloyd rounds both
+    * engines run identically, the ADC terms add in fixed
+    * coarse-then-subspace order (left-associated both sides), ties
+    * break by neighbor_id everywhere. Ranking knife-edges would need
+    * two approx scores within ~1e-12 — the q111 acceptance.
+    *
+    * Scale shape: ONE Gram fold for the whitening model, one
+    * localCheckpoint of the (raw, whitened) normalized corpus (at
+    * 100 TB the TRAINING side reads a sample — q111's argument; the
+    * serving passes below it are each one corpus scan), per space
+    * one bounded codebook collect (N/[[CentroidEvery]] ≤ 4096
+    * centroids + M·[[PqK]] sub-codewords), one combined Lloyd-stats
+    * job, then the q272 audit shape: one scan for assignment+encode,
+    * the NQueries-bounded scoring broadcast, a 24-row probe join,
+    * two per-query windows. Exact-GT arm documented audit-class:
+    * fixture-sized holdouts at 100 TB (q81/q253/q268/q272 precedent)
+    * while production serves the index itself. */
+  def ivfPq(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant the q269
+    * herded anisotropy and assert the whitened composed index serves
+    * better recall from fewer scanned rows). */
+  def ivfPqOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val (mu, comps, trace) = whitenModel(spark, embs)
+    val retained = comps.flatMap { case (v, lambda) =>
+      whitenCompCol(mu, v, lambda, trace)
+    }
+    val degenerate = retained.isEmpty
+    // pad to fixed WhitenK width with exact zeros: zero coords are
+    // inert under dot/norm, and a FIXED width is what lets both
+    // engines slice PQ subspaces positionally
+    val wv = array(retained ++
+      Seq.fill(WhitenK - retained.size)(lit(0.0)): _*)
+    // one materialization of the (raw, whitened) normalized corpus:
+    // the whitening projection and both norms compute once, and the
+    // training passes below re-read instead of re-deriving (q111's
+    // checkpoint discipline; zero-norm rows stay NULL in that space)
+    val base = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
+      .select(col("vec_id"), col("v"), wv.as("wv"))
+      .select(col("vec_id"), col("v"), col("wv"),
+        norm(col("v")).as("nr"), norm(col("wv")).as("nw"))
+      .select(col("vec_id"),
+        when(col("nr") > 0,
+          transform(col("v"), x => x / col("nr"))).as("vn"),
+        when(col("nw") > 0,
+          transform(col("wv"), x => x / col("nw"))).as("wn"))
+      .localCheckpoint()
+
+    def spaceAudit(xcol: String, tag: String, m: Int, sub: Int): DataFrame = {
+      val e = base.filter(col(xcol).isNotNull)
+        .select(col("vec_id"), col(xcol).as("x"))
+      val cents = ivfCodebook(e)
+      val centMap = typedlit(cents.toMap)
+      def scores(c: Column): Column = ivfScores(cents, c)
+      val assigned = e
+        .withColumn("cid",
+          -sort_array(scores(col("x")), asc = false)(0)("ncid"))
+        .withColumn("rv",
+          zip_with(col("x"), element_at(centMap, col("cid")),
+            (a, b) => a - b))
+      // PQ residual training: literal seeds (first PqK residuals),
+      // then ONE Lloyd-stats job covering every subspace (q111)
+      val seedRows = assigned.filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("rv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
+      var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+        seedRows.map { case (cid, rv) =>
+          cid -> rv.slice(s * sub, s * sub + sub).toSeq }
+      }
+      for (_ <- 1 to PqRounds) {
+        val subs = (0 until m).map { s =>
+          val sv = slice(col("rv"), s * sub + 1, sub)
+          struct(lit(s).as("s"), nearestL2(sv, books(s)).as("cid"),
+            sv.as("sv"))
+        }
+        val stats = assigned.select(explode(array(subs: _*)).as("sub"))
+          .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
+            posexplode(col("sub.sv")).as(Seq("i", "x")))
+          .groupBy("s", "cid", "i")
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        books = (0 until m).map { s =>
+          stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
+            .map { case (cid, rows) =>
+              cid -> rows.sortBy(_.getInt(2))
+                .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+            }.toSeq.sortBy(_._1)
+        }
+      }
+      val codes = (0 until m).map { s =>
+        nearestL2(slice(col("rv"), s * sub + 1, sub), books(s)).as(s"c$s")
+      }
+      val enc = assigned.select(
+        Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
+          col("cid")) ++ codes: _*)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("x").as("qx"))
+      val probes = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          explode(transform(
+            slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
+            s => -s("ncid"))).as("pcid"))
+      // ADC: exact coarse term + M compressed residual terms, added
+      // coarse-first then ascending subspace (left-assoc both engines)
+      val adcTerms = dot(col("qx"), element_at(centMap, col("cid"))) +:
+        (0 until m).map { s =>
+          dot(slice(col("qx"), s * sub + 1, sub),
+            element_at(typedlit(books(s).toMap), col(s"c$s")))
+        }
+      val k = TopK.toLong
+      val scored = enc
+        .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cid"),
+          cosine(col("qx"), col("cx")).as("cos"),
+          adcTerms.reduceLeft(_ + _).as("adc"))
+        .join(broadcast(probes.withColumnRenamed("query_id", "p_qid")),
+          col("query_id") === col("p_qid") && col("cid") === col("pcid"),
+          "left_outer")
+        .drop("p_qid")
+        .withColumn("probed", col("pcid").isNotNull)
+      val ranked = scored
+        .withColumn("r_ex", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+        .withColumn("r_adc", row_number().over(
+          Window.partitionBy(col("query_id"), col("probed"))
+            .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      ranked.groupBy("query_id").agg(
+          sum(when(col("probed"), 1L).otherwise(0L)).as("scanned_rows"),
+          sum(when(col("r_ex") <= k, 1L).otherwise(0L)).as("gt_k"),
+          sum(when(col("probed") && col("r_adc") <= k && col("r_ex") <= k,
+            1L).otherwise(0L)).as("hits"))
+        .select(lit(tag).as("space"), col("query_id"), col("scanned_rows"),
+          col("gt_k"), col("hits"),
+          round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
+            .as("recall"))
+    }
+    val raw = spaceAudit("vn", "raw", PqM, PqSub)
+    val white =
+      if (!degenerate) spaceAudit("wn", "white", PqMWhite, PqSubWhite)
+      else embs.filter(col("vec_id") < NQueries)
+        .select(lit("white").as("space"), col("vec_id").as("query_id"),
+          lit(null).cast("long").as("scanned_rows"),
+          lit(null).cast("long").as("gt_k"),
+          lit(null).cast("long").as("hits"),
+          lit(null).cast("double").as("recall"))
+    raw.unionByName(white).orderBy("space", "query_id")
+  }
+
+  /** q273 twin: the shared q264 prefix, the zero-padded whitened
+    * list, one normalized `base`, then per space the IVF
+    * assignment/residual/PQ-train/encode/probe/ADC pipeline with
+    * every multiply-referenced state MATERIALIZED. The degenerate
+    * arm mirrors the Scala face: when no component is retained the
+    * white corpus empties (all-zero padded vectors fail the norm
+    * filter), so the white rows come from the query list with every
+    * metric NULL. */
+  val ivfPqSql: String = {
+    def spaceCtes(sp: String, xc: String, d: Int, m: Int, sub: Int)
+        : String = {
+      def lo(s: Int) = s * sub + 1
+      def hi(s: Int) = (s + 1) * sub
+      // residual-PQ assignment metric: squared L2 ascending (in-order
+      // fold — bit-equal to the Scala sqDist), ties to the smallest
+      // cid; cosine is undefined on the exact-zero residuals every
+      // IVF centroid produces (see nearestL2)
+      def sqd(a: String, b: String) =
+        s"""list_sum(list_transform(range($sub),
+           |               j -> ($a[j + 1] - $b[j + 1])
+           |                    * ($a[j + 1] - $b[j + 1])))""".stripMargin
+      val perSub = (0 until m).map { s =>
+        s"""pc$sp${s}_0 AS (
+           |  SELECT vec_id AS cid, rv[${lo(s)}:${hi(s)}] AS cv
+           |  FROM rs$sp WHERE vec_id < $PqK
+           |), pa$sp${s}_1 AS MATERIALIZED (
+           |  SELECT vec_id, sv, cid FROM (
+           |    SELECT r.vec_id, r.rv[${lo(s)}:${hi(s)}] AS sv, c.cid,
+           |           row_number() OVER (PARTITION BY r.vec_id
+           |             ORDER BY ${sqd(s"r.rv[${lo(s)}:${hi(s)}]", "c.cv")}
+           |               ASC, c.cid) AS rn
+           |    FROM rs$sp r, pc$sp${s}_0 c) WHERE rn = 1
+           |), pc$sp${s}_1 AS MATERIALIZED (
+           |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
+           |    SELECT cid, i, AVG(sv[i]) AS mn
+           |    FROM pa$sp${s}_1, (SELECT unnest(generate_series(1, $sub)) AS i)
+           |    GROUP BY cid, i)
+           |  GROUP BY cid
+           |), pcode$sp$s AS MATERIALIZED (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT a.vec_id, c.cid,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY ${sqd("a.sv", "c.cv")} ASC, c.cid) AS rn
+           |    FROM pa$sp${s}_1 a, pc$sp${s}_1 c) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val codeJoins = (0 until m)
+        .map(s => s"JOIN pcode$sp$s ON pcode$sp$s.vec_id = r.vec_id")
+        .mkString(" ")
+      val codeCols = (0 until m)
+        .map(s => s"pcode$sp$s.cid AS c$s").mkString(", ")
+      val termJoins = (0 until m)
+        .map(s => s"JOIN pc$sp${s}_1 k$s ON k$s.cid = cd.c$s")
+        .mkString(" ")
+      val adcSum = (s"list_dot_product(q.qx, c.cv)" +:
+        (0 until m).map(s =>
+          s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
+        .mkString(" + ")
+      s"""en$sp AS MATERIALIZED (
+         |  SELECT vec_id, list_transform($xc, e -> e / nrm) AS x FROM (
+         |    SELECT vec_id, $xc,
+         |           sqrt(list_dot_product($xc, $xc)) AS nrm FROM base)
+         |  WHERE nrm > 0
+         |), cent$sp AS (
+         |  SELECT vec_id AS cid, x AS cv FROM en$sp
+         |  WHERE vec_id % $CentroidEvery = 0
+         |), rs$sp AS MATERIALIZED (
+         |  SELECT a.vec_id, a.x, a.cid,
+         |         list_transform(range($d),
+         |           i -> a.x[i + 1] - c.cv[i + 1]) AS rv
+         |  FROM (
+         |    SELECT vec_id, x, cid FROM (
+         |      SELECT e.vec_id, e.x, c.cid,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+         |                 c.cid) AS rn
+         |      FROM en$sp e, cent$sp c) WHERE rn = 1) a
+         |  JOIN cent$sp c ON c.cid = a.cid
+         |),
+         |$perSub,
+         |prob$sp AS (
+         |  SELECT vec_id AS query_id, cid AS pcid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+         |               c.cid) AS rn
+         |    FROM en$sp e, cent$sp c WHERE e.vec_id < $NQueries)
+         |  WHERE rn <= $NProbe
+         |), fl$sp AS (
+         |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+         |         list_cosine_similarity(q.qx, cd.x) AS cos,
+         |         $adcSum AS adc,
+         |         (p.pcid IS NOT NULL) AS probed
+         |  FROM (SELECT r.vec_id, r.x, r.cid, $codeCols
+         |        FROM rs$sp r $codeJoins) cd
+         |  JOIN cent$sp c ON c.cid = cd.cid
+         |  JOIN (SELECT vec_id AS query_id, x AS qx FROM en$sp
+         |        WHERE vec_id < $NQueries) q
+         |    ON cd.vec_id != q.query_id
+         |  $termJoins
+         |  LEFT JOIN prob$sp p ON p.query_id = q.query_id
+         |                     AND p.pcid = cd.cid
+         |), rk$sp AS (
+         |  SELECT query_id, probed,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS r_ex,
+         |         row_number() OVER (PARTITION BY query_id, probed
+         |           ORDER BY adc DESC, neighbor_id) AS r_adc
+         |  FROM fl$sp
+         |), ag$sp AS (
+         |  SELECT query_id,
+         |         SUM(CASE WHEN probed THEN 1 ELSE 0 END) AS scanned_rows,
+         |         SUM(CASE WHEN r_ex <= $TopK THEN 1 ELSE 0 END) AS gt_k,
+         |         SUM(CASE WHEN probed AND r_adc <= $TopK AND r_ex <= $TopK
+         |                  THEN 1 ELSE 0 END) AS hits
+         |  FROM rk$sp GROUP BY 1
+         |)""".stripMargin
+    }
+    s"""WITH $whitenCtesSql,
+       |${whitenedListCteSql("wvr")}, hasw AS (
+       |  SELECT COALESCE(SUM(CASE WHEN len(wvr) > 0 THEN 1 ELSE 0 END), 0)
+       |           > 0 AS ok
+       |  FROM wh
+       |), base AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+       |         list_concat(wh.wvr,
+       |           list_transform(range($WhitenK - len(wh.wvr)),
+       |             z -> 0.0)) AS w
+       |  FROM embeddings e JOIN wh ON wh.vec_id = e.vec_id
+       |),
+       |${spaceCtes("r", "v", Dim, PqM, PqSub)},
+       |${spaceCtes("w", "w", WhitenK, PqMWhite, PqSubWhite)}
+       |SELECT 'raw' AS space, CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(scanned_rows AS BIGINT) AS scanned_rows,
+       |       CAST(gt_k AS BIGINT) AS gt_k, CAST(hits AS BIGINT) AS hits,
+       |       round(CAST(hits AS DOUBLE) / CAST(gt_k AS DOUBLE), 6)
+       |         AS recall
+       |FROM agr
+       |UNION ALL
+       |SELECT 'white' AS space, CAST(q.vec_id AS BIGINT) AS query_id,
+       |       CASE WHEN hasw.ok
+       |            THEN CAST(a.scanned_rows AS BIGINT) END AS scanned_rows,
+       |       CASE WHEN hasw.ok THEN CAST(a.gt_k AS BIGINT) END AS gt_k,
+       |       CASE WHEN hasw.ok THEN CAST(a.hits AS BIGINT) END AS hits,
+       |       CASE WHEN hasw.ok
+       |            THEN round(CAST(a.hits AS DOUBLE)
+       |                       / CAST(a.gt_k AS DOUBLE), 6) END AS recall
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id < $NQueries) q
+       |CROSS JOIN hasw
+       |LEFT JOIN agw a ON a.query_id = q.vec_id
+       |WHERE (NOT hasw.ok) OR a.query_id IS NOT NULL
        |ORDER BY space, query_id""".stripMargin
   }
 }

@@ -203,7 +203,11 @@ class PlanSpec extends SparkSpec {
       "q271_rerank_tradeoff",
       // q272: the q13 scoring broadcast per space plus the 24-row
       // probe-set broadcast (NQueries x NProbe, constant-bounded)
-      "q272_whiten_ivf")
+      "q272_whiten_ivf",
+      // q273: q272's audit shape composed with q111's PQ — the same
+      // NQueries scoring broadcast and 24-row probe-set broadcast per
+      // space; codebooks ride as literals, never as join sides
+      "q273_ivf_pq")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
