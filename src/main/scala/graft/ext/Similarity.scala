@@ -4059,4 +4059,208 @@ object Similarity {
        |WHERE (NOT hasw.ok) OR a.query_id IS NOT NULL
        |ORDER BY space, query_id""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // q274 — versioned whitening-model refresh (closes the model
+  // lifecycle: q267 ALARMS "the rotation is going stale", this
+  // EXECUTES the refresh and emits the versioned model table the
+  // q264 consumers key on — the q231 incremental-maintenance
+  // discipline applied to the whitening model)
+  // ----------------------------------------------------------------
+
+  /** Refresh threshold on |cos(current dominant, ACTIVE model's
+    * dominant)| — NOT q267's consecutive-snapshot stability: a model
+    * consumer cares about drift vs the rotation it is actually
+    * serving with, which accumulates across snapshots even when each
+    * consecutive step stays above any alarm line. 0.98 ≈ 11° of
+    * accumulated rotation. */
+  val RefreshStability = 0.98
+
+  /** q274 — versioned rotation refresh: walk the [[DriftBatches]]
+    * cumulative snapshots (the SAME one-pass buffers as q265/q267);
+    * per snapshot compare the current dominant component against the
+    * ACTIVE model version's dominant, and when the staleness gate
+    * trips (|cos| < [[RefreshStability]]), re-derive the full
+    * whitening model from the cumulative buffer — top-[[WhitenK]]
+    * deflated spectrum, q264's exact protocol — and bump the version.
+    * Output is the consumer-facing join, one row per (snapshot,
+    * component): batch_id, n_vectors_cum, model_version,
+    * model_stability (vs the active model BEFORE the decision, NULL
+    * at bootstrap), refreshed, and the ACTIVE version's spectrum
+    * (k, λ, retained) — so any consumer keyed by version reads the
+    * exact model parameters in force at its snapshot. A degenerate
+    * current iterate (NaN dot) never refreshes: better a stale model
+    * than one derived from a dead spectrum.
+    *
+    * Scale shape: identical to q265/q267 — ONE typed-aggregator
+    * corpus pass, |batches| × ~2 KB collected, then
+    * O(|batches|·K·PowerIters·D²) driver arithmetic (~2.4 Mflop).
+    * The refresh decision and the re-derivation read the SAME buffer
+    * the monitor already holds — executing the refresh costs no
+    * additional distributed work, which is the entire point of
+    * deriving models from mergeable integer state. */
+  def modelRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    modelRefreshOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** One q274 step over a cumulative buffer + the active-model state:
+    * returns (rows for this snapshot, new active state). The shared
+    * kernel of the batch face and the streaming refresh monitor —
+    * both faces MUST route through here (the gramSnapshot doctrine).
+    * Active state: (version, dominant iterate, spectrum (λ, retained)
+    * per k). */
+  private[graft] def refreshStep(bid: Long, g: Seq[Long],
+      active: Option[(Long, Array[Double], Seq[(Double, Boolean)])])
+      : (Seq[(Long, Long, Long, Option[Double], Boolean, Long,
+          Option[Double], Boolean)],
+         (Long, Array[Double], Seq[(Double, Boolean)])) = {
+    val (a, n) = gramToCov(g)
+    val trace = covTrace(a)
+    val (v, _) = powerIterate(a)
+    val stab = active.flatMap { case (_, av, _) =>
+      val d = dotV(v, av)
+      if (java.lang.Double.isFinite(d)) Some(math.abs(d)) else None
+    }
+    val refresh = active.isEmpty || stab.exists(_ < RefreshStability)
+    val next =
+      if (refresh) {
+        val spec = deflatedSpectrum(a, WhitenK).map { case (_, l) =>
+          (l, retainedComp(l, trace))
+        }
+        (active.map(_._1).getOrElse(0L) + 1L, v, spec)
+      } else active.get
+    val rows = next._3.zipWithIndex.map { case ((l, ret), k0) =>
+      (bid, n, next._1, stab, refresh, (k0 + 1).toLong,
+        if (java.lang.Double.isFinite(l)) Some(l) else None, ret)
+    }
+    (rows, next)
+  }
+
+  /** The q274 output projection over raw step rows — shared by both
+    * faces so stream and batch literally share the final frame. */
+  private[graft] def refreshRowsDf(spark: SparkSession,
+      rows: Seq[(Long, Long, Long, Option[Double], Boolean, Long,
+        Option[Double], Boolean)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("batch_id", "n_vectors_cum", "model_version", "stab_raw",
+        "refreshed", "k", "lambda_raw", "retained")
+      .select(col("batch_id"), col("n_vectors_cum"), col("model_version"),
+        round(col("stab_raw"), 6).as("model_stability"), col("refreshed"),
+        col("k"), round(col("lambda_raw"), 6).as("lambda"),
+        col("retained"))
+  }
+
+  /** Core over an injectable embeddings frame (specs plant a rotation
+    * event mid-stream and assert the refresh fires at exactly its
+    * snapshot and post-refresh stability recovers). */
+  def modelRefreshOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    var active: Option[(Long, Array[Double], Seq[(Double, Boolean)])] = None
+    val rows = cumGramBuffers(spark, embs).flatMap { case (b, g) =>
+      val (r, next) = refreshStep(b, g, active)
+      active = Some(next)
+      r
+    }
+    refreshRowsDf(spark, rows).orderBy("batch_id", "k")
+  }
+
+  /** q274 twin: the q265/q267 cumulative prefix, then the
+    * [[DriftBatches]]·[[WhitenK]] deflated power chains as ONE
+    * recursive CTE threading (component, iteration) state per batch —
+    * the unrolled-chain form (q264's, per batch) exceeds DuckDB's
+    * 1000-deep binder limit at ~1700 CTEs, while the recursion is ~35
+    * CTEs and executes the IDENTICAL IEEE sequence: y = A·v per index
+    * via the same list_dot_product, λ = √(y·y), v' = y/λ, deflation
+    * `row − (λ·vᵢ)·vⱼ` left-associated exactly as the Scala deflate.
+    * Each recursion row carries its batch's running deflated matrix
+    * (64 lists), accumulated λs, and the component-1 dominant; the
+    * terminal rows (comp = K+1) feed the dominant lookup and the
+    * spectrum table. Version state then threads across snapshots as
+    * one MATERIALIZED CTE per batch (active batch + version), and
+    * the final per-(snapshot, component) rows join the ACTIVE batch's
+    * spectrum and trace. The staleness gate compares the identical
+    * doubles in both engines, so the branch flips only exactly AT
+    * the threshold (the retainedComp acceptance). */
+  val modelRefreshSql: String = {
+    val K = WhitenK
+    val PI = PowerIters
+    val states = (1 until DriftBatches).map { b =>
+      val d = s"list_dot_product(db$b.v, da.v)"
+      val cond = s"isfinite($d) AND abs($d) < $RefreshStability"
+      s"""st$b AS MATERIALIZED (
+         |  SELECT CASE WHEN $cond THEN CAST($b AS BIGINT)
+         |              ELSE p.ab END AS ab,
+         |         p.ver + CASE WHEN $cond THEN 1 ELSE 0 END AS ver,
+         |         CASE WHEN isfinite($d) THEN abs($d) END AS stab
+         |  FROM st${b - 1} p
+         |  JOIN doms da ON da.b = p.ab
+         |  JOIN doms db$b ON db$b.b = $b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 until DriftBatches).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, cn.n AS n_vectors_cum,
+         |       st$b.ver AS model_version,
+         |       round(st$b.stab, 6) AS model_stability,
+         |       (st$b.ab = $b) AS refreshed,
+         |       sp.k,
+         |       CASE WHEN isfinite(sp.lambda)
+         |            THEN round(sp.lambda, 6) END AS lambda,
+         |       (isfinite(sp.lambda) AND isfinite(ta.trace)
+         |        AND ta.trace > 0
+         |        AND sp.lambda > ta.trace * $WhitenEps) AS retained
+         |FROM st$b
+         |JOIN cum_n cn ON cn.batch = $b
+         |JOIN specs sp ON sp.b = st$b.ab
+         |JOIN tr ta ON ta.batch = st$b.ab""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $driftCumCteSql, mats AS MATERIALIZED (
+       |  SELECT batch, list(row ORDER BY i) AS mat FROM (
+       |    SELECT batch, i, list(c ORDER BY j) AS row
+       |    FROM full_cells GROUP BY batch, i)
+       |  GROUP BY batch
+       |), pw AS (
+       |  SELECT batch, 1 AS comp, 0 AS iter, mat,
+       |         list_transform(range($Dim), d -> 0.125::DOUBLE) AS v,
+       |         NULL::DOUBLE AS nrm,
+       |         []::DOUBLE[] AS lambdas,
+       |         NULL::DOUBLE[] AS dom
+       |  FROM mats
+       |  UNION ALL
+       |  SELECT batch,
+       |         CASE WHEN iter = $PI THEN comp + 1 ELSE comp END,
+       |         CASE WHEN iter = $PI THEN 0 ELSE iter + 1 END,
+       |         CASE WHEN iter = $PI AND comp < $K
+       |              THEN list_transform(range($Dim),
+       |                i -> list_transform(range($Dim),
+       |                  j -> mat[i + 1][j + 1]
+       |                       - nrm * v[i + 1] * v[j + 1]))
+       |              ELSE mat END,
+       |         CASE WHEN iter = $PI
+       |              THEN list_transform(range($Dim), d -> 0.125::DOUBLE)
+       |              ELSE list_transform(y, e -> e / ny) END,
+       |         CASE WHEN iter = $PI THEN NULL ELSE ny END,
+       |         CASE WHEN iter = $PI THEN lambdas || [nrm]
+       |              ELSE lambdas END,
+       |         CASE WHEN iter = $PI AND comp = 1 THEN v ELSE dom END
+       |  FROM (
+       |    SELECT *, CASE WHEN iter < $PI
+       |                   THEN sqrt(list_dot_product(y, y)) END AS ny
+       |    FROM (
+       |      SELECT *, CASE WHEN iter < $PI
+       |                     THEN list_transform(range($Dim),
+       |                       i -> list_dot_product(mat[i + 1], v)) END AS y
+       |      FROM pw WHERE comp <= $K))
+       |), fin AS MATERIALIZED (
+       |  SELECT batch, lambdas, dom FROM pw WHERE comp = ${K + 1}
+       |), doms AS MATERIALIZED (
+       |  SELECT batch AS b, dom AS v FROM fin
+       |), specs AS MATERIALIZED (
+       |  SELECT batch AS b, CAST(t.k AS BIGINT) AS k,
+       |         lambdas[t.k] AS lambda
+       |  FROM fin, (SELECT unnest(generate_series(1, $K)) AS k) t
+       |),
+       |st0 AS (SELECT CAST(0 AS BIGINT) AS ab, CAST(1 AS BIGINT) AS ver,
+       |               NULL::DOUBLE AS stab),
+       |$states
+       |$selects
+       |ORDER BY batch_id, k""".stripMargin
+  }
 }

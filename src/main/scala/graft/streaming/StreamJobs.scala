@@ -190,6 +190,56 @@ object StreamJobs {
       .start()
   }
 
+  /** Streaming face of batch q274: per arriving micro-batch, fold ONE
+    * GramMatrix buffer, merge it into the cumulative, run the shared
+    * [[graft.ext.Similarity.refreshStep]] against the held active
+    * model — re-deriving the versioned model ONLY when the staleness
+    * gate trips — and append that snapshot's (batch, component) rows.
+    * State = the ~2 KB integer buffer + the active model (version,
+    * D-double dominant, K (λ, retained) pairs ≈ 600 bytes): executing
+    * the refresh costs the stream nothing beyond the arithmetic the
+    * monitor already does. Same at-least-once guard and one-run
+    * contract as [[gramDriftMonitor]]; replay with aligned batches
+    * reproduces batch q274's rows exactly (StreamJobsSpec pins it,
+    * including that the refresh fires at the planted event and
+    * post-refresh stability recovers). */
+  def refreshMonitor(embsStream: DataFrame,
+      outPath: String): StreamingQuery = {
+    val handler = new RefreshMonitorHandler(outPath)
+    embsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        handler.onBatch(batch.toDF(), bid)
+      }
+      .start()
+  }
+
+  /** Per-batch handler for [[refreshMonitor]] (testable guard, as the
+    * other monitor handlers). */
+  private[graft] final class RefreshMonitorHandler(outPath: String) {
+    private var state: Seq[Long] = null
+    private var active: Option[(Long, Array[Double],
+      Seq[(Double, Boolean)])] = None
+    private var lastBid: Long = -1L
+    def onBatch(batch: DataFrame, bid: Long): Unit = {
+      if (bid <= lastBid) return // re-delivered micro-batch: no-op
+      val g = graft.ext.Similarity.quantizedGramOf(batch.sparkSession, batch)
+      if (graft.ext.Similarity.gramCount(g) > 0) {
+        val merged =
+          if (state == null) g
+          else graft.ext.Similarity.mergeGram(state, g)
+        val (rows, next) =
+          graft.ext.Similarity.refreshStep(bid, merged, active)
+        graft.ext.Similarity.refreshRowsDf(batch.sparkSession, rows)
+          .write.mode("append").parquet(outPath)
+        state = merged // commit driver state only after the write
+        active = Some(next)
+      }
+      lastBid = bid
+    }
+  }
+
   /** Per-batch handler for [[rotationDriftMonitor]], extracted so the
     * at-least-once guard is directly testable (StreamJobsSpec calls
     * `onBatch` with a re-delivered id and asserts the no-op). */

@@ -64,6 +64,93 @@ class RoundElevenOpsSpec extends SparkSpec {
       s"...at no more scanned rows: white=$whiteScan raw=$rawScan")
   }
 
+  test("q274: refresh fires at exactly the planted rotation event") {
+    val dim = Similarity.Dim
+    // batches 0-3: dominant axis 0 (scaled 4x over a busy base) —
+    // the cumulative dominant holds, no refresh after bootstrap;
+    // from batch 4 on: a strong constant axis-1 cohort per batch
+    // whose variance overtakes axis 0 — the cumulative dominant
+    // ROTATES at snapshot 4, the staleness gate trips, version 2
+    // derives there, and snapshots 5-7 are stable vs the REFRESHED
+    // model (the recovery the lifecycle exists to produce)
+    val healthy = (0 until 80).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = v(0) * 4.0f
+      (i.toLong, v.toSeq)
+    }
+    val rotated = (80 until 160).map { i =>
+      val v = Array.fill(dim)(0.0f); v(1) = 50.0f
+      (i.toLong, v.toSeq)
+    }
+    val planted = (healthy ++ rotated).toDF("vec_id", "embedding")
+    val rows = Similarity.modelRefreshOn(spark, planted).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4), r.getLong(5)))
+    assert(rows.length == 8 * Similarity.WhitenK)
+    val byBatch = rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2)
+    // one version row-set per batch, k = 1..WhitenK
+    byBatch.foreach { b =>
+      assert(b.map(_._5).sorted.toSeq ==
+        (1L to Similarity.WhitenK.toLong))
+      assert(b.map(_._2).distinct.length == 1, "one version per batch")
+    }
+    val perBatch = byBatch.map(b => (b.head._1, b.head._2, b.head._3,
+      b.head._4))
+    assert(perBatch(0) == ((0L, 1L, None, true)), "bootstrap is version 1")
+    (1 to 3).foreach { b =>
+      assert(perBatch(b)._2 == 1L && !perBatch(b)._4,
+        s"healthy snapshot $b must keep version 1: ${perBatch(b)}")
+      assert(perBatch(b)._3.get > Similarity.RefreshStability,
+        s"healthy stability must clear the gate: ${perBatch(b)}")
+    }
+    assert(perBatch(4)._4 && perBatch(4)._2 == 2L,
+      s"refresh must fire at the planted event: ${perBatch(4)}")
+    assert(perBatch(4)._3.get < Similarity.RefreshStability,
+      s"the firing stability must be below the gate: ${perBatch(4)}")
+    (5 to 7).foreach { b =>
+      assert(perBatch(b)._2 == 2L && !perBatch(b)._4,
+        s"post-refresh snapshot $b must keep version 2: ${perBatch(b)}")
+      assert(perBatch(b)._3.get > 0.99,
+        s"post-refresh stability must recover: ${perBatch(b)}")
+    }
+  }
+
+  test("q274: the versioned spectrum is the active model's, not the batch's") {
+    // on the same fixture, batches 1-3 must carry version 1's λs
+    // (derived at batch 0) even though their own cumulative spectra
+    // differ — consumers keyed by version read model parameters, not
+    // per-snapshot diagnostics
+    val dim = Similarity.Dim
+    val healthy = (0 until 80).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = v(0) * 4.0f
+      (i.toLong, v.toSeq)
+    }
+    val rotated = (80 until 160).map { i =>
+      val v = Array.fill(dim)(0.0f); v(1) = 50.0f
+      (i.toLong, v.toSeq)
+    }
+    val planted = (healthy ++ rotated).toDF("vec_id", "embedding")
+    val rows = Similarity.modelRefreshOn(spark, planted).collect()
+      .map(r => (r.getLong(0), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    def spectrumOf(b: Long) =
+      rows.filter(_._1 == b).sortBy(_._2).map(_._3).toSeq
+    (1L to 3L).foreach { b =>
+      assert(spectrumOf(b) == spectrumOf(0L),
+        s"batch $b must serve version 1's spectrum")
+    }
+    (5L to 7L).foreach { b =>
+      assert(spectrumOf(b) == spectrumOf(4L),
+        s"batch $b must serve version 2's spectrum")
+    }
+    assert(spectrumOf(0L) != spectrumOf(4L),
+      "the refresh must actually change the model")
+  }
+
   test("q273: degenerate model masks the white space NULL") {
     // all-constant corpus: zero covariance, no retained component —
     // the white arm must emit one NULL-metric row per query, raw

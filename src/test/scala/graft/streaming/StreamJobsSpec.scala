@@ -479,6 +479,67 @@ class StreamJobsSpec extends SparkSpec {
       s"rotation replay drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
   }
 
+  test("streaming refresh monitor replays to the batch q274 rows") {
+    import graft.ext.Similarity
+    // the planted rotation-event fixture (RoundElevenOpsSpec): staged
+    // one file per ingest batch so the streaming refresh walks the
+    // same snapshot axis — version 2 must derive at the SAME
+    // micro-batch the batch face refreshes at, and every
+    // (batch, component) row must match exactly
+    val dim = Similarity.Dim
+    val healthy = (0 until 80).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = v(0) * 4.0f
+      (i.toLong, v.toSeq, 0)
+    }
+    val rotated = (80 until 160).map { i =>
+      val v = Array.fill(dim)(0.0f); v(1) = 50.0f
+      (i.toLong, v.toSeq, 0)
+    }
+    val embs = (healthy ++ rotated)
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label"))
+    val maxId = 159L
+    val width = (maxId + Similarity.DriftBatches) / Similarity.DriftBatches
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh")
+    (0 until Similarity.DriftBatches).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-rf-$b")
+      embs.filter(expr(s"vec_id div $width") === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val single =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+        } finally listing.close()
+      val dest = dir.resolve(f"batch$b%03d.parquet")
+      java.nio.file.Files.copy(single, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 10000L))
+    }
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-rf-out").toString + "/models"
+    val q = StreamJobs.refreshMonitor(
+      StreamJobs.readEmbeddings(spark, dir.toString), outPath)
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      r.getBoolean(4), r.getLong(5),
+      if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+      r.getBoolean(7))
+    val got = spark.read.parquet(outPath).collect().map(key).toSet
+    val want = Similarity.modelRefreshOn(spark, embs)
+      .collect().map(key).toSet
+    assert(got == want,
+      s"refresh replay drift: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    // and the lifecycle actually exercised both versions
+    assert(want.map(_._3) == Set(1L, 2L), "fixture must span two versions")
+  }
+
   test("drift monitors treat a re-delivered micro-batch as a no-op") {
     // foreachBatch is at-least-once: a retried batch id must neither
     // re-merge the cumulative buffer nor append duplicate snapshot
