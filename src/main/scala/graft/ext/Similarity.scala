@@ -3323,12 +3323,13 @@ object Similarity {
   /** Core over an injectable embeddings frame (specs plant topic
     * clusters and assert the rerank diversifies where plain top-k
     * drowns in near-duplicates). */
-  def mmrRerankOn(spark: SparkSession, embs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val e = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  /** The q270 EXACT candidate pool — per query the top-[[RerankPool]]
+    * by (cosine DESC, id) over the whole corpus; `e` is (vec_id, v).
+    * Shared with q275's exact arm so both audit the identical pool. */
+  private def exactRerankPool(e: DataFrame): DataFrame = {
     val qs = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val pool = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("rel"), col("v"))
       .withColumn("rk", row_number().over(
@@ -3336,7 +3337,15 @@ object Similarity {
           .orderBy(col("rel").desc, col("neighbor_id"))))
       .filter(col("rk") <= RerankPool)
       .select(col("query_id"), col("neighbor_id"), col("rel"), col("v"))
-    val picked = pool.as[(Long, Long, Double, Seq[Double])]
+  }
+
+  /** Group-local MMR greedy over ANY (query_id, neighbor_id, rel, v)
+    * pool — (query_id, rk, neighbor_id, score_raw). The flatMapGroups
+    * is legitimate exactly because every supported pool is
+    * ≤ [[RerankPool]] rows per query by construction. */
+  private def mmrPicks(pool: DataFrame): DataFrame = {
+    import pool.sparkSession.implicits._
+    pool.as[(Long, Long, Double, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
         // deterministic regardless of iterator order: the pool is
@@ -3347,7 +3356,12 @@ object Similarity {
           (qid, step, id, score)
         }
       }
-    picked.toDF("query_id", "rk", "neighbor_id", "score_raw")
+      .toDF("query_id", "rk", "neighbor_id", "score_raw")
+  }
+
+  def mmrRerankOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    mmrPicks(exactRerankPool(e))
       .select(col("query_id"), col("rk"), col("neighbor_id"),
         round(col("score_raw"), 6).as("mmr_score"))
       .orderBy("query_id", "rk")
@@ -3363,35 +3377,57 @@ object Similarity {
     * exponential cliff the q259/q264 doctrine materializes against.
     * The CTE body is shared with the q271 tradeoff audit so both
     * measure the SAME picks. */
-  private val mmrCtesSql: String = {
+  /** The unrolled greedy over pool CTE `$pool`, state names prefixed
+    * `$pfx` (psim$pfx, s$pfx$t, sel$pfx$t) — q270 instantiates it with
+    * pfx "" over the exact pool; q275 adds a second chain over the
+    * ANN pool. */
+  private def mmrChainCtesSql(pfx: String, pool: String): String = {
     val steps = (2 to TopK).map { t =>
-      s"""s$t AS MATERIALIZED (
+      s"""s$pfx$t AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, score FROM (
          |    SELECT p.query_id, p.neighbor_id,
          |           0.5::DOUBLE * p.rel - 0.5::DOUBLE * ms.m AS score,
          |           row_number() OVER (PARTITION BY p.query_id
          |             ORDER BY 0.5::DOUBLE * p.rel - 0.5::DOUBLE * ms.m
          |               DESC, p.neighbor_id) AS rn
-         |    FROM pool p
+         |    FROM $pool p
          |    JOIN (SELECT ps.query_id, ps.ca AS neighbor_id,
          |                 MAX(ps.sim) AS m
-         |          FROM psim ps
-         |          JOIN sel${t - 1} s ON s.query_id = ps.query_id
+         |          FROM psim$pfx ps
+         |          JOIN sel$pfx${t - 1} s ON s.query_id = ps.query_id
          |                            AND s.neighbor_id = ps.cb
          |          GROUP BY 1, 2) ms
          |      ON ms.query_id = p.query_id
          |     AND ms.neighbor_id = p.neighbor_id
-         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel$pfx${t - 1} s
          |                      WHERE s.query_id = p.query_id
          |                        AND s.neighbor_id = p.neighbor_id))
          |  WHERE rn = 1
-         |), sel$t AS MATERIALIZED (
-         |  SELECT * FROM sel${t - 1}
-         |  UNION ALL SELECT query_id, neighbor_id FROM s$t
+         |), sel$pfx$t AS MATERIALIZED (
+         |  SELECT * FROM sel$pfx${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$pfx$t
          |)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |pool AS MATERIALIZED (
+    s"""psim$pfx AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+       |         list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM $pool a JOIN $pool b ON a.query_id = b.query_id
+       |                         AND a.neighbor_id != b.neighbor_id
+       |), s${pfx}1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, 0.5::DOUBLE * rel AS score FROM (
+       |    SELECT query_id, neighbor_id, rel,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM $pool) WHERE rn = 1
+       |), sel${pfx}1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM s${pfx}1
+       |),
+       |$steps""".stripMargin
+  }
+
+  /** The q270 exact pool CTE (over the `e` corpus CTE). */
+  private val exactPoolCteSql: String =
+    s"""pool AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, rel, v FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |           list_cosine_similarity(q.v, c.v) AS rel, c.v AS v,
@@ -3401,20 +3437,12 @@ object Similarity {
        |    FROM e q JOIN e c ON c.vec_id != q.vec_id
        |    WHERE q.vec_id < $NQueries)
        |  WHERE rn <= $RerankPool
-       |), psim AS MATERIALIZED (
-       |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
-       |         list_cosine_similarity(a.v, b.v) AS sim
-       |  FROM pool a JOIN pool b ON a.query_id = b.query_id
-       |                         AND a.neighbor_id != b.neighbor_id
-       |), s1 AS MATERIALIZED (
-       |  SELECT query_id, neighbor_id, 0.5::DOUBLE * rel AS score FROM (
-       |    SELECT query_id, neighbor_id, rel,
-       |           row_number() OVER (PARTITION BY query_id
-       |             ORDER BY rel DESC, neighbor_id) AS rn
-       |    FROM pool) WHERE rn = 1
-       |), sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1),
-       |$steps""".stripMargin
-  }
+       |)""".stripMargin
+
+  private val mmrCtesSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$exactPoolCteSql,
+       |${mmrChainCtesSql("", "pool")}""".stripMargin
 
   private val mmrUnionSql: String = (1 to TopK).map(t =>
     s"SELECT query_id, CAST($t AS BIGINT) AS rk, neighbor_id, " +
@@ -4262,5 +4290,193 @@ object Similarity {
        |$states
        |$selects
        |ORDER BY batch_id, k""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // q275 — ANN-pooled rerank audit (q270's pool comes from exact
+  // brute-force retrieval; at scale the pool arrives from the
+  // serving index — this measures whether the diversifier ABSORBS
+  // or AMPLIFIES the index's retrieval error)
+  // ----------------------------------------------------------------
+
+  /** The ANN candidate pool: q25's IVF probe (shared codebook
+    * protocol, fixed [[NProbe]] budget) scored EXACTLY within the
+    * probed lists, top-[[RerankPool]] per query — the pool a serving
+    * stack actually hands the reranker. Same row shape as
+    * [[exactRerankPool]] so the identical greedy runs on both. */
+  private def annRerankPool(e: DataFrame): DataFrame = {
+    val cents = ivfCodebook(e)
+    def scores(v: Column): Column = ivfScores(cents, v)
+    val assigned = e.withColumn("cid",
+      -sort_array(scores(col("v")), asc = false)(0)("ncid"))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(
+          slice(sort_array(scores(col("v")), asc = false), 1, NProbe),
+          s => -s("ncid"))).as("cid"))
+    probes
+      .join(assigned.select(col("cid"), col("vec_id"), col("v")), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("rel"), col("v"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("neighbor_id"))))
+      .filter(col("rk") <= RerankPool)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("v"))
+  }
+
+  /** q275 — ANN-pooled rerank agreement audit: run the SHIPPED q270
+    * greedy ([[mmrGreedy]], via the same [[mmrPicks]]) over both the
+    * exact pool and the ANN pool, and report per query the integers
+    * that say what the index substitution costs: pool_overlap (how
+    * much of the exact pool the probe even retrieved), topk_agree
+    * (plain top-k agreement — the RAW index error, before any
+    * diversifier), mmr_agree (pick agreement after the diversifier),
+    * and score_delta_e6 (Σ MMR pick scores, exact − ANN, in exact
+    * 1e-6 integer units). mmr_agree ≥/≤ topk_agree is THE question
+    * this audit answers: a diversifier that spreads picks across the
+    * pool can absorb retrieval error (the missed exact-top candidates
+    * were near-duplicates MMR would have skipped anyway) or amplify
+    * it (novelty chases exactly the tail the probe failed to
+    * retrieve).
+    *
+    * Exactness: both pools score candidates by EXACT cosine (the ANN
+    * arm approximates only the candidate SET, q25's semantics), the
+    * greedy is the shared kernel, and every output is an integer —
+    * the score delta sums round(score·1e6) as BIGINTs, so no
+    * unordered float fold reaches the output (the q196 lesson).
+    *
+    * Scale shape: the exact arm is q270's audit-class pool build
+    * (fixture-sized holdouts at 100 TB); the ANN arm is q25's serving
+    * shape (map-side assignment, probe join keyed by cid, bounded
+    * per-query windows); the greedy is constant-bounded per group;
+    * the audit joins are |queries|·RerankPool-bounded. */
+  def annRerank(spark: SparkSession, sfDir: String): DataFrame =
+    annRerankOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs force the pools
+    * equal and require row-for-row q270 reconciliation, then plant a
+    * herded corpus where the probe misses and the audit shows it). */
+  def annRerankOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val epool = exactRerankPool(e)
+    val apool = annRerankPool(e)
+    def ids(pool: DataFrame) =
+      pool.select(col("query_id"), col("neighbor_id"))
+    def plainTop(pool: DataFrame) = ids(pool
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("neighbor_id"))))
+      .filter(col("rk") <= TopK))
+    def agree(a: DataFrame, b: DataFrame, as: String) =
+      a.join(b, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(as))
+    def e6(picks: DataFrame, as: String) =
+      picks.groupBy("query_id")
+        .agg(sum(round(col("score_raw") * 1e6, 0).cast("long")).as(as))
+    val ep = mmrPicks(epool)
+    val ap = mmrPicks(apool)
+    epool.select(col("query_id")).distinct()
+      .join(agree(ids(epool), ids(apool), "ov"), Seq("query_id"), "left_outer")
+      .join(agree(plainTop(epool), plainTop(apool), "tk"),
+        Seq("query_id"), "left_outer")
+      .join(agree(ids(ep), ids(ap), "ma"), Seq("query_id"), "left_outer")
+      .join(e6(ep, "se"), Seq("query_id"), "left_outer")
+      .join(e6(ap, "sa"), Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("ov"), lit(0L)).as("pool_overlap"),
+        coalesce(col("tk"), lit(0L)).as("topk_agree"),
+        coalesce(col("ma"), lit(0L)).as("mmr_agree"),
+        (coalesce(col("se"), lit(0L)) - coalesce(col("sa"), lit(0L)))
+          .as("score_delta_e6"))
+      .orderBy("query_id")
+  }
+
+  /** q275 twin: the shared q270 exact pool + greedy chain, a second
+    * pool from the q25 IVF probe CTEs, a second greedy chain over it
+    * (prefix `a`), then the four per-query integer aggregates as
+    * LEFT joins from the exact pool's query list. */
+  val annRerankSql: String = {
+    def picksUnion(pfx: String) = (1 to TopK)
+      .map(t => s"SELECT query_id, neighbor_id, score FROM s$pfx$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$exactPoolCteSql,
+       |${mmrChainCtesSql("", "pool")},
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  WHERE vec_id % $CentroidEvery = 0
+       |), asg AS MATERIALIZED (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+       |               c.cid) AS rn
+       |    FROM e, cent c) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+       |               c.cid) AS rn
+       |    FROM e, cent c WHERE e.vec_id < $NQueries) WHERE rn <= $NProbe
+       |), apool AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rel, v FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |           list_cosine_similarity(eq.v, a.v) AS rel, a.v AS v,
+       |           row_number() OVER (PARTITION BY p.query_id
+       |             ORDER BY list_cosine_similarity(eq.v, a.v) DESC,
+       |               a.vec_id) AS rn
+       |    FROM probes p
+       |    JOIN asg a ON a.cid = p.cid AND a.vec_id != p.query_id
+       |    JOIN e eq ON eq.vec_id = p.query_id)
+       |  WHERE rn <= $RerankPool
+       |),
+       |${mmrChainCtesSql("a", "apool")},
+       |ep AS (${picksUnion("")}),
+       |ap AS (${picksUnion("a")}),
+       |etop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM pool) WHERE rn <= $TopK
+       |), atop AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM apool) WHERE rn <= $TopK
+       |), ov AS (
+       |  SELECT p.query_id, COUNT(*) AS ov FROM pool p
+       |  JOIN apool a USING (query_id, neighbor_id) GROUP BY 1
+       |), tk AS (
+       |  SELECT e1.query_id, COUNT(*) AS tk FROM etop e1
+       |  JOIN atop a1 USING (query_id, neighbor_id) GROUP BY 1
+       |), ma AS (
+       |  SELECT e2.query_id, COUNT(*) AS ma FROM ep e2
+       |  JOIN ap a2 USING (query_id, neighbor_id) GROUP BY 1
+       |), se AS (
+       |  SELECT query_id,
+       |         CAST(SUM(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS s
+       |  FROM ep GROUP BY 1
+       |), sa AS (
+       |  SELECT query_id,
+       |         CAST(SUM(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS s
+       |  FROM ap GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |       COALESCE(ov.ov, 0) AS pool_overlap,
+       |       COALESCE(tk.tk, 0) AS topk_agree,
+       |       COALESCE(ma.ma, 0) AS mmr_agree,
+       |       COALESCE(se.s, 0) - COALESCE(sa.s, 0) AS score_delta_e6
+       |FROM (SELECT DISTINCT query_id FROM pool) q
+       |LEFT JOIN ov ON ov.query_id = q.query_id
+       |LEFT JOIN tk ON tk.query_id = q.query_id
+       |LEFT JOIN ma ON ma.query_id = q.query_id
+       |LEFT JOIN se ON se.query_id = q.query_id
+       |LEFT JOIN sa ON sa.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
   }
 }

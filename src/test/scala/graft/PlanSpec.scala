@@ -207,7 +207,10 @@ class PlanSpec extends SparkSpec {
       // q273: q272's audit shape composed with q111's PQ — the same
       // NQueries scoring broadcast and 24-row probe-set broadcast per
       // space; codebooks ride as literals, never as join sides
-      "q273_ivf_pq")
+      "q273_ivf_pq",
+      // q275: q270's bounded pool-construction broadcast on the exact
+      // arm (the ANN arm joins by cid, q25's shape)
+      "q275_ann_rerank")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

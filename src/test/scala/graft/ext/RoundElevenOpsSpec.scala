@@ -151,6 +151,53 @@ class RoundElevenOpsSpec extends SparkSpec {
       "the refresh must actually change the model")
   }
 
+  test("q275: reconciles with q270 when the probe retrieves everything") {
+    // 49 vectors -> ONE IVF centroid (vec_id 0 only) -> every probe
+    // covers the whole corpus -> the ANN pool IS the exact pool, so
+    // the audit must read as a row-for-row q270 reconciliation:
+    // full overlap, full agreement, zero score delta
+    val dim = Similarity.Dim
+    val embs = (0 until 49).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.annRerankOn(spark, embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { r =>
+      assert(r._2 == Similarity.RerankPool.toLong,
+        s"forced-exact pool must fully overlap: $r")
+      assert(r._3 == Similarity.TopK.toLong,
+        s"forced-exact plain top-k must agree: $r")
+      assert(r._4 == Similarity.TopK.toLong,
+        s"forced-exact MMR picks must agree: $r")
+      assert(r._5 == 0L, s"forced-exact score delta must be zero: $r")
+    }
+  }
+
+  test("q275: the audit discriminates when the probe misses") {
+    // the herded fixture: raw-space probes miss part of the exact
+    // pool, so at least one query must show the loss — and every
+    // count stays inside its bounds
+    val rows = Similarity.annRerankOn(spark, herded(400)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { r =>
+      assert(r._2 >= 0 && r._2 <= Similarity.RerankPool.toLong,
+        s"pool_overlap out of range: $r")
+      assert(r._3 >= 0 && r._3 <= Similarity.TopK.toLong,
+        s"topk_agree out of range: $r")
+      assert(r._4 >= 0 && r._4 <= Similarity.TopK.toLong,
+        s"mmr_agree out of range: $r")
+      assert(r._4 <= r._2, s"picks can only agree inside the overlap: $r")
+    }
+    assert(rows.exists(r => r._2 < Similarity.RerankPool.toLong),
+      "the herded probe must miss part of at least one exact pool")
+  }
+
   test("q273: degenerate model masks the white space NULL") {
     // all-constant corpus: zero covariance, no retained component —
     // the white arm must emit one NULL-metric row per query, raw
