@@ -213,9 +213,18 @@ object Bench {
     // so a stall-poisoned first pass stays visible in the report;
     // "steady_ref" says whether the retry shield actually had a
     // reference to key off (an unreadable SCALING.json degrades the
-    // shield to repCap-only — that must be visible here)
+    // shield to repCap-only — that must be visible here);
+    // "steady_ratio" (round-10 verdict #6) is reported / steady-ref
+    // time PER QUERY, so any reader separates a churned-box window
+    // (ratios uniformly > 1) from a plan regression (concentrated
+    // ratio spike) without re-running anything
+    val ratios = results.toSeq.collect {
+      case (q, t) if steady.get(q).exists(_ > 0) =>
+        q -> math.rint(t / steady(q) * 1000) / 1000
+    }.sortBy(_._1)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":$qs,"retried":${jsonMap(flaggedRaw.toSeq.sortBy(_._1))},""" +
+      s""""steady_ratio":${jsonMap(ratios)},""" +
       s""""steady_ref":"$steadyNote","sf":"$sfDir"}"""
     // The driver captures a bounded tail of stdout: a ~4KB 104-query
     // line can get its head (and the total) truncated away, which is
