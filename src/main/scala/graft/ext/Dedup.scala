@@ -913,10 +913,14 @@ object Dedup {
     * contribution sum with map-side combine, `localCheckpoint` per
     * round to cut lineage; same scaling story as
     * [[connectedComponents]]. Node count is one scalar count (the only
-    * driver value). FP determinism: neighbor sums are order-dependent
-    * across engines, but perturbations stay ~1e-15 relative and are
-    * damped each round, so the single round(…, 8) at the output edge
-    * absorbs them (verified at sf0.01 AND sf0.1).
+    * driver value). FP determinism (hardened round 11, q196 doctrine):
+    * each iteration's neighbor sum folds round(contribution·1e12)
+    * BIGINTs — contributions are ≤ 1, so the pico grid is exact in
+    * int64 at any degree — because the previous "~1e-15 perturbations
+    * absorbed by round(8)" argument is exactly the one q196 falsified:
+    * an unordered float fold is nondeterministic WITHIN each engine,
+    * and five damped iterations still land values on rounding
+    * boundaries with positive probability.
     *
     * Oracle: the SAME five iterations UNROLLED as chained CTEs —
     * standard SQL forbids aggregation inside a recursive CTE, so the
@@ -939,11 +943,13 @@ object Dedup {
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
-        .groupBy("id").agg(sum("c").as("in_pr"))
+        .groupBy("id")
+        .agg(sum(round(col("c") * 1e12, 0).cast("long")).as("in12"))
       pr = pr.select(col("id"))
         .join(contribs, Seq("id"), "left")
         .select(col("id"), (lit((1 - Damping) / n) +
-          lit(Damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+          lit(Damping) *
+            coalesce(col("in12").cast("double") / 1e12, lit(0.0))).as("pr"))
         .localCheckpoint()
     }
     pr.select(col("id").as("doc_id"), round(col("pr"), 8).as("pagerank"))
@@ -954,10 +960,14 @@ object Dedup {
     val iters = (1 to PageRankIters).map { k =>
       s"""pr$k AS (
          |  SELECT d.src AS id,
-         |         (1 - $Damping) / nn.n + $Damping * COALESCE(s.in_pr, 0) AS pr
+         |         (1 - $Damping) / nn.n
+         |           + $Damping * COALESCE(CAST(s.in12 AS DOUBLE) / 1e12,
+         |                                 0) AS pr
          |  FROM deg d CROSS JOIN nn
          |  LEFT JOIN (
-         |    SELECT e.dst AS id, SUM(p.pr / dg.deg) AS in_pr
+         |    SELECT e.dst AS id,
+         |           CAST(SUM(CAST(round((p.pr / dg.deg) * 1e12) AS BIGINT))
+         |                AS BIGINT) AS in12
          |    FROM edges e
          |    JOIN pr${k - 1} p ON e.src = p.id
          |    JOIN deg dg ON dg.src = e.src
@@ -2344,12 +2354,15 @@ object Dedup {
         j, col("est_jaccard"), col("shared_bands").cast("double").as("sb"),
         (lit(Bands.toDouble) * jr).as("pred_sb"), pCatch.as("pc"))
       .groupBy("j_bucket")
+      // exact nano-means (q196 doctrine) for the four continuous
+      // columns; mean_shared_bands stays a plain AVG — sb is
+      // integer-valued, so its sum is exact in any order
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(j), 6).as("mean_jaccard"),
-        round(avg(col("est_jaccard")), 6).as("mean_est_jaccard"),
+        Exact.mean9(j).as("mean_jaccard"),
+        Exact.mean9(col("est_jaccard")).as("mean_est_jaccard"),
         round(avg(col("sb")), 6).as("mean_shared_bands"),
-        round(avg(col("pred_sb")), 6).as("pred_shared_bands"),
-        round(avg(col("pc")), 6).as("pred_catch_prob"))
+        Exact.mean9(col("pred_sb")).as("pred_shared_bands"),
+        Exact.mean9(col("pc")).as("pred_catch_prob"))
       .orderBy("j_bucket")
   }
 
@@ -2365,11 +2378,11 @@ object Dedup {
        |  FROM p
        |)
        |SELECT j_bucket, COUNT(*) AS n_pairs,
-       |       round(AVG(jaccard), 6) AS mean_jaccard,
-       |       round(AVG(est_jaccard), 6) AS mean_est_jaccard,
+       |       ${Exact.mean9Sql("jaccard")} AS mean_jaccard,
+       |       ${Exact.mean9Sql("est_jaccard")} AS mean_est_jaccard,
        |       round(AVG(sb), 6) AS mean_shared_bands,
-       |       round(AVG($Bands.0 * jr), 6) AS pred_shared_bands,
-       |       round(AVG($pc), 6) AS pred_catch_prob
+       |       ${Exact.mean9Sql(s"$Bands.0 * jr")} AS pred_shared_bands,
+       |       ${Exact.mean9Sql(pc)} AS pred_catch_prob
        |FROM b GROUP BY j_bucket ORDER BY j_bucket""".stripMargin
   }
 
@@ -2538,7 +2551,9 @@ object Dedup {
         sum((col("surv_p") >= col("best_p")).cast("long")).as("n_best_kept"),
         round(avg((col("surv_p") >= col("best_p")).cast("double")), 6)
           .as("best_kept_frac"),
-        round(avg(col("best_p") - col("surv_p")), 6).as("mean_quality_gap"))
+        // exact nano-mean (q196 doctrine): the quality gaps are
+        // continuous floats; best_kept_frac's AVG of exact 0/1 stays
+        Exact.mean9(col("best_p") - col("surv_p")).as("mean_quality_gap"))
       .orderBy("cluster_size")
   }
 
@@ -2557,7 +2572,7 @@ object Dedup {
        |            AS BIGINT) AS n_best_kept,
        |       round(AVG(CASE WHEN surv_p >= best_p THEN 1.0 ELSE 0.0 END),
        |             6) AS best_kept_frac,
-       |       round(AVG(best_p - surv_p), 6) AS mean_quality_gap
+       |       ${Exact.mean9Sql("best_p - surv_p")} AS mean_quality_gap
        |FROM per GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   /** q231 — incremental cluster maintenance by CONTRACTION: fold a new

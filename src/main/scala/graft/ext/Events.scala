@@ -1160,10 +1160,13 @@ object Events {
     val p = col("n").cast("double") / col("row_n").cast("double")
     pairs.withColumn("row_n", sum("n").over(wf))
       .withColumn("p", p)
-      .withColumn("h_bits",
-        sum(-p * log2(p)).over(wf))
+      // exact nano-sum (q196 doctrine): float −p·log2(p) terms
+      // feeding the round(6) entropy grid
+      .withColumn("h9",
+        sum(round((-p * log2(p)) * 1e9, 0).cast("long")).over(wf))
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("p"), 6).as("p"), round(col("h_bits"), 6).as("h_bits"))
+        round(col("p"), 6).as("p"),
+        round(col("h9").cast("double") / 1e9, 6).as("h_bits"))
       .orderBy("from_type", "to_type")
   }
 
@@ -1184,7 +1187,8 @@ object Events {
       |)
       |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
       |       round(p, 6) AS p,
-      |       round(SUM(-p * log2(p)) OVER (PARTITION BY from_type), 6)
+      |       round(CAST(SUM(CAST(round((-p * log2(p)) * 1e9) AS BIGINT))
+      |               OVER (PARTITION BY from_type) AS DOUBLE) / 1e9, 6)
       |         AS h_bits
       |FROM probs ORDER BY from_type, to_type""".stripMargin
 
@@ -1721,12 +1725,17 @@ object Events {
     val resid = ev.join(broadcast(seasonal), Seq("event_type", "hr"))
       .select(col("event_type"),
         (col("c").cast("double") - col("mu_h")).as("r"))
+    // exact grid sums (q196 doctrine): the residual moments are float
+    // folds feeding the round(6) sd and the 3σ outlier fence. Grids
+    // budgeted for |r| ≤ ~1e5 cents over ≤ 1e6 rows: 1e6 on Σr
+    // (≤ 1e17), 1e3 on Σr² (terms ≤ 1e13, sums ≤ 1e19/1e3 margins)
     val m = resid.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("r").as("s1"),
-        sum(col("r") * col("r")).as("s2"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumG(col("r"), 1e6).as("s1g"),
+        Exact.sumG(col("r") * col("r"), 1e3).as("s2g"))
     val nd = col("n").cast("double")
-    val mu = col("s1") / nd
-    val sd = sqrt(col("s2") / nd - mu * mu)
+    val mu = col("s1g").cast("double") / 1e6 / nd
+    val sd = sqrt(col("s2g").cast("double") / 1e3 / nd - mu * mu)
     resid.join(broadcast(m), Seq("event_type"))
       .groupBy("event_type")
       .agg(max("n").as("n_events"),
@@ -1741,7 +1750,7 @@ object Events {
   }
 
   val seasonalResidualsSql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT event_type, hour(ts) AS hr,
       |         floor(value * 100)::BIGINT AS c
       |  FROM events
@@ -1752,13 +1761,16 @@ object Events {
       |  SELECT ev.event_type, ev.c::DOUBLE - s.mu_h AS r
       |  FROM ev JOIN seasonal s USING (event_type, hr)
       |), m AS (
-      |  SELECT event_type, COUNT(*) AS n, SUM(r) AS s1, SUM(r * r) AS s2
+      |  SELECT event_type, COUNT(*) AS n,
+      |         ${Exact.sumGSql("r", "1e6")} AS s1g,
+      |         ${Exact.sumGSql("r * r", "1e3")} AS s2g
       |  FROM resid GROUP BY 1
       |), d AS (
       |  SELECT r.event_type, r.r, m.n,
-      |         m.s1 / m.n::DOUBLE AS mu,
-      |         sqrt(m.s2 / m.n::DOUBLE
-      |              - (m.s1 / m.n::DOUBLE) * (m.s1 / m.n::DOUBLE)) AS sd
+      |         CAST(m.s1g AS DOUBLE) / 1e6 / m.n::DOUBLE AS mu,
+      |         sqrt(CAST(m.s2g AS DOUBLE) / 1e3 / m.n::DOUBLE
+      |              - (CAST(m.s1g AS DOUBLE) / 1e6 / m.n::DOUBLE)
+      |                * (CAST(m.s1g AS DOUBLE) / 1e6 / m.n::DOUBLE)) AS sd
       |  FROM resid r JOIN m USING (event_type)
       |)
       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,

@@ -563,10 +563,12 @@ object Sampling {
   def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     val per = Tables.load(spark, sfDir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // exact nano-sum (q196 doctrine): the pow(n,τ) terms are floats
+    // and the weights land on the round(6) grid
     val t = per.agg(sum("n_docs"),
-      sum(pow(col("n_docs").cast("double"), MixTau))).first()
+      Exact.sum9(pow(col("n_docs").cast("double"), MixTau))).first()
     val nt = t.getLong(0).toDouble
-    val wt = t.getDouble(1)
+    val wt = t.getLong(1).toDouble / 1e9
     val share = col("n_docs").cast("double") / nt
     val w = pow(col("n_docs").cast("double"), MixTau) / wt
     per.select(col("source"), col("n_docs"),
@@ -581,7 +583,8 @@ object Sampling {
        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
        |), t AS (
        |  SELECT SUM(n_docs)::DOUBLE AS nt,
-       |         SUM(pow(n_docs::DOUBLE, $MixTau::DOUBLE)) AS wt
+       |         CAST(${Exact.sum9Sql(s"pow(n_docs::DOUBLE, $MixTau::DOUBLE)")}
+       |              AS DOUBLE) / 1e9 AS wt
        |  FROM per
        |)
        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
@@ -928,9 +931,13 @@ object Sampling {
       log((col("cr") + lit(1L)).cast("double") / lit(rTot + DsirBuckets))
     perDoc.join(broadcast(buckets.select(col("b"), lr.as("lr"))), Seq("b"))
       .groupBy("doc_id", "source")
-      .agg(sum("c").as("n_feats"), sum(col("c") * col("lr")).as("s"))
+      .agg(sum("c").as("n_feats"),
+        // exact nano-sum (q196 doctrine): float c·lr terms feeding
+        // the round(6) avg_log_ratio grid
+        Exact.sum9(col("c") * col("lr")).as("s9"))
       .select(col("doc_id"), col("source"), col("n_feats"),
-        round(col("s") / col("n_feats").cast("double"), 6)
+        round(col("s9").cast("double") / 1e9 /
+          col("n_feats").cast("double"), 6)
           .as("avg_log_ratio"))
       .orderBy("doc_id")
   }
@@ -967,7 +974,8 @@ object Sampling {
        |  FROM bk, tt
        |)
        |SELECT pd.doc_id, pd.source, CAST(SUM(c) AS BIGINT) AS n_feats,
-       |       round(SUM(c * lr.lr) / SUM(c), 6) AS avg_log_ratio
+       |       round(CAST(${Exact.sum9Sql("c * lr.lr")} AS DOUBLE) / 1e9
+       |             / CAST(SUM(c) AS DOUBLE), 6) AS avg_log_ratio
        |FROM pd JOIN lr USING (b)
        |GROUP BY 1, 2 ORDER BY pd.doc_id""".stripMargin
 

@@ -26,6 +26,16 @@ object Similarity {
   val TopK = 10
   val NQueries = 8
   val Dim = 64
+
+  /** Quantization scale for the exact covariance matrix (q210). A
+    * power of two, so float → double × 1024 is EXACT (no rounding
+    * before the explicit round()) and the quantized co-moments are
+    * integer sums both engines compute identically in any order.
+    * Declared at the head of the object: SQL-twin vals at any
+    * position interpolate it, and a forward reference in an eager
+    * val captures the default-initialized 0.0. */
+  val CovScale = 1024.0
+
   /** Multi-table SRP geometry: L hash tables (OR-amplification, boosts
     * recall) of `Planes` sign bits each (AND-amplification, shrinks
     * buckets). At 100 TB, Planes grows ~log(N) to keep buckets bounded
@@ -659,7 +669,9 @@ object Similarity {
         min("dim").as("min_dim"), max("dim").as("max_dim"),
         round(min("nrm"), 6).as("min_norm"),
         round(max("nrm"), 6).as("max_norm"),
-        round(avg("nrm"), 6).as("avg_norm"),
+        // exact integer mean (q196 doctrine): AVG over float norms is
+        // an unordered fold, a latent flake on the round(6) grid
+        Exact.mean9(col("nrm")).as("avg_norm"),
         sum(when(col("nrm") < DegenerateNorm, 1L).otherwise(0L))
           .as("n_degenerate"))
       .orderBy("label")
@@ -677,7 +689,7 @@ object Similarity {
        |       CAST(MAX(dim) AS INT) AS max_dim,
        |       round(MIN(nrm), 6) AS min_norm,
        |       round(MAX(nrm), 6) AS max_norm,
-       |       round(AVG(nrm), 6) AS avg_norm,
+       |       ${Exact.mean9Sql("nrm")} AS avg_norm,
        |       CAST(SUM(CASE WHEN nrm < $DegenerateNorm THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_degenerate
        |FROM e GROUP BY label ORDER BY label""".stripMargin
@@ -746,7 +758,11 @@ object Similarity {
     val a = e.select(cid.as("cid"), cos.as("cos"))
     a.groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
-        round(avg(col("cos")), 6).as("avg_cos"))
+        // exact integer mean (q196 doctrine) — the Lloyd CENTROID
+        // means stay float AVGs by adjudication (they feed discrete
+        // assignments, knife-edge only on geometric ties); this mean
+        // lands on the round(6) output grid, so it folds integers
+        Exact.mean9(col("cos")).as("avg_cos"))
       .orderBy("cid")
   }
 
@@ -1003,7 +1019,7 @@ object Similarity {
   val kmeansClustersSql: String =
     s"""${kmeansAfCteSql(keepFinalV = false)}
        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-       |       round(AVG(cos), 6) AS avg_cos
+       |       ${Exact.mean9Sql("cos")} AS avg_cos
        |FROM af GROUP BY cid ORDER BY cid""".stripMargin
 
   val semDedupSql: String =
@@ -1260,8 +1276,18 @@ object Similarity {
     val e = embs
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"))
+    // exact folds throughout (q196 doctrine): integer-grid centroid
+    // sums and nano-grid moment sums — the float AVG/SUM chain was
+    // doubly order-sensitive and z lands on the round(6) grid
+    val cent = e
+      .select(col("label"),
+        posexplode(transform(col("v"),
+          x => round(x * CovScale, 0).cast("long"))).as(Seq("i", "qx")))
+      .groupBy("label", "i")
+      .agg(sum("qx").as("sq"), count(lit(1)).as("cn"))
+      .select(col("label"), col("i"),
+        (col("sq").cast("double") / col("cn").cast("double") /
+          lit(CovScale)).as("m"))
       .groupBy("label")
       .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
       .select(col("label"), transform(col("ms"), s => s("m")).as("c"))
@@ -1270,7 +1296,8 @@ object Similarity {
         cosine(col("v"), col("c")).as("cos"))
     val stats = scored.groupBy("label")
       .agg(count(lit(1)).cast("double").as("n"),
-        sum(col("cos")).as("s1"), sum(col("cos") * col("cos")).as("s2"))
+        (Exact.sum9(col("cos")).cast("double") / 1e9).as("s1"),
+        (Exact.sum9(col("cos") * col("cos")).cast("double") / 1e9).as("s2"))
     val mu = col("s1") / col("n")
     val z = (col("cos") - mu) / sqrt(col("s2") / col("n") - mu * mu)
     scored.join(broadcast(stats), Seq("label"))
@@ -1285,7 +1312,10 @@ object Similarity {
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
        |), cent AS (
        |  SELECT label, list(m ORDER BY i) AS c FROM (
-       |    SELECT label, i, AVG(v[i]) AS m
+       |    SELECT label, i,
+       |           CAST(SUM(CAST(round(v[i] * $CovScale) AS BIGINT))
+       |                AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) / $CovScale AS m
        |    FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i)
        |    GROUP BY 1, 2)
        |  GROUP BY label
@@ -1295,7 +1325,8 @@ object Similarity {
        |  FROM e JOIN cent USING (label)
        |), stats AS (
        |  SELECT label, COUNT(*)::DOUBLE AS n,
-       |         SUM(cos) AS s1, SUM(cos * cos) AS s2
+       |         CAST(${Exact.sum9Sql("cos")} AS DOUBLE) / 1e9 AS s1,
+       |         CAST(${Exact.sum9Sql("cos * cos")} AS DOUBLE) / 1e9 AS s2
        |  FROM scored GROUP BY 1
        |)
        |SELECT vec_id, label,
@@ -1348,10 +1379,14 @@ object Similarity {
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),
         sum(when(col("cos_t").isNotNull, 1L).otherwise(0L)).as("n_hits"),
-        avg(abs(col("cos_f") - col("cos_t"))).as("gap"))
+        // exact nano-sum (q196 doctrine): AVG over float gaps was an
+        // unordered fold feeding the round(6) grid
+        Exact.sum9(abs(col("cos_f") - col("cos_t"))).as("gap9"))
       .select(col("query_id"), col("n_hits"),
         (col("n_hits").cast("double") / col("k").cast("double")).as("recall"),
-        round(coalesce(col("gap"), lit(0.0)), 6).as("mean_cos_gap"))
+        round(coalesce(col("gap9").cast("double") /
+          col("n_hits").cast("double") / 1e9, lit(0.0)), 6)
+          .as("mean_cos_gap"))
       .orderBy("query_id")
   }
 
@@ -1377,7 +1412,10 @@ object Similarity {
        |         AS BIGINT) AS n_hits,
        |       SUM(CASE WHEN a.cos_t IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
        |         / COUNT(*) AS recall,
-       |       round(COALESCE(AVG(abs(a.cos_f - a.cos_t)), 0.0), 6)
+       |       round(COALESCE(
+       |         CAST(${Exact.sum9Sql("abs(a.cos_f - a.cos_t)")} AS DOUBLE)
+       |         / SUM(CASE WHEN a.cos_t IS NOT NULL THEN 1
+       |               ELSE 0 END)::DOUBLE / 1e9, 0.0), 6)
        |         AS mean_cos_gap
        |FROM exact_k x
        |LEFT JOIN approx a
@@ -1669,11 +1707,10 @@ object Similarity {
        |WHERE r.rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
 
-  /** Quantization scale for the exact covariance matrix (q210). A
-    * power of two, so float → double × 1024 is EXACT (no rounding
-    * before the explicit round()) and the quantized co-moments are
-    * integer sums both engines compute identically in any order. */
-  val CovScale = 1024.0
+  // CovScale moved to the head of the object (round 11): SQL-twin
+  // vals at any position interpolate it, and a forward reference in
+  // an eager val captures the default-initialized 0.0 (the q196/q153
+  // lazy-val incident).
 
   /** q210 — embedding covariance matrix (upper triangle), the
     * whitening/drift statistic a feature pipeline derives before PCA:

@@ -662,30 +662,34 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("c"))
     tf.groupBy("doc_id")
       .agg(sum("c").as("n"),
-        sum(col("c") * log2(col("c"))).as("s"),
+        // exact nano-sum (q196 doctrine): the c·log2(c) terms are
+        // floats and entropy lands on the round(6) grid
+        Exact.sum9(col("c") * log2(col("c"))).as("s9"),
         count(lit(1)).as("n_types"))
       .select(col("doc_id"),
         col("n").cast("long").as("n_tokens"),
         col("n_types"),
-        round(log2(col("n")) - col("s") / col("n"), 6).as("entropy"),
+        round(log2(col("n")) - col("s9").cast("double") / 1e9 / col("n"), 6)
+          .as("entropy"),
         round(col("n_types").cast("double") / col("n"), 6).as("type_token_ratio"))
       .orderBy("doc_id")
   }
 
   val unigramEntropySql: String =
-    """WITH tf AS (
+    s"""WITH tf AS (
       |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
       |  FROM (SELECT doc_id,
-      |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |          unnest(string_split_regex(lower(text), '\\s+')) AS tok
       |        FROM documents)
       |  GROUP BY doc_id, tok),
       |a AS (
-      |  SELECT doc_id, SUM(c) AS n, SUM(c * log2(c)) AS s,
+      |  SELECT doc_id, SUM(c) AS n,
+      |         ${Exact.sum9Sql("c * log2(c)")} AS s9,
       |         COUNT(*) AS n_types
       |  FROM tf GROUP BY doc_id)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
       |       CAST(n_types AS BIGINT) AS n_types,
-      |       ROUND(log2(n) - s / n, 6) AS entropy,
+      |       ROUND(log2(n) - CAST(s9 AS DOUBLE) / 1e9 / n, 6) AS entropy,
       |       ROUND(CAST(n_types AS DOUBLE) / n, 6) AS type_token_ratio
       |FROM a ORDER BY doc_id""".stripMargin
 
@@ -1176,27 +1180,33 @@ object TextAnalysis {
     val total = model.agg(sum(col("gc")).as("t"))
     tf.join(broadcast(model), "tok")
       .groupBy("doc_id")
-      .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("gc"))).as("sgc"))
+      .agg(sum(col("c")).as("n"),
+        // exact nano-sum (q196 doctrine): float c·log2(gc) terms
+        // feeding the round(6) bits-per-token grid
+        Exact.sum9(col("c") * log2(col("gc"))).as("sgc9"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-        round(log2(col("t")) - col("sgc") / col("n"), 6).as("bits_per_token"))
+        round(log2(col("t")) - col("sgc9").cast("double") / 1e9 / col("n"),
+          6).as("bits_per_token"))
       .orderBy("doc_id")
   }
 
   val lmScoreSql: String =
-    """WITH tf AS (
+    s"""WITH tf AS (
       |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
       |  FROM (SELECT doc_id,
-      |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |          unnest(string_split_regex(lower(text), '\\s+')) AS tok
       |        FROM documents)
       |  GROUP BY doc_id, tok),
       |model AS (SELECT tok, SUM(c) AS gc FROM tf GROUP BY tok),
       |tot AS (SELECT SUM(gc) AS t FROM model),
       |a AS (
-      |  SELECT doc_id, SUM(c) AS n, SUM(c * log2(gc)) AS sgc
+      |  SELECT doc_id, SUM(c) AS n,
+      |         ${Exact.sum9Sql("c * log2(gc)")} AS sgc9
       |  FROM tf JOIN model USING (tok) GROUP BY doc_id)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-      |       ROUND(log2(t) - sgc / n, 6) AS bits_per_token
+      |       ROUND(log2(t) - CAST(sgc9 AS DOUBLE) / 1e9 / n, 6)
+      |         AS bits_per_token
       |FROM a, tot ORDER BY doc_id""".stripMargin
 
   /** Interpolation weight for q118 — classic Jelinek-Mercer: score
@@ -1266,9 +1276,12 @@ object TextAnalysis {
       else joined
     ctxJoined
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(log2(mix)).as("s"))
+      // exact nano-sum (q196 doctrine): float log2(mix) terms feeding
+      // the round(6) bits-per-bigram grid
+      .agg(count(lit(1)).as("n_bigrams"), Exact.sum9(log2(mix)).as("s9"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("s") / col("n_bigrams").cast("double"), 6)
+        round(-(col("s9").cast("double") / 1e9) /
+          col("n_bigrams").cast("double"), 6)
           .as("bits_per_bigram"))
       .orderBy("doc_id")
   }
@@ -1317,7 +1330,8 @@ object TextAnalysis {
        |  JOIN ctx ON ctx.w1 = p.w1, t
        |)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |       round(-SUM(log2(mix)) / COUNT(*), 6) AS bits_per_bigram
+       |       round(-(CAST(${Exact.sum9Sql("log2(mix)")} AS DOUBLE) / 1e9)
+       |             / COUNT(*), 6) AS bits_per_bigram
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val bigramLmSql: String =
@@ -1344,7 +1358,8 @@ object TextAnalysis {
        |  JOIN uni u2 ON u2.tok = p.w2, t
        |)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |       round(-SUM(log2(mix)) / COUNT(*), 6) AS bits_per_bigram
+       |       round(-(CAST(${Exact.sum9Sql("log2(mix)")} AS DOUBLE) / 1e9)
+       |             / COUNT(*), 6) AS bits_per_bigram
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q74 — cross-document boilerplate detection: the complement of q34
@@ -2017,11 +2032,21 @@ object TextAnalysis {
       .select(col("source"),
         log(col("rk").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
+    // exact nano-sums (q196 doctrine): the five regression moments are
+    // float folds feeding three round(6) outputs
     val m = pts.groupBy("source").agg(
-      count(lit(1)).as("n_terms"),
-      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
-      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
+        count(lit(1)).as("n_terms"),
+        Exact.sum9(col("x")).as("sx9"),
+        Exact.sum9(col("x") * col("x")).as("sxx9"),
+        Exact.sum9(col("y")).as("sy9"),
+        Exact.sum9(col("y") * col("y")).as("syy9"),
+        Exact.sum9(col("x") * col("y")).as("sxy9"))
+      .select(col("source"), col("n_terms"),
+        (col("sx9").cast("double") / 1e9).as("sx"),
+        (col("sxx9").cast("double") / 1e9).as("sxx"),
+        (col("sy9").cast("double") / 1e9).as("sy"),
+        (col("syy9").cast("double") / 1e9).as("syy"),
+        (col("sxy9").cast("double") / 1e9).as("sxy"))
     val n = col("n_terms").cast("double")
     val covn = n * col("sxy") - col("sx") * col("sy")
     val varxn = n * col("sxx") - col("sx") * col("sx")
@@ -2050,12 +2075,19 @@ object TextAnalysis {
        |  FROM r WHERE rk <= $ZipfTopTerms
        |), m AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
-       |         SUM(x) AS sx, SUM(x*x) AS sxx,
-       |         SUM(y) AS sy, SUM(y*y) AS syy, SUM(x*y) AS sxy
+       |         ${Exact.sum9Sql("x")} AS sx9,
+       |         ${Exact.sum9Sql("x*x")} AS sxx9,
+       |         ${Exact.sum9Sql("y")} AS sy9,
+       |         ${Exact.sum9Sql("y*y")} AS syy9,
+       |         ${Exact.sum9Sql("x*y")} AS sxy9
        |  FROM pts GROUP BY 1
        |), d AS (
-       |  SELECT source, n_terms, n_terms::DOUBLE AS nd, sx, sxx, sy,
-       |         syy, sxy
+       |  SELECT source, n_terms, n_terms::DOUBLE AS nd,
+       |         CAST(sx9 AS DOUBLE) / 1e9 AS sx,
+       |         CAST(sxx9 AS DOUBLE) / 1e9 AS sxx,
+       |         CAST(sy9 AS DOUBLE) / 1e9 AS sy,
+       |         CAST(syy9 AS DOUBLE) / 1e9 AS syy,
+       |         CAST(sxy9 AS DOUBLE) / 1e9 AS sxy
        |  FROM m
        |)
        |SELECT source, n_terms,
@@ -2176,10 +2208,14 @@ object TextAnalysis {
     val total = model.agg(sum(col("gc")).as("t"))
     val scored = tf.join(broadcast(model), "tok")
       .groupBy("doc_id", "source")
-      .agg(sum(col("c")).as("n"), sum(col("c") * log2(col("gc"))).as("sgc"))
+      .agg(sum(col("c")).as("n"),
+        // exact nano-sum (q196 doctrine): float c·log2(gc) terms
+        // feeding the per-doc round(6) bits AND the ntile rank order
+        Exact.sum9(col("c") * log2(col("gc"))).as("sgc9"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("source"),
-        round(log2(col("t")) - col("sgc") / col("n"), 6).as("bits"))
+        round(log2(col("t")) - col("sgc9").cast("double") / 1e9 / col("n"),
+          6).as("bits"))
     val w = Window.partitionBy("source").orderBy(col("bits"), col("doc_id"))
     // mean over integer micro-bits: summing the 6dp-rounded scores as
     // scaled longs is order-independent, where a double sum could land
@@ -2196,17 +2232,19 @@ object TextAnalysis {
   }
 
   val ccnetBucketsSql: String =
-    """WITH tf AS (
+    s"""WITH tf AS (
       |  SELECT doc_id, source, tok, CAST(COUNT(*) AS DOUBLE) AS c
       |  FROM (SELECT doc_id, source,
-      |          unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |          unnest(string_split_regex(lower(text), '\\s+')) AS tok
       |        FROM documents)
       |  GROUP BY 1, 2, 3
       |), model AS (SELECT tok, SUM(c) AS gc FROM tf GROUP BY tok),
       |tot AS (SELECT SUM(gc) AS t FROM model),
       |scored AS (
       |  SELECT doc_id, source,
-      |         round(log2(t) - SUM(c * log2(gc)) / SUM(c), 6) AS bits
+      |         round(log2(t)
+      |               - CAST(${Exact.sum9Sql("c * log2(gc)")} AS DOUBLE)
+      |                 / 1e9 / SUM(c), 6) AS bits
       |  FROM tf JOIN model USING (tok), tot
       |  GROUP BY doc_id, source, t
       |), b AS (
@@ -2325,13 +2363,16 @@ object TextAnalysis {
       .join(sv.select(col("source").as("train_source"), col("tok"),
         col("c").cast("double").as("ca")), Seq("tok"))
       .groupBy("eval_source", "train_source")
-      .agg(sum(col("cb") * log(col("ca") + 1.0)).as("s"))
+      // exact nano-sum (q196 doctrine): float cb·ln(ca+1) terms
+      // feeding the round(6) cross-entropy grid
+      .agg(Exact.sum9(col("cb") * log(col("ca") + 1.0)).as("s9"))
     val base = st
       .select(col("source").as("eval_source"), col("n").as("nb"))
       .crossJoin(broadcast(
         st.select(col("source").as("train_source"), col("n").as("na"))))
     val ce = log(col("na").cast("double") + lit(vocabN.toDouble)) -
-      coalesce(col("s"), lit(0.0)) / col("nb").cast("double")
+      coalesce(col("s9").cast("double") / 1e9, lit(0.0)) /
+        col("nb").cast("double")
     base.join(overlap, Seq("eval_source", "train_source"), "left")
       .select(col("train_source"), col("eval_source"),
         round(ce, 6).as("cross_entropy"),
@@ -2355,7 +2396,7 @@ object TextAnalysis {
        |), st AS (SELECT source, SUM(c) AS n FROM sv GROUP BY 1),
        |ov AS (
        |  SELECT e.source AS eval_source, t.source AS train_source,
-       |         SUM(e.c::DOUBLE * ln(t.c::DOUBLE + 1.0)) AS s
+       |         ${Exact.sum9Sql("e.c::DOUBLE * ln(t.c::DOUBLE + 1.0)")} AS s9
        |  FROM sv e JOIN sv t ON e.tok = t.tok GROUP BY 1, 2
        |), base AS (
        |  SELECT e.source AS eval_source, e.n AS nb,
@@ -2363,10 +2404,12 @@ object TextAnalysis {
        |  FROM st e CROSS JOIN st t
        |)
        |SELECT train_source, eval_source,
-       |       round(ln(na::DOUBLE + vn.v) - COALESCE(ov.s, 0.0) / nb::DOUBLE,
-       |             6) AS cross_entropy,
+       |       round(ln(na::DOUBLE + vn.v)
+       |             - COALESCE(CAST(ov.s9 AS DOUBLE) / 1e9, 0.0)
+       |               / nb::DOUBLE, 6) AS cross_entropy,
        |       round(exp(ln(na::DOUBLE + vn.v)
-       |                 - COALESCE(ov.s, 0.0) / nb::DOUBLE), 4) AS perplexity
+       |                 - COALESCE(CAST(ov.s9 AS DOUBLE) / 1e9, 0.0)
+       |                   / nb::DOUBLE), 4) AS perplexity
        |FROM base CROSS JOIN vn
        |LEFT JOIN ov USING (eval_source, train_source)
        |ORDER BY train_source, eval_source""".stripMargin
