@@ -210,7 +210,10 @@ class PlanSpec extends SparkSpec {
       "q273_ivf_pq",
       // q275: q270's bounded pool-construction broadcast on the exact
       // arm (the ANN arm joins by cid, q25's shape)
-      "q275_ann_rerank")
+      "q275_ann_rerank",
+      // q276: q273's audit shape per arm — the same NQueries scoring
+      // broadcast and 24-row probe-set broadcast
+      "q276_index_maintain")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -198,6 +198,69 @@ class RoundElevenOpsSpec extends SparkSpec {
       "the herded probe must miss part of at least one exact pool")
   }
 
+  test("q276: frozen quantizers pay recall exactly when the arrival drifts") {
+    val dim = Similarity.Dim
+    // drifted arrival: batches 0-6 live on a busy axis-0-dominant
+    // distribution; batch 7 (the last eighth of ids) is a new region
+    // on axis 1 with FOUR well-separated subclusters (±axis-2/3
+    // offsets, ~30° apart after normalization). The frozen PQ books
+    // never saw this residual geometry — their codewords collapse
+    // the subcluster axes, so ADC confuses subclusters — while the
+    // rebuilt books learn codewords that separate them; GT for an
+    // arrival query is its own subcluster, so the gap is recall. A
+    // first-draft tight single-cluster arrival showed NO gap: the
+    // within-cohort GT order was noise below ANY book's resolution,
+    // and both arms tied — staleness only costs recall when the new
+    // region has structure worth quantizing.
+    val standing = (0 until 280).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = v(0) * 4.0f
+      (i.toLong, v.toSeq)
+    }
+    val arrived = (280 until 320).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        (0.05 * ((((i * 7 + d * 3) % 11) - 5) / 5.0)).toFloat)
+      v(1) = 50.0f
+      v(2) = if (i % 2 == 0) 20.0f else -20.0f
+      v(3) = if ((i / 2) % 2 == 0) 20.0f else -20.0f
+      (i.toLong, v.toSeq)
+    }
+    val drifted = (standing ++ arrived).toDF("vec_id", "embedding")
+    val rows = Similarity.ivfPqMaintainOn(spark, drifted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val frozen = rows.filter(_._1 == "frozen")
+    val rebuilt = rows.filter(_._1 == "rebuilt")
+    assert(frozen.length == Similarity.NQueries &&
+      rebuilt.length == Similarity.NQueries)
+    rows.foreach { r =>
+      assert(r._4 == Similarity.TopK, s"gt_k must be k: $r")
+      assert(r._5 >= 0 && r._5 <= r._4, s"hits out of range: $r")
+    }
+    val fRecall = frozen.map(_._5).sum
+    val rRecall = rebuilt.map(_._5).sum
+    assert(rRecall > fRecall,
+      s"drifted arrival must cost the frozen index recall: " +
+        s"frozen=$fRecall rebuilt=$rRecall (of ${8 * 10})")
+
+    // same-distribution arrival: batch 7 drawn from the standing
+    // recipe — incremental maintenance must be (near-)free
+    val same = (0 until 320).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
+      v(0) = v(0) * 4.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows2 = Similarity.ivfPqMaintainOn(spark, same).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    val fHits = rows2.filter(_._1 == "frozen").map(_._2).sum
+    val rHits = rows2.filter(_._1 == "rebuilt").map(_._2).sum
+    assert(fHits >= rHits - 8,
+      s"same-distribution arrival must keep frozen ~free: " +
+        s"frozen=$fHits rebuilt=$rHits")
+  }
+
   test("q273: degenerate model masks the white space NULL") {
     // all-constant corpus: zero covariance, no retained component —
     // the white arm must emit one NULL-metric row per query, raw
