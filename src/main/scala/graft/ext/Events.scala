@@ -1726,16 +1726,21 @@ object Events {
       .select(col("event_type"),
         (col("c").cast("double") - col("mu_h")).as("r"))
     // exact grid sums (q196 doctrine): the residual moments are float
-    // folds feeding the round(6) sd and the 3σ outlier fence. Grids
-    // budgeted for |r| ≤ ~1e5 cents over ≤ 1e6 rows: 1e6 on Σr
-    // (≤ 1e17), 1e3 on Σr² (terms ≤ 1e13, sums ≤ 1e19/1e3 margins)
+    // folds feeding the round(6) sd and the 3σ outlier fence. Σr rides
+    // the 1e6 BIGINT grid (|r| ≤ ~9e4 cents → |Σ| ≤ 9e16 at 1e6 rows);
+    // Σr² rides a 1e6 grid folded as DECIMAL(38,0) — r²·1e6 ≤ 8.1e15
+    // < 2^53 keeps the per-row round exact, and the decimal fold has
+    // no int64 ceiling at ANY row count (the old 1e3 BIGINT grid both
+    // sat 3 orders above the output grid and overflowed int64 at its
+    // own documented bound). sd quantization error 2.5e-7/sd cents —
+    // ≥3 orders below the 1e-4-cent output grid for sd ≥ 2.5 cents.
     val m = resid.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         Exact.sumG(col("r"), 1e6).as("s1g"),
-        Exact.sumG(col("r") * col("r"), 1e3).as("s2g"))
+        Exact.sumGDec(col("r") * col("r"), 1e6).as("s2g"))
     val nd = col("n").cast("double")
     val mu = col("s1g").cast("double") / 1e6 / nd
-    val sd = sqrt(col("s2g").cast("double") / 1e3 / nd - mu * mu)
+    val sd = sqrt(col("s2g").cast("double") / 1e6 / nd - mu * mu)
     resid.join(broadcast(m), Seq("event_type"))
       .groupBy("event_type")
       .agg(max("n").as("n_events"),
@@ -1763,12 +1768,12 @@ object Events {
       |), m AS (
       |  SELECT event_type, COUNT(*) AS n,
       |         ${Exact.sumGSql("r", "1e6")} AS s1g,
-      |         ${Exact.sumGSql("r * r", "1e3")} AS s2g
+      |         ${Exact.sumGDecSql("r * r", "1e6")} AS s2g
       |  FROM resid GROUP BY 1
       |), d AS (
       |  SELECT r.event_type, r.r, m.n,
       |         CAST(m.s1g AS DOUBLE) / 1e6 / m.n::DOUBLE AS mu,
-      |         sqrt(CAST(m.s2g AS DOUBLE) / 1e3 / m.n::DOUBLE
+      |         sqrt(CAST(m.s2g AS DOUBLE) / 1e6 / m.n::DOUBLE
       |              - (CAST(m.s1g AS DOUBLE) / 1e6 / m.n::DOUBLE)
       |                * (CAST(m.s1g AS DOUBLE) / 1e6 / m.n::DOUBLE)) AS sd
       |  FROM resid r JOIN m USING (event_type)

@@ -38,8 +38,26 @@ object Exact {
   def sumGSql(expr: String, grid: String): String =
     s"CAST(SUM(CAST(round(($expr) * $grid) AS BIGINT)) AS BIGINT)"
 
+  /** Σ round(c·grid) folded as exact DECIMAL(38,0) — for budgets past
+    * the int64 sum ceiling (Spark sum(long) WRAPS silently there while
+    * DuckDB promotes to HUGEINT and errors on the cast back — a
+    * cross-engine divergence at exactly the documented bound). The
+    * per-row quantization still requires |term|·grid < 2^53 so the
+    * double-side round() is exact; the FOLD is unbounded to 38 digits
+    * and order-free on both engines. Cast to double once at the edge. */
+  def sumGDec(c: Column, grid: Double): Column =
+    sum(round(c * grid, 0).cast("decimal(38,0)"))
+
+  def sumGDecSql(expr: String, grid: String): String =
+    s"SUM(CAST(round(($expr) * $grid) AS DECIMAL(38,0)))"
+
   /** Mean of a bounded double column, rounded to 6 dp, with no
-    * unordered float fold: integer nano-sum / count / 1e9. */
+    * unordered float fold: integer nano-sum / count / 1e9.
+    * PRECONDITION: `c` is non-null on every row — the divisor is
+    * count(*), not count(c), so on a nullable column this is NOT the
+    * AVG it replaces (sum skips nulls, the divisor would not). Every
+    * current call site feeds a computed non-null expression; if a
+    * nullable column ever needs this, filter or coalesce it first. */
   def mean9(c: Column): Column =
     round(sum9(c).cast("double") / count(lit(1)).cast("double") / 1e9, 6)
 

@@ -60,7 +60,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosine_sim(a, b)
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private[ext] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** q13 — brute-force cosine top-k for the first NQueries vectors. */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -221,27 +221,107 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  /** IVF geometry: every vec_id ≡ 0 (mod CentroidEvery) is a centroid
-    * (deterministic "training-free" codebook — at scale you'd k-means,
-    * but the pipeline shape is identical); queries probe the NProbe
-    * nearest lists. */
-  val CentroidEvery = 50
+  /** IVF geometry: a TRAINED fixed-[[IvfK]] coarse codebook (spherical
+    * k-means, [[IvfRounds]] Lloyd rounds, seeded by the IvfK smallest
+    * vec_ids) — corpus-INDEPENDENT, so the map-side argmax is O(K) per
+    * row at any scale and the serving family has no size cliff (the
+    * round-11 id-sampled codebook grew linearly with the corpus:
+    * quadratic total assignment work and a hard ceiling past ~205k
+    * vectors). Queries probe the NProbe nearest lists. */
+  val IvfK = 16
+  val IvfRounds = 1
   val NProbe = 3
 
-  /** Collected literal codebook (bounded — production IVF k-means to a
-    * fixed C instead of sampling by id). */
-  private def ivfCodebook(e: DataFrame): Array[(Long, Seq[Double])] = {
-    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+  /** Integer grid for the IVF Lloyd centroid means: per (cluster, dim)
+    * the mean is Σ round(x·1e6) — an exact BIGINT fold, order-free on
+    * BOTH engines (the q196 doctrine, unlike the adjudicated float AVG
+    * the q108 kernel keeps) — divided once by n·1e6. Budget: |x| ≤ 16
+    * after normalization/whitening, so the per-cluster sum stays under
+    * int64 up to ~5.7e11 members per cluster. */
+  val IvfGrid = 1e6
+
+  /** Trained literal codebook over a (vec_id, vector) frame: seed =
+    * the [[IvfK]] smallest vec_ids (TakeOrdered — no full sort), then
+    * [[IvfRounds]] Lloyd rounds, each ONE map-only assignment pass
+    * (codebook ships as literals) plus one (cid, dim)-keyed partial
+    * aggregate whose collect is K·Dim-bounded. A cluster that loses
+    * every member keeps its previous centroid, so K never shrinks and
+    * both engines agree on the codebook size without re-deriving it. */
+  private[ext] def ivfCodebook(e: DataFrame): Array[(Long, Seq[Double])] = {
+    val df = e.toDF("vec_id", "tv")
+    var code: Array[(Long, Seq[Double])] = df.orderBy("vec_id").limit(IvfK)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1)
-    require(cents.length <= 4096, s"IVF codebook too large: ${cents.length}")
-    cents
+    for (_ <- 1 to IvfRounds) {
+      val stats = df.select(
+          (-sort_array(ivfScores(code, col("tv")), asc = false)(0)("ncid"))
+            .as("cid"),
+          posexplode(col("tv")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(sum(round(col("x") * IvfGrid, 0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCid = stats.groupBy(_.getLong(0))
+      code = code.map { case (cid, prev) =>
+        byCid.get(cid).fold(cid -> prev) { rows =>
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3) * IvfGrid))
+            .toSeq
+        }
+      }
+    }
+    code
+  }
+
+  /** DuckDB CTE chain replicating [[ivfCodebook]] over `src`.`vcol`
+    * (rows optionally filtered by `pred`): `{out}_s0` seeds with the
+    * IvfK smallest vec_ids, each round r adds an assignment CTE
+    * `{out}_a{r}` and an integer-grid mean CTE `{out}_m{r}`, and the
+    * final `{out}(cid, cv)` keeps the previous centroid for emptied
+    * clusters — exactly the Scala trainer's fold, so the codebooks are
+    * bit-identical across engines. The dim loop cross-joins a
+    * generate_series and filters to len(tv), so ragged widths (q269's
+    * retained-component lists) index safely. */
+  private[ext] def ivfCentCtes(out: String, src: String, vcol: String,
+      pred: String = "TRUE"): String = {
+    val rounds = (1 to IvfRounds).map { r =>
+      val prev = if (r == 1) s"${out}_s0" else s"${out}_k${r - 1}"
+      s"""${out}_a$r AS MATERIALIZED (
+         |  SELECT vec_id, tv, cid FROM (
+         |    SELECT s.vec_id, s.$vcol AS tv, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY list_cosine_similarity(s.$vcol, c.cv) DESC,
+         |               c.cid) AS rn
+         |    FROM $src s, $prev c WHERE ($pred)) WHERE rn = 1
+         |), ${out}_m$r AS (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT cid, g.i,
+         |           CAST(CAST(SUM(CAST(round(tv[g.i] * $IvfGrid) AS BIGINT))
+         |                     AS BIGINT) AS DOUBLE)
+         |           / (CAST(COUNT(*) AS DOUBLE) * $IvfGrid) AS m
+         |    FROM ${out}_a$r,
+         |         (SELECT unnest(generate_series(1, $Dim)) AS i) g
+         |    WHERE g.i <= len(tv)
+         |    GROUP BY cid, g.i)
+         |  GROUP BY cid
+         |), ${out}_k$r AS (
+         |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM ${if (r == 1) s"${out}_s0" else s"${out}_k${r - 1}"} p
+         |  LEFT JOIN ${out}_m$r m ON m.cid = p.cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${out}_s0 AS (
+       |  SELECT vec_id AS cid, $vcol AS cv FROM $src WHERE ($pred)
+       |  ORDER BY vec_id LIMIT $IvfK
+       |),
+       |$rounds,
+       |$out AS MATERIALIZED (SELECT cid, cv FROM ${out}_k$IvfRounds)""".stripMargin
   }
 
   /** Struct array of (cos to each centroid, -cid); sort_array desc picks
     * highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC,
     * cid). */
-  private def ivfScores(cents: Array[(Long, Seq[Double])], v: Column): Column =
+  private[ext] def ivfScores(cents: Array[(Long, Seq[Double])], v: Column): Column =
     array(cents.toSeq.map { case (cid, cv) =>
       struct(cosine(v, typedlit(cv)).as("cos"), lit(-cid).as("ncid"))
     }: _*)
@@ -280,7 +360,7 @@ object Similarity {
 
   val annIvfSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |${ivfCentCtes("cent", "e", "v")},
        |asg AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,
@@ -601,7 +681,7 @@ object Similarity {
     val maxP = ProbeSweep.max
     val sweepVals = ProbeSweep.map(p => s"($p)").mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidEvery = 0),
+       |${ivfCentCtes("cent", "e", "v")},
        |asg AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,
@@ -820,7 +900,7 @@ object Similarity {
   val PqM = 8
   val PqK = 16
   val PqRounds = 1
-  private val PqSub = Dim / PqM
+  private[ext] val PqSub = Dim / PqM
 
   /** q111 — product-quantization ANN with asymmetric-distance (ADC)
     * scoring: train a k-means codebook PER SUBSPACE (the q108 kernel on
@@ -1519,9 +1599,7 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
-  // lazy: interpolates CovScale, declared LATER in this object — an
-  // eager val here would capture its default-initialized 0.0
-  lazy val centroidMatrixSql: String =
+  val centroidMatrixSql: String =
     s"""WITH e AS (
        |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
        |), cent AS (
@@ -1548,7 +1626,7 @@ object Similarity {
   /** Ordered-fold squared euclidean distance — index-order accumulation
     * so DuckDB's list_distance (same order) produces the identical IEEE
     * sequence before the round-6 edge. */
-  private def sqDist(a: Column, b: Column): Column =
+  private[ext] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
@@ -1612,9 +1690,7 @@ object Similarity {
       .orderBy("label")
   }
 
-  // lazy: interpolates CovScale, declared LATER in this object (as
-  // centroidMatrixSql)
-  lazy val silhouetteSql: String =
+  val silhouetteSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
        |), cent AS (
@@ -2243,8 +2319,7 @@ object Similarity {
 
   val ivfBalanceSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM e
-       |         WHERE vec_id % $CentroidEvery = 0),
+       |${ivfCentCtes("cent", "e", "v")},
        |asg AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
@@ -3129,7 +3204,8 @@ object Similarity {
 
   /** q269 — IVF list balance, raw vs whitened: q220's census run in
     * both spaces with the SAME codebook protocol (every vec_id ≡ 0
-    * mod [[CentroidEvery]], cosine argmax, cid-ascending tie-break),
+    * trained fixed-[[IvfK]] codebook, cosine argmax, cid-ascending
+    * tie-break),
     * summarized per space as the exact integer imbalance factor
     * K·Σn²/N² — the expected-probe-cost multiplier under uniform
     * queries (1.0 = perfectly balanced lists; Cauchy–Schwarz bounds
@@ -3192,7 +3268,7 @@ object Similarity {
   }
 
   /** q269 twin: the q264 prefix + shared `wh` list, both codebooks by
-    * the modulus rule, both argmax assignments with the q25 tie-break,
+    * the trained-K rule, both argmax assignments with the q25 tie-break,
     * one unioned census, exact integer summary, masked like the Scala
     * face when the model retains nothing. */
   val whitenBalanceSql: String =
@@ -3205,13 +3281,10 @@ object Similarity {
        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
        |         CASE WHEN len(wh.wvr) > 0 THEN wh.wvr ELSE [0.0] END AS wv
        |  FROM embeddings e JOIN wh ON wh.vec_id = e.vec_id
-       |), centr AS (
-       |  SELECT vec_id AS cid, v AS cv FROM base
-       |  WHERE vec_id % $CentroidEvery = 0
-       |), centw AS (
-       |  SELECT vec_id AS cid, wv AS cv FROM base
-       |  WHERE vec_id % $CentroidEvery = 0
-       |), asgr AS (
+       |),
+       |${ivfCentCtes("centr", "base", "v")},
+       |${ivfCentCtes("centw", "base", "wv")},
+       |asgr AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT b.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY b.vec_id
@@ -3695,10 +3768,8 @@ object Similarity {
     * nothing. */
   val whitenIvfSql: String = {
     def spaceCtes(s: String, x: String): String =
-      s"""cent$s AS (
-         |  SELECT vec_id AS cid, $x AS cv FROM base
-         |  WHERE vec_id % $CentroidEvery = 0
-         |), asg$s AS (
+      s"""${ivfCentCtes(s"cent$s", "base", x)},
+         |asg$s AS (
          |  SELECT vec_id, x, cid FROM (
          |    SELECT b.vec_id, b.$x AS x, c.cid,
          |           row_number() OVER (PARTITION BY b.vec_id
@@ -3785,7 +3856,7 @@ object Similarity {
     * (2 vs 8 codes/vector) — the memory dividend of indexing the
     * dim-reduced copy. */
   val PqMWhite = 2
-  private val PqSubWhite = WhitenK / PqMWhite
+  private[ext] val PqSubWhite = WhitenK / PqMWhite
 
   /** Nearest sub-codeword by SQUARED L2 (ascending, ties to the
     * smallest cid) — the residual-PQ metric. Cosine (q111's whole-
@@ -3797,13 +3868,13 @@ object Similarity {
     * wrong. Squared L2 is total on all finite inputs, matches the
     * IVFADC formulation (Jégou et al.), and the in-order fold is
     * bit-equal across engines. */
-  private def nearestL2(v: Column, code: Seq[(Long, Seq[Double])]): Column =
+  private[ext] def nearestL2(v: Column, code: Seq[(Long, Seq[Double])]): Column =
     sort_array(array(code.map { case (cid, cv) =>
       struct(sqDist(v, typedlit(cv)).as("d"), lit(cid).as("cid"))
     }: _*), asc = true)(0)("cid")
 
   /** q273 — IVF-PQ recall-vs-scan audit, raw vs whitened: per query
-    * and space, an IVF index (q25/q269's sampled-codebook protocol)
+    * and space, an IVF index (q25/q269's trained fixed-K codebook)
     * whose lists hold PQ RESIDUAL codes (q111's one-Lloyd-job
     * discipline, trained on x − centroid[cid]) is probed at the fixed
     * [[NProbe]] budget and ranked by ADC: dot(q, centroid) +
@@ -3827,9 +3898,9 @@ object Similarity {
     * localCheckpoint of the (raw, whitened) normalized corpus (at
     * 100 TB the TRAINING side reads a sample — q111's argument; the
     * serving passes below it are each one corpus scan), per space
-    * one bounded codebook collect (N/[[CentroidEvery]] ≤ 4096
-    * centroids + M·[[PqK]] sub-codewords), one combined Lloyd-stats
-    * job, then the q272 audit shape: one scan for assignment+encode,
+    * one fixed-[[IvfK]] coarse training (K·Dim-bounded collects +
+    * M·[[PqK]] sub-codewords), one combined Lloyd-stats job, then the
+    * q272 audit shape: one scan for assignment+encode,
     * the NQueries-bounded scoring broadcast, a 24-row probe join,
     * two per-query windows. Exact-GT arm documented audit-class:
     * fixture-sized holdouts at 100 TB (q81/q253/q268/q272 precedent)
@@ -3980,6 +4051,9 @@ object Similarity {
     * filter), so the white rows come from the query list with every
     * metric NULL. */
   val ivfPqSql: String = {
+    require(PqRounds == 1,
+      "ivfPqSql unrolls exactly one PQ Lloyd round; regenerate the " +
+        "per-subspace CTE chain before bumping PqRounds")
     def spaceCtes(sp: String, xc: String, d: Int, m: Int, sub: Int)
         : String = {
       def lo(s: Int) = s * sub + 1
@@ -4034,10 +4108,9 @@ object Similarity {
          |    SELECT vec_id, $xc,
          |           sqrt(list_dot_product($xc, $xc)) AS nrm FROM base)
          |  WHERE nrm > 0
-         |), cent$sp AS (
-         |  SELECT vec_id AS cid, x AS cv FROM en$sp
-         |  WHERE vec_id % $CentroidEvery = 0
-         |), rs$sp AS MATERIALIZED (
+         |),
+         |${ivfCentCtes(s"cent$sp", s"en$sp", "x")},
+         |rs$sp AS MATERIALIZED (
          |  SELECT a.vec_id, a.x, a.cid,
          |         list_transform(range($d),
          |           i -> a.x[i + 1] - c.cv[i + 1]) AS rv
@@ -4409,9 +4482,15 @@ object Similarity {
     def agree(a: DataFrame, b: DataFrame, as: String) =
       a.join(b, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as(as))
+    // NaN-scored picks (a zero vector in the pool wins NaN-totally —
+    // spec-pinned in PropertySpec) map to an exact 0 sentinel BEFORE
+    // the e6 cast on BOTH faces: Spark casts NaN→0L silently while
+    // DuckDB raises casting NaN to BIGINT, so an asymmetric cast would
+    // diverge on exactly the input class the NaN hardening targets
     def e6(picks: DataFrame, as: String) =
       picks.groupBy("query_id")
-        .agg(sum(round(col("score_raw") * 1e6, 0).cast("long")).as(as))
+        .agg(sum(when(isnan(col("score_raw")), lit(0L))
+          .otherwise(round(col("score_raw") * 1e6, 0).cast("long"))).as(as))
     val ep = mmrPicks(epool)
     val ap = mmrPicks(apool)
     epool.select(col("query_id")).distinct()
@@ -4441,10 +4520,8 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$exactPoolCteSql,
        |${mmrChainCtesSql("", "pool")},
-       |cent AS (
-       |  SELECT vec_id AS cid, v AS cv FROM e
-       |  WHERE vec_id % $CentroidEvery = 0
-       |), asg AS MATERIALIZED (
+       |${ivfCentCtes("cent", "e", "v")},
+       |asg AS MATERIALIZED (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,
        |           row_number() OVER (PARTITION BY e.vec_id
@@ -4496,11 +4573,15 @@ object Similarity {
        |  JOIN ap a2 USING (query_id, neighbor_id) GROUP BY 1
        |), se AS (
        |  SELECT query_id,
-       |         CAST(SUM(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS s
+       |         CAST(SUM(CASE WHEN isnan(score) THEN 0
+       |                       ELSE CAST(round(score * 1e6) AS BIGINT)
+       |                  END) AS BIGINT) AS s
        |  FROM ep GROUP BY 1
        |), sa AS (
        |  SELECT query_id,
-       |         CAST(SUM(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT) AS s
+       |         CAST(SUM(CASE WHEN isnan(score) THEN 0
+       |                       ELSE CAST(round(score * 1e6) AS BIGINT)
+       |                  END) AS BIGINT) AS s
        |  FROM ap GROUP BY 1
        |)
        |SELECT q.query_id,
@@ -4681,6 +4762,9 @@ object Similarity {
     * centroid sample and the PQ seed/Lloyd CTEs; assignment, encode,
     * probe, and audit all run over the full corpus in both. */
   val ivfPqMaintainSql: String = {
+    require(PqRounds == 1,
+      "ivfPqMaintainSql unrolls exactly one PQ Lloyd round; regenerate " +
+        "the per-subspace CTE chain before bumping PqRounds")
     def lo(s: Int) = s * PqSub + 1
     def hi(s: Int) = (s + 1) * PqSub
     def sqd(a: String, b: String) =
@@ -4727,10 +4811,8 @@ object Similarity {
         (0 until PqM).map(s =>
           s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
         .mkString(" + ")
-      s"""cent$sp AS (
-         |  SELECT vec_id AS cid, x AS cv FROM en
-         |  WHERE vec_id % $CentroidEvery = 0 AND ($trainPred)
-         |), rs$sp AS MATERIALIZED (
+      s"""${ivfCentCtes(s"cent$sp", "en", "x", trainPred)},
+         |rs$sp AS MATERIALIZED (
          |  SELECT a.vec_id, a.ingest_batch, a.x, a.cid,
          |         list_transform(range($Dim),
          |           i -> a.x[i + 1] - c.cv[i + 1]) AS rv
@@ -4789,8 +4871,6 @@ object Similarity {
          |       round(CAST(hits AS DOUBLE) / CAST(gt_k AS DOUBLE), 6)
          |         AS recall
          |FROM ag$sp""".stripMargin
-    val standingPred =
-      s"vec_id // wp.w < ${DriftBatches - 1}"
     s"""WITH wp AS (
        |  SELECT (MAX(vec_id) + $DriftBatches) // $DriftBatches AS w
        |  FROM embeddings

@@ -152,16 +152,19 @@ class RoundElevenOpsSpec extends SparkSpec {
   }
 
   test("q275: reconciles with q270 when the probe retrieves everything") {
-    // 49 vectors -> ONE IVF centroid (vec_id 0 only) -> every probe
-    // covers the whole corpus -> the ANN pool IS the exact pool, so
-    // the audit must read as a row-for-row q270 reconciliation:
-    // full overlap, full agreement, zero score delta
+    // 49 IDENTICAL vectors: every cosine — seed scores, Lloyd
+    // assignment, serving argmax — computes from the same fold on the
+    // same bits, so every row picks the SAME winning list and every
+    // probe set contains it -> the ANN pool IS the exact pool, so the
+    // audit must read as a row-for-row q270 reconciliation: full
+    // overlap, full agreement, zero score delta. (The pre-trained-K
+    // version of this fixture planted 49 varied vectors to get one
+    // modulus-sampled centroid; the trained fixed-K codebook makes
+    // single-list coverage plantable only through exact ties.)
     val dim = Similarity.Dim
-    val embs = (0 until 49).map { i =>
-      val v = Array.tabulate(dim)(d =>
-        ((((i * 31 + d * 17) % 19) - 9) / 9.0).toFloat)
-      (i.toLong, v.toSeq)
-    }.toDF("vec_id", "embedding")
+    val shared = Array.tabulate(dim)(d => (((d * 17) % 19) - 9) / 9.0f)
+    val embs = (0 until 49).map(i => (i.toLong, shared.toSeq))
+      .toDF("vec_id", "embedding")
     val rows = Similarity.annRerankOn(spark, embs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))

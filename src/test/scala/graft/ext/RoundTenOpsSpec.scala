@@ -312,7 +312,7 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("raw", "white"))
     val Array(raw, white) = rows
     // shared protocol invariants: same codebook size, full census
-    assert(raw.getLong(1) == 400 / Similarity.CentroidEvery &&
+    assert(raw.getLong(1) == Similarity.IvfK &&
       white.getLong(1) == raw.getLong(1))
     assert(raw.getLong(2) == 400 && white.getLong(2) == 400)
     // Cauchy-Schwarz floor in both spaces (1.0 = perfectly balanced)
