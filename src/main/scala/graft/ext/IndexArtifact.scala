@@ -1,0 +1,609 @@
+package graft.ext
+
+import java.nio.file.{Files, Paths}
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Index-as-artifact: train ONCE, serve MANY (round-11 verdict #3).
+  *
+  * Every ANN query so far retrains its codebooks inline — right for a
+  * self-contained audit, wrong as the serving story at 100 TB, where
+  * the index is a BUILD artifact: the expensive training/encode scans
+  * run once per corpus version, and query traffic is served from the
+  * persisted tables without ever re-deriving them. This module
+  * materializes q273's raw-space IVF-PQ index (trained fixed-[[
+  * Similarity.IvfK]] coarse codebook, per-subspace PQ residual books,
+  * encoded corpus, normalized forward vectors) as parquet tables and
+  * serves the q272/q273 recall-vs-scan audit from the artifact alone.
+  *
+  * Contract pieces:
+  *  - q277 (build): trains the index, overwrites the artifact dir,
+  *    and returns a per-component census (row counts + order-free
+  *    integer-grid checksums) computed FROM THE WRITTEN FILES — the
+  *    DuckDB twin re-derives the same census from the base table, so
+  *    a green hash proves the persisted bytes equal an independently
+  *    computed index, value for value.
+  *  - q278 (serve): [[ensure]]s the artifact (idempotent: a matching
+  *    fingerprint skips the build entirely), then runs the q273 probe
+  *    protocol reading ONLY artifact tables plus the NQueries-bounded
+  *    query batch — its plan contains parquet scans and bounded
+  *    broadcasts, NO training jobs (PlanSpec-pinned). Because build
+  *    and q273's raw arm share the training fold exactly, the served
+  *    rows reconcile with q273's inline raw-space rows at the same
+  *    probe budget — and the oracle twin (a full from-scratch
+  *    recompute) proves it per value.
+  *
+  * Scale shape: the artifact layout is the 100 TB one — centroids
+  * K·Dim, books M·K·sub (both broadcast-sized literals at serve
+  * time), encoded corpus one row per vector (8 small codes, the q111
+  * memory dividend), forward vectors kept only for the audit-class
+  * exact-GT arm (fixture-sized holdouts in production — q272/q273
+  * precedent). Serving cost = one encoded-corpus scan + bounded
+  * joins; build cost = q273's one-arm training, paid once.
+  *
+  * Checksum budget: Σ|round(x·1e6)| per component ≤ n·Dim·1e6 —
+  * int64-safe to ~1.4e11 vectors; codes/cids are small integers.
+  */
+object IndexArtifact {
+  import Similarity.{Dim, IvfK, NProbe, NQueries, PqK, PqM, PqRounds,
+    PqSub, TopK}
+
+  /** Bump when the on-disk layout or training protocol changes — a
+    * stale artifact from an older protocol must never serve. */
+  val Version = "ivfpq-raw-v1"
+
+  /** Artifact root for one source dir: content-addressed by the
+    * corpus fingerprint so sf0.01 / sf0.1 / spec fixtures coexist. */
+  def artifactDir(sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("md5")
+      .digest(s"$Version|$sfDir".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_index/$key"
+  }
+
+  private def fingerprint(e: DataFrame): String = {
+    val r = e.agg(count(lit(1)), coalesce(max(col("vec_id")), lit(-1L)))
+      .head()
+    s"$Version|n=${r.getLong(0)}|max=${r.getLong(1)}"
+  }
+
+  /** Normalize an (vec_id, embedding) frame — q273's `vn` exactly
+    * (in-order self-dot norm, zero-norm rows dropped). Shared with the
+    * streaming maintenance sink so the frozen-arm encode is the SAME
+    * fold on both faces. */
+  private[graft] def normalizeFrame(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v0"))
+      .withColumn("nrm", Similarity.norm(col("v0")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("v0"), x => x / col("nrm")).as("x"))
+
+  /** The normalized raw-space corpus of one source dir. */
+  private def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeFrame(Tables.load(spark, sfDir, "embeddings"))
+
+  /** Assign + encode a normalized (vec_id, x) frame under FROZEN
+    * quantizers — the map-only incremental-maintenance kernel (q276's
+    * frozen arm): nearest coarse centroid, residual, one PQ code per
+    * subspace. At 100 TB this one batch-sized scan IS the entire
+    * maintenance cost of the frozen index. */
+  private[graft] def encodeUnder(cents: Array[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]], e: DataFrame): DataFrame = {
+    val centMap = typedlit(cents.toMap)
+    val withRv = e
+      .withColumn("cid", -sort_array(
+        Similarity.ivfScores(cents, col("x")), asc = false)(0)("ncid"))
+      .withColumn("rv",
+        zip_with(col("x"), element_at(centMap, col("cid")),
+          (a, b) => a - b))
+    val codes = (0 until PqM).map { s =>
+      Similarity.nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
+        .as(s"c$s")
+    }
+    withRv.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
+  }
+
+  /** Collect the persisted broadcast-sized quantizers. */
+  private[graft] def loadQuantizers(spark: SparkSession, sfDir: String)
+      : (Array[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
+    val dir = artifactDir(sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    val books = spark.read.parquet(s"$dir/books")
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+    (cents, books)
+  }
+
+  /** Train q273's raw arm and write the four artifact tables plus the
+    * fingerprint marker. Deterministic: same corpus → same bytes. */
+  def build(spark: SparkSession, sfDir: String): Unit = {
+    val dir = artifactDir(sfDir)
+    val e = normalized(spark, sfDir).localCheckpoint()
+    val cents = Similarity.ivfCodebook(e)
+    val centMap = typedlit(cents.toMap)
+    val assigned = e
+      .withColumn("cid", -sort_array(
+        Similarity.ivfScores(cents, col("x")), asc = false)(0)("ncid"))
+      .withColumn("rv",
+        zip_with(col("x"), element_at(centMap, col("cid")),
+          (a, b) => a - b))
+      .localCheckpoint()
+    // PQ residual training — q273's one-Lloyd-job discipline verbatim
+    val seedRows = assigned.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map { s =>
+      seedRows.map { case (cid, rv) =>
+        cid -> rv.slice(s * PqSub, s * PqSub + PqSub).toSeq }
+    }
+    for (_ <- 1 to PqRounds) {
+      val subs = (0 until PqM).map { s =>
+        val sv = slice(col("rv"), s * PqSub + 1, PqSub)
+        struct(lit(s).as("s"), Similarity.nearestL2(sv, books(s)).as("cid"),
+          sv.as("sv"))
+      }
+      val stats = assigned.select(explode(array(subs: _*)).as("sub"))
+        .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
+          posexplode(col("sub.sv")).as(Seq("i", "x")))
+        .groupBy("s", "cid", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      books = (0 until PqM).map { s =>
+        stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(2))
+              .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+          }.toSeq.sortBy(_._1)
+      }
+    }
+    val codes = (0 until PqM).map { s =>
+      Similarity.nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
+        .as(s"c$s")
+    }
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex
+      .flatMap { case (b, s) => b.map { case (cid, cv) => (s, cid, cv) } }
+      .toDF("s", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    assigned.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
+      .write.mode("overwrite").parquet(s"$dir/encoded")
+    e.write.mode("overwrite").parquet(s"$dir/forward")
+    Files.writeString(Paths.get(s"$dir/_FINGERPRINT"), fingerprint(e))
+  }
+
+  /** Build only if the persisted fingerprint does not match the
+    * current corpus — the serve path's idempotence guard. Returns
+    * true when a build ran (test hook for the skip behavior). */
+  def ensure(spark: SparkSession, sfDir: String): Boolean = {
+    val marker = Paths.get(s"${artifactDir(sfDir)}/_FINGERPRINT")
+    val want = fingerprint(normalized(spark, sfDir))
+    val stale = !Files.exists(marker) || Files.readString(marker) != want
+    if (stale) build(spark, sfDir)
+    stale
+  }
+
+  /** Order-free integer census of one artifact component. */
+  private def census(df: DataFrame, component: String, idSum: Column,
+      valE6: Column, auxSum: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(idSum), lit(0L)).as("id_sum"),
+        coalesce(sum(valE6), lit(0L)).as("val_e6_sum"),
+        coalesce(sum(auxSum), lit(0L)).as("aux_sum"))
+      .select(lit(component).as("component"), col("n_rows"),
+        col("id_sum"), col("val_e6_sum"), col("aux_sum"))
+
+  private def vecE6(c: Column): Column =
+    aggregate(transform(c, x => round(x * 1e6, 0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** q277 — build the artifact, then report its per-component census
+    * FROM THE WRITTEN FILES (the read-back is the point: the oracle
+    * recomputes the same census from the base table, so the compare
+    * certifies the persisted bytes). */
+  def indexBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    build(spark, sfDir)
+    val dir = artifactDir(sfDir)
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val book = spark.read.parquet(s"$dir/books")
+    val enc = spark.read.parquet(s"$dir/encoded")
+    val fwd = spark.read.parquet(s"$dir/forward")
+    census(cent, "centroids", col("cid"), vecE6(col("cv")), lit(0L))
+      .unionByName(census(book, "books",
+        col("s").cast("long") * 4096L + col("cid"), vecE6(col("cv")),
+        lit(0L)))
+      .unionByName(census(enc, "encoded", col("vec_id"),
+        (0 until PqM).map(s => col(s"c$s")).reduce(_ + _), col("cid")))
+      .unionByName(census(fwd, "forward", col("vec_id"), vecE6(col("x")),
+        lit(0L)))
+      .orderBy("component")
+  }
+
+  /** The served candidate frame both audits rank: [[ensure]] the
+    * artifact, collect the two broadcast-sized codebooks, then ONE
+    * encoded-corpus pass joined to the forward vectors and scored by
+    * exact cosine (GT side) and ADC (serving side) against the
+    * NQueries-bounded query batch, with the probed flag from the
+    * fixed-[[NProbe]] budget. */
+  private def servedScored(spark: SparkSession, sfDir: String): DataFrame = {
+    ensure(spark, sfDir)
+    val dir = artifactDir(sfDir)
+    val (cents, books) = loadQuantizers(spark, sfDir)
+    val centMap = typedlit(cents.toMap)
+    def scores(c: Column): Column = Similarity.ivfScores(cents, c)
+    val fwd = spark.read.parquet(s"$dir/forward")
+    val enc = spark.read.parquet(s"$dir/encoded")
+    val qs = fwd.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("x").as("qx"))
+    val probes = fwd.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(
+          slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
+          s => -s("ncid"))).as("pcid"))
+    val adcTerms = Similarity.dot(col("qx"),
+        element_at(centMap, col("cid"))) +:
+      (0 until PqM).map { s =>
+        Similarity.dot(slice(col("qx"), s * PqSub + 1, PqSub),
+          element_at(typedlit(books(s).toMap), col(s"c$s")))
+      }
+    enc.join(fwd.withColumnRenamed("vec_id", "fid"),
+        col("vec_id") === col("fid"))
+      .select(Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
+        col("cid")) ++ (0 until PqM).map(s => col(s"c$s")): _*)
+      .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cid"),
+        Similarity.cosine(col("qx"), col("cx")).as("cos"),
+        adcTerms.reduceLeft(_ + _).as("adc"))
+      .join(broadcast(probes.withColumnRenamed("query_id", "p_qid")),
+        col("query_id") === col("p_qid") && col("cid") === col("pcid"),
+        "left_outer")
+      .drop("p_qid")
+      .withColumn("probed", col("pcid").isNotNull)
+  }
+
+  /** q278 — serve the q273 probe protocol from the artifact alone:
+    * [[ensure]] (no-op when fresh), collect the two broadcast-sized
+    * codebooks, then ONE encoded-corpus pass scored by ADC against
+    * the NQueries-bounded query batch, with the exact-GT arm reading
+    * the forward table (audit-class). No training job appears in this
+    * DataFrame's plan — the artifact scans stand where the Lloyd
+    * pipelines stood in q273. */
+  def indexServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = servedScored(spark, sfDir)
+    val k = TopK.toLong
+    scored
+      .withColumn("r_ex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_adc", row_number().over(
+        Window.partitionBy(col("query_id"), col("probed"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .groupBy("query_id").agg(
+        sum(when(col("probed"), 1L).otherwise(0L)).as("scanned_rows"),
+        sum(when(col("r_ex") <= k, 1L).otherwise(0L)).as("gt_k"),
+        sum(when(col("probed") && col("r_adc") <= k && col("r_ex") <= k,
+          1L).otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("scanned_rows"), col("gt_k"),
+        col("hits"),
+        round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** q279 — SAMPLED exact-GT serving audit: the executable 100 TB form
+    * of q273/q278's "exact-GT arm is audit-class" caveat (round-11
+    * verdict #6). Full exact GT scores EVERY candidate per query —
+    * affordable at fixture SFs, a corpus scan per holdout at scale.
+    * Here the GT candidate pool is restricted to the deterministic
+    * [[Dedup.RecallSamplePerMille]] (25%) neighbor sample — q253's
+    * shared md5 [[Dedup.sampleHit]] protocol, `:gt` salt — and BOTH
+    * sides restrict to it (sampled exact top-k vs sampled ADC-over-
+    * probed top-k), exactly as q253 samples both branches of its
+    * recall ratio: the statistic is the index's top-k agreement on a
+    * 25%-sized corpus, unbiased over sample draws, at a quarter of
+    * the GT cost. The audit reports the full-GT numbers beside the
+    * sampled ones and their signed delta, so the sampling error is a
+    * RECORDED column, not an assumption: everything is exact-integer
+    * ppm arithmetic (the q253 discipline — no float fold anywhere).
+    */
+  def indexServeSampledGt(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = TopK.toLong
+    val scored = servedScored(spark, sfDir)
+      .withColumn("samp",
+        Dedup.sampleHit(col("neighbor_id"), ":gt",
+          Dedup.RecallSamplePerMille))
+    val ranked = scored
+      .withColumn("r_ex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_adc", row_number().over(
+        Window.partitionBy(col("query_id"), col("probed"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_sx", row_number().over(
+        Window.partitionBy(col("query_id"), col("samp"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_sadc", row_number().over(
+        Window.partitionBy(col("query_id"), col("samp"), col("probed"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+    ranked.groupBy("query_id").agg(
+        sum(when(col("r_ex") <= k, 1L).otherwise(0L)).as("gt_k"),
+        sum(when(col("probed") && col("r_adc") <= k && col("r_ex") <= k,
+          1L).otherwise(0L)).as("hits"),
+        sum(when(col("samp") && col("r_sx") <= k, 1L).otherwise(0L))
+          .as("samp_gt_k"),
+        sum(when(col("samp") && col("probed") && col("r_sadc") <= k &&
+          col("r_sx") <= k, 1L).otherwise(0L)).as("samp_hits"))
+      // integer `div` (Column `/` is a double divide) — the q253 ppm rule
+      .selectExpr("query_id", "gt_k", "hits",
+        "CASE WHEN gt_k = 0 THEN 0L" +
+          " ELSE hits * 1000000L div gt_k END AS recall_ppm",
+        "samp_gt_k", "samp_hits",
+        "CASE WHEN samp_gt_k = 0 THEN 0L" +
+          " ELSE samp_hits * 1000000L div samp_gt_k END AS samp_recall_ppm")
+      .withColumn("delta_ppm",
+        col("samp_recall_ppm") - col("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB twins: a from-scratch recompute of the SAME index — the
+  // oracle has no artifact, so green hashes certify that the persisted
+  // (build) / served (serve) values equal an independently derived
+  // index. Shared CTE prefix: normalized corpus, trained coarse
+  // codebook (Similarity.ivfCentCtes — the cross-engine Lloyd),
+  // residuals, per-subspace PQ books + codes (q273's raw-arm chain).
+  // ------------------------------------------------------------------
+
+  private def lo(s: Int) = s * PqSub + 1
+  private def hi(s: Int) = (s + 1) * PqSub
+  private def sqd(a: String, b: String) =
+    s"""list_sum(list_transform(range($PqSub),
+       |               j -> ($a[j + 1] - $b[j + 1])
+       |                    * ($a[j + 1] - $b[j + 1])))""".stripMargin
+
+  private def trainCtes: String = {
+    require(PqRounds == 1,
+      "IndexArtifact twins unroll exactly one PQ Lloyd round")
+    val perSub = (0 until PqM).map { s =>
+      s"""pc${s}_0 AS (
+         |  SELECT vec_id AS cid, rv[${lo(s)}:${hi(s)}] AS cv
+         |  FROM rs WHERE vec_id < $PqK
+         |), pa${s}_1 AS MATERIALIZED (
+         |  SELECT vec_id, sv, cid FROM (
+         |    SELECT r.vec_id, r.rv[${lo(s)}:${hi(s)}] AS sv, c.cid,
+         |           row_number() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ${sqd(s"r.rv[${lo(s)}:${hi(s)}]", "c.cv")}
+         |               ASC, c.cid) AS rn
+         |    FROM rs r, pc${s}_0 c) WHERE rn = 1
+         |), pc${s}_1 AS MATERIALIZED (
+         |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
+         |    SELECT cid, i, AVG(sv[i]) AS mn
+         |    FROM pa${s}_1, (SELECT unnest(generate_series(1, $PqSub)) AS i)
+         |    GROUP BY cid, i)
+         |  GROUP BY cid
+         |), pcode$s AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT a.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqd("a.sv", "c.cv")} ASC, c.cid) AS rn
+         |    FROM (SELECT vec_id, rv[${lo(s)}:${hi(s)}] AS sv FROM rs) a,
+         |         pc${s}_1 c) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""en AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(v0, x -> x / nrm) AS x FROM (
+       |    SELECT vec_id, embedding::DOUBLE[] AS v0,
+       |           sqrt(list_dot_product(embedding::DOUBLE[],
+       |                                 embedding::DOUBLE[])) AS nrm
+       |    FROM embeddings)
+       |  WHERE nrm > 0
+       |),
+       |${Similarity.ivfCentCtes("cent", "en", "x")},
+       |rs AS MATERIALIZED (
+       |  SELECT a.vec_id, a.x, a.cid,
+       |         list_transform(range($Dim),
+       |           i -> a.x[i + 1] - c.cv[i + 1]) AS rv
+       |  FROM (
+       |    SELECT vec_id, x, cid FROM (
+       |      SELECT e.vec_id, e.x, c.cid,
+       |             row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+       |                 c.cid) AS rn
+       |      FROM en e, cent c) WHERE rn = 1) a
+       |  JOIN cent c ON c.cid = a.cid
+       |),
+       |$perSub""".stripMargin
+  }
+
+  private def vecE6Sql(c: String): String =
+    s"""list_sum(list_transform($c,
+       |  x -> CAST(round(x * 1e6) AS BIGINT)))""".stripMargin
+
+  val indexBuildSql: String = {
+    val bookRows = (0 until PqM)
+      .map(s => s"SELECT $s AS s, cid, cv FROM pc${s}_1")
+      .mkString(" UNION ALL ")
+    val codeSum = (0 until PqM)
+      .map(s => s"pcode$s.cid").mkString(" + ")
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN pcode$s ON pcode$s.vec_id = r.vec_id")
+      .mkString(" ")
+    s"""WITH $trainCtes,
+       |allbooks AS ($bookRows)
+       |SELECT * FROM (
+       |  SELECT 'books' AS component, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         CAST(COALESCE(SUM(s * 4096 + cid), 0) AS BIGINT) AS id_sum,
+       |         CAST(COALESCE(SUM(${vecE6Sql("cv")}), 0) AS BIGINT)
+       |           AS val_e6_sum,
+       |         CAST(0 AS BIGINT) AS aux_sum
+       |  FROM allbooks
+       |  UNION ALL
+       |  SELECT 'centroids', CAST(COUNT(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(cid), 0) AS BIGINT),
+       |         CAST(COALESCE(SUM(${vecE6Sql("cv")}), 0) AS BIGINT),
+       |         CAST(0 AS BIGINT)
+       |  FROM cent
+       |  UNION ALL
+       |  SELECT 'encoded', CAST(COUNT(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(r.vec_id), 0) AS BIGINT),
+       |         CAST(COALESCE(SUM($codeSum), 0) AS BIGINT),
+       |         CAST(COALESCE(SUM(r.cid), 0) AS BIGINT)
+       |  FROM rs r $codeJoins
+       |  UNION ALL
+       |  SELECT 'forward', CAST(COUNT(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(vec_id), 0) AS BIGINT),
+       |         CAST(COALESCE(SUM(${vecE6Sql("x")}), 0) AS BIGINT),
+       |         CAST(0 AS BIGINT)
+       |  FROM en
+       |) ORDER BY component""".stripMargin
+  }
+
+  val indexServeSql: String = {
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN pcode$s ON pcode$s.vec_id = r.vec_id")
+      .mkString(" ")
+    val codeCols = (0 until PqM)
+      .map(s => s"pcode$s.cid AS c$s").mkString(", ")
+    val termJoins = (0 until PqM)
+      .map(s => s"JOIN pc${s}_1 k$s ON k$s.cid = cd.c$s")
+      .mkString(" ")
+    val adcSum = (s"list_dot_product(q.qx, c.cv)" +:
+      (0 until PqM).map(s =>
+        s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
+      .mkString(" + ")
+    s"""WITH $trainCtes,
+       |prob AS (
+       |  SELECT vec_id AS query_id, cid AS pcid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+       |               c.cid) AS rn
+       |    FROM en e, cent c WHERE e.vec_id < $NQueries)
+       |  WHERE rn <= $NProbe
+       |), fl AS (
+       |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.qx, cd.x) AS cos,
+       |         $adcSum AS adc,
+       |         (p.pcid IS NOT NULL) AS probed
+       |  FROM (SELECT r.vec_id, r.x, r.cid, $codeCols
+       |        FROM rs r $codeJoins) cd
+       |  JOIN cent c ON c.cid = cd.cid
+       |  JOIN (SELECT vec_id AS query_id, x AS qx FROM en
+       |        WHERE vec_id < $NQueries) q
+       |    ON cd.vec_id != q.query_id
+       |  $termJoins
+       |  LEFT JOIN prob p ON p.query_id = q.query_id
+       |                  AND p.pcid = cd.cid
+       |), rk AS (
+       |  SELECT query_id, probed,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS r_ex,
+       |         row_number() OVER (PARTITION BY query_id, probed
+       |           ORDER BY adc DESC, neighbor_id) AS r_adc
+       |  FROM fl
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(SUM(CASE WHEN probed THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS scanned_rows,
+       |       CAST(SUM(CASE WHEN r_ex <= $TopK THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS gt_k,
+       |       CAST(SUM(CASE WHEN probed AND r_adc <= $TopK
+       |                          AND r_ex <= $TopK
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       round(CAST(SUM(CASE WHEN probed AND r_adc <= $TopK
+       |                               AND r_ex <= $TopK
+       |                     THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(SUM(CASE WHEN r_ex <= $TopK THEN 1 ELSE 0 END)
+       |                    AS DOUBLE), 6) AS recall
+       |FROM rk GROUP BY 1 ORDER BY query_id""".stripMargin
+  }
+
+  val indexServeSampledGtSql: String = {
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN pcode$s ON pcode$s.vec_id = r.vec_id")
+      .mkString(" ")
+    val codeCols = (0 until PqM)
+      .map(s => s"pcode$s.cid AS c$s").mkString(", ")
+    val termJoins = (0 until PqM)
+      .map(s => s"JOIN pc${s}_1 k$s ON k$s.cid = cd.c$s")
+      .mkString(" ")
+    val adcSum = (s"list_dot_product(q.qx, c.cv)" +:
+      (0 until PqM).map(s =>
+        s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
+      .mkString(" + ")
+    val sampPred = Dedup.sampleHitSql("cd.vec_id", ":gt",
+      Dedup.RecallSamplePerMille)
+    s"""WITH $trainCtes,
+       |prob AS (
+       |  SELECT vec_id AS query_id, cid AS pcid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+       |               c.cid) AS rn
+       |    FROM en e, cent c WHERE e.vec_id < $NQueries)
+       |  WHERE rn <= $NProbe
+       |), fl AS (
+       |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.qx, cd.x) AS cos,
+       |         $adcSum AS adc,
+       |         (p.pcid IS NOT NULL) AS probed,
+       |         ($sampPred) AS samp
+       |  FROM (SELECT r.vec_id, r.x, r.cid, $codeCols
+       |        FROM rs r $codeJoins) cd
+       |  JOIN cent c ON c.cid = cd.cid
+       |  JOIN (SELECT vec_id AS query_id, x AS qx FROM en
+       |        WHERE vec_id < $NQueries) q
+       |    ON cd.vec_id != q.query_id
+       |  $termJoins
+       |  LEFT JOIN prob p ON p.query_id = q.query_id
+       |                  AND p.pcid = cd.cid
+       |), rk AS (
+       |  SELECT query_id, probed, samp,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS r_ex,
+       |         row_number() OVER (PARTITION BY query_id, probed
+       |           ORDER BY adc DESC, neighbor_id) AS r_adc,
+       |         row_number() OVER (PARTITION BY query_id, samp
+       |           ORDER BY cos DESC, neighbor_id) AS r_sx,
+       |         row_number() OVER (PARTITION BY query_id, samp, probed
+       |           ORDER BY adc DESC, neighbor_id) AS r_sadc
+       |  FROM fl
+       |), ag AS (
+       |  SELECT query_id,
+       |         SUM(CASE WHEN r_ex <= $TopK THEN 1 ELSE 0 END) AS gt_k,
+       |         SUM(CASE WHEN probed AND r_adc <= $TopK AND r_ex <= $TopK
+       |                  THEN 1 ELSE 0 END) AS hits,
+       |         SUM(CASE WHEN samp AND r_sx <= $TopK THEN 1 ELSE 0 END)
+       |           AS samp_gt_k,
+       |         SUM(CASE WHEN samp AND probed AND r_sadc <= $TopK
+       |                       AND r_sx <= $TopK
+       |                  THEN 1 ELSE 0 END) AS samp_hits
+       |  FROM rk GROUP BY 1
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(gt_k AS BIGINT) AS gt_k,
+       |       CAST(hits AS BIGINT) AS hits,
+       |       CAST(CASE WHEN gt_k = 0 THEN 0
+       |            ELSE hits * 1000000 // gt_k END AS BIGINT) AS recall_ppm,
+       |       CAST(samp_gt_k AS BIGINT) AS samp_gt_k,
+       |       CAST(samp_hits AS BIGINT) AS samp_hits,
+       |       CAST(CASE WHEN samp_gt_k = 0 THEN 0
+       |            ELSE samp_hits * 1000000 // samp_gt_k END AS BIGINT)
+       |         AS samp_recall_ppm,
+       |       CAST(CASE WHEN samp_gt_k = 0 THEN 0
+       |            ELSE samp_hits * 1000000 // samp_gt_k END
+       |            - CASE WHEN gt_k = 0 THEN 0
+       |              ELSE hits * 1000000 // gt_k END AS BIGINT) AS delta_ppm
+       |FROM ag ORDER BY query_id""".stripMargin
+  }
+}

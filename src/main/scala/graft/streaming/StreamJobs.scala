@@ -190,6 +190,59 @@ object StreamJobs {
       .start()
   }
 
+  /** Streaming face of the q276/q278 FROZEN arm — incremental index
+    * maintenance as a `foreachBatch` sink: each arriving micro-batch
+    * of embeddings is normalized and assigned+encoded under the
+    * PERSISTED quantizers ([[graft.ext.IndexArtifact]]'s centroids +
+    * PQ books, collected ONCE at sink construction — fixed
+    * codebook-sized state, immutable for the life of the stream), and
+    * the (batch_id, vec_id, cid, c0..cM-1) rows append to the encoded
+    * sink. This is exactly what a 100 TB serving stack does between
+    * retrains: the frozen arm's whole maintenance cost is this
+    * map-only batch-sized encode — no Lloyd job, no corpus scan —
+    * and q274's refresh trigger decides when the books go stale
+    * (q276 prices what that staleness costs).
+    *
+    * Replay ≡ batch: the encode routes through the SAME
+    * [[graft.ext.IndexArtifact.encodeUnder]] kernel the batch face
+    * uses, so replaying the arrival files through this sink appends
+    * row-for-row the batch frozen-arm encoding of those vectors
+    * (StreamJobsSpec pins it). Same at-least-once guard and one
+    * AvailableNow-run contract as [[gramDriftMonitor]]. */
+  def indexMaintainSink(embsStream: DataFrame, indexSfDir: String,
+      outPath: String): StreamingQuery = {
+    val spark = embsStream.sparkSession
+    graft.ext.IndexArtifact.ensure(spark, indexSfDir)
+    val (cents, books) =
+      graft.ext.IndexArtifact.loadQuantizers(spark, indexSfDir)
+    val handler = new IndexEncodeHandler(cents, books, outPath)
+    embsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        handler.onBatch(batch.toDF(), bid)
+      }
+      .start()
+  }
+
+  /** Per-batch handler for [[indexMaintainSink]] (testable guard, as
+    * the other monitor handlers). The quantizers are immutable, so the
+    * ONLY mutable state is the last appended batch id. */
+  private[graft] final class IndexEncodeHandler(
+      cents: Array[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]], outPath: String) {
+    private var lastBid: Long = -1L
+    def onBatch(batch: DataFrame, bid: Long): Unit = {
+      if (bid <= lastBid) return // re-delivered micro-batch: no-op
+      graft.ext.IndexArtifact
+        .encodeUnder(cents, books,
+          graft.ext.IndexArtifact.normalizeFrame(batch))
+        .withColumn("batch_id", lit(bid))
+        .write.mode("append").parquet(outPath)
+      lastBid = bid // commit driver state only after the write
+    }
+  }
+
   /** Streaming face of batch q274: per arriving micro-batch, fold ONE
     * GramMatrix buffer, merge it into the cumulative, run the shared
     * [[graft.ext.Similarity.refreshStep]] against the held active

@@ -213,7 +213,12 @@ class PlanSpec extends SparkSpec {
       "q275_ann_rerank",
       // q276: q273's audit shape per arm — the same NQueries scoring
       // broadcast and 24-row probe-set broadcast
-      "q276_index_maintain")
+      "q276_index_maintain",
+      // q278/q279: q273's serving audit run FROM the persisted
+      // artifact — the same NQueries scoring broadcast and 24-row
+      // probe-set broadcast; the corpus-sized joins (encoded×forward)
+      // stay equi-joins on vec_id
+      "q278_index_serve", "q279_sampled_gt_serve")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the q277/q278/q279 index-as-artifact family that
+  * the row-hash oracle can't express:
+  *
+  *  - the SERVE numbers must reconcile with q273's inline raw arm at
+  *    the same probe budget (the whole point of persisting: serving
+  *    from the artifact changes the COST, never the answer);
+  *  - [[IndexArtifact.ensure]] must be a genuine no-op on a fresh
+  *    artifact (the serve path never retrains), and the serve plan
+  *    must read the artifact, not the training pipeline;
+  *  - the persisted encoded table must equal a fresh
+  *    [[IndexArtifact.encodeUnder]] pass with the persisted
+  *    quantizers (the frozen-arm kernel the streaming sink reuses);
+  *  - q279's sampled-GT numbers must be internally consistent with
+  *    its full-GT columns.
+  */
+class IndexArtifactSpec extends SparkSpec {
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
+  test("q278: served rows equal q273's inline raw arm") {
+    val served = IndexArtifact.indexServe(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val inline = Similarity.ivfPq(spark, sf001)
+      .filter(col("space") === "raw").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    assert(served == inline,
+      s"artifact serving drifted from inline training: " +
+        s"served-only=${(served diff inline).take(3)} " +
+        s"inline-only=${(inline diff served).take(3)}")
+  }
+
+  test("q278: ensure is idempotent and the serve plan reads the artifact") {
+    deleteRecursively(
+      java.nio.file.Paths.get(IndexArtifact.artifactDir(sf001)))
+    assert(IndexArtifact.ensure(spark, sf001),
+      "a missing artifact must trigger the build")
+    assert(!IndexArtifact.ensure(spark, sf001),
+      "a fingerprint-matched artifact must skip the build")
+    val plan = IndexArtifact.indexServe(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_index"),
+      s"serve must scan the persisted artifact:\n$plan")
+  }
+
+  test("q277: persisted encoded table equals a fresh frozen encode") {
+    IndexArtifact.ensure(spark, sf001)
+    val (cents, books) = IndexArtifact.loadQuantizers(spark, sf001)
+    assert(cents.length == Similarity.IvfK,
+      s"codebook size must be the fixed K: ${cents.length}")
+    val fresh = IndexArtifact.encodeUnder(cents, books,
+        graft.Tables.load(spark, sf001, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v0"))
+          .withColumn("nrm", Similarity.norm(col("v0")))
+          .filter(col("nrm") > 0)
+          .select(col("vec_id"),
+            transform(col("v0"), x => x / col("nrm")).as("x")))
+      .collect().map(_.toSeq).toSet
+    val persisted = spark.read
+      .parquet(s"${IndexArtifact.artifactDir(sf001)}/encoded")
+      .select((Seq("vec_id", "cid") ++
+        (0 until Similarity.PqM).map(s => s"c$s")).map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(fresh == persisted,
+      "the artifact's encoded rows must equal the frozen-encode kernel")
+  }
+
+  test("q279: sampled-GT columns are consistent with the full-GT ones") {
+    val rows = IndexArtifact.indexServeSampledGt(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { case (_, gtK, hits, ppm, sGtK, sHits, sPpm, delta) =>
+      assert(gtK == Similarity.TopK.toLong)
+      assert(hits >= 0 && hits <= gtK)
+      assert(sGtK <= gtK, s"sampled GT cannot exceed the full one")
+      assert(sHits >= 0 && sHits <= sGtK)
+      assert(ppm == (if (gtK == 0) 0L else hits * 1000000L / gtK))
+      assert(sPpm == (if (sGtK == 0) 0L else sHits * 1000000L / sGtK))
+      assert(delta == sPpm - ppm, "delta must be the recorded difference")
+    }
+    // the 25% sample must actually engage at this SF (non-degenerate)
+    assert(rows.exists(_._5 > 0), "sampled GT must be populated")
+  }
+}

@@ -581,4 +581,65 @@ class StreamJobsSpec extends SparkSpec {
     assert(Similarity.gramCount(gh.cumulative) >
       Similarity.gramCount(gBuf), "fresh batch id must merge")
   }
+
+  test("streaming index-maintain sink replays to the batch frozen encode") {
+    import graft.ext.{IndexArtifact, Similarity}
+    // stage the corpus as one file per ingest batch (the q276 axis):
+    // the sink encodes each arriving batch under the FROZEN persisted
+    // quantizers, so the replayed union must equal one batch
+    // encodeUnder pass over the same rows, row for row
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val width = (maxId + Similarity.DriftBatches) / Similarity.DriftBatches
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxmaint")
+    (0 until Similarity.DriftBatches).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-im-$b")
+      embs.filter(expr(s"vec_id div $width") === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val single =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+        } finally listing.close()
+      val dest = dir.resolve(f"batch$b%03d.parquet")
+      java.nio.file.Files.copy(single, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 10000L))
+    }
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-im-out").toString + "/encoded"
+    val q = StreamJobs.indexMaintainSink(
+      StreamJobs.readEmbeddings(spark, dir.toString), sf001, outPath)
+    q.awaitTermination()
+    val got = spark.read.parquet(outPath)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    val (cents, books) = IndexArtifact.loadQuantizers(spark, sf001)
+    val want = IndexArtifact.encodeUnder(cents, books,
+        IndexArtifact.normalizeFrame(embs))
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"frozen-encode replay drift: got-only=${(got diff want).take(3)} " +
+        s"want-only=${(want diff got).take(3)}")
+    // every ingest batch appended under its own micro-batch id
+    val bids = spark.read.parquet(outPath)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(bids.length == Similarity.DriftBatches,
+      s"one micro-batch per staged file: ${bids.mkString(",")}")
+
+    // at-least-once guard: a re-delivered micro-batch id is a no-op
+    val hOut = java.nio.file.Files
+      .createTempDirectory("graft-im-idem").toString + "/encoded"
+    val h = new StreamJobs.IndexEncodeHandler(cents, books, hOut)
+    val b0 = embs.filter(col("vec_id") < 50)
+    h.onBatch(b0, 0L)
+    h.onBatch(b0, 0L) // re-delivery
+    val n = spark.read.parquet(hOut).count()
+    h.onBatch(embs.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L)
+    assert(spark.read.parquet(hOut).count() > n,
+      "fresh batch id must append")
+    assert(n == b0.count(),
+      s"re-delivered batch must not double-append: $n")
+  }
 }
