@@ -1497,7 +1497,7 @@ object Dedup {
     * collide, and trivially byte-identical in DuckDB. Docs with fewer
     * than BandR tokens in the slice emit no bands (no combo's largest
     * index fits). */
-  private def bandRows(ds: DataFrame, cap: Column, maxIdx: Int): DataFrame =
+  private[ext] def bandRows(ds: DataFrame, cap: Column, maxIdx: Int): DataFrame =
     ds.select(col("doc_id"), col("n"),
         slice(col("tids"), lit(1), least(cap, lit(maxIdx))).as("ts"))
       .select(col("doc_id"), col("n"), col("ts"),
@@ -1509,7 +1509,7 @@ object Dedup {
         element_at(col("ts"), col("c._3")).as("t3"),
         element_at(col("ts"), col("c._4")).as("t4"))
 
-  private def bandedContainmentCandidates(
+  private[ext] def bandedContainmentCandidates(
       spark: SparkSession, sfDir: String,
       probeFilter: Column = lit(true)): DataFrame = {
     val ds = internedDocsets(spark, sfDir)
