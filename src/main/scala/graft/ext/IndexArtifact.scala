@@ -356,6 +356,192 @@ object IndexArtifact {
   }
 
   // ------------------------------------------------------------------
+  // q280 — incremental artifact merge: the q276 frozen arm EXECUTED as
+  // artifact lifecycle instead of one inline job. Build the index on
+  // the STANDING corpus (q276's ingest axis, batches 0‥DriftBatches-2),
+  // encode the ARRIVAL batch under the frozen persisted quantizers
+  // (the map-only step the streaming sink runs), land it as its OWN
+  // partition directory beside the standing encode — exactly how an
+  // incremental index grows at 100 TB: per-ingest-batch partitions,
+  // folded later by Layout.compact — and serve the merged index to the
+  // arrival queries. The audit rows must equal q276's inline frozen
+  // arm (spec-pinned), and the oracle twin IS q276's, filtered to the
+  // frozen arm: the lifecycle changes where the bytes live, never the
+  // answer.
+  // ------------------------------------------------------------------
+
+  /** Artifact root for the standing-corpus (frozen-arm) index. */
+  def standingDir(sfDir: String): String =
+    artifactDir(sfDir) + "_standing"
+
+  /** q276's ingest-axis width over the RAW embeddings (pre norm
+    * filter, matching ivfPqMaintainOn). */
+  private def ingestWidth(spark: SparkSession, sfDir: String): Long = {
+    val maxId = Tables.load(spark, sfDir, "embeddings")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    (maxId + Similarity.DriftBatches) / Similarity.DriftBatches
+  }
+
+  /** Train on the standing slice and persist ITS index (centroids +
+    * books from standing data, standing rows encoded, standing
+    * forward vectors) — the artifact as of "before the arrival". */
+  def buildStanding(spark: SparkSession, sfDir: String): Unit = {
+    val dir = standingDir(sfDir)
+    val width = ingestWidth(spark, sfDir)
+    val e = normalized(spark, sfDir).localCheckpoint()
+    val standing = e.filter(
+      expr(s"vec_id div $width") < Similarity.DriftBatches - 1)
+    val cents = Similarity.ivfCodebook(standing)
+    val centMap = typedlit(cents.toMap)
+    val assigned = standing
+      .withColumn("cid", -sort_array(
+        Similarity.ivfScores(cents, col("x")), asc = false)(0)("ncid"))
+      .withColumn("rv",
+        zip_with(col("x"), element_at(centMap, col("cid")),
+          (a, b) => a - b))
+      .localCheckpoint()
+    val seedRows = assigned.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map { s =>
+      seedRows.map { case (cid, rv) =>
+        cid -> rv.slice(s * PqSub, s * PqSub + PqSub).toSeq }
+    }
+    for (_ <- 1 to PqRounds) {
+      val subs = (0 until PqM).map { s =>
+        val sv = slice(col("rv"), s * PqSub + 1, PqSub)
+        struct(lit(s).as("s"), Similarity.nearestL2(sv, books(s)).as("cid"),
+          sv.as("sv"))
+      }
+      val stats = assigned.select(explode(array(subs: _*)).as("sub"))
+        .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
+          posexplode(col("sub.sv")).as(Seq("i", "x")))
+        .groupBy("s", "cid", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      books = (0 until PqM).map { s =>
+        stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(2))
+              .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+          }.toSeq.sortBy(_._1)
+      }
+    }
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex
+      .flatMap { case (b, s) => b.map { case (cid, cv) => (s, cid, cv) } }
+      .toDF("s", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    encodeUnder(cents, books, standing)
+      .write.mode("overwrite").parquet(s"$dir/encoded")
+    standing.write.mode("overwrite").parquet(s"$dir/forward")
+    Files.writeString(Paths.get(s"$dir/_FINGERPRINT"), fingerprint(e))
+  }
+
+  /** Build-if-stale for the standing index (same guard as [[ensure]]). */
+  def ensureStanding(spark: SparkSession, sfDir: String): Boolean = {
+    val marker = Paths.get(s"${standingDir(sfDir)}/_FINGERPRINT")
+    val want = fingerprint(normalized(spark, sfDir))
+    val stale = !Files.exists(marker) || Files.readString(marker) != want
+    if (stale) buildStanding(spark, sfDir)
+    stale
+  }
+
+  /** q280 — merge-and-serve: encode the arrival batch under the
+    * STANDING artifact's frozen quantizers into its own partition
+    * directory (idempotent: the arrival partition is overwritten, the
+    * standing tables untouched), then run the q276 frozen-arm audit
+    * over the MERGED index — arrival queries, full-corpus GT from the
+    * merged forward vectors, ADC over the merged encoded rows. */
+  def indexMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureStanding(spark, sfDir)
+    val dir = standingDir(sfDir)
+    val width = ingestWidth(spark, sfDir)
+    val arrivalLo = width * (Similarity.DriftBatches - 1)
+    val (cents, books) = {
+      val c = spark.read.parquet(s"$dir/centroids")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1)
+      val b = spark.read.parquet(s"$dir/books")
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+      (c, b)
+    }
+    // the incremental step: ONE batch-sized map-only encode, landed as
+    // the arrival's own partition dir (overwrite = idempotent re-merge)
+    val arrival = normalized(spark, sfDir)
+      .filter(col("vec_id") >= arrivalLo)
+    encodeUnder(cents, books, arrival)
+      .write.mode("overwrite").parquet(s"$dir/encoded_arrival")
+    arrival.write.mode("overwrite").parquet(s"$dir/forward_arrival")
+
+    val centMap = typedlit(cents.toMap)
+    def scores(c: Column): Column = Similarity.ivfScores(cents, c)
+    val fwd = spark.read.parquet(s"$dir/forward", s"$dir/forward_arrival")
+    val enc = spark.read.parquet(s"$dir/encoded", s"$dir/encoded_arrival")
+    // fresh-traffic queries: the first NQueries arrival ids (q276's
+    // literal-range cut)
+    val qs = fwd.filter(col("vec_id") >= arrivalLo &&
+        col("vec_id") < arrivalLo + NQueries)
+      .select(col("vec_id").as("query_id"), col("x").as("qx"))
+    val probes = fwd.filter(col("vec_id") >= arrivalLo &&
+        col("vec_id") < arrivalLo + NQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(
+          slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
+          s => -s("ncid"))).as("pcid"))
+    val adcTerms = Similarity.dot(col("qx"),
+        element_at(centMap, col("cid"))) +:
+      (0 until PqM).map { s =>
+        Similarity.dot(slice(col("qx"), s * PqSub + 1, PqSub),
+          element_at(typedlit(books(s).toMap), col(s"c$s")))
+      }
+    val k = TopK.toLong
+    enc.join(fwd.withColumnRenamed("vec_id", "fid"),
+        col("vec_id") === col("fid"))
+      .select(Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
+        col("cid")) ++ (0 until PqM).map(s => col(s"c$s")): _*)
+      .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cid"),
+        Similarity.cosine(col("qx"), col("cx")).as("cos"),
+        adcTerms.reduceLeft(_ + _).as("adc"))
+      .join(broadcast(probes.withColumnRenamed("query_id", "p_qid")),
+        col("query_id") === col("p_qid") && col("cid") === col("pcid"),
+        "left_outer")
+      .drop("p_qid")
+      .withColumn("probed", col("pcid").isNotNull)
+      .withColumn("r_ex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_adc", row_number().over(
+        Window.partitionBy(col("query_id"), col("probed"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .groupBy("query_id").agg(
+        sum(when(col("probed"), 1L).otherwise(0L)).as("scanned_rows"),
+        sum(when(col("r_ex") <= k, 1L).otherwise(0L)).as("gt_k"),
+        sum(when(col("probed") && col("r_adc") <= k && col("r_ex") <= k,
+          1L).otherwise(0L)).as("hits"))
+      .select(col("query_id"), col("scanned_rows"), col("gt_k"),
+        col("hits"),
+        round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** q280 twin: q276's oracle restricted to its frozen arm — the
+    * merge lifecycle must land on the inline frozen-arm rows. */
+  val indexMergeSql: String =
+    s"""SELECT query_id, scanned_rows, gt_k, hits, recall
+       |FROM (${Similarity.ivfPqMaintainSql})
+       |WHERE arm = 'frozen'
+       |ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // DuckDB twins: a from-scratch recompute of the SAME index — the
   // oracle has no artifact, so green hashes certify that the persisted
   // (build) / served (serve) values equal an independently derived

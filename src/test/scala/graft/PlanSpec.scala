@@ -218,7 +218,9 @@ class PlanSpec extends SparkSpec {
       // artifact — the same NQueries scoring broadcast and 24-row
       // probe-set broadcast; the corpus-sized joins (encoded×forward)
       // stay equi-joins on vec_id
-      "q278_index_serve", "q279_sampled_gt_serve")
+      "q278_index_serve", "q279_sampled_gt_serve",
+      // q280: the same served-audit shape over the merged artifact
+      "q280_index_merge")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

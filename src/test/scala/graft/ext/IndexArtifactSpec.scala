@@ -55,6 +55,11 @@ class IndexArtifactSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_index"),
       s"serve must scan the persisted artifact:\n$plan")
+    // the NQueries query-batch cut must reach the forward parquet scan
+    // as a pushed filter — a scan that reads the whole forward table to
+    // pick 8 query rows is wrong at any scale
+    assert(plan.contains(s"LessThan(vec_id,${Similarity.NQueries})"),
+      s"query cut must push to the forward scan:\n$plan")
   }
 
   test("q277: persisted encoded table equals a fresh frozen encode") {
@@ -78,6 +83,20 @@ class IndexArtifactSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(fresh == persisted,
       "the artifact's encoded rows must equal the frozen-encode kernel")
+  }
+
+  test("q280: merged-artifact serving equals q276's inline frozen arm") {
+    val merged = IndexArtifact.indexMerge(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val inline = Similarity.ivfPqMaintain(spark, sf001)
+      .filter(col("arm") === "frozen").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    assert(merged == inline,
+      s"merge lifecycle drifted from the inline frozen arm: " +
+        s"merged-only=${(merged diff inline).take(3)} " +
+        s"inline-only=${(inline diff merged).take(3)}")
   }
 
   test("q279: sampled-GT columns are consistent with the full-GT ones") {
