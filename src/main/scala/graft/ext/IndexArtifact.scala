@@ -229,13 +229,23 @@ object IndexArtifact {
       .orderBy("component")
   }
 
-  /** The served candidate frame both audits rank: [[ensure]] the
-    * artifact, collect the two broadcast-sized codebooks, then ONE
-    * encoded-corpus pass joined to the forward vectors and scored by
-    * exact cosine (GT side) and ADC (serving side) against the
-    * NQueries-bounded query batch, with the probed flag from the
-    * fixed-[[NProbe]] budget. */
-  private def servedScored(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Widest probe budget any serving audit ranks against — q281's
+    * probe-widened arm. Must stay ≤ [[IvfK]] (ranks past the codebook
+    * are meaningless) and ≥ [[NProbe]] (the standard budget must be a
+    * prefix of it, so one probe-rank frame serves every arm). */
+  val WideProbe: Int = 2 * NProbe
+
+  /** The served candidate frame the q278/q279/q281 audits rank:
+    * [[ensure]] the artifact, collect the two broadcast-sized
+    * codebooks, then ONE encoded-corpus pass joined to the forward
+    * vectors and scored by exact cosine (GT side) and ADC (serving
+    * side) against the NQueries-bounded query batch. `prank` is the
+    * candidate's list's rank in the query's centroid ordering when
+    * ≤ [[WideProbe]] (null past it) — any budget b ≤ WideProbe reads
+    * off as `prank ≤ b`, so the narrow and widened arms share this
+    * one frame instead of re-probing. */
+  private def servedScoredRanked(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     ensure(spark, sfDir)
     val dir = artifactDir(sfDir)
     val (cents, books) = loadQuantizers(spark, sfDir)
@@ -247,9 +257,11 @@ object IndexArtifact {
       .select(col("vec_id").as("query_id"), col("x").as("qx"))
     val probes = fwd.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"),
-        explode(transform(
-          slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
-          s => -s("ncid"))).as("pcid"))
+        posexplode(transform(
+          slice(sort_array(scores(col("x")), asc = false), 1, WideProbe),
+          s => -s("ncid"))).as(Seq("pp", "pcid")))
+      .select(col("query_id"), col("pcid"),
+        (col("pp") + 1).cast("long").as("prank"))
     val adcTerms = Similarity.dot(col("qx"),
         element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
@@ -267,9 +279,17 @@ object IndexArtifact {
       .join(broadcast(probes.withColumnRenamed("query_id", "p_qid")),
         col("query_id") === col("p_qid") && col("cid") === col("pcid"),
         "left_outer")
-      .drop("p_qid")
-      .withColumn("probed", col("pcid").isNotNull)
+      .drop("p_qid", "pcid")
   }
+
+  /** [[servedScoredRanked]] read at the standard [[NProbe]] budget —
+    * the q278/q279 `probed` flag, bit-identical to probing at NProbe
+    * directly because NProbe ranks are a prefix of the WideProbe ones. */
+  private def servedScored(spark: SparkSession, sfDir: String): DataFrame =
+    servedScoredRanked(spark, sfDir)
+      .withColumn("probed",
+        col("prank").isNotNull && col("prank") <= NProbe)
+      .drop("prank")
 
   /** q278 — serve the q273 probe protocol from the artifact alone:
     * [[ensure]] (no-op when fresh), collect the two broadcast-sized
@@ -352,6 +372,79 @@ object IndexArtifact {
           " ELSE samp_hits * 1000000L div samp_gt_k END AS samp_recall_ppm")
       .withColumn("delta_ppm",
         col("samp_recall_ppm") - col("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  /** q281 — FILTERED serving audit: top-k under a metadata predicate
+    * (each query wants only neighbors sharing its `label`), the other
+    * half of the 100 TB vector-serving story — real traffic rarely
+    * searches the whole corpus, it searches "the English docs" or
+    * "this tenant's rows", and an IVF index is label-agnostic: its
+    * lists partition by GEOMETRY, so a 10%-selective filter leaves
+    * ~10% of each probed list alive and the post-filtered candidate
+    * pool starves at the standard probe budget. The two arms price
+    * the standard answer to that:
+    *
+    *  - narrow (post-filter): probe [[NProbe]] lists, scan them ALL
+    *    (the filter applies after decode — scanned_narrow counts every
+    *    probed row, the honest pre-filter scan cost), rank the
+    *    label-matching survivors by ADC;
+    *  - wide (probe widening): same protocol at [[WideProbe]] lists —
+    *    the selectivity-aware budget a filtered serve actually runs,
+    *    buying recall with proportionally more scan.
+    *
+    * Both arms rank against the FILTERED exact GT (top-[[TopK]] by
+    * cosine among label-matching candidates). One ranked frame serves
+    * both arms ([[servedScoredRanked]]'s prefix-rank trick — no second
+    * probe pass); the label rides in from the base embeddings table by
+    * vec_id equi-join, exactly how serving metadata joins an index at
+    * scale (the artifact stays metadata-free). All outputs are exact
+    * integers (counts + ppm ratios via integer div — the q253 rule),
+    * so the audit has no float fold anywhere. gain_ppm = what probe
+    * widening bought, per query, in recall ppm. */
+  def indexServeFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val lbl = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val qlbl = lbl.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val f = servedScoredRanked(spark, sfDir)
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(qlbl), Seq("query_id"))
+      .withColumn("m", col("label") === col("qlabel"))
+      .withColumn("p_n",
+        col("prank").isNotNull && col("prank") <= NProbe)
+      .withColumn("p_w", col("prank").isNotNull)
+    val k = TopK.toLong
+    f.withColumn("r_exf", row_number().over(
+        Window.partitionBy(col("query_id"), col("m"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_an", row_number().over(
+        Window.partitionBy(col("query_id"), col("m"), col("p_n"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_aw", row_number().over(
+        Window.partitionBy(col("query_id"), col("m"), col("p_w"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .groupBy("query_id").agg(
+        max(col("qlabel")).as("qlabel"),
+        sum(when(col("m") && col("r_exf") <= k, 1L).otherwise(0L))
+          .as("gt_k"),
+        sum(when(col("p_n"), 1L).otherwise(0L)).as("scanned_narrow"),
+        sum(when(col("m") && col("p_n") && col("r_an") <= k &&
+          col("r_exf") <= k, 1L).otherwise(0L)).as("hits_narrow"),
+        sum(when(col("p_w"), 1L).otherwise(0L)).as("scanned_wide"),
+        sum(when(col("m") && col("p_w") && col("r_aw") <= k &&
+          col("r_exf") <= k, 1L).otherwise(0L)).as("hits_wide"))
+      // integer `div` (Column `/` is a double divide) — the q253 ppm rule
+      .selectExpr("query_id", "qlabel", "gt_k",
+        "scanned_narrow", "hits_narrow",
+        "CASE WHEN gt_k = 0 THEN 0L" +
+          " ELSE hits_narrow * 1000000L div gt_k END AS recall_narrow_ppm",
+        "scanned_wide", "hits_wide",
+        "CASE WHEN gt_k = 0 THEN 0L" +
+          " ELSE hits_wide * 1000000L div gt_k END AS recall_wide_ppm")
+      .withColumn("gain_ppm",
+        col("recall_wide_ppm") - col("recall_narrow_ppm"))
       .orderBy("query_id")
   }
 
@@ -790,6 +883,96 @@ object IndexArtifact {
        |            ELSE samp_hits * 1000000 // samp_gt_k END
        |            - CASE WHEN gt_k = 0 THEN 0
        |              ELSE hits * 1000000 // gt_k END AS BIGINT) AS delta_ppm
+       |FROM ag ORDER BY query_id""".stripMargin
+  }
+
+  /** q281 twin — the same from-scratch index recompute, filtered to
+    * label-matching candidates per query: prob keeps the probe RANK to
+    * [[WideProbe]] so both arms read off one frame (prank ≤ NProbe /
+    * prank not null), labels join from the base table by vec_id, and
+    * every output is an exact integer (counts + `//` ppm). */
+  val indexServeFilteredSql: String = {
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN pcode$s ON pcode$s.vec_id = r.vec_id")
+      .mkString(" ")
+    val codeCols = (0 until PqM)
+      .map(s => s"pcode$s.cid AS c$s").mkString(", ")
+    val termJoins = (0 until PqM)
+      .map(s => s"JOIN pc${s}_1 k$s ON k$s.cid = cd.c$s")
+      .mkString(" ")
+    val adcSum = (s"list_dot_product(q.qx, c.cv)" +:
+      (0 until PqM).map(s =>
+        s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
+      .mkString(" + ")
+    s"""WITH $trainCtes,
+       |prob AS (
+       |  SELECT vec_id AS query_id, cid AS pcid, rn AS prank FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+       |               c.cid) AS rn
+       |    FROM en e, cent c WHERE e.vec_id < $NQueries)
+       |  WHERE rn <= $WideProbe
+       |), fl AS (
+       |  SELECT q.query_id, q.qlabel, cd.vec_id AS neighbor_id,
+       |         (lb.label = q.qlabel) AS m,
+       |         list_cosine_similarity(q.qx, cd.x) AS cos,
+       |         $adcSum AS adc,
+       |         (p.prank IS NOT NULL AND p.prank <= $NProbe) AS p_n,
+       |         (p.prank IS NOT NULL) AS p_w
+       |  FROM (SELECT r.vec_id, r.x, r.cid, $codeCols
+       |        FROM rs r $codeJoins) cd
+       |  JOIN cent c ON c.cid = cd.cid
+       |  JOIN embeddings lb ON lb.vec_id = cd.vec_id
+       |  JOIN (SELECT e.vec_id AS query_id, e.x AS qx,
+       |               CAST(le.label AS BIGINT) AS qlabel
+       |        FROM en e JOIN embeddings le ON le.vec_id = e.vec_id
+       |        WHERE e.vec_id < $NQueries) q
+       |    ON cd.vec_id != q.query_id
+       |  $termJoins
+       |  LEFT JOIN prob p ON p.query_id = q.query_id
+       |                  AND p.pcid = cd.cid
+       |), rk AS (
+       |  SELECT query_id, qlabel, m, p_n, p_w,
+       |         row_number() OVER (PARTITION BY query_id, m
+       |           ORDER BY cos DESC, neighbor_id) AS r_exf,
+       |         row_number() OVER (PARTITION BY query_id, m, p_n
+       |           ORDER BY adc DESC, neighbor_id) AS r_an,
+       |         row_number() OVER (PARTITION BY query_id, m, p_w
+       |           ORDER BY adc DESC, neighbor_id) AS r_aw
+       |  FROM fl
+       |), ag AS (
+       |  SELECT query_id, MAX(qlabel) AS qlabel,
+       |         SUM(CASE WHEN m AND r_exf <= $TopK THEN 1 ELSE 0 END)
+       |           AS gt_k,
+       |         SUM(CASE WHEN p_n THEN 1 ELSE 0 END) AS scanned_narrow,
+       |         SUM(CASE WHEN m AND p_n AND r_an <= $TopK
+       |                       AND r_exf <= $TopK
+       |                  THEN 1 ELSE 0 END) AS hits_narrow,
+       |         SUM(CASE WHEN p_w THEN 1 ELSE 0 END) AS scanned_wide,
+       |         SUM(CASE WHEN m AND p_w AND r_aw <= $TopK
+       |                       AND r_exf <= $TopK
+       |                  THEN 1 ELSE 0 END) AS hits_wide
+       |  FROM rk GROUP BY 1
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(qlabel AS BIGINT) AS qlabel,
+       |       CAST(gt_k AS BIGINT) AS gt_k,
+       |       CAST(scanned_narrow AS BIGINT) AS scanned_narrow,
+       |       CAST(hits_narrow AS BIGINT) AS hits_narrow,
+       |       CAST(CASE WHEN gt_k = 0 THEN 0
+       |            ELSE hits_narrow * 1000000 // gt_k END AS BIGINT)
+       |         AS recall_narrow_ppm,
+       |       CAST(scanned_wide AS BIGINT) AS scanned_wide,
+       |       CAST(hits_wide AS BIGINT) AS hits_wide,
+       |       CAST(CASE WHEN gt_k = 0 THEN 0
+       |            ELSE hits_wide * 1000000 // gt_k END AS BIGINT)
+       |         AS recall_wide_ppm,
+       |       CAST(CASE WHEN gt_k = 0 THEN 0
+       |              ELSE hits_wide * 1000000 // gt_k END
+       |            - CASE WHEN gt_k = 0 THEN 0
+       |              ELSE hits_narrow * 1000000 // gt_k END AS BIGINT)
+       |         AS gain_ppm
        |FROM ag ORDER BY query_id""".stripMargin
   }
 }

@@ -220,7 +220,11 @@ class PlanSpec extends SparkSpec {
       // stay equi-joins on vec_id
       "q278_index_serve", "q279_sampled_gt_serve",
       // q280: the same served-audit shape over the merged artifact
-      "q280_index_merge")
+      "q280_index_merge",
+      // q281: q278's serving shape with the label metadata riding in
+      // by vec_id EQUI-join; the only non-equi join is the same
+      // NQueries-bounded query broadcast
+      "q281_filtered_serve")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString

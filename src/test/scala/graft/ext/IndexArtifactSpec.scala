@@ -116,4 +116,34 @@ class IndexArtifactSpec extends SparkSpec {
     // the 25% sample must actually engage at this SF (non-degenerate)
     assert(rows.exists(_._5 > 0), "sampled GT must be populated")
   }
+
+  test("q281: probe widening is a strict scan superset with exact " +
+      "integer accounting") {
+    val rows = IndexArtifact.indexServeFiltered(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    assert(rows.length == Similarity.NQueries)
+    rows.foreach { case (_, qlabel, gtK, scanN, hitsN, ppmN,
+        scanW, hitsW, ppmW, gain) =>
+      assert(qlabel >= 0, "query label must resolve from the base table")
+      assert(gtK >= 0 && gtK <= Similarity.TopK.toLong)
+      // the wide probe set is a prefix-superset of the narrow one, so
+      // its scan (counted PRE-filter: the post-filter arm decodes every
+      // probed row) can only grow
+      assert(scanW >= scanN,
+        s"wide probes must scan at least the narrow rows: $scanW < $scanN")
+      assert(hitsN >= 0 && hitsN <= gtK)
+      assert(hitsW >= 0 && hitsW <= gtK)
+      assert(ppmN == (if (gtK == 0) 0L else hitsN * 1000000L / gtK))
+      assert(ppmW == (if (gtK == 0) 0L else hitsW * 1000000L / gtK))
+      assert(gain == ppmW - ppmN, "gain must be the recorded difference")
+    }
+    // the filter must actually bind at this SF (some query has fewer
+    // label-matching candidates than an unfiltered TopK would rank),
+    // and widening must buy extra scan somewhere (non-degenerate arms)
+    assert(rows.exists(_._7 > 0), "wide-arm scan must engage")
+    assert(rows.exists(r => r._7 > r._4),
+      "some query must scan strictly more at the wide budget")
+  }
 }
