@@ -48,12 +48,12 @@ import org.apache.spark.sql.functions._
   * int64-safe to ~1.4e11 vectors; codes/cids are small integers.
   */
 object IndexArtifact {
-  import Similarity.{Dim, IvfK, NProbe, NQueries, PqK, PqM, PqRounds,
-    PqSub, TopK}
+  import Similarity.{Dim, IvfK, NProbe, NQueries, PqGrid, PqK, PqM,
+    PqRounds, PqSub, TopK}
 
   /** Bump when the on-disk layout or training protocol changes — a
     * stale artifact from an older protocol must never serve. */
-  val Version = "ivfpq-raw-v1"
+  val Version = "ivfpq-raw-v2"
 
   /** Artifact root for one source dir: content-addressed by the
     * corpus fingerprint so sf0.01 / sf0.1 / spec fixtures coexist. */
@@ -155,13 +155,15 @@ object IndexArtifact {
         .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
           posexplode(col("sub.sv")).as(Seq("i", "x")))
         .groupBy("s", "cid", "i")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(round(col("x") * Similarity.PqGrid, 0).cast("long"))
+          .as("sx"), count(lit(1)).as("n"))
         .collect()
       books = (0 until PqM).map { s =>
         stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
           .map { case (cid, rows) =>
             cid -> rows.sortBy(_.getInt(2))
-              .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+              .map(r => r.getLong(3).toDouble
+                / (r.getLong(4) * Similarity.PqGrid)).toSeq
           }.toSeq.sortBy(_._1)
       }
     }
@@ -511,13 +513,15 @@ object IndexArtifact {
         .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
           posexplode(col("sub.sv")).as(Seq("i", "x")))
         .groupBy("s", "cid", "i")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(round(col("x") * Similarity.PqGrid, 0).cast("long"))
+          .as("sx"), count(lit(1)).as("n"))
         .collect()
       books = (0 until PqM).map { s =>
         stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
           .map { case (cid, rows) =>
             cid -> rows.sortBy(_.getInt(2))
-              .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+              .map(r => r.getLong(3).toDouble
+                / (r.getLong(4) * Similarity.PqGrid)).toSeq
           }.toSeq.sortBy(_._1)
       }
     }
@@ -666,7 +670,10 @@ object IndexArtifact {
          |    FROM rs r, pc${s}_0 c) WHERE rn = 1
          |), pc${s}_1 AS MATERIALIZED (
          |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
-         |    SELECT cid, i, AVG(sv[i]) AS mn
+         |    SELECT cid, i,
+         |           CAST(CAST(SUM(CAST(round(sv[i] * $PqGrid) AS BIGINT))
+         |                     AS BIGINT) AS DOUBLE)
+         |           / (CAST(COUNT(*) AS DOUBLE) * $PqGrid) AS mn
          |    FROM pa${s}_1, (SELECT unnest(generate_series(1, $PqSub)) AS i)
          |    GROUP BY cid, i)
          |  GROUP BY cid

@@ -803,6 +803,12 @@ object Similarity {
     * of the codebook. Cosine against an unnormalized mean ≡ spherical
     * k-means (cosine is scale-invariant, no renormalize pass needed).
     */
+  // Float-fold doctrine note (round-12 verdict #4): this kernel and its
+  // kmeansAfCteSql twin keep the adjudicated q108-era float AVG — its
+  // centroid VALUES never reach a hash-compared output (they feed only
+  // discrete assignments plus per-row cosines that re-round at the
+  // edge), unlike the PQ books, which since q277 land on an e6-grid
+  // census and therefore ride the exact PqGrid fold.
   def kmeansCodebook(e: DataFrame, k: Int, rounds: Int): Seq[(Long, Seq[Double])] = {
     var code: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
@@ -902,6 +908,21 @@ object Similarity {
   val PqRounds = 1
   private[ext] val PqSub = Dim / PqM
 
+  /** Integer grid for the PQ Lloyd book means — the [[IvfGrid]]
+    * doctrine applied to the residual/subvector books (round-12
+    * verdict #4): per (subspace, cluster, dim) the mean is
+    * Σ round(x·1e6) folded as an exact BIGINT (associative and
+    * order-free on BOTH engines), divided once by n·1e6 at the edge.
+    * Components are ≤ 2 in magnitude after normalization, so the
+    * per-cluster sum stays inside int64 to ~4.6e12 members. The books
+    * feed discrete code assignments AND (since q277) an e6-grid value
+    * census that the oracle hash compares, so their VALUES must be
+    * bit-identical across engines and thread schedules — the float
+    * AVG this replaces was empirically stable (12 rounds of clean
+    * thread sweeps) but doctrinally exempt; now the whole PQ family
+    * rides the same exact fold as [[ivfCodebook]]. */
+  val PqGrid = 1e6
+
   /** q111 — product-quantization ANN with asymmetric-distance (ADC)
     * scoring: train a k-means codebook PER SUBSPACE (the q108 kernel on
     * sliced vectors), encode every vector as M small codes, and score
@@ -954,13 +975,14 @@ object Similarity {
         .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
           posexplode(col("sub.sv")).as(Seq("i", "x")))
         .groupBy("s", "cid", "i")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       books = (0 until PqM).map { s =>
         stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
           .map { case (cid, rows) =>
             cid -> rows.sortBy(_.getInt(2))
-              .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+              .map(r => r.getLong(3).toDouble / (r.getLong(4) * PqGrid)).toSeq
           }.toSeq.sortBy(_._1)
       }
     }
@@ -1016,7 +1038,10 @@ object Similarity {
       def recompute(asg: String, out: String) =
         s"""$out AS (
            |  SELECT cid, list(m ORDER BY i) AS cv FROM (
-           |    SELECT cid, i, AVG(v[i]) AS m
+           |    SELECT cid, i,
+           |           CAST(CAST(SUM(CAST(round(v[i] * $PqGrid) AS BIGINT))
+           |                     AS BIGINT) AS DOUBLE)
+           |           / (CAST(COUNT(*) AS DOUBLE) * $PqGrid) AS m
            |    FROM $asg, (SELECT unnest(generate_series(1, $PqSub)) AS i)
            |    GROUP BY cid, i)
            |  GROUP BY cid
@@ -3972,13 +3997,14 @@ object Similarity {
           .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
             posexplode(col("sub.sv")).as(Seq("i", "x")))
           .groupBy("s", "cid", "i")
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
           .collect()
         books = (0 until m).map { s =>
           stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
             .map { case (cid, rows) =>
               cid -> rows.sortBy(_.getInt(2))
-                .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+                .map(r => r.getLong(3).toDouble / (r.getLong(4) * PqGrid)).toSeq
             }.toSeq.sortBy(_._1)
         }
       }
@@ -4079,7 +4105,10 @@ object Similarity {
            |    FROM rs$sp r, pc$sp${s}_0 c) WHERE rn = 1
            |), pc$sp${s}_1 AS MATERIALIZED (
            |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
-           |    SELECT cid, i, AVG(sv[i]) AS mn
+           |    SELECT cid, i,
+           |           CAST(CAST(SUM(CAST(round(sv[i] * $PqGrid) AS BIGINT))
+           |                     AS BIGINT) AS DOUBLE)
+           |           / (CAST(COUNT(*) AS DOUBLE) * $PqGrid) AS mn
            |    FROM pa$sp${s}_1, (SELECT unnest(generate_series(1, $sub)) AS i)
            |    GROUP BY cid, i)
            |  GROUP BY cid
@@ -4695,13 +4724,14 @@ object Similarity {
           .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
             posexplode(col("sub.sv")).as(Seq("i", "x")))
           .groupBy("s", "cid", "i")
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
           .collect()
         books = (0 until PqM).map { s =>
           stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
             .map { case (cid, rows) =>
               cid -> rows.sortBy(_.getInt(2))
-                .map(r => r.getDouble(3) / r.getLong(4)).toSeq
+                .map(r => r.getLong(3).toDouble / (r.getLong(4) * PqGrid)).toSeq
             }.toSeq.sortBy(_._1)
         }
       }
@@ -4785,7 +4815,10 @@ object Similarity {
            |    FROM rs$sp r, pc$sp${s}_0 c WHERE ($trainPred)) WHERE rn = 1
            |), pc$sp${s}_1 AS MATERIALIZED (
            |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
-           |    SELECT cid, i, AVG(sv[i]) AS mn
+           |    SELECT cid, i,
+           |           CAST(CAST(SUM(CAST(round(sv[i] * $PqGrid) AS BIGINT))
+           |                     AS BIGINT) AS DOUBLE)
+           |           / (CAST(COUNT(*) AS DOUBLE) * $PqGrid) AS mn
            |    FROM pa$sp${s}_1, (SELECT unnest(generate_series(1, $PqSub)) AS i)
            |    GROUP BY cid, i)
            |  GROUP BY cid
