@@ -55,19 +55,96 @@ object IndexArtifact {
     * stale artifact from an older protocol must never serve. */
   val Version = "ivfpq-raw-v2"
 
-  /** Artifact root for one source dir: content-addressed by the
-    * corpus fingerprint so sf0.01 / sf0.1 / spec fixtures coexist. */
-  def artifactDir(sfDir: String): String = {
-    val key = java.security.MessageDigest.getInstance("md5")
-      .digest(s"$Version|$sfDir".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_index/$key"
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("md5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Root holding every GENERATION of one (Version, source-dir)
+    * artifact, scoped by user so multi-user hosts don't collide on a
+    * guessable shared /tmp path (round-12 advisor). Each generation
+    * lives in an immutable content-addressed subdirectory
+    * `gen-<md5(fingerprint)>`: [[ensureGen]] assembles a candidate in
+    * a hidden sibling temp dir and ATOMICALLY renames it into place,
+    * so a reader can never observe a half-written or mixed-generation
+    * artifact even with two JVMs building concurrently (parallel
+    * `sbt test` + Verify/Bench — the round-12 torn-read hazard).
+    * Superseded generations linger until the OS reaps the temp dir;
+    * they are immutable, so a long-running reader mid-query on an old
+    * generation is never yanked. */
+  def artifactRoot(sfDir: String): String = {
+    val user = sys.props.getOrElse("user.name", "nouser")
+    s"${sys.props("java.io.tmpdir")}/graft_index/$user/" +
+      md5Hex(s"$Version|$sfDir")
   }
 
+  /** Corpus fingerprint over the NORMALIZED vectors: row count, max
+    * id, order-free id sum, and the order-free e6-grid content
+    * checksum (q277's census fold) — so an in-place vector edit that
+    * preserves count and max(vec_id) still invalidates the artifact
+    * (round-12 verdict #3: the previous count+max fingerprint provably
+    * served stale). One aggregate on the same normalization scan the
+    * staleness check already paid; a pure RESCALING of a vector is
+    * deliberately invisible because every downstream consumer reads
+    * only the normalized form. The per-row digest weights each
+    * component by its position (unlike the census's order-free
+    * [[vecE6]]) so a component PERMUTATION — which changes geometry —
+    * also invalidates; the cross-ROW fold stays an order-free integer
+    * sum. Budget: Σ(i+1)·|round(x·1e6)| ≤ ~2e9 per row (|x| ≤ 1, 64
+    * dims); the int64 fold holds to ~4e9 rows — past that, widen to
+    * DECIMAL(38,0) as the Exact doctrine prescribes. */
   private def fingerprint(e: DataFrame): String = {
-    val r = e.agg(count(lit(1)), coalesce(max(col("vec_id")), lit(-1L)))
+    val posE6 = aggregate(
+      transform(col("x"), (x, i) => (i + 1L) * round(x * 1e6, 0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val r = e.agg(count(lit(1)), coalesce(max(col("vec_id")), lit(-1L)),
+        coalesce(sum(col("vec_id")), lit(0L)),
+        coalesce(sum(posE6), lit(0L)))
       .head()
-    s"$Version|n=${r.getLong(0)}|max=${r.getLong(1)}"
+    s"$Version|n=${r.getLong(0)}|max=${r.getLong(1)}" +
+      s"|ids=${r.getLong(2)}|vals=${r.getLong(3)}"
+  }
+
+  private[ext] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+  }
+
+  /** Resolve (and if absent, build-and-publish) the generation of
+    * `root` matching the current corpus. `force` pays the build even
+    * when the generation exists (q277 prices the build); publication
+    * stays atomic either way, and a lost publish race just drops the
+    * byte-identical duplicate (deterministic build: same corpus →
+    * same bytes). Returns (generation dir, whether a build ran). */
+  private def ensureGen(spark: SparkSession, sfDir: String, root: String,
+      builder: (DataFrame, String) => Unit, force: Boolean = false)
+      : (String, Boolean) = {
+    val e = normalized(spark, sfDir)
+    val fp = fingerprint(e)
+    val gen = s"$root/gen-${md5Hex(fp)}"
+    if (!force && Files.exists(Paths.get(s"$gen/_FINGERPRINT")))
+      (gen, false)
+    else {
+      val tmp = Paths.get(s"$root/.tmp-${java.util.UUID.randomUUID()}")
+      Files.createDirectories(tmp)
+      builder(e, tmp.toString)
+      // marker last: a generation directory is complete by contract
+      // the instant it becomes visible under its final name
+      Files.writeString(tmp.resolve("_FINGERPRINT"), fp)
+      try Files.move(tmp, Paths.get(gen),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case ex: java.nio.file.FileSystemException =>
+        // lost the publish race (or re-published under force): keep
+        // the winner's byte-identical generation, drop ours — but
+        // only if a complete generation is actually there
+        if (!Files.exists(Paths.get(s"$gen/_FINGERPRINT"))) throw ex
+        deleteRecursively(tmp)
+      }
+      (gen, true)
+    }
   }
 
   /** Normalize an (vec_id, embedding) frame — q273's `vn` exactly
@@ -107,10 +184,9 @@ object IndexArtifact {
     withRv.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
   }
 
-  /** Collect the persisted broadcast-sized quantizers. */
-  private[graft] def loadQuantizers(spark: SparkSession, sfDir: String)
+  /** Collect a generation's broadcast-sized quantizers. */
+  private[ext] def readQuantizers(spark: SparkSession, dir: String)
       : (Array[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
-    val dir = artifactDir(sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1)
@@ -122,11 +198,38 @@ object IndexArtifact {
     (cents, books)
   }
 
-  /** Train q273's raw arm and write the four artifact tables plus the
-    * fingerprint marker. Deterministic: same corpus → same bytes. */
-  def build(spark: SparkSession, sfDir: String): Unit = {
-    val dir = artifactDir(sfDir)
-    val e = normalized(spark, sfDir).localCheckpoint()
+  /** Collect the persisted broadcast-sized quantizers of the CURRENT
+    * generation (ensuring it first). */
+  private[graft] def loadQuantizers(spark: SparkSession, sfDir: String)
+      : (Array[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) =
+    readQuantizers(spark, currentDir(spark, sfDir))
+
+  /** Read an encoded table (one or more of standing/arrival dirs),
+    * restoring the schema [[encodeUnder]] produces: the write
+    * partitions by `cid`, so partition discovery types the directory
+    * values as int and appends the column LAST — cast and reorder so
+    * every reader (census, serve joins, specs) sees one stable
+    * shape. */
+  private[ext] def readEncoded(spark: SparkSession, paths: String*)
+      : DataFrame =
+    // one scan per root, unioned: multi-root partition discovery would
+    // demand a shared basePath, and separate scans keep each root
+    // independently partition-prunable
+    paths.map { p =>
+      spark.read.parquet(p)
+        .select(Seq(col("vec_id"), col("cid").cast("long").as("cid")) ++
+          (0 until PqM).map(s => col(s"c$s")): _*)
+    }.reduce(_ unionByName _)
+
+  /** Train q273's raw arm over the (already normalized) corpus `e0`
+    * and write the four artifact tables into `dir` — the encoded
+    * corpus PARTITIONED BY COARSE LIST ID, so a serving read prunes
+    * to the probed lists at the DIRECTORY level (round-12 verdict #1:
+    * `scanned_rows` must be the plan's actual read, not a model).
+    * Deterministic: same corpus → same bytes. */
+  private def buildInto(e0: DataFrame, dir: String): Unit = {
+    val spark = e0.sparkSession
+    val e = e0.localCheckpoint()
     val cents = Similarity.ivfCodebook(e)
     val centMap = typedlit(cents.toMap)
     val assigned = e
@@ -179,21 +282,19 @@ object IndexArtifact {
       .toDF("s", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
     assigned.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
-      .write.mode("overwrite").parquet(s"$dir/encoded")
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/encoded")
     e.write.mode("overwrite").parquet(s"$dir/forward")
-    Files.writeString(Paths.get(s"$dir/_FINGERPRINT"), fingerprint(e))
   }
 
-  /** Build only if the persisted fingerprint does not match the
-    * current corpus — the serve path's idempotence guard. Returns
+  /** Build only if no generation matches the current corpus
+    * fingerprint — the serve path's idempotence guard. Returns
     * true when a build ran (test hook for the skip behavior). */
-  def ensure(spark: SparkSession, sfDir: String): Boolean = {
-    val marker = Paths.get(s"${artifactDir(sfDir)}/_FINGERPRINT")
-    val want = fingerprint(normalized(spark, sfDir))
-    val stale = !Files.exists(marker) || Files.readString(marker) != want
-    if (stale) build(spark, sfDir)
-    stale
-  }
+  def ensure(spark: SparkSession, sfDir: String): Boolean =
+    ensureGen(spark, sfDir, artifactRoot(sfDir), buildInto)._2
+
+  /** The current generation's directory, building it when absent. */
+  private[ext] def currentDir(spark: SparkSession, sfDir: String): String =
+    ensureGen(spark, sfDir, artifactRoot(sfDir), buildInto)._1
 
   /** Order-free integer census of one artifact component. */
   private def census(df: DataFrame, component: String, idSum: Column,
@@ -214,11 +315,15 @@ object IndexArtifact {
     * recomputes the same census from the base table, so the compare
     * certifies the persisted bytes). */
   def indexBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    build(spark, sfDir)
-    val dir = artifactDir(sfDir)
+    // force = pay the full training/write even when a matching
+    // generation exists — this query PRICES the build; publication is
+    // the same atomic rename, and a lost race keeps the incumbent's
+    // byte-identical generation
+    val dir = ensureGen(spark, sfDir, artifactRoot(sfDir), buildInto,
+      force = true)._1
     val cent = spark.read.parquet(s"$dir/centroids")
     val book = spark.read.parquet(s"$dir/books")
-    val enc = spark.read.parquet(s"$dir/encoded")
+    val enc = readEncoded(spark, s"$dir/encoded")
     val fwd = spark.read.parquet(s"$dir/forward")
     census(cent, "centroids", col("cid"), vecE6(col("cv")), lit(0L))
       .unionByName(census(book, "books",
@@ -245,19 +350,22 @@ object IndexArtifact {
     * candidate's list's rank in the query's centroid ordering when
     * ≤ [[WideProbe]] (null past it) — any budget b ≤ WideProbe reads
     * off as `prank ≤ b`, so the narrow and widened arms share this
-    * one frame instead of re-probing. */
-  private def servedScoredRanked(spark: SparkSession, sfDir: String)
-      : DataFrame = {
-    ensure(spark, sfDir)
-    val dir = artifactDir(sfDir)
-    val (cents, books) = loadQuantizers(spark, sfDir)
+    * one frame instead of re-probing. `qpred` selects the query batch
+    * (default: the standard NQueries cut; the streaming filtered
+    * serve passes each micro-batch's id set — per-query rows are
+    * independent, so a restriction serves exactly those queries'
+    * audit rows). */
+  private[ext] def servedScoredRanked(spark: SparkSession, sfDir: String,
+      qpred: Column = col("vec_id") < NQueries): DataFrame = {
+    val dir = currentDir(spark, sfDir)
+    val (cents, books) = readQuantizers(spark, dir)
     val centMap = typedlit(cents.toMap)
     def scores(c: Column): Column = Similarity.ivfScores(cents, c)
     val fwd = spark.read.parquet(s"$dir/forward")
-    val enc = spark.read.parquet(s"$dir/encoded")
-    val qs = fwd.filter(col("vec_id") < NQueries)
+    val enc = readEncoded(spark, s"$dir/encoded")
+    val qs = fwd.filter(qpred)
       .select(col("vec_id").as("query_id"), col("x").as("qx"))
-    val probes = fwd.filter(col("vec_id") < NQueries)
+    val probes = fwd.filter(qpred)
       .select(col("vec_id").as("query_id"),
         posexplode(transform(
           slice(sort_array(scores(col("x")), asc = false), 1, WideProbe),
@@ -465,9 +573,26 @@ object IndexArtifact {
   // answer.
   // ------------------------------------------------------------------
 
-  /** Artifact root for the standing-corpus (frozen-arm) index. */
-  def standingDir(sfDir: String): String =
-    artifactDir(sfDir) + "_standing"
+  /** Root for the standing-corpus (frozen-arm) index generations.
+    * Fingerprinted over the FULL corpus (an arrival change must
+    * re-derive the standing split), same atomic-generation discipline
+    * as [[artifactRoot]]. The q280 arrival tables land INSIDE the
+    * sealed generation dir post-publication — deliberately: they are
+    * per-batch, overwrite-idempotent partition dirs (the incremental
+    * lifecycle being modeled), not fingerprint-covered build outputs. */
+  def standingRoot(sfDir: String): String =
+    artifactRoot(sfDir) + "_standing"
+
+  /** Build-if-stale for the standing index (same guard as [[ensure]]). */
+  def ensureStanding(spark: SparkSession, sfDir: String): Boolean =
+    ensureGen(spark, sfDir, standingRoot(sfDir),
+      buildStandingInto(spark, sfDir))._2
+
+  /** The standing index's current generation (building when absent). */
+  private[ext] def currentStandingDir(spark: SparkSession,
+      sfDir: String): String =
+    ensureGen(spark, sfDir, standingRoot(sfDir),
+      buildStandingInto(spark, sfDir))._1
 
   /** q276's ingest-axis width over the RAW embeddings (pre norm
     * filter, matching ivfPqMaintainOn). */
@@ -477,13 +602,14 @@ object IndexArtifact {
     (maxId + Similarity.DriftBatches) / Similarity.DriftBatches
   }
 
-  /** Train on the standing slice and persist ITS index (centroids +
-    * books from standing data, standing rows encoded, standing
-    * forward vectors) — the artifact as of "before the arrival". */
-  def buildStanding(spark: SparkSession, sfDir: String): Unit = {
-    val dir = standingDir(sfDir)
+  /** Curried standing builder: the ingest width derives from the RAW
+    * embeddings (pre norm filter — ivfPqMaintainOn's exact axis), so
+    * the sfDir rides in by closure while [[ensureGen]] supplies the
+    * normalized frame and target dir. */
+  private def buildStandingInto(spark: SparkSession, sfDir: String)
+      : (DataFrame, String) => Unit = { (e0, dir) =>
     val width = ingestWidth(spark, sfDir)
-    val e = normalized(spark, sfDir).localCheckpoint()
+    val e = e0.localCheckpoint()
     val standing = e.filter(
       expr(s"vec_id div $width") < Similarity.DriftBatches - 1)
     val cents = Similarity.ivfCodebook(standing)
@@ -533,18 +659,8 @@ object IndexArtifact {
       .toDF("s", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
     encodeUnder(cents, books, standing)
-      .write.mode("overwrite").parquet(s"$dir/encoded")
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/encoded")
     standing.write.mode("overwrite").parquet(s"$dir/forward")
-    Files.writeString(Paths.get(s"$dir/_FINGERPRINT"), fingerprint(e))
-  }
-
-  /** Build-if-stale for the standing index (same guard as [[ensure]]). */
-  def ensureStanding(spark: SparkSession, sfDir: String): Boolean = {
-    val marker = Paths.get(s"${standingDir(sfDir)}/_FINGERPRINT")
-    val want = fingerprint(normalized(spark, sfDir))
-    val stale = !Files.exists(marker) || Files.readString(marker) != want
-    if (stale) buildStanding(spark, sfDir)
-    stale
   }
 
   /** q280 — merge-and-serve: encode the arrival batch under the
@@ -554,33 +670,23 @@ object IndexArtifact {
     * over the MERGED index — arrival queries, full-corpus GT from the
     * merged forward vectors, ADC over the merged encoded rows. */
   def indexMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureStanding(spark, sfDir)
-    val dir = standingDir(sfDir)
+    val dir = currentStandingDir(spark, sfDir)
     val width = ingestWidth(spark, sfDir)
     val arrivalLo = width * (Similarity.DriftBatches - 1)
-    val (cents, books) = {
-      val c = spark.read.parquet(s"$dir/centroids")
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
-        .sortBy(_._1)
-      val b = spark.read.parquet(s"$dir/books")
-        .collect().map(r =>
-          (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map(_._2.map(t => t._2 -> t._3).sortBy(_._1).toSeq)
-      (c, b)
-    }
+    val (cents, books) = readQuantizers(spark, dir)
     // the incremental step: ONE batch-sized map-only encode, landed as
     // the arrival's own partition dir (overwrite = idempotent re-merge)
     val arrival = normalized(spark, sfDir)
       .filter(col("vec_id") >= arrivalLo)
     encodeUnder(cents, books, arrival)
-      .write.mode("overwrite").parquet(s"$dir/encoded_arrival")
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$dir/encoded_arrival")
     arrival.write.mode("overwrite").parquet(s"$dir/forward_arrival")
 
     val centMap = typedlit(cents.toMap)
     def scores(c: Column): Column = Similarity.ivfScores(cents, c)
     val fwd = spark.read.parquet(s"$dir/forward", s"$dir/forward_arrival")
-    val enc = spark.read.parquet(s"$dir/encoded", s"$dir/encoded_arrival")
+    val enc = readEncoded(spark, s"$dir/encoded", s"$dir/encoded_arrival")
     // fresh-traffic queries: the first NQueries arrival ids (q276's
     // literal-range cut)
     val qs = fwd.filter(col("vec_id") >= arrivalLo &&

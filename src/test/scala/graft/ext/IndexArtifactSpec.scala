@@ -46,7 +46,7 @@ class IndexArtifactSpec extends SparkSpec {
 
   test("q278: ensure is idempotent and the serve plan reads the artifact") {
     deleteRecursively(
-      java.nio.file.Paths.get(IndexArtifact.artifactDir(sf001)))
+      java.nio.file.Paths.get(IndexArtifact.artifactRoot(sf001)))
     assert(IndexArtifact.ensure(spark, sf001),
       "a missing artifact must trigger the build")
     assert(!IndexArtifact.ensure(spark, sf001),
@@ -76,13 +76,44 @@ class IndexArtifactSpec extends SparkSpec {
           .select(col("vec_id"),
             transform(col("v0"), x => x / col("nrm")).as("x")))
       .collect().map(_.toSeq).toSet
-    val persisted = spark.read
-      .parquet(s"${IndexArtifact.artifactDir(sf001)}/encoded")
+    val persisted = IndexArtifact.readEncoded(spark,
+        s"${IndexArtifact.currentDir(spark, sf001)}/encoded")
       .select((Seq("vec_id", "cid") ++
         (0 until Similarity.PqM).map(s => s"c$s")).map(col): _*)
       .collect().map(_.toSeq).toSet
     assert(fresh == persisted,
       "the artifact's encoded rows must equal the frozen-encode kernel")
+  }
+
+  test("ensure: an in-place vector edit preserving count and max id " +
+      "invalidates the artifact (content fingerprint)") {
+    // round-12 advisor (medium): the count+max fingerprint provably
+    // served stale on a value-only corpus edit. Stage a private copy
+    // of the corpus, build, mutate ONE vector's direction in place
+    // (same rows, same max vec_id), and the next ensure must rebuild.
+    val tmpSf = java.nio.file.Files
+      .createTempDirectory("graft-fp-mut").toString
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    embs.write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+    assert(IndexArtifact.ensure(spark, tmpSf),
+      "first ensure on a fresh corpus must build")
+    assert(!IndexArtifact.ensure(spark, tmpSf),
+      "unchanged corpus must serve the existing generation")
+    // reverse vec_id 0's embedding: count, max(vec_id), and the id sum
+    // are all preserved; only vector CONTENT moves (and not by a pure
+    // rescale, which normalization would — correctly — absorb)
+    val mutated = embs.withColumn("embedding",
+      when(col("vec_id") === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    // mutated reads from the sf001 fixture, so overwriting the staged
+    // copy in place is not a read-under-write
+    mutated.write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+    assert(IndexArtifact.ensure(spark, tmpSf),
+      "a value-only corpus edit must trigger a rebuild — the " +
+        "fingerprint would otherwise serve a stale index")
+    deleteRecursively(java.nio.file.Paths.get(
+      IndexArtifact.artifactRoot(tmpSf)))
+    deleteRecursively(java.nio.file.Paths.get(tmpSf))
   }
 
   test("q280: merged-artifact serving equals q276's inline frozen arm") {
