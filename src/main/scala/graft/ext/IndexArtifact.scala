@@ -558,6 +558,75 @@ object IndexArtifact {
       .orderBy("query_id")
   }
 
+  /** q282 — the GT-free SERVING read (round-12 verdict #1): what a
+    * production query actually executes against the artifact, as
+    * opposed to the q278/q279/q281 recall AUDITS, whose exact-GT arm
+    * must score every candidate and therefore scans the whole corpus
+    * by necessity. Two-phase read, the way a 100 TB vector serve
+    * works:
+    *
+    *  1. PLAN — resolve the artifact, collect the codebook-sized
+    *     quantizers, rank each query's [[NProbe]] nearest lists (a
+    *     bounded NQueries × IvfK computation), and collect the probed
+    *     list ids — (NQueries × NProbe)-bounded BY CONSTRUCTION.
+    *  2. READ — scan ONLY those lists: the encoded corpus is
+    *     partitioned by `cid` ([[buildInto]]), and the probed ids
+    *     become a LITERAL IN filter, so the parquet scan's
+    *     PartitionFilters prune to the probed directories
+    *     (spec-pinned). The rows this query touches are the rows the
+    *     plan physically reads — `scanned_rows` stops being a model
+    *     (the round-12 gap) and becomes the scan itself.
+    *
+    * Per-query list membership then rides the broadcast probe-pair
+    * equi-join (a probed list is only a candidate source for the
+    * queries that probed it), ADC scores against the broadcast query
+    * batch, and row_number picks the served top-[[TopK]]. Every join
+    * is a broadcast EQUI-join; the output is exact integers plus the
+    * e6-grid ADC value (per-row rounding of a fixed-order term sum —
+    * both engines execute the identical IEEE sequence). The served
+    * ranking is bit-equal to q278's probed arm at the same budget
+    * (spec-pinned reconciliation): pruning changes the bytes read,
+    * never the answer. */
+  def indexServePruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = currentDir(spark, sfDir)
+    val (cents, books) = readQuantizers(spark, dir)
+    val centMap = typedlit(cents.toMap)
+    def scores(c: Column): Column = Similarity.ivfScores(cents, c)
+    val fwd = spark.read.parquet(s"$dir/forward")
+    val qs = fwd.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("x").as("qx"))
+    val probes = fwd.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(
+          slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
+          s => -s("ncid"))).as("pcid"))
+    // phase 1's driver-side step: the probed-list union becomes a
+    // literal partition cut (24 values max — the serving plan step)
+    val probedCids = probes.select("pcid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val enc = readEncoded(spark, s"$dir/encoded")
+      .filter(col("cid").isin(probedCids: _*))
+    val adcTerms = Similarity.dot(col("qx"),
+        element_at(centMap, col("cid"))) +:
+      (0 until PqM).map { s =>
+        Similarity.dot(slice(col("qx"), s * PqSub + 1, PqSub),
+          element_at(typedlit(books(s).toMap), col(s"c$s")))
+      }
+    enc
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .join(broadcast(qs), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cid"), adcTerms.reduceLeft(_ + _).as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cid"),
+        round(col("adc") * 1e6, 0).cast("long").as("adc_e6"))
+      .orderBy("query_id", "rk")
+  }
+
   // ------------------------------------------------------------------
   // q280 — incremental artifact merge: the q276 frozen arm EXECUTED as
   // artifact lifecycle instead of one inline job. Build the index on
@@ -1087,5 +1156,56 @@ object IndexArtifact {
        |              ELSE hits_narrow * 1000000 // gt_k END AS BIGINT)
        |         AS gain_ppm
        |FROM ag ORDER BY query_id""".stripMargin
+  }
+
+  /** q282 twin — the same from-scratch index recompute, restricted to
+    * probed lists by an INNER probe join (the oracle has no partition
+    * layout, so "read only the probed lists" is expressed as the
+    * equivalent relational cut), ranked by ADC per query. */
+  val indexServePrunedSql: String = {
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN pcode$s ON pcode$s.vec_id = r.vec_id")
+      .mkString(" ")
+    val codeCols = (0 until PqM)
+      .map(s => s"pcode$s.cid AS c$s").mkString(", ")
+    val termJoins = (0 until PqM)
+      .map(s => s"JOIN pc${s}_1 k$s ON k$s.cid = cd.c$s")
+      .mkString(" ")
+    val adcSum = (s"list_dot_product(q.qx, c.cv)" +:
+      (0 until PqM).map(s =>
+        s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
+      .mkString(" + ")
+    s"""WITH $trainCtes,
+       |prob AS (
+       |  SELECT vec_id AS query_id, cid AS pcid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+       |               c.cid) AS rn
+       |    FROM en e, cent c WHERE e.vec_id < $NQueries)
+       |  WHERE rn <= $NProbe
+       |), fl AS (
+       |  SELECT q.query_id, cd.vec_id AS neighbor_id, cd.cid,
+       |         $adcSum AS adc
+       |  FROM (SELECT r.vec_id, r.cid, $codeCols
+       |        FROM rs r $codeJoins) cd
+       |  JOIN prob p ON p.pcid = cd.cid
+       |  JOIN (SELECT vec_id AS query_id, x AS qx FROM en
+       |        WHERE vec_id < $NQueries) q
+       |    ON q.query_id = p.query_id AND cd.vec_id != q.query_id
+       |  JOIN cent c ON c.cid = cd.cid
+       |  $termJoins
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |       CAST(rk AS BIGINT) AS rk,
+       |       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |       CAST(cid AS BIGINT) AS cid,
+       |       CAST(round(adc * 1e6) AS BIGINT) AS adc_e6
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc DESC, neighbor_id) AS rk
+       |  FROM fl)
+       |WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
   }
 }

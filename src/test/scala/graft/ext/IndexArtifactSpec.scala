@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Invariants for the q277/q278/q279 index-as-artifact family that
@@ -83,6 +84,45 @@ class IndexArtifactSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(fresh == persisted,
       "the artifact's encoded rows must equal the frozen-encode kernel")
+  }
+
+  test("q282: the serve scan physically prunes to the probed cid " +
+      "partitions") {
+    IndexArtifact.ensure(spark, sf001)
+    val plan = IndexArtifact.indexServePruned(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the probed-list cut must land as a PARTITION filter on the
+    // encoded scan (directory-level pruning), not a data filter the
+    // scan evaluates after reading every list (round-12 verdict #1:
+    // scanned_rows must be the plan's actual read)
+    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*".r
+        .findFirstIn(plan).isDefined,
+      s"probed cids must prune the encoded scan's partitions:\n$plan")
+    // and the query cut still pushes to the forward scan
+    assert(plan.contains(s"LessThan(vec_id,${Similarity.NQueries})"),
+      s"query cut must push to the forward scan:\n$plan")
+  }
+
+  test("q282: served top-k equals q278's probed-arm ADC ranking") {
+    // pruning changes the bytes read, never the answer: the GT-free
+    // serve must reproduce exactly the probed-arm ranking the q278
+    // audit computes from the full candidate frame
+    val served = IndexArtifact.indexServePruned(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val audit = IndexArtifact.servedScoredRanked(spark, sf001)
+      .withColumn("probed",
+        col("prank").isNotNull && col("prank") <= Similarity.NProbe)
+      .filter(col("probed"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= Similarity.TopK)
+      .select("query_id", "rk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == audit,
+      s"pruned serve drifted from the audit's probed arm: " +
+        s"served-only=${(served diff audit).take(3)} " +
+        s"audit-only=${(audit diff served).take(3)}")
   }
 
   test("ensure: an in-place vector edit preserving count and max id " +
