@@ -4634,6 +4634,102 @@ object Similarity {
   // cost vs a full rebuild?)
   // ----------------------------------------------------------------
 
+  /** One q276 audit arm over a shared normalized corpus: train the
+    * coarse+PQ quantizers on `train`, assign/encode the FULL corpus,
+    * audit the `qsel` queries (probe budget NProbe, ADC ranking,
+    * exact-cosine GT). Extracted object-level so q283's retrain
+    * policy sweeps the same arms over a wider query cohort. */
+  private def maintainArm(e: DataFrame, qsel: DataFrame,
+      train: DataFrame, tag: String): DataFrame = {
+    val cents = ivfCodebook(train)
+    val centMap = typedlit(cents.toMap)
+    def scores(c: Column): Column = ivfScores(cents, c)
+    // FULL corpus assigned/encoded; only TRAINING reads the slice
+    val assigned = e
+      .withColumn("cid",
+        -sort_array(scores(col("x")), asc = false)(0)("ncid"))
+      .withColumn("rv",
+        zip_with(col("x"), element_at(centMap, col("cid")),
+          (a, b) => a - b))
+    val trainIds = train.select(col("vec_id"))
+    val trainRes = assigned.join(trainIds, Seq("vec_id"), "left_semi")
+    val seedRows = trainRes.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("rv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map { s =>
+      seedRows.map { case (cid, rv) =>
+        cid -> rv.slice(s * PqSub, s * PqSub + PqSub).toSeq }
+    }
+    for (_ <- 1 to PqRounds) {
+      val subs = (0 until PqM).map { s =>
+        val sv = slice(col("rv"), s * PqSub + 1, PqSub)
+        struct(lit(s).as("s"), nearestL2(sv, books(s)).as("cid"),
+          sv.as("sv"))
+      }
+      val stats = trainRes.select(explode(array(subs: _*)).as("sub"))
+        .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
+          posexplode(col("sub.sv")).as(Seq("i", "x")))
+        .groupBy("s", "cid", "i")
+        .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+        .collect()
+      books = (0 until PqM).map { s =>
+        stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(2))
+              .map(r => r.getLong(3).toDouble / (r.getLong(4) * PqGrid)).toSeq
+          }.toSeq.sortBy(_._1)
+      }
+    }
+    val codes = (0 until PqM).map { s =>
+      nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
+        .as(s"c$s")
+    }
+    val enc = assigned.select(
+      Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
+        col("cid")) ++ codes: _*)
+    val qe = e.join(broadcast(qsel), Seq("vec_id"))
+    val qs = qe.select(col("vec_id").as("query_id"), col("x").as("qx"))
+    val probes = qe
+      .select(col("vec_id").as("query_id"),
+        explode(transform(
+          slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
+          s => -s("ncid"))).as("pcid"))
+    val adcTerms = dot(col("qx"), element_at(centMap, col("cid"))) +:
+      (0 until PqM).map { s =>
+        dot(slice(col("qx"), s * PqSub + 1, PqSub),
+          element_at(typedlit(books(s).toMap), col(s"c$s")))
+      }
+    val k = TopK.toLong
+    val scored = enc
+      .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cid"),
+        cosine(col("qx"), col("cx")).as("cos"),
+        adcTerms.reduceLeft(_ + _).as("adc"))
+      .join(broadcast(probes.withColumnRenamed("query_id", "p_qid")),
+        col("query_id") === col("p_qid") && col("cid") === col("pcid"),
+        "left_outer")
+      .drop("p_qid")
+      .withColumn("probed", col("pcid").isNotNull)
+    scored
+      .withColumn("r_ex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .withColumn("r_adc", row_number().over(
+        Window.partitionBy(col("query_id"), col("probed"))
+          .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
+      .groupBy("query_id").agg(
+        sum(when(col("probed"), 1L).otherwise(0L)).as("scanned_rows"),
+        sum(when(col("r_ex") <= k, 1L).otherwise(0L)).as("gt_k"),
+        sum(when(col("probed") && col("r_adc") <= k && col("r_ex") <= k,
+          1L).otherwise(0L)).as("hits"))
+      .select(lit(tag).as("arm"), col("query_id"), col("scanned_rows"),
+        col("gt_k"), col("hits"),
+        round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** q276 — frozen-vs-rebuilt index audit. The corpus splits on the
     * q265/q267 ingest axis (vec_id ranges, [[DriftBatches]] batches):
     * batches 0‥6 are the STANDING corpus, batch 7 is the new arrival.
@@ -4693,97 +4789,101 @@ object Similarity {
         col("vec_id") < qLo + NQueries)
       .select(col("vec_id"))
 
-    def arm(train: DataFrame, tag: String): DataFrame = {
-      val cents = ivfCodebook(train)
-      val centMap = typedlit(cents.toMap)
-      def scores(c: Column): Column = ivfScores(cents, c)
-      // FULL corpus assigned/encoded; only TRAINING reads the slice
-      val assigned = e
-        .withColumn("cid",
-          -sort_array(scores(col("x")), asc = false)(0)("ncid"))
-        .withColumn("rv",
-          zip_with(col("x"), element_at(centMap, col("cid")),
-            (a, b) => a - b))
-      val trainIds = train.select(col("vec_id"))
-      val trainRes = assigned.join(trainIds, Seq("vec_id"), "left_semi")
-      val seedRows = trainRes.filter(col("vec_id") < PqK)
-        .select(col("vec_id"), col("rv"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-        .sortBy(_._1).toSeq
-      var books: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map { s =>
-        seedRows.map { case (cid, rv) =>
-          cid -> rv.slice(s * PqSub, s * PqSub + PqSub).toSeq }
-      }
-      for (_ <- 1 to PqRounds) {
-        val subs = (0 until PqM).map { s =>
-          val sv = slice(col("rv"), s * PqSub + 1, PqSub)
-          struct(lit(s).as("s"), nearestL2(sv, books(s)).as("cid"),
-            sv.as("sv"))
-        }
-        val stats = trainRes.select(explode(array(subs: _*)).as("sub"))
-          .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
-            posexplode(col("sub.sv")).as(Seq("i", "x")))
-          .groupBy("s", "cid", "i")
-          .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
-          count(lit(1)).as("n"))
-          .collect()
-        books = (0 until PqM).map { s =>
-          stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
-            .map { case (cid, rows) =>
-              cid -> rows.sortBy(_.getInt(2))
-                .map(r => r.getLong(3).toDouble / (r.getLong(4) * PqGrid)).toSeq
-            }.toSeq.sortBy(_._1)
-        }
-      }
-      val codes = (0 until PqM).map { s =>
-        nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
-          .as(s"c$s")
-      }
-      val enc = assigned.select(
-        Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
-          col("cid")) ++ codes: _*)
-      val qe = e.join(broadcast(qsel), Seq("vec_id"))
-      val qs = qe.select(col("vec_id").as("query_id"), col("x").as("qx"))
-      val probes = qe
-        .select(col("vec_id").as("query_id"),
-          explode(transform(
-            slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
-            s => -s("ncid"))).as("pcid"))
-      val adcTerms = dot(col("qx"), element_at(centMap, col("cid"))) +:
-        (0 until PqM).map { s =>
-          dot(slice(col("qx"), s * PqSub + 1, PqSub),
-            element_at(typedlit(books(s).toMap), col(s"c$s")))
-        }
-      val k = TopK.toLong
-      val scored = enc
-        .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"), col("cid"),
-          cosine(col("qx"), col("cx")).as("cos"),
-          adcTerms.reduceLeft(_ + _).as("adc"))
-        .join(broadcast(probes.withColumnRenamed("query_id", "p_qid")),
-          col("query_id") === col("p_qid") && col("cid") === col("pcid"),
-          "left_outer")
-        .drop("p_qid")
-        .withColumn("probed", col("pcid").isNotNull)
-      scored
-        .withColumn("r_ex", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
-        .withColumn("r_adc", row_number().over(
-          Window.partitionBy(col("query_id"), col("probed"))
-            .orderBy(col("adc").desc, col("neighbor_id"))).cast("long"))
-        .groupBy("query_id").agg(
-          sum(when(col("probed"), 1L).otherwise(0L)).as("scanned_rows"),
-          sum(when(col("r_ex") <= k, 1L).otherwise(0L)).as("gt_k"),
-          sum(when(col("probed") && col("r_adc") <= k && col("r_ex") <= k,
-            1L).otherwise(0L)).as("hits"))
-        .select(lit(tag).as("arm"), col("query_id"), col("scanned_rows"),
-          col("gt_k"), col("hits"),
-          round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
-            .as("recall"))
-    }
-    arm(standing, "frozen").unionByName(arm(e, "rebuilt"))
+    maintainArm(e, qsel, standing, "frozen")
+      .unionByName(maintainArm(e, qsel, e, "rebuilt"))
       .orderBy("arm", "query_id")
+  }
+
+  /** Queries drawn per ingest batch for the q283 policy sweep — the
+    * first [[PolicyQueries]] ids of every batch, so the decision axis
+    * covers standing AND fresh traffic with one bounded cohort
+    * ([[DriftBatches]]·PolicyQueries = 32 queries total). */
+  val PolicyQueries = 4
+
+  /** Declared retrain threshold: the frozen arm may lag the rebuilt
+    * arm by at most this much aggregate recall (ppm) on a query batch
+    * before the policy calls for a retrain. 15%: with
+    * [[PolicyQueries]]·[[TopK]] = 40 GT slots per batch each hit is
+    * 25 000 ppm, so same-distribution sampling noise (a few hits
+    * either way — the real fixture wobbles to ±100 000) stays under
+    * the bar, while a genuinely drifted cohort — where the frozen
+    * books never saw the new residual geometry and ADC ranking
+    * collapses toward zero recall against a healthy rebuilt arm —
+    * blows through it (spec-pinned). A production operator tunes this
+    * against the rebuild cost q277 prices. */
+  val RetrainGapPpm = 150000L
+
+  /** q283 — the RETRAIN-TRIGGER POLICY, the decision operator on top
+    * of q276's pricing: q276 tells you what serving a batch from
+    * frozen quantizers costs in recall and q277 what a rebuild costs
+    * in compute; this query joins the two existing arms per query,
+    * aggregates the recall gap PER INGEST BATCH along the drift axis,
+    * applies the declared [[RetrainGapPpm]] threshold, and reports
+    * the first batch whose frozen-arm decay crosses it — the "when do
+    * we retrain" answer a 100 TB index operator actually ships.
+    *
+    * Both arms train ONCE (frozen on the standing slice, rebuilt on
+    * the full corpus — exactly q276's two bounded trainings); only
+    * the query cohort widens, to [[PolicyQueries]] per batch, so the
+    * per-batch rows price how each traffic cohort fares under the
+    * same frozen index. On the real (same-distribution) fixture every
+    * gap sits near 0 and `first_trigger_batch` is NULL — "don't
+    * retrain" is a result, not a failure; the drifted-fixture spec
+    * pins that the trigger fires on the planted batch. All outputs
+    * are exact integers (counts + integer-div ppm — the q253 rule);
+    * the NULL trigger sentinel means "no batch crossed the
+    * threshold". Scale shape: two bounded trainings, one scoring scan
+    * per arm over a constant-bounded query broadcast, an 8-row
+    * aggregate, and one window over those 8 rows. */
+  def retrainPolicy(spark: SparkSession, sfDir: String): DataFrame =
+    retrainPolicyOn(spark, Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core over an injectable embeddings frame (specs plant drift). */
+  def retrainPolicyOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val width = (maxId + DriftBatches) / DriftBatches
+    val e = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("v0"))
+      .withColumn("nrm", norm(col("v0")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("v0"), x => x / col("nrm")).as("x"))
+      .localCheckpoint()
+    val standing = e.filter(
+      expr(s"vec_id div $width") < DriftBatches - 1)
+    // the policy cohort: a literal per-batch id cut (width is
+    // driver-known), so the plan's bounded-broadcast detector sees it
+    val qsel = e.filter(expr(s"vec_id % $width") < PolicyQueries)
+      .select(col("vec_id"))
+    val frozen = maintainArm(e, qsel, standing, "frozen")
+      .select(col("query_id"), col("gt_k").as("gt_f"),
+        col("hits").as("hits_f"))
+    val rebuilt = maintainArm(e, qsel, e, "rebuilt")
+      .select(col("query_id"), col("gt_k").as("gt_r"),
+        col("hits").as("hits_r"))
+    frozen.join(rebuilt, Seq("query_id"))
+      .withColumn("batch", expr(s"query_id div $width"))
+      .groupBy("batch").agg(
+        count(lit(1)).as("n_q"),
+        sum(col("gt_f")).as("gt_frozen"),
+        sum(col("hits_f")).as("hits_frozen"),
+        sum(col("gt_r")).as("gt_rebuilt"),
+        sum(col("hits_r")).as("hits_rebuilt"))
+      // integer `div` (Column `/` is a double divide) — the q253 ppm rule
+      .selectExpr("batch", "n_q", "gt_frozen", "hits_frozen",
+        "CASE WHEN gt_frozen = 0 THEN 0L" +
+          " ELSE hits_frozen * 1000000L div gt_frozen END AS frozen_ppm",
+        "gt_rebuilt", "hits_rebuilt",
+        "CASE WHEN gt_rebuilt = 0 THEN 0L" +
+          " ELSE hits_rebuilt * 1000000L div gt_rebuilt END AS rebuilt_ppm")
+      .withColumn("gap_ppm", col("rebuilt_ppm") - col("frozen_ppm"))
+      .withColumn("retrain", col("gap_ppm") > RetrainGapPpm)
+      // the decision rides every row: min triggered batch over the
+      // DriftBatches(=8)-row aggregate — a bounded unpartitioned window
+      .withColumn("first_trigger_batch",
+        min(when(col("retrain"), col("batch")))
+          .over(Window.partitionBy()))
+      .orderBy("batch")
   }
 
   /** q276 twin: one normalized corpus CTE + the ingest-width anchor,
@@ -4791,120 +4891,136 @@ object Similarity {
     * difference between the arms is the training predicate on the
     * centroid sample and the PQ seed/Lloyd CTEs; assignment, encode,
     * probe, and audit all run over the full corpus in both. */
-  val ivfPqMaintainSql: String = {
+  // ------------------------------------------------------------------
+  // Shared SQL builders for the q276 family (maintain / retrain policy
+  // / compaction census): the per-arm CTE chain split into its
+  // train+encode half and its probe/audit half, both over the shared
+  // `en` (+ `wp`, `qsel`) prefix.
+  // ------------------------------------------------------------------
+
+  private def pqSqdSql(a: String, b: String) =
+    s"""list_sum(list_transform(range($PqSub),
+       |               j -> ($a[j + 1] - $b[j + 1])
+       |                    * ($a[j + 1] - $b[j + 1])))""".stripMargin
+
+  /** Train/encode half of one q276 arm: coarse centroids over the
+    * `trainPred` rows (ivfCentCtes), full-corpus residual assignment
+    * (`rs$sp`), PQ books from trainPred residuals, full-corpus codes
+    * (`pcode` per subspace). */
+  private[ext] def maintainTrainCtesSql(sp: String,
+      trainPred: String): String = {
     require(PqRounds == 1,
-      "ivfPqMaintainSql unrolls exactly one PQ Lloyd round; regenerate " +
+      "maintain twins unroll exactly one PQ Lloyd round; regenerate " +
         "the per-subspace CTE chain before bumping PqRounds")
     def lo(s: Int) = s * PqSub + 1
     def hi(s: Int) = (s + 1) * PqSub
-    def sqd(a: String, b: String) =
-      s"""list_sum(list_transform(range($PqSub),
-         |               j -> ($a[j + 1] - $b[j + 1])
-         |                    * ($a[j + 1] - $b[j + 1])))""".stripMargin
-    def armCtes(sp: String, trainPred: String): String = {
-      val perSub = (0 until PqM).map { s =>
-        s"""pc$sp${s}_0 AS (
-           |  SELECT r.vec_id AS cid, r.rv[${lo(s)}:${hi(s)}] AS cv
-           |  FROM rs$sp r WHERE r.vec_id < $PqK AND ($trainPred)
-           |), pa$sp${s}_1 AS MATERIALIZED (
-           |  SELECT vec_id, sv, cid FROM (
-           |    SELECT r.vec_id, r.rv[${lo(s)}:${hi(s)}] AS sv, c.cid,
-           |           row_number() OVER (PARTITION BY r.vec_id
-           |             ORDER BY ${sqd(s"r.rv[${lo(s)}:${hi(s)}]", "c.cv")}
-           |               ASC, c.cid) AS rn
-           |    FROM rs$sp r, pc$sp${s}_0 c WHERE ($trainPred)) WHERE rn = 1
-           |), pc$sp${s}_1 AS MATERIALIZED (
-           |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
-           |    SELECT cid, i,
-           |           CAST(CAST(SUM(CAST(round(sv[i] * $PqGrid) AS BIGINT))
-           |                     AS BIGINT) AS DOUBLE)
-           |           / (CAST(COUNT(*) AS DOUBLE) * $PqGrid) AS mn
-           |    FROM pa$sp${s}_1, (SELECT unnest(generate_series(1, $PqSub)) AS i)
-           |    GROUP BY cid, i)
-           |  GROUP BY cid
-           |), sub$sp$s AS (
-           |  SELECT vec_id, rv[${lo(s)}:${hi(s)}] AS sv FROM rs$sp
-           |), pcode$sp$s AS MATERIALIZED (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT a.vec_id, c.cid,
-           |           row_number() OVER (PARTITION BY a.vec_id
-           |             ORDER BY ${sqd("a.sv", "c.cv")} ASC, c.cid) AS rn
-           |    FROM sub$sp$s a, pc$sp${s}_1 c) WHERE rn = 1
-           |)""".stripMargin
-      }.mkString(",\n")
-      val codeJoins = (0 until PqM)
-        .map(s => s"JOIN pcode$sp$s ON pcode$sp$s.vec_id = r.vec_id")
-        .mkString(" ")
-      val codeCols = (0 until PqM)
-        .map(s => s"pcode$sp$s.cid AS c$s").mkString(", ")
-      val termJoins = (0 until PqM)
-        .map(s => s"JOIN pc$sp${s}_1 k$s ON k$s.cid = cd.c$s")
-        .mkString(" ")
-      val adcSum = (s"list_dot_product(q.qx, c.cv)" +:
-        (0 until PqM).map(s =>
-          s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
-        .mkString(" + ")
-      s"""${ivfCentCtes(s"cent$sp", "en", "x", trainPred)},
-         |rs$sp AS MATERIALIZED (
-         |  SELECT a.vec_id, a.ingest_batch, a.x, a.cid,
-         |         list_transform(range($Dim),
-         |           i -> a.x[i + 1] - c.cv[i + 1]) AS rv
-         |  FROM (
-         |    SELECT vec_id, ingest_batch, x, cid FROM (
-         |      SELECT e.vec_id, e.ingest_batch, e.x, c.cid,
-         |             row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
-         |                 c.cid) AS rn
-         |      FROM en e, cent$sp c) WHERE rn = 1) a
-         |  JOIN cent$sp c ON c.cid = a.cid
-         |),
-         |$perSub,
-         |prob$sp AS (
-         |  SELECT vec_id AS query_id, cid AS pcid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
-         |               c.cid) AS rn
-         |    FROM en e JOIN qsel ON qsel.vec_id = e.vec_id, cent$sp c)
-         |  WHERE rn <= $NProbe
-         |), fl$sp AS (
-         |  SELECT q.query_id, cd.vec_id AS neighbor_id,
-         |         list_cosine_similarity(q.qx, cd.x) AS cos,
-         |         $adcSum AS adc,
-         |         (p.pcid IS NOT NULL) AS probed
-         |  FROM (SELECT r.vec_id, r.x, r.cid, $codeCols
-         |        FROM rs$sp r $codeJoins) cd
-         |  JOIN cent$sp c ON c.cid = cd.cid
-         |  JOIN (SELECT e.vec_id AS query_id, e.x AS qx FROM en e
-         |        JOIN qsel ON qsel.vec_id = e.vec_id) q
-         |    ON cd.vec_id != q.query_id
-         |  $termJoins
-         |  LEFT JOIN prob$sp p ON p.query_id = q.query_id
-         |                     AND p.pcid = cd.cid
-         |), rk$sp AS (
-         |  SELECT query_id, probed,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos DESC, neighbor_id) AS r_ex,
-         |         row_number() OVER (PARTITION BY query_id, probed
-         |           ORDER BY adc DESC, neighbor_id) AS r_adc
-         |  FROM fl$sp
-         |), ag$sp AS (
-         |  SELECT query_id,
-         |         SUM(CASE WHEN probed THEN 1 ELSE 0 END) AS scanned_rows,
-         |         SUM(CASE WHEN r_ex <= $TopK THEN 1 ELSE 0 END) AS gt_k,
-         |         SUM(CASE WHEN probed AND r_adc <= $TopK AND r_ex <= $TopK
-         |                  THEN 1 ELSE 0 END) AS hits
-         |  FROM rk$sp GROUP BY 1
+    val perSub = (0 until PqM).map { s =>
+      s"""pc$sp${s}_0 AS (
+         |  SELECT r.vec_id AS cid, r.rv[${lo(s)}:${hi(s)}] AS cv
+         |  FROM rs$sp r WHERE r.vec_id < $PqK AND ($trainPred)
+         |), pa$sp${s}_1 AS MATERIALIZED (
+         |  SELECT vec_id, sv, cid FROM (
+         |    SELECT r.vec_id, r.rv[${lo(s)}:${hi(s)}] AS sv, c.cid,
+         |           row_number() OVER (PARTITION BY r.vec_id
+         |             ORDER BY ${pqSqdSql(s"r.rv[${lo(s)}:${hi(s)}]", "c.cv")}
+         |               ASC, c.cid) AS rn
+         |    FROM rs$sp r, pc$sp${s}_0 c WHERE ($trainPred)) WHERE rn = 1
+         |), pc$sp${s}_1 AS MATERIALIZED (
+         |  SELECT cid, list(mn ORDER BY i) AS cv FROM (
+         |    SELECT cid, i,
+         |           CAST(CAST(SUM(CAST(round(sv[i] * $PqGrid) AS BIGINT))
+         |                     AS BIGINT) AS DOUBLE)
+         |           / (CAST(COUNT(*) AS DOUBLE) * $PqGrid) AS mn
+         |    FROM pa$sp${s}_1, (SELECT unnest(generate_series(1, $PqSub)) AS i)
+         |    GROUP BY cid, i)
+         |  GROUP BY cid
+         |), sub$sp$s AS (
+         |  SELECT vec_id, rv[${lo(s)}:${hi(s)}] AS sv FROM rs$sp
+         |), pcode$sp$s AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT a.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${pqSqdSql("a.sv", "c.cv")} ASC, c.cid) AS rn
+         |    FROM sub$sp$s a, pc$sp${s}_1 c) WHERE rn = 1
          |)""".stripMargin
-    }
-    def armSelect(sp: String, tag: String) =
-      s"""SELECT '$tag' AS arm, CAST(query_id AS BIGINT) AS query_id,
-         |       CAST(scanned_rows AS BIGINT) AS scanned_rows,
-         |       CAST(gt_k AS BIGINT) AS gt_k, CAST(hits AS BIGINT) AS hits,
-         |       round(CAST(hits AS DOUBLE) / CAST(gt_k AS DOUBLE), 6)
-         |         AS recall
-         |FROM ag$sp""".stripMargin
-    s"""WITH wp AS (
+    }.mkString(",\n")
+    s"""${ivfCentCtes(s"cent$sp", "en", "x", trainPred)},
+       |rs$sp AS MATERIALIZED (
+       |  SELECT a.vec_id, a.ingest_batch, a.x, a.cid,
+       |         list_transform(range($Dim),
+       |           i -> a.x[i + 1] - c.cv[i + 1]) AS rv
+       |  FROM (
+       |    SELECT vec_id, ingest_batch, x, cid FROM (
+       |      SELECT e.vec_id, e.ingest_batch, e.x, c.cid,
+       |             row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+       |                 c.cid) AS rn
+       |      FROM en e, cent$sp c) WHERE rn = 1) a
+       |  JOIN cent$sp c ON c.cid = a.cid
+       |),
+       |$perSub""".stripMargin
+  }
+
+  /** Probe/score/rank/aggregate half of one q276 arm: per-query audit
+    * rows `ag$sp` (scanned/gt/hits) for the `qsel` queries. */
+  private[ext] def maintainAuditCtesSql(sp: String): String = {
+    def lo(s: Int) = s * PqSub + 1
+    def hi(s: Int) = (s + 1) * PqSub
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN pcode$sp$s ON pcode$sp$s.vec_id = r.vec_id")
+      .mkString(" ")
+    val codeCols = (0 until PqM)
+      .map(s => s"pcode$sp$s.cid AS c$s").mkString(", ")
+    val termJoins = (0 until PqM)
+      .map(s => s"JOIN pc$sp${s}_1 k$s ON k$s.cid = cd.c$s")
+      .mkString(" ")
+    val adcSum = (s"list_dot_product(q.qx, c.cv)" +:
+      (0 until PqM).map(s =>
+        s"list_dot_product(q.qx[${lo(s)}:${hi(s)}], k$s.cv)"))
+      .mkString(" + ")
+    s"""prob$sp AS (
+       |  SELECT vec_id AS query_id, cid AS pcid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.x, c.cv) DESC,
+       |               c.cid) AS rn
+       |    FROM en e JOIN qsel ON qsel.vec_id = e.vec_id, cent$sp c)
+       |  WHERE rn <= $NProbe
+       |), fl$sp AS (
+       |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+       |         list_cosine_similarity(q.qx, cd.x) AS cos,
+       |         $adcSum AS adc,
+       |         (p.pcid IS NOT NULL) AS probed
+       |  FROM (SELECT r.vec_id, r.x, r.cid, $codeCols
+       |        FROM rs$sp r $codeJoins) cd
+       |  JOIN cent$sp c ON c.cid = cd.cid
+       |  JOIN (SELECT e.vec_id AS query_id, e.x AS qx FROM en e
+       |        JOIN qsel ON qsel.vec_id = e.vec_id) q
+       |    ON cd.vec_id != q.query_id
+       |  $termJoins
+       |  LEFT JOIN prob$sp p ON p.query_id = q.query_id
+       |                     AND p.pcid = cd.cid
+       |), rk$sp AS (
+       |  SELECT query_id, probed,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS r_ex,
+       |         row_number() OVER (PARTITION BY query_id, probed
+       |           ORDER BY adc DESC, neighbor_id) AS r_adc
+       |  FROM fl$sp
+       |), ag$sp AS (
+       |  SELECT query_id,
+       |         SUM(CASE WHEN probed THEN 1 ELSE 0 END) AS scanned_rows,
+       |         SUM(CASE WHEN r_ex <= $TopK THEN 1 ELSE 0 END) AS gt_k,
+       |         SUM(CASE WHEN probed AND r_adc <= $TopK AND r_ex <= $TopK
+       |                  THEN 1 ELSE 0 END) AS hits
+       |  FROM rk$sp GROUP BY 1
+       |)""".stripMargin
+  }
+
+  /** The shared `wp` (ingest width) + `en` (normalized corpus with
+    * ingest_batch) twin prefix of the q276 family. */
+  private[ext] def maintainEnCtesSql: String =
+    s"""wp AS (
        |  SELECT (MAX(vec_id) + $DriftBatches) // $DriftBatches AS w
        |  FROM embeddings
        |), en AS MATERIALIZED (
@@ -4916,16 +5032,75 @@ object Similarity {
        |                                 embedding::DOUBLE[])) AS nrm
        |    FROM embeddings), wp
        |  WHERE nrm > 0
-       |), qsel AS MATERIALIZED (
+       |)""".stripMargin
+
+  val ivfPqMaintainSql: String = {
+    def armSelect(sp: String, tag: String) =
+      s"""SELECT '$tag' AS arm, CAST(query_id AS BIGINT) AS query_id,
+         |       CAST(scanned_rows AS BIGINT) AS scanned_rows,
+         |       CAST(gt_k AS BIGINT) AS gt_k, CAST(hits AS BIGINT) AS hits,
+         |       round(CAST(hits AS DOUBLE) / CAST(gt_k AS DOUBLE), 6)
+         |         AS recall
+         |FROM ag$sp""".stripMargin
+    s"""WITH $maintainEnCtesSql, qsel AS MATERIALIZED (
        |  SELECT vec_id FROM en, wp
        |  WHERE vec_id >= wp.w * ${DriftBatches - 1}
        |    AND vec_id < wp.w * ${DriftBatches - 1} + $NQueries
        |),
-       |${armCtes("f", s"ingest_batch < ${DriftBatches - 1}")},
-       |${armCtes("b", "TRUE")}
+       |${maintainTrainCtesSql("f", s"ingest_batch < ${DriftBatches - 1}")},
+       |${maintainAuditCtesSql("f")},
+       |${maintainTrainCtesSql("b", "TRUE")},
+       |${maintainAuditCtesSql("b")}
        |${armSelect("f", "frozen")}
        |UNION ALL
        |${armSelect("b", "rebuilt")}
        |ORDER BY arm, query_id""".stripMargin
   }
+
+  /** q283 twin: the same two-arm recompute over the per-batch policy
+    * cohort, joined per query and aggregated per ingest batch; NULL
+    * `first_trigger_batch` when no gap crosses the threshold. */
+  val retrainPolicySql: String =
+    s"""WITH $maintainEnCtesSql, qsel AS MATERIALIZED (
+       |  SELECT vec_id FROM en, wp
+       |  WHERE vec_id % wp.w < $PolicyQueries
+       |),
+       |${maintainTrainCtesSql("f", s"ingest_batch < ${DriftBatches - 1}")},
+       |${maintainAuditCtesSql("f")},
+       |${maintainTrainCtesSql("b", "TRUE")},
+       |${maintainAuditCtesSql("b")},
+       |per AS (
+       |  SELECT f.query_id, f.gt_k AS gt_f, f.hits AS hits_f,
+       |         b.gt_k AS gt_r, b.hits AS hits_r
+       |  FROM agf f JOIN agb b USING (query_id)
+       |), bb AS (
+       |  SELECT p.query_id // wp.w AS batch, COUNT(*) AS n_q,
+       |         SUM(gt_f) AS gt_frozen, SUM(hits_f) AS hits_frozen,
+       |         SUM(gt_r) AS gt_rebuilt, SUM(hits_r) AS hits_rebuilt
+       |  FROM per p, wp GROUP BY 1
+       |), pp AS (
+       |  SELECT batch, n_q, gt_frozen, hits_frozen,
+       |         CASE WHEN gt_frozen = 0 THEN 0
+       |              ELSE hits_frozen * 1000000 // gt_frozen
+       |         END AS frozen_ppm,
+       |         gt_rebuilt, hits_rebuilt,
+       |         CASE WHEN gt_rebuilt = 0 THEN 0
+       |              ELSE hits_rebuilt * 1000000 // gt_rebuilt
+       |         END AS rebuilt_ppm
+       |  FROM bb
+       |)
+       |SELECT CAST(batch AS BIGINT) AS batch,
+       |       CAST(n_q AS BIGINT) AS n_q,
+       |       CAST(gt_frozen AS BIGINT) AS gt_frozen,
+       |       CAST(hits_frozen AS BIGINT) AS hits_frozen,
+       |       CAST(frozen_ppm AS BIGINT) AS frozen_ppm,
+       |       CAST(gt_rebuilt AS BIGINT) AS gt_rebuilt,
+       |       CAST(hits_rebuilt AS BIGINT) AS hits_rebuilt,
+       |       CAST(rebuilt_ppm AS BIGINT) AS rebuilt_ppm,
+       |       CAST(rebuilt_ppm - frozen_ppm AS BIGINT) AS gap_ppm,
+       |       (rebuilt_ppm - frozen_ppm > $RetrainGapPpm) AS retrain,
+       |       CAST(MIN(CASE WHEN rebuilt_ppm - frozen_ppm > $RetrainGapPpm
+       |                     THEN batch END) OVER () AS BIGINT)
+       |         AS first_trigger_batch
+       |FROM pp ORDER BY batch""".stripMargin
 }

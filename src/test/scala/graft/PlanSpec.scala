@@ -214,6 +214,9 @@ class PlanSpec extends SparkSpec {
       // q276: q273's audit shape per arm — the same NQueries scoring
       // broadcast and 24-row probe-set broadcast
       "q276_index_maintain",
+      // q283: q276's two arms over the PolicyQueries-per-batch cohort
+      // (DriftBatches·PolicyQueries = 32 queries, constant-bounded)
+      "q283_retrain_policy",
       // q278/q279: q273's serving audit run FROM the persisted
       // artifact — the same NQueries scoring broadcast and 24-row
       // probe-set broadcast; the corpus-sized joins (encoded×forward)
