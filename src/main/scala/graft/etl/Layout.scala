@@ -61,6 +61,39 @@ object Layout {
     nFiles
   }
 
+  /** Partitioned compaction — the maintenance pass that folds a
+    * streaming/incremental sink's per-micro-batch appends into a
+    * SERVING layout: read the flat append files, hash-cluster on the
+    * partition column so each key's rows land in one task, and
+    * rewrite `partitionBy(key)` — one file per populated partition
+    * directory (the directory-pruned layout q282's serve reads). At
+    * larger per-key volumes set spark.sql.files.maxRecordsPerFile to
+    * split hot keys; the clustering keeps every file single-key
+    * either way. Returns the output data-file count so callers can
+    * audit the compaction ratio. */
+  def compactPartitioned(spark: SparkSession, inPath: String,
+      outPath: String, partCol: String): Long = {
+    spark.read.parquet(inPath)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(outPath)
+    parquetFileCount(outPath)
+  }
+
+  /** Count the parquet data files under a directory tree (hidden
+    * marker/temporary files excluded). */
+  def parquetFileCount(path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.count(f =>
+        f.toString.endsWith(".parquet") &&
+          !f.getFileName.toString.startsWith(".")).toLong
+      finally walk.close()
+    }
+  }
+
   /** Bits per dimension for the Z-order curve (2·ZBits-bit z-value). */
   val ZBits = 8
 

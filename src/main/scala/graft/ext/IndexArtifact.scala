@@ -813,6 +813,86 @@ object IndexArtifact {
        |WHERE arm = 'frozen'
        |ORDER BY query_id""".stripMargin
 
+  /** Sub-batch count q284 stages the arrival as — the per-micro-batch
+    * append granularity of the streaming encode sink. */
+  val CompactSubBatches = 4
+
+  /** Files per staged sub-batch append (a micro-batch writer emits
+    * one file per task): 4 × 8 = 32 small flat files fold into at
+    * most [[IvfK]] single-file list directories. */
+  val PartsFilesPerSubBatch = 8
+
+  /** q284 — artifact COMPACTION with a census-invariance audit, the
+    * "folded later by Layout.compact" promise of q280 made real
+    * (round-12 verdict #6). The arrival batch's frozen-quantizer
+    * encode is staged the way the streaming sink actually lands it —
+    * [[CompactSubBatches]] appends of [[PartsFilesPerSubBatch]] small
+    * flat files each — then [[graft.etl.Layout.compactPartitioned]]
+    * folds the 32 appends into the SERVING layout: one file per
+    * populated `cid` directory, the exact layout q282's pruned read
+    * wants. The query reports the order-free census (rows, id sum,
+    * code sum, list-id sum) of BOTH faces read back FROM THE FILES;
+    * the oracle recomputes the arrival encode census once from the
+    * base table and emits it twice — a green hash certifies
+    * compaction moved bytes without changing a single value. The
+    * file-count reduction itself is environment-dependent (task
+    * counts), so it is spec-asserted, not oracle-hashed. */
+  def indexCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = currentStandingDir(spark, sfDir)
+    val (cents, books) = readQuantizers(spark, dir)
+    val width = ingestWidth(spark, sfDir)
+    val arrivalLo = width * (Similarity.DriftBatches - 1)
+    // checkpoint: the staged writes below re-read this batch-sized
+    // frame CompactSubBatches times
+    val arrival = normalized(spark, sfDir)
+      .filter(col("vec_id") >= arrivalLo)
+      .localCheckpoint()
+    val parts = s"$dir/encoded_arrival_parts"
+    val compacted = s"$dir/encoded_arrival_compacted"
+    deleteRecursively(Paths.get(parts))
+    (0 until CompactSubBatches).foreach { sb =>
+      encodeUnder(cents, books,
+          arrival.filter(col("vec_id") % CompactSubBatches === sb))
+        .repartition(PartsFilesPerSubBatch)
+        .write.mode("append").parquet(parts)
+    }
+    graft.etl.Layout.compactPartitioned(spark, parts, compacted, "cid")
+    val codeSum = (0 until PqM).map(s => col(s"c$s")).reduce(_ + _)
+    census(spark.read.parquet(parts), "arrival_parts", col("vec_id"),
+        codeSum, col("cid"))
+      .unionByName(census(readEncoded(spark, compacted),
+        "arrival_compacted", col("vec_id"), codeSum, col("cid")))
+      .orderBy("component")
+  }
+
+  /** q284 twin: the frozen-arm arrival-encode census, recomputed once
+    * from the base table and emitted for both faces — compaction must
+    * not change a value. */
+  val indexCompactSql: String = {
+    val codeJoins = (0 until PqM)
+      .map(s => s"JOIN pcodef$s ON pcodef$s.vec_id = r.vec_id")
+      .mkString(" ")
+    val codeSum = (0 until PqM).map(s => s"pcodef$s.cid").mkString(" + ")
+    s"""WITH ${Similarity.maintainEnCtesSql},
+       |${Similarity.maintainTrainCtesSql("f",
+           s"ingest_batch < ${Similarity.DriftBatches - 1}")},
+       |cen AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         CAST(COALESCE(SUM(r.vec_id), 0) AS BIGINT) AS id_sum,
+       |         CAST(COALESCE(SUM($codeSum), 0) AS BIGINT) AS val_e6_sum,
+       |         CAST(COALESCE(SUM(r.cid), 0) AS BIGINT) AS aux_sum
+       |  FROM rsf r $codeJoins
+       |  WHERE r.ingest_batch = ${Similarity.DriftBatches - 1}
+       |)
+       |SELECT 'arrival_compacted' AS component, n_rows, id_sum,
+       |       val_e6_sum, aux_sum
+       |FROM cen
+       |UNION ALL
+       |SELECT 'arrival_parts', n_rows, id_sum, val_e6_sum, aux_sum
+       |FROM cen
+       |ORDER BY component""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // DuckDB twins: a from-scratch recompute of the SAME index — the
   // oracle has no artifact, so green hashes certify that the persisted

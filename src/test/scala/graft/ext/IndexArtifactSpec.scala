@@ -170,6 +170,30 @@ class IndexArtifactSpec extends SparkSpec {
         s"inline-only=${(inline diff merged).take(3)}")
   }
 
+  test("q284: compaction preserves the census, reduces file count, " +
+      "and lands one file per populated list dir") {
+    val rows = IndexArtifact.indexCompact(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("arrival_compacted", "arrival_parts"))
+    assert(rows(0).copy(_1 = "") == rows(1).copy(_1 = ""),
+      s"compaction must not change a single census value: $rows")
+    val dir = IndexArtifact.currentStandingDir(spark, sf001)
+    val pf = graft.etl.Layout
+      .parquetFileCount(s"$dir/encoded_arrival_parts")
+    val cf = graft.etl.Layout
+      .parquetFileCount(s"$dir/encoded_arrival_compacted")
+    assert(pf > cf && cf > 0,
+      s"compaction must fold the staged appends: $pf -> $cf files")
+    // the serving layout: each populated cid directory holds exactly
+    // one file (the repartition clusters each list into one task)
+    val cids = spark.read.parquet(s"$dir/encoded_arrival_parts")
+      .select("cid").distinct().count()
+    assert(cf == cids,
+      s"one file per populated list dir expected: $cf files, $cids lists")
+  }
+
   test("q279: sampled-GT columns are consistent with the full-GT ones") {
     val rows = IndexArtifact.indexServeSampledGt(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
