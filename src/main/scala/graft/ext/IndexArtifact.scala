@@ -512,12 +512,20 @@ object IndexArtifact {
     * integers (counts + ppm ratios via integer div — the q253 rule),
     * so the audit has no float fold anywhere. gain_ppm = what probe
     * widening bought, per query, in recall ppm. */
-  def indexServeFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+  def indexServeFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    indexServeFilteredOn(spark, sfDir, col("vec_id") < NQueries)
+
+  /** [[indexServeFiltered]] over an arbitrary query cut — per-query
+    * rows are independent (every window partitions by query_id), so a
+    * restriction serves exactly those queries' audit rows; the
+    * streaming filtered serve passes each micro-batch's id set. */
+  private[graft] def indexServeFilteredOn(spark: SparkSession,
+      sfDir: String, qpred: Column): DataFrame = {
     val lbl = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val qlbl = lbl.filter(col("vec_id") < NQueries)
+    val qlbl = lbl.filter(qpred)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
-    val f = servedScoredRanked(spark, sfDir)
+    val f = servedScoredRanked(spark, sfDir, qpred)
       .join(lbl.withColumnRenamed("vec_id", "neighbor_id"),
         Seq("neighbor_id"))
       .join(broadcast(qlbl), Seq("query_id"))

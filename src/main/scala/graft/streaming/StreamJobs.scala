@@ -227,7 +227,14 @@ object StreamJobs {
 
   /** Per-batch handler for [[indexMaintainSink]] (testable guard, as
     * the other monitor handlers). The quantizers are immutable, so the
-    * ONLY mutable state is the last appended batch id. */
+    * ONLY mutable state is the last appended batch id — and unlike the
+    * monitor sinks, the write itself is idempotent ACROSS RESTARTS
+    * (round-12 advisor): each micro-batch lands as its own
+    * `batch_id=` partition via dynamic partition overwrite, so a
+    * driver that dies after the commit but before the stream
+    * checkpoint advances re-delivers the batch into the same
+    * partition instead of double-appending rows into served index
+    * state. The in-memory guard remains as the cheap fast path. */
   private[graft] final class IndexEncodeHandler(
       cents: Array[(Long, Seq[Double])],
       books: Seq[Seq[(Long, Seq[Double])]], outPath: String) {
@@ -238,7 +245,54 @@ object StreamJobs {
         .encodeUnder(cents, books,
           graft.ext.IndexArtifact.normalizeFrame(batch))
         .withColumn("batch_id", lit(bid))
-        .write.mode("append").parquet(outPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
+      lastBid = bid // commit driver state only after the write
+    }
+  }
+
+  /** Streaming face of q281's filtered serving (round-12 verdict #5):
+    * query batches arrive as a stream and each micro-batch is served
+    * FROM THE PERSISTED ARTIFACT — the narrow/wide probe protocol,
+    * label metadata equi-joined from the base table, exact integer
+    * outputs — with the per-batch audit rows landing under the
+    * batch's own partition (same cross-restart idempotence as
+    * [[IndexEncodeHandler]]). State is nothing but the last batch id:
+    * the artifact is resolved once at sink construction ([[graft.ext.
+    * IndexArtifact.ensure]]), and each batch's query ids are a
+    * bounded collect (serving traffic is the bounded side by
+    * contract). Replay ≡ batch: the per-query audit rows are
+    * independent, so the union over replayed batches equals q281's
+    * batch output row-for-row (StreamJobsSpec pins it). */
+  def filteredServeSink(queryStream: DataFrame, indexSfDir: String,
+      outPath: String): StreamingQuery = {
+    graft.ext.IndexArtifact.ensure(queryStream.sparkSession, indexSfDir)
+    val handler = new FilteredServeHandler(indexSfDir, outPath)
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        handler.onBatch(batch.toDF(), bid)
+      }
+      .start()
+  }
+
+  /** Per-batch handler for [[filteredServeSink]]. */
+  private[graft] final class FilteredServeHandler(indexSfDir: String,
+      outPath: String) {
+    private var lastBid: Long = -1L
+    def onBatch(batch: DataFrame, bid: Long): Unit = {
+      if (bid <= lastBid) return // re-delivered micro-batch: no-op
+      val ids = batch.select("vec_id").collect().map(_.getLong(0)).toSeq
+      if (ids.nonEmpty)
+        graft.ext.IndexArtifact
+          .indexServeFilteredOn(batch.sparkSession, indexSfDir,
+            col("vec_id").isin(ids: _*))
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
       lastBid = bid // commit driver state only after the write
     }
   }

@@ -622,9 +622,10 @@ class StreamJobsSpec extends SparkSpec {
     assert(got == want,
       s"frozen-encode replay drift: got-only=${(got diff want).take(3)} " +
         s"want-only=${(want diff got).take(3)}")
-    // every ingest batch appended under its own micro-batch id
+    // every ingest batch landed under its own micro-batch partition
     val bids = spark.read.parquet(outPath)
-      .select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
     assert(bids.length == Similarity.DriftBatches,
       s"one micro-batch per staged file: ${bids.mkString(",")}")
 
@@ -637,9 +638,65 @@ class StreamJobsSpec extends SparkSpec {
     h.onBatch(b0, 0L) // re-delivery
     val n = spark.read.parquet(hOut).count()
     h.onBatch(embs.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L)
-    assert(spark.read.parquet(hOut).count() > n,
-      "fresh batch id must append")
+    val n2 = spark.read.parquet(hOut).count()
+    assert(n2 > n, "fresh batch id must append")
     assert(n == b0.count(),
       s"re-delivered batch must not double-append: $n")
+
+    // cross-RESTART idempotence (round-12 advisor): a fresh handler
+    // (lastBid reset, as after a driver death between the write commit
+    // and the checkpoint advance) re-delivering an already-landed
+    // micro-batch must overwrite its own partition, not double-append
+    val h2 = new StreamJobs.IndexEncodeHandler(cents, books, hOut)
+    h2.onBatch(embs.filter(col("vec_id") >= 50 && col("vec_id") < 100), 1L)
+    assert(spark.read.parquet(hOut).count() == n2,
+      "a restarted sink re-delivering a landed batch must be idempotent")
+  }
+
+  test("streaming filtered serve replays to the q281 batch arms") {
+    import graft.ext.{IndexArtifact, Similarity}
+    // the q281 query cohort arrives as TWO micro-batches of query
+    // rows; each is served from the persisted artifact, and the
+    // replayed union must equal the batch q281 audit row-for-row
+    val embs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fserve")
+    Seq((0L, 4L), (4L, Similarity.NQueries.toLong)).zipWithIndex
+      .foreach { case ((lo, hi), b) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-fs-$b")
+        embs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val single =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .find(_.toString.endsWith(".parquet")).get
+          } finally listing.close()
+        val dest = dir.resolve(f"qbatch$b%03d.parquet")
+        java.nio.file.Files.copy(single, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + b * 10000L))
+      }
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-fs-out").toString + "/served"
+    val q = StreamJobs.filteredServeSink(
+      StreamJobs.readEmbeddings(spark, dir.toString), sf001, outPath)
+    q.awaitTermination()
+    val got = spark.read.parquet(outPath)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    val want = IndexArtifact.indexServeFiltered(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"streamed filtered serve drifted from the batch arms: " +
+        s"got-only=${(got diff want).take(3)} " +
+        s"want-only=${(want diff got).take(3)}")
+    // one partition per query micro-batch
+    val bids = spark.read.parquet(outPath)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(bids.toSeq == Seq(0L, 1L),
+      s"each query batch must land under its own partition: " +
+        s"${bids.mkString(",")}")
   }
 }
