@@ -445,6 +445,11 @@ object IndexArtifact {
     * sampled ones and their signed delta, so the sampling error is a
     * RECORDED column, not an assumption: everything is exact-integer
     * ppm arithmetic (the q253 discipline — no float fold anywhere).
+    * When the 25% sample contains no GT candidates (samp_gt_k = 0)
+    * the sampled ratio is UNDEFINED, not zero: samp_recall_ppm and
+    * delta_ppm are NULL on that row (round-12 advisor — the 0
+    * sentinel made "empty sample" indistinguishable from genuine
+    * zero sampled recall in downstream delta analysis).
     */
   def indexServeSampledGt(spark: SparkSession, sfDir: String): DataFrame = {
     val k = TopK.toLong
@@ -478,7 +483,7 @@ object IndexArtifact {
         "CASE WHEN gt_k = 0 THEN 0L" +
           " ELSE hits * 1000000L div gt_k END AS recall_ppm",
         "samp_gt_k", "samp_hits",
-        "CASE WHEN samp_gt_k = 0 THEN 0L" +
+        "CASE WHEN samp_gt_k = 0 THEN CAST(NULL AS BIGINT)" +
           " ELSE samp_hits * 1000000L div samp_gt_k END AS samp_recall_ppm")
       .withColumn("delta_ppm",
         col("samp_recall_ppm") - col("recall_ppm"))
@@ -1146,10 +1151,10 @@ object IndexArtifact {
        |            ELSE hits * 1000000 // gt_k END AS BIGINT) AS recall_ppm,
        |       CAST(samp_gt_k AS BIGINT) AS samp_gt_k,
        |       CAST(samp_hits AS BIGINT) AS samp_hits,
-       |       CAST(CASE WHEN samp_gt_k = 0 THEN 0
+       |       CAST(CASE WHEN samp_gt_k = 0 THEN NULL
        |            ELSE samp_hits * 1000000 // samp_gt_k END AS BIGINT)
        |         AS samp_recall_ppm,
-       |       CAST(CASE WHEN samp_gt_k = 0 THEN 0
+       |       CAST(CASE WHEN samp_gt_k = 0 THEN NULL
        |            ELSE samp_hits * 1000000 // samp_gt_k END
        |            - CASE WHEN gt_k = 0 THEN 0
        |              ELSE hits * 1000000 // gt_k END AS BIGINT) AS delta_ppm

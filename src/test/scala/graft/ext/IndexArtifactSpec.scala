@@ -197,7 +197,9 @@ class IndexArtifactSpec extends SparkSpec {
   test("q279: sampled-GT columns are consistent with the full-GT ones") {
     val rows = IndexArtifact.indexServeSampledGt(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
     assert(rows.length == Similarity.NQueries)
     rows.foreach { case (_, gtK, hits, ppm, sGtK, sHits, sPpm, delta) =>
       assert(gtK == Similarity.TopK.toLong)
@@ -205,8 +207,15 @@ class IndexArtifactSpec extends SparkSpec {
       assert(sGtK <= gtK, s"sampled GT cannot exceed the full one")
       assert(sHits >= 0 && sHits <= sGtK)
       assert(ppm == (if (gtK == 0) 0L else hits * 1000000L / gtK))
-      assert(sPpm == (if (sGtK == 0) 0L else sHits * 1000000L / sGtK))
-      assert(delta == sPpm - ppm, "delta must be the recorded difference")
+      if (sGtK == 0) {
+        // an empty sample makes the ratio UNDEFINED, not zero
+        assert(sPpm.isEmpty && delta.isEmpty,
+          "empty sampled GT must report NULL ppm and delta")
+      } else {
+        assert(sPpm.contains(sHits * 1000000L / sGtK))
+        assert(delta.contains(sPpm.get - ppm),
+          "delta must be the recorded difference")
+      }
     }
     // the 25% sample must actually engage at this SF (non-degenerate)
     assert(rows.exists(_._5 > 0), "sampled GT must be populated")
