@@ -4851,9 +4851,16 @@ object Similarity {
       .localCheckpoint()
     val standing = e.filter(
       expr(s"vec_id div $width") < DriftBatches - 1)
-    // the policy cohort: a literal per-batch id cut (width is
-    // driver-known), so the plan's bounded-broadcast detector sees it
-    val qsel = e.filter(expr(s"vec_id % $width") < PolicyQueries)
+    // the policy cohort as an OR of LITERAL id ranges (width is
+    // driver-known): semantically `vec_id % width < PolicyQueries`,
+    // but range predicates both push to the parquet scan and carry
+    // the structural vec_id<k cut the bounded-broadcast detector
+    // recognizes — a modulo cut does neither
+    val qsel = e.filter(
+        (0 until DriftBatches).map { b =>
+          col("vec_id") >= b * width &&
+            col("vec_id") < b * width + PolicyQueries
+        }.reduce(_ || _))
       .select(col("vec_id"))
     val frozen = maintainArm(e, qsel, standing, "frozen")
       .select(col("query_id"), col("gt_k").as("gt_f"),

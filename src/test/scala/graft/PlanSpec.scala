@@ -377,10 +377,14 @@ class PlanSpec extends SparkSpec {
     // q243 windows over the calibration nonconformity HISTOGRAM — one
     // row per micro-unit score value, ≤ 1e6+1 rows bounded by the score
     // grid, never corpus size (the same bounded-input argument)
+    // q283 windows over one row per INGEST BATCH after the per-batch
+    // aggregation — DriftBatches(=8) rows by constant, the strongest
+    // bound in this list (the first_trigger_batch decision column)
     val calendarBoundedOk =
       Set("q58_rolling_daily", "q167_mom_growth", "q172_new_users_curve",
         "q232_km_survival", "q236_log_rank", "q237_forecast_backtest",
-        "q239_padding_waste", "q243_conformal_coverage")
+        "q239_padding_waste", "q243_conformal_coverage",
+        "q283_retrain_policy")
     // memoized builders hide behind a checkpoint scan in declared plans —
     // pin their fresh plans alongside (the ADVICE r4 dsir gap, now
     // sourced from the Memo registry so no builder can skip the list)
