@@ -275,15 +275,31 @@ object IndexArtifact {
         .as(s"c$s")
     }
     import spark.implicits._
-    cents.toSeq.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    books.zipWithIndex
-      .flatMap { case (b, s) => b.map { case (cid, cv) => (s, cid, cv) } }
-      .toDF("s", "cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
-    assigned.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/encoded")
-    e.write.mode("overwrite").parquet(s"$dir/forward")
+    // the four table writes are independent given the checkpointed
+    // inputs and the collected quantizer literals — submit them from
+    // a small thread pool so the later jobs back-fill the earlier
+    // jobs' scheduling gaps (guide §2.6); each lands in its own path
+    // inside the not-yet-published temp generation dir, so failure
+    // atomicity is unchanged (the rename only happens after all four)
+    awaitAll(
+      () => cents.toSeq.toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => books.zipWithIndex
+        .flatMap { case (b, s) => b.map { case (cid, cv) => (s, cid, cv) } }
+        .toDF("s", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/books"),
+      () => assigned.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/encoded"),
+      () => e.write.mode("overwrite").parquet(s"$dir/forward"))
+  }
+
+  /** Run independent write jobs concurrently and propagate the first
+    * failure (guide §2.6 — concurrent jobs inside one application). */
+  private def awaitAll(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
   }
 
   /** Build only if no generation matches the current corpus
@@ -372,10 +388,13 @@ object IndexArtifact {
           s => -s("ncid"))).as(Seq("pp", "pcid")))
       .select(col("query_id"), col("pcid"),
         (col("pp") + 1).cast("long").as("prank"))
-    val adcTerms = Similarity.dot(col("qx"),
+    // native dot kernel: same ascending left-assoc fold as the HOF
+    // form (bit-equal), whole-stage codegen'd on the corpus-sized scan
+    val adcTerms = graft.functions.DotProduct.dot_product(col("qx"),
         element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        Similarity.dot(slice(col("qx"), s * PqSub + 1, PqSub),
+        graft.functions.DotProduct.dot_product(
+          slice(col("qx"), s * PqSub + 1, PqSub),
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     enc.join(fwd.withColumnRenamed("vec_id", "fid"),
@@ -619,10 +638,13 @@ object IndexArtifact {
       .collect().map(_.getLong(0)).sorted
     val enc = readEncoded(spark, s"$dir/encoded")
       .filter(col("cid").isin(probedCids: _*))
-    val adcTerms = Similarity.dot(col("qx"),
+    // native dot kernel: same ascending left-assoc fold as the HOF
+    // form (bit-equal), whole-stage codegen'd on the corpus-sized scan
+    val adcTerms = graft.functions.DotProduct.dot_product(col("qx"),
         element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        Similarity.dot(slice(col("qx"), s * PqSub + 1, PqSub),
+        graft.functions.DotProduct.dot_product(
+          slice(col("qx"), s * PqSub + 1, PqSub),
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     enc
@@ -734,15 +756,17 @@ object IndexArtifact {
       }
     }
     import spark.implicits._
-    cents.toSeq.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    books.zipWithIndex
-      .flatMap { case (b, s) => b.map { case (cid, cv) => (s, cid, cv) } }
-      .toDF("s", "cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
-    encodeUnder(cents, books, standing)
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/encoded")
-    standing.write.mode("overwrite").parquet(s"$dir/forward")
+    // independent writes, concurrent (see buildInto's awaitAll note)
+    awaitAll(
+      () => cents.toSeq.toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => books.zipWithIndex
+        .flatMap { case (b, s) => b.map { case (cid, cv) => (s, cid, cv) } }
+        .toDF("s", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/books"),
+      () => encodeUnder(cents, books, standing)
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/encoded"),
+      () => standing.write.mode("overwrite").parquet(s"$dir/forward"))
   }
 
   /** q280 — merge-and-serve: encode the arrival batch under the
@@ -760,10 +784,12 @@ object IndexArtifact {
     // the arrival's own partition dir (overwrite = idempotent re-merge)
     val arrival = normalized(spark, sfDir)
       .filter(col("vec_id") >= arrivalLo)
-    encodeUnder(cents, books, arrival)
-      .write.partitionBy("cid").mode("overwrite")
-      .parquet(s"$dir/encoded_arrival")
-    arrival.write.mode("overwrite").parquet(s"$dir/forward_arrival")
+    awaitAll(
+      () => encodeUnder(cents, books, arrival)
+        .write.partitionBy("cid").mode("overwrite")
+        .parquet(s"$dir/encoded_arrival"),
+      () => arrival.write.mode("overwrite")
+        .parquet(s"$dir/forward_arrival"))
 
     val centMap = typedlit(cents.toMap)
     def scores(c: Column): Column = Similarity.ivfScores(cents, c)
@@ -780,10 +806,13 @@ object IndexArtifact {
         explode(transform(
           slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
           s => -s("ncid"))).as("pcid"))
-    val adcTerms = Similarity.dot(col("qx"),
+    // native dot kernel: same ascending left-assoc fold as the HOF
+    // form (bit-equal), whole-stage codegen'd on the corpus-sized scan
+    val adcTerms = graft.functions.DotProduct.dot_product(col("qx"),
         element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        Similarity.dot(slice(col("qx"), s * PqSub + 1, PqSub),
+        graft.functions.DotProduct.dot_product(
+          slice(col("qx"), s * PqSub + 1, PqSub),
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     val k = TopK.toLong

@@ -62,6 +62,23 @@ object Similarity {
 
   private[ext] def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Widen a fixture-collapsed input to the session's parallelism.
+    * The embeddings fixture is one sub-128MB parquet split, so every
+    * map-side stage of the similarity family (assignment argmax,
+    * Lloyd stats, residual encode, scoring) ran as ONE task on one
+    * core while the other 31 idled — the guide §2.5 "input skew: one
+    * file" case, measured 0.6-1.3s single-task stages in the q276
+    * job profile. Round-robin repartition to defaultParallelism when
+    * (and only when) the input is narrower: at production scale a
+    * corpus scan already carries ≥ cores partitions, so this adds NO
+    * shuffle there; values are partition-order-free by the family's
+    * float doctrine (per-row math, integer-grid folds, tie-broken
+    * ranks), which thread_sweep pins across core counts. */
+  private[ext] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** q13 — brute-force cosine top-k for the first NQueries vectors. */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -247,30 +264,60 @@ object Similarity {
     * aggregate whose collect is K·Dim-bounded. A cluster that loses
     * every member keeps its previous centroid, so K never shrinks and
     * both engines agree on the codebook size without re-deriving it. */
-  private[ext] def ivfCodebook(e: DataFrame): Array[(Long, Seq[Double])] = {
-    val df = e.toDF("vec_id", "tv")
-    var code: Array[(Long, Seq[Double])] = df.orderBy("vec_id").limit(IvfK)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1)
+  private[ext] def ivfCodebook(e: DataFrame): Array[(Long, Seq[Double])] =
+    ivfCodebooks(Seq("x" -> e))("x")
+
+  /** Batched form of [[ivfCodebook]]: trains one codebook per tagged
+    * input frame with the SAME per-frame fold (seed TakeOrdered, then
+    * per round one integer-grid Lloyd aggregate), but submits each
+    * phase for ALL frames as ONE Spark job (a tagged union), so a
+    * query training two spaces/arms pays 2 driver round-trips instead
+    * of 4 and the branch stages run concurrently inside one job
+    * (guide §1.2 "remove passes" / §2.6 "overlap independent jobs").
+    * Per-tag values are bit-identical to the sequential trainer: the
+    * union only concatenates rows, every group key carries its tag,
+    * and the Lloyd sums are order-free exact BIGINT folds. */
+  private[ext] def ivfCodebooks(inputs: Seq[(String, DataFrame)])
+      : Map[String, Array[(Long, Seq[Double])]] = {
+    val seedRows = inputs.map { case (tag, e) =>
+      e.toDF("vec_id", "tv").orderBy("vec_id").limit(IvfK)
+        .select(lit(tag).as("tag"), col("vec_id"), col("tv"))
+    }.reduce(_ unionAll _).collect()
+    var codes: Map[String, Array[(Long, Seq[Double])]] =
+      inputs.map { case (tag, _) =>
+        tag -> seedRows.filter(_.getString(0) == tag)
+          .map(r => r.getLong(1) -> r.getSeq[Double](2).toSeq)
+          .sortBy(_._1)
+      }.toMap
     for (_ <- 1 to IvfRounds) {
-      val stats = df.select(
-          (-sort_array(ivfScores(code, col("tv")), asc = false)(0)("ncid"))
-            .as("cid"),
-          posexplode(col("tv")).as(Seq("i", "x")))
-        .groupBy("cid", "i")
-        .agg(sum(round(col("x") * IvfGrid, 0).cast("long")).as("sx"),
-          count(lit(1)).as("n"))
-        .collect()
-      val byCid = stats.groupBy(_.getLong(0))
-      code = code.map { case (cid, prev) =>
-        byCid.get(cid).fold(cid -> prev) { rows =>
-          cid -> rows.sortBy(_.getInt(1))
-            .map(r => r.getLong(2).toDouble / (r.getLong(3) * IvfGrid))
-            .toSeq
+      val stats = inputs.map { case (tag, e) =>
+        // cid staged in its OWN projection BELOW the explode: selecting
+        // a non-trivial expression alongside a generator plans it in a
+        // Project ABOVE Generate, re-evaluating the K-cosine argmax per
+        // EXPLODED row (Dim× per vector — measured 2.2× on this job)
+        e.toDF("vec_id", "tv").select(
+            (-sort_array(ivfScores(codes(tag), col("tv")), asc = false)(0)("ncid"))
+              .as("cid"),
+            col("tv"))
+          .select(col("cid"), posexplode(col("tv")).as(Seq("i", "x")))
+          .groupBy("cid", "i")
+          .agg(sum(round(col("x") * IvfGrid, 0).cast("long")).as("sx"),
+            count(lit(1)).as("n"))
+          .select(lit(tag).as("tag"), col("cid"), col("i"), col("sx"),
+            col("n"))
+      }.reduce(_ unionAll _).collect()
+      codes = codes.map { case (tag, code) =>
+        val byCid = stats.filter(_.getString(0) == tag).groupBy(_.getLong(1))
+        tag -> code.map { case (cid, prev) =>
+          byCid.get(cid).fold(cid -> prev) { rows =>
+            cid -> rows.sortBy(_.getInt(2))
+              .map(r => r.getLong(3).toDouble / (r.getLong(4) * IvfGrid))
+              .toSeq
+          }
         }
       }
     }
-    code
+    codes
   }
 
   /** DuckDB CTE chain replicating [[ivfCodebook]] over `src`.`vcol`
@@ -814,9 +861,14 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).toSeq
     for (_ <- 1 to rounds) {
+      // cid staged BELOW the explode: selected alongside a generator it
+      // would plan in a Project above Generate and re-run the K-cosine
+      // argmax per exploded row (Dim× per vector); the staged shape
+      // feeds the agg the same rows in the same order — values
+      // unchanged, including this kernel's adjudicated float fold
       val stats = e
-        .select(nearest(col("v"), code)._1.as("cid"),
-          posexplode(col("v")).as(Seq("i", "x")))
+        .select(nearest(col("v"), code)._1.as("cid"), col("v"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -992,8 +1044,13 @@ object Similarity {
     val enc = e.select(col("vec_id") +: codes: _*)
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // native dot kernel (ascending-index left-assoc fold, bit-equal to
+    // the HOF form — SimilaritySpec) keeps the corpus-sized ADC scoring
+    // pass inside whole-stage codegen instead of interpreting a lambda
+    // per element (guide §4: built-ins/codegen expressions in hot paths)
     val terms = (0 until PqM).map { s =>
-      dot(slice(col("qv"), s * PqSub + 1, PqSub),
+      graft.functions.DotProduct.dot_product(
+        slice(col("qv"), s * PqSub + 1, PqSub),
         element_at(typedlit(books(s).toMap), col(s"c$s")))
     }
     enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -1651,9 +1708,11 @@ object Similarity {
   /** Ordered-fold squared euclidean distance — index-order accumulation
     * so DuckDB's list_distance (same order) produces the identical IEEE
     * sequence before the round-6 edge. */
+  /** Native single-pass kernel (bit-equal ascending fold — see
+    * [[graft.functions.SqL2Distance]]); the HOF form interpreted two
+    * lambdas per element on the PQ encode hot path. */
   private[ext] def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.SqL2Distance.sq_l2_dist(a, b)
 
   /** q196 — simplified (centroid) silhouette per label: a = distance to
     * the label's own centroid, b = distance to the nearest OTHER
@@ -2477,10 +2536,20 @@ object Similarity {
     if (!retainedComp(lambda, trace)) None
     else {
       val s = math.sqrt(lambda)
-      val proj = (0 until Dim).map { d =>
-        (element_at(col("qv"), d + 1).cast("double") - lit(mu(d))) *
-          lit(v(d))
-      }.reduce(_ + _)
+      // One native-kernel dot of the centered row against the literal
+      // component instead of 64 inlined (qv[d]-mu_d)*v_d product terms:
+      // the kernel multiplies and folds in ascending-d order with left
+      // association — bit-equal to the previous reduce(_ + _) chain —
+      // while shrinking each component's expression tree from ~260
+      // nodes to 4 (the centered array is an identical subexpression
+      // across all WhitenK components, so codegen's subexpression
+      // elimination computes it once per row). Catalyst planning time
+      // scales with tree size, and this tree used to ride EVERY
+      // whitening-family plan (q264/q266/q268/q269/q272/q273).
+      val cen = zip_with(col("qv").cast("array<double>"),
+        typedlit(mu.toIndexedSeq), (x, m) => x - m)
+      val proj = graft.functions.DotProduct.dot_product(
+        cen, typedlit(v.toIndexedSeq))
       Some(round(proj / lit(s), 6))
     }
 
@@ -3099,7 +3168,8 @@ object Similarity {
   /** Core over an injectable embeddings frame (specs plant an
     * anisotropic corpus whose fine ranking axes sit under the raw
     * int8 grid but above the whitened one). */
-  def whitenRecallOn(spark: SparkSession, embs: DataFrame): DataFrame = {
+  def whitenRecallOn(spark: SparkSession, embs0: DataFrame): DataFrame = {
+    val embs = widen(embs0)
     // degenerate model -> whitened columns masked NULL below; the
     // [0.0] stand-in only keeps the scored plan well-typed
     val (wv, degenerate) = whitenedArrayCol(spark, embs)
@@ -3263,8 +3333,14 @@ object Similarity {
         transform(col("embedding"),
           e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
       .select(col("vec_id"), col("v"), wv.as("wv"))
-    val centsRaw = ivfCodebook(base.select(col("vec_id"), col("v")))
-    val centsWh = ivfCodebook(base.select(col("vec_id"), col("wv")))
+    // both spaces' codebooks train as ONE tagged-union job per phase
+    // (seed + Lloyd stats) — 2 driver round-trips instead of 4,
+    // identical per-space folds (guide §1.2)
+    val cbs = ivfCodebooks(Seq(
+      "raw" -> base.select(col("vec_id"), col("v")),
+      "white" -> base.select(col("vec_id"), col("wv"))))
+    val centsRaw = cbs("raw")
+    val centsWh = cbs("white")
     def argmax(cents: Array[(Long, Seq[Double])], v: Column): Column =
       -sort_array(ivfScores(cents, v), asc = false)(0)("ncid")
     val k = centsRaw.length.toLong
@@ -3732,9 +3808,17 @@ object Similarity {
         transform(col("embedding"),
           e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
       .select(col("vec_id"), col("v"), wv.as("wv"))
-    def spaceAudit(vcol: String, tag: String): DataFrame = {
-      val e = base.select(col("vec_id"), col(vcol).as("x"))
-      val cents = ivfCodebook(e)
+    // batched training (guide §1.2): both spaces' IVF codebooks train
+    // as ONE tagged-union job per phase (seed + Lloyd stats) — 2
+    // driver round-trips instead of 4, identical per-space folds
+    val spaces: Seq[(String, String)] =
+      ("raw" -> "v") +: (if (!degenerate) Seq("white" -> "wv") else Nil)
+    val eBy = spaces.map { case (tag, vcol) =>
+      tag -> base.select(col("vec_id"), col(vcol).as("x")) }.toMap
+    val cbs = ivfCodebooks(spaces.map { case (tag, _) => tag -> eBy(tag) })
+    def spaceAudit(tag: String): DataFrame = {
+      val e = eBy(tag)
+      val cents = cbs(tag)
       def scores(c: Column): Column = ivfScores(cents, c)
       val assigned = e.withColumn("cid",
         -sort_array(scores(col("x")), asc = false)(0)("ncid"))
@@ -3775,9 +3859,9 @@ object Similarity {
           round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
             .as("recall"))
     }
-    val raw = spaceAudit("v", "raw")
+    val raw = spaceAudit("raw")
     val white =
-      if (!degenerate) spaceAudit("wv", "white")
+      if (!degenerate) spaceAudit("white")
       else base.filter(col("vec_id") < NQueries)
         .select(lit("white").as("space"), col("vec_id").as("query_id"),
           lit(null).cast("long").as("scanned_rows"),
@@ -3898,6 +3982,67 @@ object Similarity {
       struct(sqDist(v, typedlit(cv)).as("d"), lit(cid).as("cid"))
     }: _*), asc = true)(0)("cid")
 
+  /** Batched residual-PQ book trainer over tagged (vec_id, rv) frames:
+    * per tag the EXACT q273/q276 fold — literal seeds from the first
+    * [[PqK]] residuals, then per Lloyd round one nearest-L2 assignment
+    * + integer-grid mean per (subspace, code, dim) — but the seed
+    * collect and each round's stats collect cover ALL tags as ONE
+    * tagged-union Spark job, so a two-space/two-arm query pays 2
+    * driver round-trips instead of 4 and the per-tag stages run
+    * concurrently inside one job (guide §1.2 / §2.6). Per-tag values
+    * are bit-identical to the sequential trainer: every group key
+    * carries its tag and the grid sums are order-free BIGINT folds. */
+  private def pqBooksBatch(
+      arms: Seq[(String, DataFrame, Int, Int)])
+      : Map[String, Seq[Seq[(Long, Seq[Double])]]] = {
+    val seedRows = arms.map { case (tag, tr, _, _) =>
+      tr.filter(col("vec_id") < PqK)
+        .select(lit(tag).as("tag"), col("vec_id"), col("rv"))
+    }.reduce(_ unionAll _).collect()
+    val seedsBy = arms.map { case (tag, _, _, _) =>
+      tag -> seedRows.filter(_.getString(0) == tag)
+        .map(r => r.getLong(1) -> r.getSeq[Double](2))
+        .sortBy(_._1).toSeq
+    }.toMap
+    var booksBy: Map[String, Seq[Seq[(Long, Seq[Double])]]] =
+      arms.map { case (tag, _, m, sub) =>
+        tag -> (0 until m).map { s =>
+          seedsBy(tag).map { case (cid, rv) =>
+            cid -> rv.slice(s * sub, s * sub + sub).toSeq }
+        }
+      }.toMap
+    for (_ <- 1 to PqRounds) {
+      val stats = arms.map { case (tag, tr, m, sub) =>
+        val books = booksBy(tag)
+        val subs = (0 until m).map { s =>
+          val sv = slice(col("rv"), s * sub + 1, sub)
+          struct(lit(s).as("s"), nearestL2(sv, books(s)).as("cid"),
+            sv.as("sv"))
+        }
+        tr.select(explode(array(subs: _*)).as("sub"))
+          .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
+            posexplode(col("sub.sv")).as(Seq("i", "x")))
+          .groupBy("s", "cid", "i")
+          .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
+            count(lit(1)).as("n"))
+          .select(lit(tag).as("tag"), col("s"), col("cid"), col("i"),
+            col("sx"), col("n"))
+      }.reduce(_ unionAll _).collect()
+      booksBy = arms.map { case (tag, _, m, _) =>
+        val mine = stats.filter(_.getString(0) == tag)
+        tag -> (0 until m).map { s =>
+          mine.filter(_.getInt(1) == s).groupBy(_.getLong(2))
+            .map { case (cid, rows) =>
+              cid -> rows.sortBy(_.getInt(3))
+                .map(r => r.getLong(4).toDouble / (r.getLong(5) * PqGrid))
+                .toSeq
+            }.toSeq.sortBy(_._1)
+        }
+      }.toMap
+    }
+    booksBy
+  }
+
   /** q273 — IVF-PQ recall-vs-scan audit, raw vs whitened: per query
     * and space, an IVF index (q25/q269's trained fixed-K codebook)
     * whose lists hold PQ RESIDUAL codes (q111's one-Lloyd-job
@@ -3965,49 +4110,46 @@ object Similarity {
           transform(col("wv"), x => x / col("nw"))).as("wn"))
       .localCheckpoint()
 
-    def spaceAudit(xcol: String, tag: String, m: Int, sub: Int): DataFrame = {
-      val e = base.filter(col(xcol).isNotNull)
+    // batched training (guide §1.2): the spaces are independent, so
+    // their IVF codebooks train as ONE tagged-union job per phase
+    // (seed + Lloyd stats) and their PQ books likewise (seed + stats)
+    // — 4 driver round-trips for both spaces instead of 8, identical
+    // per-space folds and values
+    val spaces: Seq[(String, String, Int, Int)] =
+      ("raw", "vn", PqM, PqSub) +:
+        (if (!degenerate) Seq(("white", "wn", PqMWhite, PqSubWhite))
+         else Nil)
+    val eBy = spaces.map { case (tag, xcol, _, _) =>
+      tag -> base.filter(col(xcol).isNotNull)
         .select(col("vec_id"), col(xcol).as("x"))
-      val cents = ivfCodebook(e)
-      val centMap = typedlit(cents.toMap)
-      def scores(c: Column): Column = ivfScores(cents, c)
-      val assigned = e
-        .withColumn("cid",
-          -sort_array(scores(col("x")), asc = false)(0)("ncid"))
+    }.toMap
+    val cbs = ivfCodebooks(spaces.map { case (tag, _, _, _) =>
+      tag -> eBy(tag) })
+    def assignOn(src: DataFrame, tag: String): DataFrame = {
+      val centMap = typedlit(cbs(tag).toMap)
+      src.withColumn("cid",
+          -sort_array(ivfScores(cbs(tag), col("x")), asc = false)(0)("ncid"))
         .withColumn("rv",
           zip_with(col("x"), element_at(centMap, col("cid")),
             (a, b) => a - b))
-      // PQ residual training: literal seeds (first PqK residuals),
-      // then ONE Lloyd-stats job covering every subspace (q111)
-      val seedRows = assigned.filter(col("vec_id") < PqK)
-        .select(col("vec_id"), col("rv"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-        .sortBy(_._1).toSeq
-      var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
-        seedRows.map { case (cid, rv) =>
-          cid -> rv.slice(s * sub, s * sub + sub).toSeq }
-      }
-      for (_ <- 1 to PqRounds) {
-        val subs = (0 until m).map { s =>
-          val sv = slice(col("rv"), s * sub + 1, sub)
-          struct(lit(s).as("s"), nearestL2(sv, books(s)).as("cid"),
-            sv.as("sv"))
-        }
-        val stats = assigned.select(explode(array(subs: _*)).as("sub"))
-          .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
-            posexplode(col("sub.sv")).as(Seq("i", "x")))
-          .groupBy("s", "cid", "i")
-          .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
-          count(lit(1)).as("n"))
-          .collect()
-        books = (0 until m).map { s =>
-          stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
-            .map { case (cid, rows) =>
-              cid -> rows.sortBy(_.getInt(2))
-                .map(r => r.getLong(3).toDouble / (r.getLong(4) * PqGrid)).toSeq
-            }.toSeq.sortBy(_._1)
-        }
-      }
+    }
+    // PQ residual training: literal seeds (first PqK residuals), then
+    // ONE Lloyd-stats job covering every subspace AND space (q111).
+    // Trainer collects read the NARROW corpus (the fan-out exchange
+    // costs more than their single-task compute at fixture scale);
+    // the audit-side encode/scoring reads the WIDENED corpus so the
+    // big map stage (corpus × queries, cosine + ADC + windows) runs
+    // on every core.
+    val booksBy = pqBooksBatch(spaces.map { case (tag, _, m, sub) =>
+      (tag, assignOn(eBy(tag), tag), m, sub) })
+
+    def spaceAudit(tag: String, m: Int, sub: Int): DataFrame = {
+      val e = eBy(tag)
+      val cents = cbs(tag)
+      val centMap = typedlit(cents.toMap)
+      def scores(c: Column): Column = ivfScores(cents, c)
+      val assigned = assignOn(widen(e), tag)
+      val books = booksBy(tag)
       val codes = (0 until m).map { s =>
         nearestL2(slice(col("rv"), s * sub + 1, sub), books(s)).as(s"c$s")
       }
@@ -4022,10 +4164,14 @@ object Similarity {
             slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
             s => -s("ncid"))).as("pcid"))
       // ADC: exact coarse term + M compressed residual terms, added
-      // coarse-first then ascending subspace (left-assoc both engines)
-      val adcTerms = dot(col("qx"), element_at(centMap, col("cid"))) +:
+      // coarse-first then ascending subspace (left-assoc both engines);
+      // native dot kernel = same ascending fold, whole-stage codegen'd
+      val adcTerms =
+        graft.functions.DotProduct.dot_product(
+          col("qx"), element_at(centMap, col("cid"))) +:
         (0 until m).map { s =>
-          dot(slice(col("qx"), s * sub + 1, sub),
+          graft.functions.DotProduct.dot_product(
+            slice(col("qx"), s * sub + 1, sub),
             element_at(typedlit(books(s).toMap), col(s"c$s")))
         }
       val k = TopK.toLong
@@ -4056,9 +4202,9 @@ object Similarity {
           round(col("hits").cast("double") / col("gt_k").cast("double"), 6)
             .as("recall"))
     }
-    val raw = spaceAudit("vn", "raw", PqM, PqSub)
+    val raw = spaceAudit("raw", PqM, PqSub)
     val white =
-      if (!degenerate) spaceAudit("wn", "white", PqMWhite, PqSubWhite)
+      if (!degenerate) spaceAudit("white", PqMWhite, PqSubWhite)
       else embs.filter(col("vec_id") < NQueries)
         .select(lit("white").as("space"), col("vec_id").as("query_id"),
           lit(null).cast("long").as("scanned_rows"),
@@ -4639,49 +4785,46 @@ object Similarity {
     * audit the `qsel` queries (probe budget NProbe, ADC ranking,
     * exact-cosine GT). Extracted object-level so q283's retrain
     * policy sweeps the same arms over a wider query cohort. */
-  private def maintainArm(e: DataFrame, qsel: DataFrame,
-      train: DataFrame, tag: String): DataFrame = {
-    val cents = ivfCodebook(train)
+  private def maintainArms(e: DataFrame, qsel: DataFrame,
+      arms: Seq[(String, DataFrame)]): Map[String, DataFrame] = {
+    // batched training (guide §1.2): the arms are independent, so the
+    // IVF codebooks train as ONE tagged-union job per phase (seed +
+    // Lloyd stats) and the PQ books likewise — 4 driver round-trips
+    // for both arms instead of 8, identical per-arm folds and values
+    val cbs = ivfCodebooks(arms)
+    // FULL corpus assigned/encoded; only TRAINING reads the slice.
+    // Trainer collects read the NARROW corpus (single-split fixture:
+    // the fan-out exchange costs more than their single-task compute
+    // — measured); the audit-side encode/scoring stage is the big
+    // map (corpus × query cohort, cosine + ADC + two windows), so it
+    // reads the WIDENED corpus and runs on every core.
+    def assignOn(src: DataFrame, tag: String): DataFrame = {
+      val centMap = typedlit(cbs(tag).toMap)
+      src.withColumn("cid",
+          -sort_array(ivfScores(cbs(tag), col("x")), asc = false)(0)("ncid"))
+        .withColumn("rv",
+          zip_with(col("x"), element_at(centMap, col("cid")),
+            (a, b) => a - b))
+    }
+    val eW = widen(e)
+    val booksBy = pqBooksBatch(arms.map { case (tag, train) =>
+      (tag,
+        assignOn(e, tag).join(train.select(col("vec_id")),
+          Seq("vec_id"), "left_semi"),
+        PqM, PqSub)
+    })
+    arms.map { case (tag, _) =>
+      tag -> maintainArmAudit(e, qsel, cbs(tag), booksBy(tag),
+        assignOn(eW, tag), tag)
+    }.toMap
+  }
+
+  private def maintainArmAudit(e: DataFrame, qsel: DataFrame,
+      cents: Array[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]],
+      assigned: DataFrame, tag: String): DataFrame = {
     val centMap = typedlit(cents.toMap)
     def scores(c: Column): Column = ivfScores(cents, c)
-    // FULL corpus assigned/encoded; only TRAINING reads the slice
-    val assigned = e
-      .withColumn("cid",
-        -sort_array(scores(col("x")), asc = false)(0)("ncid"))
-      .withColumn("rv",
-        zip_with(col("x"), element_at(centMap, col("cid")),
-          (a, b) => a - b))
-    val trainIds = train.select(col("vec_id"))
-    val trainRes = assigned.join(trainIds, Seq("vec_id"), "left_semi")
-    val seedRows = trainRes.filter(col("vec_id") < PqK)
-      .select(col("vec_id"), col("rv"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-      .sortBy(_._1).toSeq
-    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until PqM).map { s =>
-      seedRows.map { case (cid, rv) =>
-        cid -> rv.slice(s * PqSub, s * PqSub + PqSub).toSeq }
-    }
-    for (_ <- 1 to PqRounds) {
-      val subs = (0 until PqM).map { s =>
-        val sv = slice(col("rv"), s * PqSub + 1, PqSub)
-        struct(lit(s).as("s"), nearestL2(sv, books(s)).as("cid"),
-          sv.as("sv"))
-      }
-      val stats = trainRes.select(explode(array(subs: _*)).as("sub"))
-        .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
-          posexplode(col("sub.sv")).as(Seq("i", "x")))
-        .groupBy("s", "cid", "i")
-        .agg(sum(round(col("x") * PqGrid, 0).cast("long")).as("sx"),
-        count(lit(1)).as("n"))
-        .collect()
-      books = (0 until PqM).map { s =>
-        stats.filter(_.getInt(0) == s).groupBy(_.getLong(1))
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(2))
-              .map(r => r.getLong(3).toDouble / (r.getLong(4) * PqGrid)).toSeq
-          }.toSeq.sortBy(_._1)
-      }
-    }
     val codes = (0 until PqM).map { s =>
       nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
         .as(s"c$s")
@@ -4696,9 +4839,14 @@ object Similarity {
         explode(transform(
           slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
           s => -s("ncid"))).as("pcid"))
-    val adcTerms = dot(col("qx"), element_at(centMap, col("cid"))) +:
+    // native dot kernel: same ascending left-assoc fold as the HOF form
+    // (bit-equal), but whole-stage codegen'd on the corpus-sized scan
+    val adcTerms =
+      graft.functions.DotProduct.dot_product(
+        col("qx"), element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        dot(slice(col("qx"), s * PqSub + 1, PqSub),
+        graft.functions.DotProduct.dot_product(
+          slice(col("qx"), s * PqSub + 1, PqSub),
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     val k = TopK.toLong
@@ -4789,8 +4937,9 @@ object Similarity {
         col("vec_id") < qLo + NQueries)
       .select(col("vec_id"))
 
-    maintainArm(e, qsel, standing, "frozen")
-      .unionByName(maintainArm(e, qsel, e, "rebuilt"))
+    val arms = maintainArms(e, qsel,
+      Seq("frozen" -> standing, "rebuilt" -> e))
+    arms("frozen").unionByName(arms("rebuilt"))
       .orderBy("arm", "query_id")
   }
 
@@ -4862,10 +5011,12 @@ object Similarity {
             col("vec_id") < b * width + PolicyQueries
         }.reduce(_ || _))
       .select(col("vec_id"))
-    val frozen = maintainArm(e, qsel, standing, "frozen")
+    val arms = maintainArms(e, qsel,
+      Seq("frozen" -> standing, "rebuilt" -> e))
+    val frozen = arms("frozen")
       .select(col("query_id"), col("gt_k").as("gt_f"),
         col("hits").as("hits_f"))
-    val rebuilt = maintainArm(e, qsel, e, "rebuilt")
+    val rebuilt = arms("rebuilt")
       .select(col("query_id"), col("gt_k").as("gt_r"),
         col("hits").as("hits_r"))
     frozen.join(rebuilt, Seq("query_id"))

@@ -22,6 +22,23 @@ object VectorKernels {
     s
   }
 
+  /** Squared L2 distance in index order: acc starts at 0.0 and adds
+    * (a_i−b_i)² ascending — bit-equal to the HOF
+    * `aggregate(zip_with(a,b,(x,y)=>(x−y)*(x−y)), 0.0, _+_)` fold
+    * (squares are non-negative, so the 0.0 seed can never flip a −0.0
+    * sign). */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** The same single-pass kernel over plain arrays — for group-local
     * consumers (q270's greedy rerank) whose pairwise scores must match
     * the expression and the DuckDB oracle bit-for-bit. */
@@ -140,5 +157,44 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Native squared-L2 distance — the PQ nearest-codeword metric. The
+  * HOF form (`aggregate(zip_with(...))`) interprets two lambdas per
+  * element; with 16 codewords × M subspaces per row the encode pass
+  * paid ~2M interpreted evals per 2k-row job (measured ~1s/job in the
+  * q276 profile). Same ascending fold, bit-equal values. */
+case class SqL2Distance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_l2_dist needs array<double> inputs, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.sqDist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqL2Distance {
+  def sq_l2_dist(a: Column, b: Column): Column =
+    GraftBridge.column(SqL2Distance(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
