@@ -93,9 +93,11 @@ object IndexArtifact {
     * dims); the int64 fold holds to ~4e9 rows — past that, widen to
     * DECIMAL(38,0) as the Exact doctrine prescribes. */
   private def fingerprint(e: DataFrame): String = {
-    val posE6 = aggregate(
-      transform(col("x"), (x, i) => (i + 1L) * round(x * 1e6, 0).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // native single-pass digest (sensitivity contract unchanged —
+    // IndexArtifactSpec pins the mutation-triggered rebuild; the
+    // interpreted HOF form cost ~240µs/row on every serve query's
+    // staleness check)
+    val posE6 = graft.functions.PosE6Digest.pos_e6_digest(col("x"))
     val r = e.agg(count(lit(1)), coalesce(max(col("vec_id")), lit(-1L)),
         coalesce(sum(col("vec_id")), lit(0L)),
         coalesce(sum(posE6), lit(0L)))
@@ -154,7 +156,7 @@ object IndexArtifact {
   private[graft] def normalizeFrame(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v0"))
-      .withColumn("nrm", Similarity.norm(col("v0")))
+      .withColumn("nrm", Similarity.normN(col("v0")))
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("v0"), x => x / col("nrm")).as("x"))
@@ -172,8 +174,7 @@ object IndexArtifact {
       books: Seq[Seq[(Long, Seq[Double])]], e: DataFrame): DataFrame = {
     val centMap = typedlit(cents.toMap)
     val withRv = e
-      .withColumn("cid", -sort_array(
-        Similarity.ivfScores(cents, col("x")), asc = false)(0)("ncid"))
+      .withColumn("cid", Similarity.ivfAssign(cents.toSeq, col("x")))
       .withColumn("rv",
         zip_with(col("x"), element_at(centMap, col("cid")),
           (a, b) => a - b))
@@ -233,8 +234,7 @@ object IndexArtifact {
     val cents = Similarity.ivfCodebook(e)
     val centMap = typedlit(cents.toMap)
     val assigned = e
-      .withColumn("cid", -sort_array(
-        Similarity.ivfScores(cents, col("x")), asc = false)(0)("ncid"))
+      .withColumn("cid", Similarity.ivfAssign(cents.toSeq, col("x")))
       .withColumn("rv",
         zip_with(col("x"), element_at(centMap, col("cid")),
           (a, b) => a - b))
@@ -719,8 +719,7 @@ object IndexArtifact {
     val cents = Similarity.ivfCodebook(standing)
     val centMap = typedlit(cents.toMap)
     val assigned = standing
-      .withColumn("cid", -sort_array(
-        Similarity.ivfScores(cents, col("x")), asc = false)(0)("ncid"))
+      .withColumn("cid", Similarity.ivfAssign(cents.toSeq, col("x")))
       .withColumn("rv",
         zip_with(col("x"), element_at(centMap, col("cid")),
           (a, b) => a - b))

@@ -52,6 +52,13 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, e) => acc + e))
 
+  /** Native-kernel norm for the hot normalization scans: √(a·a) via
+    * the codegen'd dot kernel — the identical ascending ((0+x₀²)+x₁²)…
+    * fold, bit-equal to the HOF [[norm]] (which stays as the
+    * cross-check twin). */
+  private[graft] def normN(a: Column): Column =
+    sqrt(graft.functions.DotProduct.dot_product(a, a))
+
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
@@ -296,8 +303,7 @@ object Similarity {
         // Project ABOVE Generate, re-evaluating the K-cosine argmax per
         // EXPLODED row (Dim× per vector — measured 2.2× on this job)
         e.toDF("vec_id", "tv").select(
-            (-sort_array(ivfScores(codes(tag), col("tv")), asc = false)(0)("ncid"))
-              .as("cid"),
+            ivfAssign(codes(tag).toSeq, col("tv")).as("cid"),
             col("tv"))
           .select(col("cid"), posexplode(col("tv")).as(Seq("i", "x")))
           .groupBy("cid", "i")
@@ -365,6 +371,16 @@ object Similarity {
        |$out AS MATERIALIZED (SELECT cid, cv FROM ${out}_k$IvfRounds)""".stripMargin
   }
 
+  /** Fused native argmax over a literal codebook — bit-equal to
+    * `-sort_array(ivfScores(...), desc)(0)("ncid")` (same cosine
+    * kernel, Spark's NaN-safe double total order, ties to the
+    * smallest cid) without K struct allocations + an interpreted
+    * struct sort per row (guide §4; measured dominant in every
+    * assignment/Lloyd/encode stage at K=16). */
+  private[graft] def ivfAssign(cents: Seq[(Long, Seq[Double])],
+      v: Column): Column =
+    graft.functions.NearestCosineCentroid.nearest_cos_centroid(v, cents)
+
   /** Struct array of (cos to each centroid, -cid); sort_array desc picks
     * highest cos with SMALLEST cid on ties (matching ORDER BY cos DESC,
     * cid). */
@@ -385,7 +401,7 @@ object Similarity {
     def scores(v: Column): Column = ivfScores(cents, v)
 
     val assigned = e
-      .withColumn("cid", -sort_array(scores(col("v")), asc = false)(0)("ncid"))
+      .withColumn("cid", ivfAssign(cents.toSeq, col("v")))
     val probes = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(transform(
@@ -685,8 +701,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = ivfCodebook(e)
     val maxP = ProbeSweep.max
-    val assigned = e.withColumn("cid",
-      -sort_array(ivfScores(cents, col("v")), asc = false)(0)("ncid"))
+    val assigned = e.withColumn("cid", ivfAssign(cents.toSeq, col("v")))
     val probes = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         posexplode(transform(
@@ -867,7 +882,7 @@ object Similarity {
       // feeds the agg the same rows in the same order — values
       // unchanged, including this kernel's adjudicated float fold
       val stats = e
-        .select(nearest(col("v"), code)._1.as("cid"), col("v"))
+        .select(ivfAssign(code, col("v")).as("cid"), col("v"))
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -934,7 +949,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val code = kmeansCodebook(e, KmeansK, KmeansRounds)
     val a = e.select(col("vec_id"),
-      nearest(col("v"), code)._1.as("cid"), col("v"))
+      ivfAssign(code, col("v")).as("cid"), col("v"))
     val dups = a.as("x")
       .join(a.as("y"),
         col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
@@ -994,7 +1009,7 @@ object Similarity {
   def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val e0 = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v0"))
-      .withColumn("nrm", norm(col("v0")))
+      .withColumn("nrm", normN(col("v0")))
       .filter(col("nrm") > 0)
     // pin the normalized corpus once: the M per-subspace trainings are
     // 3 actions each (seed, Lloyd stats, final assign) and every one
@@ -1020,7 +1035,7 @@ object Similarity {
     for (_ <- 1 to PqRounds) {
       val subs = (0 until PqM).map { s =>
         val sv = slice(col("v"), s * PqSub + 1, PqSub)
-        struct(lit(s).as("s"), nearest(sv, books(s))._1.as("cid"),
+        struct(lit(s).as("s"), ivfAssign(books(s), sv).as("cid"),
           sv.as("sv"))
       }
       val stats = e.select(explode(array(subs: _*)).as("sub"))
@@ -1039,7 +1054,7 @@ object Similarity {
       }
     }
     val codes = (0 until PqM).map { s =>
-      nearest(slice(col("v"), s * PqSub + 1, PqSub), books(s))._1.as(s"c$s")
+      ivfAssign(books(s), slice(col("v"), s * PqSub + 1, PqSub)).as(s"c$s")
     }
     val enc = e.select(col("vec_id") +: codes: _*)
     val queries = e.filter(col("vec_id") < NQueries)
@@ -1237,7 +1252,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val code = kmeansCodebook(e, KmeansK, KmeansRounds)
     val a = e.select(col("vec_id"),
-      nearest(col("v"), code)._1.as("cid"), col("v"))
+      ivfAssign(code, col("v")).as("cid"), col("v"))
     val sizes = a.groupBy("cid").agg(count(lit(1)).as("n"))
     val ws = a.join(broadcast(sizes), Seq("cid"))
       .withColumn("n_shards", expr(s"(n + ${cap - 1}) div $cap"))
@@ -1339,7 +1354,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val code = kmeansCodebook(e, KmeansK, KmeansRounds)
     val a = e.select(col("vec_id"),
-      nearest(col("v"), code)._1.as("cid"), col("v"))
+      ivfAssign(code, col("v")).as("cid"), col("v"))
     val sizes = a.groupBy("cid").agg(count(lit(1)).as("n"))
     val shardHash = (c: Column) =>
       graft.ext.Dedup.hash60(concat_ws("|", c, lit("shard")))
@@ -2389,8 +2404,7 @@ object Similarity {
     val cents = ivfCodebook(e)
     val n = e.count() // 1-row anchor, interpolated literally
     val k = cents.length
-    e.withColumn("cid",
-        -sort_array(ivfScores(cents, col("v")), asc = false)(0)("ncid"))
+    e.withColumn("cid", ivfAssign(cents.toSeq, col("v")))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"))
       .select(col("cid"), col("n_vecs"),
@@ -3342,7 +3356,7 @@ object Similarity {
     val centsRaw = cbs("raw")
     val centsWh = cbs("white")
     def argmax(cents: Array[(Long, Seq[Double])], v: Column): Column =
-      -sort_array(ivfScores(cents, v), asc = false)(0)("ncid")
+      ivfAssign(cents.toSeq, v)
     val k = centsRaw.length.toLong
     val census = base
       .select(explode(array(
@@ -3820,8 +3834,7 @@ object Similarity {
       val e = eBy(tag)
       val cents = cbs(tag)
       def scores(c: Column): Column = ivfScores(cents, c)
-      val assigned = e.withColumn("cid",
-        -sort_array(scores(col("x")), asc = false)(0)("ncid"))
+      val assigned = e.withColumn("cid", ivfAssign(cents.toSeq, col("x")))
       val qs = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("x").as("qx"))
       val probes = e.filter(col("vec_id") < NQueries)
@@ -4102,7 +4115,7 @@ object Similarity {
           e => round(e.cast("double") * CovScale).cast("long")).as("qv"))
       .select(col("vec_id"), col("v"), wv.as("wv"))
       .select(col("vec_id"), col("v"), col("wv"),
-        norm(col("v")).as("nr"), norm(col("wv")).as("nw"))
+        normN(col("v")).as("nr"), normN(col("wv")).as("nw"))
       .select(col("vec_id"),
         when(col("nr") > 0,
           transform(col("v"), x => x / col("nr"))).as("vn"),
@@ -4127,8 +4140,7 @@ object Similarity {
       tag -> eBy(tag) })
     def assignOn(src: DataFrame, tag: String): DataFrame = {
       val centMap = typedlit(cbs(tag).toMap)
-      src.withColumn("cid",
-          -sort_array(ivfScores(cbs(tag), col("x")), asc = false)(0)("ncid"))
+      src.withColumn("cid", ivfAssign(cbs(tag).toSeq, col("x")))
         .withColumn("rv",
           zip_with(col("x"), element_at(centMap, col("cid")),
             (a, b) => a - b))
@@ -4592,8 +4604,7 @@ object Similarity {
   private def annRerankPool(e: DataFrame): DataFrame = {
     val cents = ivfCodebook(e)
     def scores(v: Column): Column = ivfScores(cents, v)
-    val assigned = e.withColumn("cid",
-      -sort_array(scores(col("v")), asc = false)(0)("ncid"))
+    val assigned = e.withColumn("cid", ivfAssign(cents.toSeq, col("v")))
     val probes = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(transform(
@@ -4800,8 +4811,7 @@ object Similarity {
     // reads the WIDENED corpus and runs on every core.
     def assignOn(src: DataFrame, tag: String): DataFrame = {
       val centMap = typedlit(cbs(tag).toMap)
-      src.withColumn("cid",
-          -sort_array(ivfScores(cbs(tag), col("x")), asc = false)(0)("ncid"))
+      src.withColumn("cid", ivfAssign(cbs(tag).toSeq, col("x")))
         .withColumn("rv",
           zip_with(col("x"), element_at(centMap, col("cid")),
             (a, b) => a - b))
@@ -4922,7 +4932,7 @@ object Similarity {
     val width = (maxId + DriftBatches) / DriftBatches
     val e = embs
       .select(col("vec_id"), asDouble(col("embedding")).as("v0"))
-      .withColumn("nrm", norm(col("v0")))
+      .withColumn("nrm", normN(col("v0")))
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("v0"), x => x / col("nrm")).as("x"))
@@ -4993,7 +5003,7 @@ object Similarity {
     val width = (maxId + DriftBatches) / DriftBatches
     val e = embs
       .select(col("vec_id"), asDouble(col("embedding")).as("v0"))
-      .withColumn("nrm", norm(col("v0")))
+      .withColumn("nrm", normN(col("v0")))
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("v0"), x => x / col("nrm")).as("x"))
