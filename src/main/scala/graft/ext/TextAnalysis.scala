@@ -812,10 +812,16 @@ object TextAnalysis {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, c))
+        // NO per-round checkpoint: the merge is one literal `replace`
+        // over the ~|vocab|-row dict, so letting rounds accumulate as a
+        // collapsed Project chain above the pinned w0 costs round k a
+        // k-replace re-scan of a tiny frame, while checkpointing cost
+        // an EAGER job per round — 8 of the loop's 16 driver round
+        // trips, measured ~half the q82/q97/q160 build time (§1.2:
+        // remove passes before tuning them)
         words = words
           .select(replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
             col("cnt"))
-          .localCheckpoint()
         r += 1
       }
     }
