@@ -173,16 +173,18 @@ object IndexArtifact {
   private[graft] def encodeUnder(cents: Array[(Long, Seq[Double])],
       books: Seq[Seq[(Long, Seq[Double])]], e: DataFrame): DataFrame = {
     val centMap = typedlit(cents.toMap)
-    val withRv = e
+    // fused encode: the residual (x − centroid[cid]) subtracts INSIDE
+    // the per-subspace argmin kernel — no zip_with rv column, no
+    // slice/struct-sort per row; bit-equal to the idiom it replaces
+    // (same two subtractions in the same order — NearestL2Code doc)
+    val assigned = e
       .withColumn("cid", Similarity.ivfAssign(cents.toSeq, col("x")))
-      .withColumn("rv",
-        zip_with(col("x"), element_at(centMap, col("cid")),
-          (a, b) => a - b))
     val codes = (0 until PqM).map { s =>
-      Similarity.nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
+      graft.functions.NearestL2Code.nearest_l2_code_residual(
+        col("x"), element_at(centMap, col("cid")), s * PqSub, books(s))
         .as(s"c$s")
     }
-    withRv.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
+    assigned.select(Seq(col("vec_id"), col("cid")) ++ codes: _*)
   }
 
   /** Collect a generation's broadcast-sized quantizers. */
@@ -250,9 +252,13 @@ object IndexArtifact {
     }
     for (_ <- 1 to PqRounds) {
       val subs = (0 until PqM).map { s =>
-        val sv = slice(col("rv"), s * PqSub + 1, PqSub)
-        struct(lit(s).as("s"), Similarity.nearestL2(sv, books(s)).as("cid"),
-          sv.as("sv"))
+        // codegen'd argmin over the rv window (no slice/struct/sort
+        // allocations — bit-equal to the struct-sort nearestL2); the
+        // sv slice stays for the posexplode payload only
+        struct(lit(s).as("s"),
+          graft.functions.NearestL2Code.nearest_l2_code(
+            col("rv"), s * PqSub, books(s)).as("cid"),
+          slice(col("rv"), s * PqSub + 1, PqSub).as("sv"))
       }
       val stats = assigned.select(explode(array(subs: _*)).as("sub"))
         .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
@@ -271,8 +277,10 @@ object IndexArtifact {
       }
     }
     val codes = (0 until PqM).map { s =>
-      Similarity.nearestL2(slice(col("rv"), s * PqSub + 1, PqSub), books(s))
-        .as(s"c$s")
+      // rv is checkpoint-materialized here; the window kernel reads it
+      // in place (no slice/struct-sort per row, bit-equal)
+      graft.functions.NearestL2Code.nearest_l2_code(
+        col("rv"), s * PqSub, books(s)).as(s"c$s")
     }
     import spark.implicits._
     // the four table writes are independent given the checkpointed
@@ -293,13 +301,20 @@ object IndexArtifact {
       () => e.write.mode("overwrite").parquet(s"$dir/forward"))
   }
 
-  /** Run independent write jobs concurrently and propagate the first
-    * failure (guide §2.6 — concurrent jobs inside one application). */
+  /** Run independent write jobs concurrently (guide §2.6 — concurrent
+    * jobs inside one application). Waits for EVERY job's outcome
+    * before throwing the first failure — a fail-fast Future.sequence
+    * would rethrow while sibling jobs are still writing into the temp
+    * generation dir, which becomes a race the moment any failure-path
+    * cleanup of that dir is added. */
   private def awaitAll(fs: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+    import scala.util.Try
+    val outcomes = Await.result(
+      Future.traverse(fs.toSeq)(f => Future(Try(f()))), Duration.Inf)
+    outcomes.foreach(_.get) // first failure, after all have finished
   }
 
   /** Build only if no generation matches the current corpus
@@ -393,8 +408,10 @@ object IndexArtifact {
     val adcTerms = graft.functions.DotProduct.dot_product(col("qx"),
         element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        graft.functions.DotProduct.dot_product(
-          slice(col("qx"), s * PqSub + 1, PqSub),
+        // offset-dot kernel: no per-(pair × subspace) slice allocation
+        // on the scoring scan (same fold, bit-equal)
+        graft.functions.DotProductOffset.dot_product_off(
+          col("qx"), s * PqSub,
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     enc.join(fwd.withColumnRenamed("vec_id", "fid"),
@@ -643,8 +660,10 @@ object IndexArtifact {
     val adcTerms = graft.functions.DotProduct.dot_product(col("qx"),
         element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        graft.functions.DotProduct.dot_product(
-          slice(col("qx"), s * PqSub + 1, PqSub),
+        // offset-dot kernel: no per-(pair × subspace) slice allocation
+        // on the scoring scan (same fold, bit-equal)
+        graft.functions.DotProductOffset.dot_product_off(
+          col("qx"), s * PqSub,
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     enc
@@ -734,9 +753,13 @@ object IndexArtifact {
     }
     for (_ <- 1 to PqRounds) {
       val subs = (0 until PqM).map { s =>
-        val sv = slice(col("rv"), s * PqSub + 1, PqSub)
-        struct(lit(s).as("s"), Similarity.nearestL2(sv, books(s)).as("cid"),
-          sv.as("sv"))
+        // codegen'd argmin over the rv window (no slice/struct/sort
+        // allocations — bit-equal to the struct-sort nearestL2); the
+        // sv slice stays for the posexplode payload only
+        struct(lit(s).as("s"),
+          graft.functions.NearestL2Code.nearest_l2_code(
+            col("rv"), s * PqSub, books(s)).as("cid"),
+          slice(col("rv"), s * PqSub + 1, PqSub).as("sv"))
       }
       val stats = assigned.select(explode(array(subs: _*)).as("sub"))
         .select(col("sub.s").as("s"), col("sub.cid").as("cid"),
@@ -810,8 +833,10 @@ object IndexArtifact {
     val adcTerms = graft.functions.DotProduct.dot_product(col("qx"),
         element_at(centMap, col("cid"))) +:
       (0 until PqM).map { s =>
-        graft.functions.DotProduct.dot_product(
-          slice(col("qx"), s * PqSub + 1, PqSub),
+        // offset-dot kernel: no per-(pair × subspace) slice allocation
+        // on the scoring scan (same fold, bit-equal)
+        graft.functions.DotProductOffset.dot_product_off(
+          col("qx"), s * PqSub,
           element_at(typedlit(books(s).toMap), col(s"c$s")))
       }
     val k = TopK.toLong
