@@ -16,42 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Fact tables whose fixture collapses to ONE parquet split (every
-    * testdata file is a single row group), mapped to a deterministic
-    * high-cardinality key: a single-split scan runs every downstream
-    * map stage as ONE task while the other cores idle — the guide
-    * §2.5 "input skew: one file" case (measured 0.5–1.0s single-task
-    * scan stages across the BI/text/event families at sf0.1). The
-    * loader repartitions these by HASH of the key (a keyless
-    * round-robin would pay `sortBeforeRepartition`'s local sort of
-    * the whole file inside the same single task) — and ONLY when the
-    * scan would plan fewer splits than the session's parallelism, so
-    * at production scale (many splits per table) the widen is a
-    * no-op and no extra exchange exists. Dims (region…part) and the
-    * plan-pinned embeddings (q264/q266 map-only whitening: ≤1/≤2
-    * exchanges; the Similarity family widens selectively via
-    * Similarity.widen) are deliberately absent. */
-  /** Measured at sf0.1 (OPTIMIZATION_r14.md): widening lineitem cut
-    * q42 2.11→0.84s, q45 2.95→1.31s, q01/q66/q159/q201/q84 20-30%
-    * each. documents/events widening was tried and REVERTED: their
-    * consumers are dominated by high-cardinality token/property
-    * aggregations whose map-side combine inflates ~|partitions|× when
-    * the scan fans out (each partition sees most of the vocab), a net
-    * 1.3-1.5× regression across ~10 measured queries. Heavy per-row
-    * document passes widen surgically at their own call sites
-    * instead. */
-  private val widenKeys: Map[String, String] = Map(
-    "lineitem" -> "l_orderkey")
-
-  /** Spark's own split count for one file (FilePartition.maxSplitBytes
-    * math), derived from the file length — no RDD instantiation, no
-    * extra planning pass. */
-  private def scanSplits(spark: SparkSession, path: String): Int =
-    splitsForBytes(spark,
-      new java.io.File(path.stripPrefix("file:")).length())
-
+  /** NO loader-level scan widening — tried THREE ways this round and
+    * reverted on measurement (OPTIMIZATION_r14.md "lineitem widen
+    * calibration"). Every fixture table is one parquet split, so
+    * scan-rooted stages run as one task — but anchored against the
+    * round-12-close SCALING steady times, the no-widen loader is the
+    * fastest shape for the whole lineitem family (23.9 s vs 31.3
+    * hash-repartition vs 38.8 round-robin over the 34 fact queries):
+    * most consumers are one cheap scan+partial-agg pass where a
+    * full-table exchange costs more than the fan-out buys, round-robin
+    * additionally pays sortBeforeRepartition's local sort inside the
+    * single input task, and hash-by-key defeats column pruning
+    * (PlanSpec pins q201). The round-open numbers that motivated the
+    * widen (q07 "3.25 s") were cold-box artifacts of the open bench —
+    * steady is 1.14 s on the identical code. At production scale a
+    * fact scan has many splits and parallelizes natively; operators
+    * whose per-row work is genuinely heavy (band generation, the
+    * similarity family) widen at their own call sites via
+    * Similarity.widen, which stays a no-op at scale. documents/events
+    * widening also tried/reverted: their token/property aggregation
+    * consumers inflate the map-side combine ~|partitions|×. */
   /** The FilePartition.maxSplitBytes split-count formula for a scan of
-    * `bytes0` total input (also Similarity.widen's file-scan leaf
+    * `bytes0` total input (Similarity.widen's file-scan leaf
     * estimate). */
   private[graft] def splitsForBytes(spark: SparkSession, bytes0: Long): Int = {
     val bytes = bytes0.max(1L)
@@ -74,15 +60,7 @@ object Tables {
     // converts the long to a µs timestamp)
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/$name.parquet"
-    val df = spark.read.parquet(path)
-    widenKeys.get(name) match {
-      case Some(_)
-          if scanSplits(spark, path) <
-            spark.sparkContext.defaultParallelism =>
-        df.repartition(spark.sparkContext.defaultParallelism)
-      case _ => df
-    }
+    spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Register all fixture tables as temp views (names as in TESTDATA.md). */
